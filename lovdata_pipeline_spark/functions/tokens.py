@@ -1,0 +1,72 @@
+"""Tokenization / token counting.
+
+The reference counts tokens with tiktoken's ``cl100k_base``
+(reference: domain/parsers/lovdata_chunker.py:594-603,
+domain/splitters/token_counter.py:25-34). tiktoken is an optional
+dependency here: when present we use it (vectorized via
+``encode_ordinary_batch`` inside an Arrow-batched pandas UDF); when
+absent we fall back to a deterministic BPE-ish regex approximation so
+all semantics (split/merge thresholds) stay well-defined and testable.
+
+The fallback rule: one token per word-piece match, where long
+alphanumeric runs cost ``ceil(len/4)`` tokens — mirroring BPE's ~4
+chars/token average on natural text.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional, not installed in the test container
+    import tiktoken
+
+    _ENC = tiktoken.get_encoding("cl100k_base")
+except Exception:  # pragma: no cover - environment-dependent
+    _ENC = None
+
+# Word pieces: alphanumeric runs (with unicode letters), or a single
+# non-space symbol. Contractions split like BPE does ("don't" -> 2+).
+_PIECE_RE = re.compile(r"[^\W_]+|[^\w\s]", re.UNICODE)
+_CHARS_PER_TOKEN = 4
+
+
+def count_tokens(text: str) -> int:
+    """Token count of one string (pure Python, driver- or executor-side)."""
+    if not text:
+        return 0
+    if _ENC is not None:
+        return len(_ENC.encode(text))
+    n = 0
+    for m in _PIECE_RE.finditer(text):
+        piece = m.group(0)
+        n += max(1, -(-len(piece) // _CHARS_PER_TOKEN))
+    return n
+
+
+def count_tokens_batch(texts: Iterable[str]) -> list[int]:
+    """Vectorized batch count (used inside pandas UDFs)."""
+    if _ENC is not None:
+        return [len(t) for t in _ENC.encode_ordinary_batch([s or "" for s in texts])]
+    return [count_tokens(s or "") for s in texts]
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched token counter for DataFrame columns."""
+    return pd.Series(count_tokens_batch(texts.fillna("").tolist()), dtype="int32")
+
+
+def whitespace_token_count(col):
+    """JVM-side whitespace token count — SQL-expressible, zero Python.
+
+    ``size(split(trim(col), '\\s+'))`` with empty-string → 0. This is the
+    cheap scale path for corpus statistics where exact BPE parity is not
+    required; it stays inside whole-stage codegen.
+    """
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
