@@ -1,0 +1,89 @@
+"""Embedding stage: batched vectorized map over chunk content.
+
+The reference batches 100 texts per provider call and zips vectors back
+1:1 (reference: domain/services/embedding_service.py:31-83; provider
+protocol domain/embedding_provider.py:9-36). Spark shape: one
+``mapInPandas`` pass — Arrow batches are the API batches — with a
+pluggable provider. The default provider is a deterministic hash-based
+mock (mirroring tests/conftest.py:116-130 in spirit but content-derived
+so results are order- and partition-independent), keeping correctness
+fully offline; a real OpenAI-compatible provider slots in behind the
+same callable without touching the plan.
+
+Deviation (documented): the reference silently drops ``cross_refs`` when
+constructing EnrichedChunk (embedding_service.py:62-77); we keep every
+chunk column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from lovdata_pipeline_spark.schemas import ENRICHED_CHUNKS_SCHEMA
+
+# A provider maps a list of texts to a list of equal-length float vectors.
+EmbeddingProvider = Callable[[list[str]], list[list[float]]]
+
+
+def mock_hash_provider(dims: int = 64) -> EmbeddingProvider:
+    """Deterministic, content-derived unit vectors.
+
+    embedding[j] is a [-1, 1] value derived from md5(content, j); the
+    vector is L2-normalized so downstream cosine math behaves like real
+    embeddings. Same content → same vector, on any executor.
+    """
+
+    def embed(texts: list[str]) -> list[list[float]]:
+        out = []
+        for text in texts:
+            seed = hashlib.md5((text or "").encode("utf-8")).digest()
+            vals = []
+            for j in range(dims):
+                h = hashlib.md5(seed + j.to_bytes(4, "little")).digest()
+                vals.append(int.from_bytes(h[:8], "little") / 2**63 - 1.0)
+            norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+            out.append([v / norm for v in vals])
+        return out
+
+    return embed
+
+
+def embed_chunks_df(
+    chunks: DataFrame,
+    provider: EmbeddingProvider | None = None,
+    model_name: str = "mock-hash-embedder",
+    embedded_at: str = "1970-01-01T00:00:00+00:00",
+    batch_size: int = 100,
+    dims: int = 64,
+) -> DataFrame:
+    """chunks (CHUNKS_SCHEMA) → enriched chunks with embedding columns.
+
+    ``embedded_at`` is caller-supplied (an ISO string, as in the
+    reference models.py:99) so runs are reproducible; the orchestrator
+    stamps wall-clock time, tests stamp a constant.
+    """
+    impl = provider or mock_hash_provider(dims)
+    out_cols = [f.name for f in ENRICHED_CHUNKS_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["content"].fillna("").tolist()
+            vectors: list[list[float]] = []
+            for i in range(0, len(texts), batch_size):
+                got = impl(texts[i : i + batch_size])
+                if len(got) != len(texts[i : i + batch_size]):  # zip strict=True analog
+                    raise ValueError("provider returned wrong number of vectors")
+                vectors.extend(got)
+            pdf = pdf.assign(
+                embedding=vectors,
+                embedding_model=model_name,
+                embedded_at=embedded_at,
+            )
+            yield pdf[out_cols]
+
+    return chunks.mapInPandas(run, schema=ENRICHED_CHUNKS_SCHEMA)

@@ -1,0 +1,141 @@
+"""Bucketed parquet chunk store — the engine's central table.
+
+The reference's vector store contract (reference: domain/vector_store.py:11-63):
+upsert by chunk_id, delete by document_id, count, distinct doc ids, point
+lookups. Its JSONL backend writes one file per source hash
+(jsonl_vector_store.py:19-30) — a small-files disaster at 100 TB.
+
+Scale design here: chunks are hash-bucketed by ``document_id`` into a
+fixed number of partition directories (``bucket=NN``). Every mutation
+touches only the buckets its documents hash into, committed via dynamic
+partition overwrite — Spark's task-commit protocol gives atomic
+per-partition replacement, the parquet-only analog of Delta MERGE/DELETE.
+Point lookups by document prune to one bucket. At cluster scale you'd
+raise ``n_buckets`` (or swap in Delta with the same call sites); the
+layout already co-locates a document's chunks, so per-document reads and
+replacements never shuffle the whole store.
+
+Documents are replaced wholesale on reprocess (the reference rewrites the
+whole per-hash file, jsonl_vector_store.py:41-80), so upsert = delete doc
+∪ insert new — equivalent to chunk_id last-wins because chunk ids are
+positional per document.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from lovdata_pipeline_spark.schemas import ENRICHED_CHUNKS_SCHEMA
+
+_BUCKET = "bucket"
+# NOTE: built as a fresh StructType — StructType.add mutates in place and
+# would corrupt the shared ENRICHED_CHUNKS_SCHEMA.
+_STORED_SCHEMA = T.StructType(
+    list(ENRICHED_CHUNKS_SCHEMA.fields) + [T.StructField(_BUCKET, T.IntegerType(), True)]
+)
+
+
+class ChunkStore:
+    def __init__(self, spark: SparkSession, root: str | Path, n_buckets: int = 32):
+        self.spark = spark
+        self.root = str(root)
+        self.n_buckets = n_buckets
+        Path(self.root).mkdir(parents=True, exist_ok=True)
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")
+
+    def _empty(self) -> DataFrame:
+        df = self.spark.createDataFrame([], ENRICHED_CHUNKS_SCHEMA)
+        return df.withColumn(_BUCKET, F.lit(0).cast("int")).limit(0)
+
+    def read(self) -> DataFrame:
+        if not any(Path(self.root).glob(f"{_BUCKET}=*")):
+            return self._empty()
+        return self.spark.read.schema(_STORED_SCHEMA).parquet(self.root)
+
+    def _write_buckets(self, df: DataFrame) -> None:
+        # The rewrite plan reads the same files it replaces, so cut lineage
+        # first (localCheckpoint materializes the survivors); with Delta this
+        # whole method is a single MERGE and the checkpoint disappears.
+        df = df.localCheckpoint(eager=True)
+        # Dynamic overwrite: only partitions present in `df` are replaced.
+        (
+            df.repartition(_BUCKET)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self.root)
+        )
+        # Session-wide FileStatusCache still lists the replaced files.
+        self.spark.catalog.refreshByPath(self.root)
+
+    # -- mutations (op 24 upsert / op 26 delete) ------------------------------
+
+    def upsert_chunks(self, chunks: DataFrame) -> None:
+        """Replace all chunks of the incoming documents, insert the rest.
+
+        Touched buckets are recomputed as (survivors ∪ incoming) and
+        atomically swapped; untouched buckets are not read or written.
+        """
+        incoming = chunks.withColumn(_BUCKET, self._bucket_col())
+        touched = [r[_BUCKET] for r in incoming.select(_BUCKET).distinct().collect()]
+        if not touched:
+            return
+        existing = self.read().filter(F.col(_BUCKET).isin(touched))
+        survivors = existing.join(
+            incoming.select("document_id").distinct(), "document_id", "left_anti"
+        )
+        self._write_buckets(survivors.unionByName(incoming.select(*survivors.columns)))
+
+    def delete_documents(self, doc_ids: DataFrame) -> int:
+        """DELETE WHERE document_id IN (...); returns deleted count
+        (contract: vector_store.py:29-41)."""
+        ids = doc_ids.select("document_id").distinct()
+        store = self.read()
+        hit = store.join(ids, "document_id", "left_semi")
+        touched = [r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect()]
+        if not touched:
+            return 0
+        n = hit.count()
+        # Materialize BEFORE the overwrite — the lazy plan references the
+        # very files the write replaces.
+        keep = (
+            store.filter(F.col(_BUCKET).isin(touched))
+            .join(ids, "document_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        self._write_buckets(keep)
+        # Dynamic overwrite never writes a partition that ended up empty, so
+        # a fully-emptied bucket would keep its old files — drop it explicitly
+        # (the analog of the reference unlinking emptied JSONL files,
+        # jsonl_vector_store.py:104-117).
+        import shutil
+
+        remaining = {r[_BUCKET] for r in keep.select(_BUCKET).distinct().collect()}
+        for b in set(touched) - remaining:
+            shutil.rmtree(Path(self.root) / f"{_BUCKET}={b}", ignore_errors=True)
+        self.spark.catalog.refreshByPath(self.root)
+        return n
+
+    # -- queries (ops 28-30) ----------------------------------------------------
+
+    def count(self) -> int:
+        return self.read().count()
+
+    def distinct_document_ids(self) -> DataFrame:
+        return self.read().select("document_id").distinct()
+
+    def chunks_for_document(self, doc_id: str) -> DataFrame:
+        # Bucket pruning: the predicate on the partition column means only
+        # one directory is scanned.
+        bucket = F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(self.n_buckets)).cast("int")
+        return self.read().filter(
+            (F.col(_BUCKET) == bucket) & (F.col("document_id") == doc_id)
+        )
+
+    def chunks_for_source_hash(self, source_hash: str) -> DataFrame:
+        return self.read().filter(F.col("source_hash") == source_hash)
