@@ -1,0 +1,358 @@
+"""Deduplication family for large-scale corpus curation.
+
+Beyond the reference's surface (its only dedup is `distinct document_id`,
+reference: jsonl_vector_store.py:182-195), these are the operators a
+100 TB training-data pipeline needs. All are built from native
+DataFrame ops — shingling via ``split``/``transform``, hashing via
+``xxhash64``/``md5``, candidate generation via equi-joins on band
+buckets — so the hot path never leaves the JVM and Catalyst is free to
+push filters into the scans.
+
+Scale notes per operator are inline; the common theme: never cross-join
+the corpus. Exact dedup is one hash-aggregate; MinHash-LSH and SimHash
+generate candidates with equi-joins whose key cardinality (band buckets)
+grows with corpus size, keeping the shuffle proportional to true
+near-duplicate mass rather than n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs, keep_id, doc_ids).
+
+    One hash-aggregate; partial aggregation map-side makes this ~one scan
+    at any scale. ``keep_id`` is the smallest id (deterministic survivor).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text. Window over the hash —
+    a single shuffle on the hash key; skew-safe because identical texts
+    hash together by construction."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling (shared by jaccard / minhash)
+# --------------------------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs of word n-grams, distinct per document.
+
+    Pure SQL-expressible: split on whitespace, slide a window with
+    ``transform`` over indices, ``explode``. Stays in codegen.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_sh = F.size(words) - F.lit(n - 1)
+    # Guard: sequence(0, -k) would count downward; short docs get no shingles.
+    shingles = F.when(
+        n_sh <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs word-n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard).
+
+    Inverted-index join: explode shingles, self-join on the shingle, count
+    common shingles per pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. The join
+    key is the shingle, so co-occurrence drives the shuffle — no cross
+    join. At 100 TB you run minhash_lsh_pairs first and feed only
+    candidates through this as the verifier.
+    """
+    sh = word_shingles(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One aggregate produces the whole
+    signature; xxhash64 is JVM-side and seedable."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingles.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    banding: signature split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs sharing any band bucket become candidates (equi-join on
+    (band_idx, band_hash)). Candidates are then *verified* with exact
+    shingle Jaccard so the output is deterministic and threshold-exact —
+    LSH only prunes the search space (recall tuned via bands/rows).
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(docs, text_col, id_col, n).cache()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard on the same shingle sets
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: (id, simhash).
+
+    Tokens → xxhash64 → per-bit majority vote, expressed as one
+    aggregate of 64 conditional sums (all codegen'd; no Python). The
+    majority vote: bit b of the result is 1 iff more token-hashes have
+    bit b set than not.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 is the sign bit; keep hashes non-negative
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    result = F.lit(0).cast("long")
+    for b in range(63):
+        result = result + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select(F.col(id_col), result.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 segments — any
+    pair within distance k agrees exactly on ≥1 segment, so an equi-join
+    on (segment_idx, segment_bits) finds all true pairs without a cross
+    join; ``bit_count(a^b)`` verifies.
+    """
+    n_seg = max_hamming + 1
+    seg_width = 64 // n_seg
+    sh = simhash(docs, text_col, id_col)
+    # shiftrightunsigned takes a Python int shift — build the segment array
+    # with a comprehension, not F.transform over a Column index.
+    segs = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * seg_width).bitwiseAND(
+                F.lit((1 << seg_width) - 1)
+            )
+            for i in range(n_seg)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), "simhash", F.posexplode(segs).alias("seg_idx", "seg_bits")
+    )
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["seg_idx", "seg_bits"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) pairs with cosine ≥ threshold.
+
+    Two-phase: (1) candidate SEARCH with a blocked numpy matmul inside
+    ``mapInPandas`` — each partition multiplies its rows against a
+    broadcast matrix of the full corpus (vectorized, Arrow-batched; the
+    n² compare runs at BLAS speed, never as an n² row join); (2) exact
+    VERIFY of the few survivors with the sequential-fold dot product so
+    the reported score is bit-stable regardless of BLAS accumulation
+    order. The search margin (1e-6) makes phase 1 a superset of the true
+    result. At 100 TB, replace the broadcast with hyperplane-LSH blocks
+    (similarity.hyperplane_lsh_bucket) and matmul within blocks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+    margin = 1e-6
+
+    def search(batches):
+        all_ids, all_mat = bc.value
+        order = {v: i for i, v in enumerate(all_ids)}
+        for chunk in batches:
+            rows = chunk[id_col].to_numpy()
+            idx = np.array([order[v] for v in rows])
+            sims = all_mat[idx] @ all_mat.T  # (batch, n) BLAS
+            out_a, out_b = [], []
+            for r, row_id in enumerate(rows):
+                hits = np.nonzero(sims[r] >= threshold - margin)[0]
+                for h in hits:
+                    if all_ids[h] > row_id:
+                        out_a.append(row_id)
+                        out_b.append(all_ids[h])
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = vectors.select(id_col).mapInPandas(search, schema="doc_a long, doc_b long")
+
+    # exact verify: sequential fold, identical to the SQL-oracle formula
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)))
+    a = v.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))
+    )

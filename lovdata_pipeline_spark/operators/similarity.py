@@ -1,0 +1,135 @@
+"""Vector similarity search over an embedding column.
+
+The reference documents `lg search` but never implemented it
+(reference: docs/GUIDE.md:162-194; cli.py has no search command —
+SURVEY.md §2 absent list). Implemented natively here: cosine top-k as
+``ORDER BY score DESC LIMIT k`` over a JVM-side dot product, plus a
+random-hyperplane LSH bucketing for the 100 TB path.
+
+All vector math uses ``transform``/``zip_with``/``aggregate`` higher-
+order functions — executed in the JVM per row, no Python round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k for one query vector: (id, score).
+
+    The scan computes one fused projection per row (codegen), then a
+    global top-k — Spark executes ORDER BY+LIMIT as per-partition
+    top-k + a k-row merge on the driver, so no full sort materializes.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(F.col(vec_col))
+    score = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        vectors.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every query row, its k nearest corpus rows by cosine:
+    (query_id, vec_id, score, rank).
+
+    Broadcast the (small) query side; rank per query with a window.
+    At scale, pre-bucket both sides with hyperplane_lsh_bucket and add
+    the bucket to the join key.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = F.broadcast(q).crossJoin(c).select(
+        query_id,
+        corpus_id,
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_lsh_bucket(
+    vectors: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH: bucket = sign-bit string of dots.
+
+    Vectors in the same bucket are cosine-close with high probability;
+    ANN = brute-force only within the bucket (plus neighboring probes).
+    Deterministic given the hyperplanes — pass seeded-generated planes.
+    """
+    v = _as_double(F.col(vec_col))
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in hyperplanes
+    ]
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query: list[float],
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    The bucket predicate prunes the scan (a partition filter if the
+    corpus is written bucketed); accuracy/recall tuned by the number of
+    hyperplanes and multi-probe — kept single-probe here for clarity.
+    """
+    import struct
+
+    def _sign_bits(vec):
+        out = []
+        for plane in hyperplanes:
+            out.append("1" if sum(p * x for p, x in zip(plane, vec)) >= 0 else "0")
+        return "".join(out)
+
+    bucket = _sign_bits(query)
+    bucketed = hyperplane_lsh_bucket(vectors, hyperplanes, id_col, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == bucket), query, k, id_col, vec_col
+    )

@@ -1,0 +1,127 @@
+"""Text analytics for corpus curation: language ID, quality scoring,
+token counting, fingerprinting.
+
+Every operator here is pure JVM column arithmetic (split / filter /
+regexp / length) — SQL-expressible, so each has an exact DuckDB oracle
+and stays inside whole-stage codegen at any scale. BPE-exact token
+counting lives in functions.tokens (pandas UDF); the whitespace counter
+here is the cheap scan-speed variant for corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword anchors — enough signal for a corpus-level
+# heuristic; deliberately small so the oracle SQL stays readable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est", "que"],
+    "es": ["el", "la", "los", "y", "de", "que", "es", "en"],
+    "no": ["og", "i", "det", "som", "er", "av", "til", "en"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars): whitespace tokenization, scan-speed."""
+    trimmed = F.trim(F.col(text_col))
+    n_tokens = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def stopword_ratios(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language stopword hit ratio columns: (id, sw_en, sw_de, ...)."""
+    words = _words(text_col)
+    n = F.size(words)
+    cols = [F.col(id_col)]
+    for lang, sw in STOPWORDS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(sw)))
+        cols.append(F.round(hits / F.greatest(n, F.lit(1)), 6).alias(f"sw_{lang}"))
+    return docs.select(*cols)
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, detected_lang): argmax of stopword-hit counts, 'und' if no hits.
+
+    Ties break alphabetically (greatest-of-structs on (hits, lang
+    reversed) would be opaque; an explicit CASE keeps oracle parity
+    trivial).
+    """
+    words = _words(text_col)
+    hit_cols = {
+        lang: F.size(F.filter(words, lambda w: w.isin(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    detected = F.lit("und")
+    # first language (alphabetical) achieving the max wins
+    for lang in sorted(STOPWORDS, reverse=True):
+        detected = F.when(
+            (best > 0) & (hit_cols[lang] == best), F.lit(lang)
+        ).otherwise(detected)
+    return docs.select(F.col(id_col), detected.alias("detected_lang"))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score per document.
+
+    Features (all ratios in [0,1]): word count, mean word length,
+    punctuation density, digit density, uppercase density. Composite:
+    1 - penalties, clipped to [0,1] — the standard shape of corpus
+    quality filters (length + symbol-density heuristics).
+    """
+    text = F.col(text_col)
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    mean_wlen = (n_chars - n_words + 1) / n_words
+
+    punct_ratio = punct / n_chars
+    digit_ratio = digits / n_chars
+    upper_ratio = upper / n_chars
+    length_penalty = F.when(n_words < 10, 0.5).when(n_words > 100000, 0.5).otherwise(0.0)
+    score = (
+        F.lit(1.0)
+        - length_penalty
+        - F.least(punct_ratio * 2, F.lit(0.3))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        - F.least(upper_ratio, F.lit(0.2))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): md5 of the normalized text — lowercase,
+    punctuation stripped, whitespace collapsed. The canonical "same
+    document modulo formatting" key; groupBy(fingerprint) is
+    normalization-robust exact dedup."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))

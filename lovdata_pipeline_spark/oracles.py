@@ -1,0 +1,327 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Engine-parity rules used throughout (see queries.py header):
+  * double sums go through DECIMAL(18,4) → exact, order-independent;
+  * every computed float is round(x, 6) in both engines;
+  * DuckDB regexp_replace needs the 'g' flag (Spark replaces globally);
+  * counts/sums cast so integer widths line up (Spark long ↔ BIGINT);
+  * epoch comparisons in fractional seconds (ts::DOUBLE ↔ epoch(ts)).
+
+Queries with no entry here (dedup_simhash, chunk/embed pipelines) are
+deliberately non-SQL-expressible; the driver records rows-only checks.
+"""
+
+_SHINGLE_CTE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+_COSINE = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+_NORMALIZED_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_QUALITY_EXPRS = """
+  greatest(length(text), 1) AS nc,
+  string_split_regex(trim(text), '\\s+') AS w,
+  greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nw,
+  length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS punct,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
+"""
+
+_STOPWORDS_SQL = {
+    "en": "['the','and','of','to','a','in','is','that']",
+    "de": "['der','die','das','und','nicht','ist','ich','zu']",
+    "fr": "['le','la','les','et','de','un','est','que']",
+    "es": "['el','la','los','y','de','que','es','en']",
+    "no": "['og','i','det','som','er','av','til','en']",
+}
+
+_SW_HITS = ",\n".join(
+    f"  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    f"x -> list_contains({arr}, x))) AS h_{lang}"
+    for lang, arr in _STOPWORDS_SQL.items()
+)
+
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top_unshipped": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM region
+        JOIN nation   ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "anti_join_changed": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        ORDER BY o_orderkey
+    """,
+    "semi_join_processed": """
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '2001-01-01'
+        )
+        ORDER BY o_orderkey
+    """,
+    "status_counts": """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "distinct_projection": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "filter_like": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey
+    """,
+    "point_lookup": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey = 4788 ORDER BY l_linenumber
+    """,
+    "topk_limit": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+    "positional_ids": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_orderkey AS VARCHAR) || '_chunk_' ||
+               CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS VARCHAR)
+               AS chunk_id
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "running_sum": """
+        SELECT l_orderkey, l_linenumber,
+               round(SUM(l_quantity) OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING
+               ), 6) AS cum_qty
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "greedy_token_buckets": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(coalesce(SUM(l_quantity) OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0.0) / 50.0) AS BIGINT) AS bucket_id
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "rollup_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "pivot_status": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS qty_open,
+               CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "set_difference_validation": """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT nationkey, 'customer_only' AS problem
+        FROM c WHERE nationkey NOT IN (SELECT nationkey FROM s)
+        UNION ALL
+        SELECT nationkey, 'supplier_only' AS problem
+        FROM s WHERE nationkey NOT IN (SELECT nationkey FROM c)
+        ORDER BY problem, nationkey
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                        OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS session_no
+          FROM g
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+    "events_json_props": """
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dedup_exact_groups": """
+        SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        ORDER BY content_hash
+    """,
+    "dedup_fingerprint_groups": f"""
+        SELECT md5({_NORMALIZED_TEXT}) AS fingerprint,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+        ORDER BY fingerprint
+    """,
+    "dedup_ngram_jaccard": _SHINGLE_CTE,
+    "dedup_minhash_lsh": _SHINGLE_CTE,  # LSH recall ≈ 1 at these params → same set
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_COSINE}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COSINE} >= 0.45
+        ORDER BY doc_a, doc_b
+    """,
+    "ann_cosine_topk": f"""
+        SELECT b.vec_id AS vec_id, round({_COSINE}, 6) AS score
+        FROM embeddings b
+        JOIN embeddings a ON a.vec_id = 0
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+    "knn_join_top3": f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round({_COSINE}, 6) AS score
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+    "text_language_id": f"""
+        WITH h AS (SELECT doc_id,
+{_SW_HITS}
+        FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_no) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'de'
+                    WHEN h_en = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'en'
+                    WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'es'
+                    WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'fr'
+                    ELSE 'no' END AS detected_lang
+        FROM h ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        WITH f AS (SELECT doc_id, {_QUALITY_EXPRS} FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_words,
+               round((nc - nw + 1) / nw, 6) AS mean_word_len,
+               round(punct / nc, 6) AS punct_ratio,
+               round(digits / nc, 6) AS digit_ratio,
+               round(uppers / nc, 6) AS upper_ratio,
+               round(greatest(least(
+                 1.0
+                 - (CASE WHEN nw < 10 THEN 0.5 WHEN nw > 100000 THEN 0.5 ELSE 0.0 END)
+                 - least(punct / nc * 2, 0.3)
+                 - least(digits / nc * 2, 0.3)
+                 - least(uppers / nc, 0.2)
+               , 1.0), 0.0), 6) AS quality
+        FROM f ORDER BY doc_id
+    """,
+    "text_token_counts": """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents ORDER BY doc_id
+    """,
+    "text_stopword_ratios": f"""
+        WITH h AS (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n,
+{_SW_HITS}
+        FROM documents)
+        SELECT doc_id,
+               round(h_en / greatest(n, 1), 6) AS sw_en,
+               round(h_de / greatest(n, 1), 6) AS sw_de,
+               round(h_fr / greatest(n, 1), 6) AS sw_fr,
+               round(h_es / greatest(n, 1), 6) AS sw_es,
+               round(h_no / greatest(n, 1), 6) AS sw_no
+        FROM h ORDER BY doc_id
+    """,
+    "text_fingerprints": f"""
+        SELECT doc_id, md5({_NORMALIZED_TEXT}) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        FROM documents ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,544 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame
+plus, where SQL-expressible, an exact DuckDB oracle.
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver correctness gate) and ``bench.py`` (throughput gate). Names map
+to SURVEY.md §2's operator inventory; comments cite the reference op.
+
+Float-output discipline (hash-match with the oracle): per-row products
+stay in double (IEEE-identical across engines), sums go through
+DECIMAL(18,4) so aggregation order can't change low bits, and every
+float column is ``round(x, 6)`` (or coarser) in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from lovdata_pipeline_spark.operators import dedup, similarity, textstats
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects. Read nanos as long (legacy conf) and convert to a
+    microsecond timestamp — truncating division, matching how DuckDB
+    surfaces the same column as TIMESTAMP (µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer `div`, not `/`: nanosecond longs exceed 2^53, so double
+    # division would round the microsecond off by one.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col, alias: str):
+    """Order-independent double sum: exact DECIMAL(18,4) accumulation,
+    surfaced as double. Oracle analog:
+    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ===========================================================================
+# Relational coverage (reference ops 4-8, 23, 28-32 + TPC-H-style headliners)
+# ===========================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy aggregate over lineitem (bench headliner)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1999-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k. customer is small → Catalyst
+    broadcasts it; lineitem↔orders co-shuffle on the order key."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-01-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join; dims broadcast, facts co-shuffle."""
+    region, nation, cust, supp, orders, li = load(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        region.filter(F.col("r_name") == "EUROPE")
+        .join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def anti_join_changed(spark, sf_dir):
+    """Op 5 shape — incremental anti-join: orders with no lineitem."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def semi_join_processed(spark, sf_dir):
+    """Semi-join family (op 5's dual): orders having at least one lineitem
+    shipped after 2001-01-01."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    late = li.filter(F.col("l_shipdate") > "2001-01-01").select("l_orderkey")
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def status_counts(spark, sf_dir):
+    """Op 32: status-count aggregation."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).orderBy("o_orderstatus")
+
+
+def distinct_projection(spark, sf_dir):
+    """Op 29: distinct over a projection."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+def filter_like(spark, sf_dir):
+    """Op 8: wildcard pattern filter with pushdown."""
+    (part,) = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+def point_lookup(spark, sf_dir):
+    """Op 30: point lookup by key."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") == 4788)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_linenumber")
+    )
+
+
+def topk_limit(spark, sf_dir):
+    """Op 7 + top-k: deterministic ORDER BY ... LIMIT (per-partition top-k
+    + driver merge, no global sort)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .limit(10)
+    )
+
+
+def positional_ids(spark, sf_dir):
+    """Op 23: positional id assignment '{doc}_chunk_{i}' as a window."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("_chunk_"),
+                (F.row_number().over(w) - 1).cast("string"),
+            ).alias("chunk_id"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def running_sum(spark, sf_dir):
+    """Order-dependent per-partition computation (ops 11/16 family):
+    cumulative quantity within each order."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 6).alias("cum_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def greedy_token_buckets(spark, sf_dir):
+    """Op 11's window-expressible approximation: cumulative-sum bucketing
+    (group consecutive rows until the running total crosses a target).
+    The exact greedy fold lives in the chunker UDF; this is the declarative
+    scale path."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0))
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(cum_before / 50.0).cast("long").alias("bucket_id"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def rollup_priority(spark, sf_dir):
+    """Rollup aggregate (declared-absent in the reference; first-class here)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def pivot_status(spark, sf_dir):
+    """Pivot via conditional aggregation (portable to ANSI SQL)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0), "qty_open"),
+            _dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0), "qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def set_difference_validation(spark, sf_dir):
+    """Op 31: two-anti-join consistency check — nations with customers but
+    no suppliers and vice versa."""
+    nation, cust, supp = load(spark, sf_dir, "nation", "customer", "supplier")
+    c = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    left = c.join(s, "nationkey", "left_anti").select(
+        "nationkey", F.lit("customer_only").alias("problem")
+    )
+    right = s.join(c, "nationkey", "left_anti").select(
+        "nationkey", F.lit("supplier_only").alias("problem")
+    )
+    return left.unionByName(right).orderBy("problem", "nationkey")
+
+
+def events_hourly(spark, sf_dir):
+    """Event-time tumbling window aggregate (batch form of the streaming
+    windowed agg in streaming/)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), "total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (gaps-and-islands)."""
+    events = load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast to double (fractional epoch seconds) — matches DuckDB epoch();
+    # a long cast would truncate microseconds and misplace gap boundaries.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(by_user)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def events_json_props(spark, sf_dir):
+    """Scalar JSON extraction + aggregate over the extracted value."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Dedup / similarity / text analytics (BASELINE.json north-star extensions)
+# ===========================================================================
+
+
+def dedup_exact_groups(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        dedup.exact_duplicates(docs)
+        .select("content_hash", "n_docs", "keep_id")
+        .orderBy("content_hash")
+    )
+
+
+def dedup_fingerprint_groups(spark, sf_dir):
+    """Normalization-robust exact dedup via fingerprints."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = textstats.fingerprints(docs)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("doc_a", "doc_b")
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidates verified with exact jaccard. 16 bands × 2 rows
+    → recall ≈ 1-3e-12 at jaccard 0.9, so the output equals the exact
+    all-pairs result the oracle computes."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.8, n=3, num_hashes=32, bands=16
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (no SQL oracle: xxhash64 is Spark-specific —
+    driver records the weaker rows-only check)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.45).orderBy("doc_a", "doc_b")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.cosine_topk(emb, list(query), k=10)
+
+
+def knn_join_top3(spark, sf_dir):
+    """k-NN join: 5 query vectors × corpus, top-3 each."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.knn_join(queries, corpus, k=3).orderBy("query_id", "rank")
+
+
+def text_language_id(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.language_id(docs).orderBy("doc_id")
+
+
+def text_quality(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.quality_scores(docs).orderBy("doc_id")
+
+
+def text_token_counts(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.token_counts(docs).orderBy("doc_id")
+
+
+def text_stopword_ratios(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.stopword_ratios(docs).orderBy("doc_id")
+
+
+def text_fingerprints(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs).orderBy("doc_id")
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: text → binary payload column → mapInPandas
+    feature extraction (deterministic fake decode; see operators/multimodal)."""
+    from lovdata_pipeline_spark.operators import multimodal
+
+    (docs,) = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return multimodal.extract_features(blobs).orderBy("doc_id")
+
+
+def chunk_documents_pipeline(spark, sf_dir):
+    """The flagship ETL operator over the generic documents table: wrap each
+    text in a simple-law envelope, run the 3-tier chunker UDF, return chunk
+    rows. Non-SQL-expressible (stateful per-document fold) → rows-only check.
+    """
+    from lovdata_pipeline_spark.chunking import chunk_documents_df
+    from lovdata_pipeline_spark.config import ChunkParams
+
+    (docs,) = load(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<html><body><main class="documentBody"><h1>doc</h1>'
+              '<article class="legalP" id="ledd-1">'),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</article></main></body></html>"),
+    )
+    prepared = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("documents").alias("dataset_name"),
+        xml.alias("xml"),
+        F.md5(F.col("text")).alias("source_hash"),
+    )
+    chunks = chunk_documents_df(prepared, ChunkParams(100, 500, 50, 0.15))
+    return (
+        chunks.filter(F.col("error").isNull())
+        .select("chunk_id", "document_id", "chunk_pos", "token_count", "source_hash")
+        .orderBy("document_id", "chunk_pos")
+    )
+
+
+def embed_documents_pipeline(spark, sf_dir):
+    """Chunk + embed stage: deterministic mock provider, fixed dims.
+    Rows-only check (embedding math is engine-internal)."""
+    from lovdata_pipeline_spark.embedding import embed_chunks_df
+
+    chunks_q = chunk_documents_pipeline(spark, sf_dir)
+    # rebuild full chunk rows for the embedder (it needs `content`)
+    from lovdata_pipeline_spark.chunking import chunk_documents_df
+    from lovdata_pipeline_spark.config import ChunkParams
+
+    (docs,) = load(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<html><body><main class="documentBody"><h1>doc</h1>'
+              '<article class="legalP" id="ledd-1">'),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</article></main></body></html>"),
+    )
+    prepared = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("documents").alias("dataset_name"),
+        xml.alias("xml"),
+        F.md5(F.col("text")).alias("source_hash"),
+    )
+    chunks = chunk_documents_df(prepared, ChunkParams(100, 500, 50, 0.15)).filter(
+        F.col("error").isNull()
+    )
+    enriched = embed_chunks_df(chunks, dims=16)
+    return enriched.select(
+        "chunk_id",
+        "document_id",
+        "token_count",
+        F.size("embedding").alias("dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+    ).orderBy("document_id", "chunk_id")
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_unshipped": q3_top_unshipped,
+    "q5_region_revenue": q5_region_revenue,
+    "anti_join_changed": anti_join_changed,
+    "semi_join_processed": semi_join_processed,
+    "status_counts": status_counts,
+    "distinct_projection": distinct_projection,
+    "filter_like": filter_like,
+    "point_lookup": point_lookup,
+    "topk_limit": topk_limit,
+    "positional_ids": positional_ids,
+    "running_sum": running_sum,
+    "greedy_token_buckets": greedy_token_buckets,
+    "rollup_priority": rollup_priority,
+    "pivot_status": pivot_status,
+    "set_difference_validation": set_difference_validation,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_json_props": events_json_props,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "knn_join_top3": knn_join_top3,
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_counts": text_token_counts,
+    "text_stopword_ratios": text_stopword_ratios,
+    "text_fingerprints": text_fingerprints,
+    "multimodal_features": multimodal_features,
+    "chunk_documents_pipeline": chunk_documents_pipeline,
+    "embed_documents_pipeline": embed_documents_pipeline,
+}

@@ -1,0 +1,68 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+from lovdata_pipeline_spark.oracles import ORACLES
+from lovdata_pipeline_spark.queries import QUERIES, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, pd.Timestamp) or hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(_norm(v) for v in rec) for rec in df[cols].itertuples(index=False)),
+        key=repr,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    want = ddb.execute(ORACLES[name]).df()
+    assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}"
+    assert sorted(map(str.lower, got.columns)) == sorted(map(str.lower, want.columns))
+    assert canon(got) == canon(want)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

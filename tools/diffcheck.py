@@ -1,0 +1,95 @@
+"""Local differential check: every queries() entry vs its DuckDB oracle.
+
+Approximates the driver's t2 gate: row count, column names, and an
+order-insensitive value comparison (rows sorted, floats compared after
+round-trip through strings). Run:
+
+    python tools/diffcheck.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from lovdata_pipeline_spark.oracles import ORACLES
+from lovdata_pipeline_spark.queries import QUERIES, TABLES
+from lovdata_pipeline_spark.session import get_spark
+
+
+def canon(df) -> list[tuple]:
+    """Column-name-sorted, row-sorted canonical form."""
+    cols = sorted(df.columns)
+    rows = []
+    for rec in df[cols].itertuples(index=False):
+        rows.append(tuple(_norm(v) for v in rec))
+    return sorted(rows, key=repr)
+
+
+def _norm(v):
+    import math
+
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("diffcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name:32s} spark error: {exc}")
+            continue
+        if name not in ORACLES:
+            print(f"rows  {name:32s} {len(sdf):7d} rows  ({time.time()-t0:.1f}s)  [no oracle]")
+            continue
+        try:
+            odf = con.execute(ORACLES[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name:32s} oracle error: {exc}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            a, b = canon(sdf), canon(odf)
+            if a != b:
+                bad = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                problems.append(f"values differ, first at sorted row {bad[0]}: {bad[1]} vs {bad[2]}")
+        status = "ok   " if not problems else "FAIL "
+        if problems:
+            failures.append(name)
+        print(f"{status} {name:32s} {len(sdf):7d} rows  ({time.time()-t0:.1f}s)  {'; '.join(problems)}")
+
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
