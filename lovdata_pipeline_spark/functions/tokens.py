@@ -61,6 +61,42 @@ def token_count_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(count_tokens_batch(texts.fillna("").tolist()), dtype="int32")
 
 
+def hard_token_split(text: str, max_tokens: int) -> list[str]:
+    """Last-resort split: slice the token stream every ``max_tokens`` and
+    decode each slice (op 18; reference: domain/splitters/token_counter.py:58-79
+    — defined there but unused in the live path; kept for API parity).
+
+    With tiktoken present the slices are true BPE token slices; the
+    fallback slices the regex word-piece stream at equivalent budgets.
+    """
+    if not text:
+        return []
+    if _ENC is not None:
+        token_ids = _ENC.encode(text)
+        return [
+            _ENC.decode(token_ids[i : i + max_tokens])
+            for i in range(0, len(token_ids), max_tokens)
+        ]
+    pieces = _PIECE_RE.finditer(text)
+    out: list[str] = []
+    start = None
+    budget = 0
+    last_end = 0
+    for m in pieces:
+        cost = max(1, -(-len(m.group(0)) // _CHARS_PER_TOKEN))
+        if start is None:
+            start = m.start()
+        if budget + cost > max_tokens and budget > 0:
+            out.append(text[start : m.start()].strip())
+            start = m.start()
+            budget = 0
+        budget += cost
+        last_end = m.end()
+    if start is not None and budget:
+        out.append(text[start:last_end].strip())
+    return [s for s in out if s]
+
+
 def whitespace_token_count(col):
     """JVM-side whitespace token count — SQL-expressible, zero Python.
 

@@ -1,0 +1,91 @@
+"""Event-time streaming analytics: watermarked windows, sessionization,
+custom stateful operators.
+
+The batch forms live in queries.py (events_hourly / events_sessionize);
+these are the true streaming plans — same logical shape, plus watermarks
+for state eviction and late-data handling the reference never had
+(SURVEY.md §2 declared-absent list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window per event_type with late-data bound.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted — at 100 TB/day of events this
+    is what keeps the aggregation state finite.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming form of the
+    batch gaps-and-islands sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running value total + event count, state expiring after inactivity.
+
+    The shape to copy for bespoke streaming state machines (the
+    reference's closest analog is its per-document processing state).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,210 @@
+"""XML corpus source, manifest diff, JSONL round-trip, enrichment, and
+Structured Streaming (AvailableNow) tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.config import ChunkParams
+from lovdata_pipeline_spark.sources.jsonl import (
+    flatten_metadata,
+    read_jsonl,
+    unflatten_metadata,
+    write_jsonl,
+)
+from lovdata_pipeline_spark.sources.xml_corpus import manifest_diff, read_xml_corpus
+
+from tests import fixtures
+
+
+@pytest.fixture
+def corpus_dir(tmp_path):
+    ds = tmp_path / "corpus" / "gjeldende-lover"
+    ds.mkdir(parents=True)
+    (ds / "lov-2024-01-01-1.xml").write_text(fixtures.standard_law(), encoding="utf-8")
+    (ds / "lov-2024-02-02-2.xml").write_text(fixtures.simple_law(), encoding="utf-8")
+    ds2 = tmp_path / "corpus" / "opphevede-lover"
+    ds2.mkdir(parents=True)
+    (ds2 / "lov-1999-03-03-3.xml").write_text(fixtures.change_law(), encoding="utf-8")
+    return str(tmp_path / "corpus")
+
+
+class TestXmlCorpus:
+    def test_scan_assigns_ids_datasets_hashes(self, spark, corpus_dir):
+        df = read_xml_corpus(spark, corpus_dir)
+        rows = {r.doc_id: r for r in df.collect()}
+        assert set(rows) == {"lov-2024-01-01-1", "lov-2024-02-02-2", "lov-1999-03-03-3"}
+        assert rows["lov-2024-01-01-1"].dataset_name == "gjeldende-lover"
+        assert rows["lov-1999-03-03-3"].dataset_name == "opphevede-lover"
+        assert len(rows["lov-2024-01-01-1"].source_hash) == 64
+        assert "<h1>Testlov</h1>" in rows["lov-2024-01-01-1"].xml
+
+    def test_manifest_diff_statuses(self, spark, corpus_dir):
+        cur = read_xml_corpus(spark, corpus_dir)
+        prev = cur.filter(F.col("doc_id") != "lov-2024-02-02-2").withColumn(
+            "source_hash",
+            F.when(F.col("doc_id") == "lov-2024-01-01-1", F.lit("oldhash")).otherwise(
+                F.col("source_hash")
+            ),
+        ).unionByName(
+            spark.createDataFrame(
+                [("ghost-doc", "gjeldende-lover", "gjeldende-lover/ghost.xml", "h", "x", "added")],
+                cur.schema,
+            ).select(cur.columns)
+        )
+        diff = {r.doc_id: r.status for r in manifest_diff(cur, prev).collect()}
+        assert diff["lov-2024-01-01-1"] == "modified"
+        assert diff["lov-2024-02-02-2"] == "added"
+        assert diff["lov-1999-03-03-3"] == "unchanged"
+        assert diff["ghost-doc"] == "removed"
+
+
+class TestJsonl:
+    def test_round_trip_with_flatten(self, spark, tmp_path):
+        from lovdata_pipeline_spark.chunking import chunk_documents_df
+        from lovdata_pipeline_spark.embedding import embed_chunks_df
+        from lovdata_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame(
+            [("d1", "ds", "p", fixtures.law_with_crossrefs(), "h1", "added")],
+            DOCUMENTS_SCHEMA,
+        )
+        enriched = embed_chunks_df(
+            chunk_documents_df(docs, ChunkParams(100, 500, 10, 0.15)), dims=8
+        )
+        path = str(tmp_path / "jsonl")
+        write_jsonl(enriched, path)
+        back = read_jsonl(spark, path).cache()  # cache: Spark disallows
+        # querying only the corrupt-record column from raw JSON
+        assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+        orig = enriched.orderBy("chunk_id").collect()
+        got = back.drop("_corrupt_record").orderBy("chunk_id").collect()
+        assert [r.chunk_id for r in got] == [r.chunk_id for r in orig]
+        assert got[0].cross_refs == orig[0].cross_refs
+
+        # chroma-style flatten → unflatten round-trips arrays
+        flat = flatten_metadata(enriched)
+        frow = flat.first()
+        assert isinstance(frow.cross_refs, str) and "," in frow.cross_refs
+        restored = unflatten_metadata(flat).first()
+        assert restored.cross_refs == orig[0].cross_refs
+
+    def test_corrupt_lines_are_isolated(self, spark, tmp_path):
+        p = tmp_path / "store" / "source_hash=h1"
+        p.mkdir(parents=True)
+        (p / "part-0.json").write_text(
+            '{"chunk_id": "c1", "document_id": "d1", "chunk_pos": 0}\n'
+            "THIS IS NOT JSON\n"
+            '{"chunk_id": "c2", "document_id": "d1", "chunk_pos": 1}\n'
+        )
+        df = read_jsonl(spark, str(tmp_path / "store")).cache()
+        assert df.filter("_corrupt_record IS NULL").count() == 2
+        assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+class TestEnrichment:
+    def test_enricher_chain(self, spark):
+        from lovdata_pipeline_spark.chunking import chunk_documents_df
+        from lovdata_pipeline_spark.operators.enrichment import enrich
+        from lovdata_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame(
+            [
+                ("lov-2020-05-05-7", "ds", "p", fixtures.law_with_crossrefs(), "h1", "added"),
+                ("lov-2021-06-06-8", "ds", "p", fixtures.change_law(), "h2", "added"),
+            ],
+            DOCUMENTS_SCHEMA,
+        )
+        chunks = chunk_documents_df(docs, ChunkParams(100, 500, 10, 0.15))
+        out = enrich(chunks.filter("error IS NULL"))
+        rows = {r.document_id: r for r in out.collect()}
+        r1 = rows["lov-2020-05-05-7"]
+        assert r1.law_date == "2020-05-05"
+        assert "/lov/2020/§5" in r1.law_references
+        assert r1.n_references >= 2
+        assert rows["lov-2021-06-06-8"].is_amendment is True
+        assert r1.is_amendment is False
+
+    def test_broken_enricher_is_skipped(self, spark):
+        from lovdata_pipeline_spark.operators.enrichment import enrich
+
+        df = spark.createDataFrame([(1,)], "a int")
+
+        def bad(d):
+            return {"x": F.col("missing_column") + 1}
+
+        def good(d):
+            return {"y": F.col("a") * 2}
+
+        out = enrich(df, [("bad", bad), ("good", good)])
+        assert out.columns == ["a", "y"]
+        assert out.first().y == 2
+
+
+class TestStreaming:
+    def test_available_now_chunk_pipeline(self, spark, tmp_path, corpus_dir):
+        from lovdata_pipeline_spark.streaming.incremental import (
+            run_streaming_chunk_pipeline,
+        )
+
+        batches = []
+
+        def sink(df, batch_id):
+            batches.append(df.filter("error IS NULL").count())
+
+        q = run_streaming_chunk_pipeline(
+            spark,
+            corpus_dir,
+            str(tmp_path / "ckpt"),
+            sink,
+            ChunkParams(100, 500, 300, 0.15),
+        )
+        q.awaitTermination(120)
+        assert sum(batches) > 0
+
+        # restart with same checkpoint: nothing new → no new chunk rows
+        batches2 = []
+
+        def sink2(df, batch_id):
+            batches2.append(df.count())
+
+        q2 = run_streaming_chunk_pipeline(
+            spark, corpus_dir, str(tmp_path / "ckpt"), sink2,
+            ChunkParams(100, 500, 300, 0.15),
+        )
+        q2.awaitTermination(120)
+        assert sum(batches2) == 0
+
+    def test_windowed_counts_available_now(self, spark, tmp_path):
+        import pandas as pd
+
+        from lovdata_pipeline_spark.streaming.windows import windowed_counts
+
+        src = tmp_path / "events_stream"
+        src.mkdir()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:05:00", "2024-01-01 00:55:00", "2024-01-01 01:05:00"]
+                ),
+                "event_type": ["click", "click", "view"],
+                "value": [1.0, 2.0, 3.0],
+            }
+        ).to_parquet(src / "p0.parquet", coerce_timestamps="us")
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(str(src))
+        agg = windowed_counts(stream, "1 hour", "2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM win_counts ORDER BY window_start, event_type").collect()
+        assert len(rows) == 2
+        assert rows[0].n == 2 and rows[0].event_type == "click"
+        assert rows[1].n == 1 and rows[1].event_type == "view"
