@@ -192,6 +192,28 @@ ORACLES: dict[str, str] = {
         FROM s WHERE nationkey NOT IN (SELECT nationkey FROM c)
         ORDER BY problem, nationkey
     """,
+    "agg_distinct_counts": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "set_ops_nations": """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS which FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT nationkey, 'supplier_only' AS which FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        ORDER BY which, nationkey
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n,

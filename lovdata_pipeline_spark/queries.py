@@ -275,6 +275,45 @@ def set_difference_validation(spark, sf_dir):
     return left.unionByName(right).orderBy("problem", "nationkey")
 
 
+def agg_distinct_counts(spark, sf_dir):
+    """Distinct-count aggregates (exact; approx_count_distinct is the
+    100 TB variant — same plan shape, sketch-based)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def cube_status_priority(spark, sf_dir):
+    """CUBE aggregate — all grouping-set combinations."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def set_ops_nations(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT coverage over nation keys."""
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    c = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        c.intersect(s)
+        .withColumn("which", F.lit("both"))
+        .unionByName(c.exceptAll(s).withColumn("which", F.lit("customer_only")))
+        .unionByName(s.exceptAll(c).withColumn("which", F.lit("supplier_only")))
+        .orderBy("which", "nationkey")
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Event-time tumbling window aggregate (batch form of the streaming
     windowed agg in streaming/)."""
@@ -522,6 +561,9 @@ QUERIES = {
     "rollup_priority": rollup_priority,
     "pivot_status": pivot_status,
     "set_difference_validation": set_difference_validation,
+    "agg_distinct_counts": agg_distinct_counts,
+    "cube_status_priority": cube_status_priority,
+    "set_ops_nations": set_ops_nations,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
