@@ -1,0 +1,87 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+``asof_join(left, right, on, left_time, right_time)``: for every left
+row, the single right row with the greatest ``right_time`` ≤
+``left_time`` within the same key group. The classic composition on
+DataFrame ops (no pandas, no cross join):
+
+  union both sides with a side marker → one shuffle, sorted within
+  (key, time) → ``last(right-cols, ignorenulls)`` over the window
+  (key ORDER BY time, side) carries the most recent right row forward
+  onto each left row.
+
+One shuffle on the join key, linear scan within partitions — the same
+cost profile as a sort-merge join, so it scales like any co-sorted
+merge. Equivalent to DuckDB's ``ASOF JOIN`` (the oracle used in
+tests/driver checks) and pandas ``merge_asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + latest right row at-or-before it.
+
+    ``right_cols``: right columns to carry (default all except key/time).
+    Carried columns are suffixed. Right rows at exactly left_time match
+    (≤ semantics, like ASOF JOIN's default).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+
+    lhs = left.withColumn("_t", F.col(left_time).cast("double")).withColumn(
+        "_side", F.lit(1)
+    )
+    rhs = (
+        right.withColumn("_t", F.col(right_time).cast("double"))
+        .withColumn("_side", F.lit(0))
+        .select(
+            F.col(on),
+            "_t",
+            "_side",
+            F.col(right_time).alias(f"{right_time}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+    carried = [f"{right_time}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    lhs_aligned = lhs.select(
+        *left.columns,
+        "_t",
+        "_side",
+        *[F.lit(None).cast(rhs.schema[c].dataType).alias(c) for c in carried],
+    )
+    rhs_aligned = rhs.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on)
+            for c in left.columns
+        ],
+        "_t",
+        "_side",
+        *carried,
+    )
+    unioned = lhs_aligned.unionByName(rhs_aligned)
+
+    # Right rows sort before left rows at equal time (side 0 < 1), so a
+    # right row at exactly left_time is visible to the left row — ≤
+    # semantics.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left.columns,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

@@ -106,6 +106,71 @@ def hyperplane_lsh_bucket(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    All JVM: per-centroid squared L2 distances packed into an array of
+    (dist, cell) structs; ``array_min`` picks the nearest (struct
+    ordering compares dist first). Writing the corpus partitioned by
+    ``cell`` turns probes into partition pruning.
+    """
+    v = _as_double(F.col(vec_col))
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(F.array(*dists)).getField("cell").alias("cell"),
+    )
+
+
+def deterministic_centroids(vectors: DataFrame, n_cells: int,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Seed centroids: every (n/k)-th vector in id order — deterministic,
+    no iteration. A k-means refinement loop (Lloyd steps as repeated
+    groupBy-avg) slots in here when cell balance matters."""
+    rows = vectors.orderBy(id_col).select(vec_col).collect()
+    step = max(1, len(rows) // n_cells)
+    return [list(rows[i * step][0]) for i in range(min(n_cells, len(rows)))]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the n_probe cells nearest the
+    query. Recall/latency tuned by n_probe; n_probe = n_cells degrades
+    gracefully to exact brute force."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query, centroids[i])),
+    )
+    probes = order[:n_probe]
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin(probes)), query, k, id_col, vec_col
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     query: list[float],

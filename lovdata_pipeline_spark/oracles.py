@@ -240,6 +240,21 @@ ORACLES: dict[str, str] = {
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
     """,
+    "events_asof_join": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS click_ts, c.click_event_id
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
     "events_json_props": """
         SELECT event_type, count(*) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k

@@ -356,6 +356,35 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native ASOF): every
+    purchase event paired with the user's most recent click at-or-before
+    it. Right side deduped to one row per (user, ts) so ties are
+    deterministic; oracle is DuckDB's native ASOF JOIN."""
+    from lovdata_pipeline_spark.operators.asof import asof_join
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["click_event_id"], suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("click_ts"),
+        F.col("click_event_id_click").alias("click_event_id"),
+    ).orderBy("event_id")
+
+
 def events_json_props(spark, sf_dir):
     """Scalar JSON extraction + aggregate over the extracted value."""
     events = load_events(spark, sf_dir)
@@ -436,6 +465,49 @@ def knn_join_top3(spark, sf_dir):
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return similarity.knn_join(queries, corpus, k=3).orderBy("query_id", "rank")
+
+
+def ann_topk_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH bucket pruning, then exact
+    cosine within the query's bucket. Approximate by construction →
+    rows-only check; the exact baseline is ann_cosine_topk."""
+    import numpy as np
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    dims = len(emb.first()["embedding"])
+    # 4 planes → 16 buckets; on uniform-random synthetic vectors finer
+    # buckets collapse single-probe recall (real embedding spaces cluster,
+    # which is what SRP-LSH exploits; multi-probe raises recall further)
+    rng = np.random.RandomState(42)
+    planes = rng.randn(4, dims).tolist()
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.ann_topk_lsh(emb, query, planes, k=10)
+
+
+def ann_topk_ivf(spark, sf_dir):
+    """Scale-path ANN: IVF coarse quantization with 2-probe search.
+    Approximate → rows-only check."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    centroids = similarity.deterministic_centroids(emb, n_cells=8)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2)
+
+
+def agg_approx_stats(spark, sf_dir):
+    """Sketch-based aggregates (HLL distinct, quantile sketch) — the
+    100 TB forms of countDistinct/percentile. Sketches are engine-
+    specific → rows-only check; exact twins are oracle-checked in
+    agg_distinct_counts."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def text_language_id(spark, sf_dir):
@@ -566,6 +638,7 @@ QUERIES = {
     "set_ops_nations": set_ops_nations,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
     "events_json_props": events_json_props,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
@@ -574,6 +647,9 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,
+    "ann_topk_ivf": ann_topk_ivf,
+    "agg_approx_stats": agg_approx_stats,
     "knn_join_top3": knn_join_top3,
     "text_language_id": text_language_id,
     "text_quality": text_quality,

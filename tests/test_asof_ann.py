@@ -1,0 +1,95 @@
+"""As-of join edge cases and ANN (LSH / IVF) recall sanity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.operators.asof import asof_join
+from lovdata_pipeline_spark.operators import similarity
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_basic_semantics(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01T10:00:00")),
+                (2, 10, _ts("2024-01-01T12:00:00")),
+                (3, 20, _ts("2024-01-01T09:00:00")),  # no prior right row
+            ],
+            "id long, key long, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T09:30:00"), "a"),
+                (10, _ts("2024-01-01T11:00:00"), "b"),
+                (20, _ts("2024-01-01T09:30:00"), "late"),
+            ],
+            "key long, t timestamp, v string",
+        )
+        out = {
+            r.id: r
+            for r in asof_join(
+                left, right, on="key", left_time="t", right_time="t", right_cols=["v"]
+            ).collect()
+        }
+        assert out[1].v_asof == "a"  # 09:30 is latest ≤ 10:00
+        assert out[2].v_asof == "b"  # 11:00 is latest ≤ 12:00
+        assert out[3].v_asof is None  # right row is after left time
+
+    def test_exact_tie_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01T10:00:00"))], "id long, key long, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(5, _ts("2024-01-01T10:00:00"), "same")], "key long, t timestamp, v string"
+        )
+        row = asof_join(
+            left, right, on="key", left_time="t", right_time="t", right_cols=["v"]
+        ).first()
+        assert row.v_asof == "same"  # ≤ semantics: equal timestamps match
+
+
+class TestAnnRecall:
+    def test_lsh_results_subset_of_exact(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = [
+            r.vec_id for r in similarity.cosine_topk(emb, query, k=50).collect()
+        ]
+        planes = np.random.RandomState(42).randn(4, len(query)).tolist()
+        approx = similarity.ann_topk_lsh(emb, query, planes, k=10).collect()
+        assert approx, "query's own bucket must at least contain itself"
+        assert approx[0].vec_id == 0 and approx[0].score == 1.0
+        # every ANN hit is a genuinely scored vector from the exact ranking
+        assert set(r.vec_id for r in approx) <= set(
+            r.vec_id for r in similarity.cosine_topk(emb, query, k=10_000).collect()
+        )
+        # recall sanity: decent overlap with exact top-50
+        overlap = len(set(r.vec_id for r in approx) & set(exact))
+        assert overlap >= 1
+
+    def test_ivf_nprobe_all_cells_equals_exact(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        centroids = similarity.deterministic_centroids(emb, n_cells=4)
+        exact = [(r.vec_id, r.score) for r in similarity.cosine_topk(emb, query, 10).collect()]
+        full_probe = [
+            (r.vec_id, r.score)
+            for r in similarity.ivf_topk(
+                emb, query, centroids, k=10, n_probe=len(centroids)
+            ).collect()
+        ]
+        assert full_probe == exact  # probing every cell degrades to exact
+
+    def test_ivf_partial_probe_contains_query(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        centroids = similarity.deterministic_centroids(emb, n_cells=4)
+        rows = similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2).collect()
+        assert rows and rows[0].vec_id == 0 and rows[0].score == 1.0
