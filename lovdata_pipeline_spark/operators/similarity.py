@@ -148,6 +148,43 @@ def deterministic_centroids(vectors: DataFrame, n_cells: int,
     return [list(rows[i * step][0]) for i in range(min(n_cells, len(rows)))]
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of IVF centroids: assign → per-cell mean → repeat.
+
+    Each iteration is one distributed job (assignment scan + groupBy
+    avg); only the k centroid vectors return to the driver, so the loop
+    is iterations × O(scan) with no growing lineage (the assignment is
+    recomputed from literals each round). Empty cells keep their old
+    centroid.
+    """
+    dims = len(centroids[0])
+    for _ in range(iterations):
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell",
+                *[
+                    F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"c{i}")
+                    for i in range(dims)
+                ],
+            )
+            .groupBy("cell")
+            .agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dims)])
+            .collect()
+        )
+        updated = list(centroids)
+        for row in means:
+            updated[row["cell"]] = [row[f"c{i}"] for i in range(dims)]
+        centroids = updated
+    return centroids
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],

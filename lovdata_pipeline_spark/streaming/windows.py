@@ -57,6 +57,24 @@ def session_windows(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it — the streaming form of exact dedup whose
+    batch twin is dedup.exact_dedup. Without the watermark the state
+    would grow with every key ever seen.
+    """
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running value total + event count, state expiring after inactivity.

@@ -1,0 +1,76 @@
+"""k-means refinement convergence and streaming dedup."""
+
+import pandas as pd
+
+
+class TestKmeansRefine:
+    def test_refinement_tightens_cells(self, spark):
+        from pyspark.sql import functions as F
+
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seed = similarity.deterministic_centroids(emb, n_cells=4)
+        refined = similarity.kmeans_refine(emb, seed, iterations=3)
+        assert len(refined) == len(seed)
+        assert all(len(c) == len(seed[0]) for c in refined)
+
+        def sq_error(centroids):
+            assigned = similarity.ivf_assign(emb, centroids)
+            dists = []
+            rows = assigned.collect()
+            for r in rows:
+                c = centroids[r.cell]
+                dists.append(sum((float(v) - x) ** 2 for v, x in zip(r.embedding, c)))
+            return sum(dists)
+
+        assert sq_error(refined) <= sq_error(seed)  # Lloyd never increases SSE
+
+    def test_refined_centroids_deterministic(self, spark):
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seed = similarity.deterministic_centroids(emb, n_cells=4)
+        a = similarity.kmeans_refine(emb.repartition(7), seed, iterations=2)
+        b = similarity.kmeans_refine(emb.repartition(2), seed, iterations=2)
+        # avg() is a float reduction — allow tiny accumulation-order noise
+        for ca, cb in zip(a, b):
+            for x, y in zip(ca, cb):
+                assert abs(x - y) < 1e-9
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        from lovdata_pipeline_spark.streaming.windows import streaming_dedup
+
+        src = tmp_path / "stream"
+        src.mkdir()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:05:00",  # dup key within watermark
+                        "2024-01-01 00:10:00",
+                    ]
+                ),
+                "key": ["a", "a", "b"],
+                "value": [1.0, 2.0, 3.0],
+            }
+        ).to_parquet(src / "p0.parquet", coerce_timestamps="us")
+        stream = spark.readStream.schema("ts timestamp, key string, value double").parquet(
+            str(src)
+        )
+        deduped = streaming_dedup(stream, ["key"], "ts", "1 hour")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT key, count(*) n FROM dedup_out GROUP BY key").collect()
+        counts = {r.key: r.n for r in rows}
+        assert counts == {"a": 1, "b": 1}

