@@ -255,6 +255,16 @@ ORACLES: dict[str, str] = {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id
     """,
+    "events_range_join": """
+        WITH bands(lo, hi, band) AS (
+          VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+                 (50.0, 150.0, 'medium'), (150.0, 1000.0, 'large')
+        )
+        SELECT band, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
     "events_json_props": """
         SELECT event_type, count(*) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k

@@ -385,6 +385,30 @@ def events_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+VALUE_BANDS = [
+    (0.0, 10.0, "micro"),
+    (10.0, 50.0, "small"),
+    (50.0, 150.0, "medium"),
+    (150.0, 1000.0, "large"),
+]
+
+
+def events_range_join(spark, sf_dir):
+    """Range join (custom operator): classify events into value bands via
+    the bucket-expansion equi-join — never a nested loop. Oracle: the
+    equivalent theta join."""
+    from lovdata_pipeline_spark.operators.rangejoin import range_join
+
+    events = load_events(spark, sf_dir)
+    bands = spark.createDataFrame(VALUE_BANDS, "lo double, hi double, band string")
+    joined = range_join(events, bands, "value", bucket_width=50.0)
+    return (
+        joined.groupBy("band")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), "total_value"))
+        .orderBy("band")
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Scalar JSON extraction + aggregate over the extracted value."""
     events = load_events(spark, sf_dir)
@@ -639,6 +663,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "events_json_props": events_json_props,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
