@@ -1,0 +1,187 @@
+"""CLI — the reference's user surface (`lg process|migrate|status|validate`,
+reference: cli.py:18-487), argparse-based.
+
+  python -m lovdata_pipeline_spark.cli process  --corpus DIR --store DIR --state DIR [--force] [--limit N] [--datasets PAT]
+  python -m lovdata_pipeline_spark.cli status   --state DIR
+  python -m lovdata_pipeline_spark.cli validate --store DIR --state DIR
+  python -m lovdata_pipeline_spark.cli migrate  --source-format parquet|jsonl --source DIR --target-format jsonl|parquet --target DIR
+
+Exit codes mirror the reference: process exits 1 if any document failed
+(cli.py:156-158); validate exits 1 on inconsistency (cli.py:446-481).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(name: str):
+    from lovdata_pipeline_spark.session import get_spark
+
+    return get_spark(name)
+
+
+def cmd_process(args) -> int:
+    from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
+    from lovdata_pipeline_spark.pipeline import run_pipeline
+    from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+    from lovdata_pipeline_spark.sources.state_store import StateStore
+    from lovdata_pipeline_spark.sources.xml_corpus import manifest_diff, read_xml_corpus
+
+    spark = _spark("lg-process")
+    store = ChunkStore(spark, args.store)
+    state = StateStore(spark, args.state)
+
+    docs = read_xml_corpus(spark, args.corpus)
+    # statuses via hash diff against the FULL state (processed + failed):
+    # a failed doc deleted from disk must still surface as removed so its
+    # state row is cleaned up; the change-detection anti-join downstream
+    # only consults the processed subset, so failed docs still retry.
+    prev = state.read().select("doc_id", "hash").withColumnRenamed(
+        "hash", "source_hash"
+    )
+    from pyspark.sql import functions as F
+
+    prev_manifest = prev.withColumn("dataset_name", F.lit(None).cast("string")).withColumn(
+        "relative_path", F.lit(None).cast("string")
+    )
+    diff = manifest_diff(docs, prev_manifest)
+    docs_with_status = docs.drop("status").join(
+        diff.select("doc_id", "status"), "doc_id", "left"
+    )
+    # docs deleted from disk exist only in the diff (status=removed) —
+    # union them back with null content so cleanup sees them
+    removed = diff.filter(F.col("status") == "removed").select(
+        "doc_id",
+        "dataset_name",
+        "relative_path",
+        F.lit(None).cast("string").alias("xml"),
+        "source_hash",
+        "status",
+    )
+    docs_with_status = docs_with_status.select(removed.columns).unionByName(removed)
+
+    cfg = PipelineConfig(
+        dataset_pattern=args.datasets,
+        force=args.force,
+        limit=args.limit,
+        chunk=ChunkParams(
+            target_tokens=args.target_tokens,
+            max_tokens=args.max_tokens,
+            min_tokens=args.min_tokens,
+            overlap_ratio=args.overlap_ratio,
+        ),
+        embedding_dims=args.embedding_dims,
+    )
+    result = run_pipeline(docs_with_status, store, state, cfg)
+    print(
+        json.dumps(
+            {
+                "processed": result.processed,
+                "failed": result.failed,
+                "removed": result.removed,
+            }
+        )
+    )
+    return 1 if result.failed else 0
+
+
+def cmd_status(args) -> int:
+    from lovdata_pipeline_spark.sources.state_store import StateStore
+
+    spark = _spark("lg-status")
+    state = StateStore(spark, args.state)
+    counts = {r["status"]: r["count"] for r in state.status_counts().collect()}
+    print(
+        json.dumps(
+            {"processed": counts.get("processed", 0), "failed": counts.get("failed", 0)}
+        )
+    )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from lovdata_pipeline_spark.operators.validation import validate
+    from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+    from lovdata_pipeline_spark.sources.state_store import StateStore
+
+    spark = _spark("lg-validate")
+    store = ChunkStore(spark, args.store)
+    state = StateStore(spark, args.state)
+    result = validate(state.processed(), store.distinct_document_ids())
+    print(
+        json.dumps(
+            {
+                "consistent": result.consistent,
+                "in_state_not_store": result.in_state_not_store,
+                "in_store_not_state": result.in_store_not_state,
+            }
+        )
+    )
+    return 0 if result.consistent else 1
+
+
+def cmd_migrate(args) -> int:
+    from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+    from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    spark = _spark("lg-migrate")
+    if args.source_format == "parquet":
+        source = ChunkStore(spark, args.source).read().drop("bucket")
+    else:
+        source = read_jsonl(spark, args.source).drop("_corrupt_record").filter(
+            "chunk_id IS NOT NULL"
+        )
+    n = source.count()
+    if args.target_format == "jsonl":
+        write_jsonl(source, args.target)
+    else:
+        ChunkStore(spark, args.target).upsert_chunks(source)
+    print(json.dumps({"migrated": n}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="lg", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("process", help="run one incremental pipeline pass")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--store", required=True)
+    p.add_argument("--state", required=True)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--datasets", default="*")
+    p.add_argument("--target-tokens", type=int, default=2000)
+    p.add_argument("--max-tokens", type=int, default=6800)
+    p.add_argument("--min-tokens", type=int, default=300)
+    p.add_argument("--overlap-ratio", type=float, default=0.15)
+    p.add_argument("--embedding-dims", type=int, default=64)
+    p.set_defaults(func=cmd_process)
+
+    s = sub.add_parser("status", help="print processed/failed counts")
+    s.add_argument("--state", required=True)
+    s.set_defaults(func=cmd_status)
+
+    v = sub.add_parser("validate", help="check state/store consistency")
+    v.add_argument("--store", required=True)
+    v.add_argument("--state", required=True)
+    v.set_defaults(func=cmd_validate)
+
+    m = sub.add_parser("migrate", help="copy chunks between storage formats")
+    m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)
+    m.add_argument("--source", required=True)
+    m.add_argument("--target-format", choices=["parquet", "jsonl"], required=True)
+    m.add_argument("--target", required=True)
+    m.set_defaults(func=cmd_migrate)
+
+    args = parser.parse_args(argv)
+    if getattr(args, "source_format", None) == getattr(args, "target_format", "x"):
+        parser.error("source and target formats must differ")
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,6 +108,43 @@ class TestOversizeSplitting:
         second = chunks[1].text.split(". ")
         assert set(s.strip(".") for s in first) & set(s.strip(".") for s in second)
 
+    def test_split_preserves_paragraph_metadata(self):
+        # every split chunk keeps the parent paragraph's ref/title/ledd
+        # (lovdata_chunker_test.py:342-378)
+        chunks, _ = chunk_xml(fixtures.oversize_law(100), PARAMS)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert c.paragraph_ref == "§ 1"
+            assert c.ledd_number == 1
+            assert c.document_title == "Lang lov"
+
+    def test_chunk_at_exact_max_included(self):
+        # a ledd exactly at max_tokens is kept whole, not split
+        # (lovdata_chunker_test.py:521-571: the <= vs < behavior)
+        from lovdata_pipeline_spark.functions.tokens import count_tokens
+
+        params = ChunkParams(target_tokens=50, max_tokens=100, min_tokens=5, overlap_ratio=0.15)
+        sent = "Dette er en testsetning. "
+        text = sent
+        while count_tokens((text + sent).strip()) <= params.max_tokens:
+            text += sent
+        text = text.strip()
+        assert count_tokens(text) <= params.max_tokens
+        body = f"""    <main class="documentBody" id="dokument">
+        <h1>Test</h1>
+        <section class="section">
+            <article class="legalArticle" id="para-1">
+                <h2 class="legalArticleHeader"><span class="legalArticleValue">&#167; 1</span></h2>
+                <article class="legalP" id="para-1-ledd-1">{text}</article>
+            </article>
+        </section>
+    </main>"""
+        chunks, dropped = chunk_xml(fixtures.ENVELOPE.format(title="Max", body=body), params)
+        assert len(chunks) >= 1
+        assert not dropped
+        for c in chunks:
+            assert c.tokens <= params.max_tokens
+
     def test_tiny_max_drops_oversize_list_parts(self):
         params = ChunkParams(target_tokens=10, max_tokens=20, min_tokens=5, overlap_ratio=0.15)
         chunks, dropped = chunk_xml(fixtures.law_with_list(), params)
