@@ -34,32 +34,41 @@ def cmd_process(args) -> int:
     store = ChunkStore(spark, args.store)
     state = StateStore(spark, args.state)
 
-    docs = read_xml_corpus(spark, args.corpus)
-    # statuses via hash diff against the FULL state (processed + failed):
-    # a failed doc deleted from disk must still surface as removed so its
-    # state row is cleaned up; the change-detection anti-join downstream
-    # only consults the processed subset, so failed docs still retry.
-    prev = state.read().select("doc_id", "hash").withColumnRenamed(
-        "hash", "source_hash"
-    )
     from pyspark.sql import functions as F
 
-    prev_manifest = prev.withColumn("dataset_name", F.lit(None).cast("string")).withColumn(
-        "relative_path", F.lit(None).cast("string")
-    )
-    diff = manifest_diff(docs, prev_manifest)
+    docs = read_xml_corpus(spark, args.corpus)
+    # Two diffs with different scopes (matching the reference's retry +
+    # cleanup semantics):
+    #  * statuses for on-disk docs diff against the PROCESSED state only,
+    #    so a previously-FAILED doc shows added/modified and is retried
+    #    every run (reference state.is_processed consults only the
+    #    processed map, state.py:77-81);
+    #  * the removed set diffs against the FULL state, so deleting a
+    #    failed doc's file still cleans up its state row.
+    def as_manifest(df):
+        return (
+            df.select("doc_id", F.col("hash").alias("source_hash"))
+            .withColumn("dataset_name", F.lit(None).cast("string"))
+            .withColumn("relative_path", F.lit(None).cast("string"))
+        )
+
+    alive_diff = manifest_diff(docs, as_manifest(state.processed()))
     docs_with_status = docs.drop("status").join(
-        diff.select("doc_id", "status"), "doc_id", "left"
-    )
-    # docs deleted from disk exist only in the diff (status=removed) —
-    # union them back with null content so cleanup sees them
-    removed = diff.filter(F.col("status") == "removed").select(
+        alive_diff.filter(F.col("status") != "removed").select("doc_id", "status"),
         "doc_id",
-        "dataset_name",
-        "relative_path",
-        F.lit(None).cast("string").alias("xml"),
-        "source_hash",
-        "status",
+        "left",
+    )
+    removed = (
+        manifest_diff(docs, as_manifest(state.read()))
+        .filter(F.col("status") == "removed")
+        .select(
+            "doc_id",
+            "dataset_name",
+            "relative_path",
+            F.lit(None).cast("string").alias("xml"),
+            "source_hash",
+            "status",
+        )
     )
     docs_with_status = docs_with_status.select(removed.columns).unionByName(removed)
 
@@ -123,6 +132,51 @@ def cmd_validate(args) -> int:
     return 0 if result.consistent else 1
 
 
+def cmd_search(args) -> int:
+    """Vector similarity search over the chunk store — the command the
+    reference documents but never implemented (docs/GUIDE.md:162-194;
+    its cli.py has no search). Embeds the query text with the same mock
+    provider and returns cosine top-k chunks."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.embedding import mock_hash_provider
+    from lovdata_pipeline_spark.operators.similarity import cosine_topk
+    from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+    spark = _spark("lg-search")
+    store = ChunkStore(spark, args.store)
+    chunks = store.read().filter(F.col("embedding").isNotNull())
+    dims_row = chunks.select(F.size("embedding").alias("d")).first()
+    if dims_row is None:
+        print(json.dumps({"results": []}))
+        return 0
+    provider = mock_hash_provider(dims_row["d"])
+    query_vec = provider([args.query])[0]
+    top = cosine_topk(chunks, query_vec, k=args.k, id_col="chunk_id", vec_col="embedding")
+    hits = top.join(
+        chunks.select("chunk_id", "document_id", "section_heading", "content"),
+        "chunk_id",
+    ).orderBy(F.col("score").desc())
+    print(
+        json.dumps(
+            {
+                "results": [
+                    {
+                        "chunk_id": r.chunk_id,
+                        "document_id": r.document_id,
+                        "score": r.score,
+                        "section_heading": r.section_heading,
+                        "content": (r.content or "")[:200],
+                    }
+                    for r in hits.collect()
+                ]
+            },
+            ensure_ascii=False,
+        )
+    )
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -169,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--store", required=True)
     v.add_argument("--state", required=True)
     v.set_defaults(func=cmd_validate)
+
+    se = sub.add_parser("search", help="cosine top-k search over the chunk store")
+    se.add_argument("--store", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("-k", type=int, default=5)
+    se.set_defaults(func=cmd_search)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

@@ -42,6 +42,10 @@ def asof_join(
     lhs = left.withColumn("_t", F.col(left_time).cast("double")).withColumn(
         "_side", F.lit(1)
     )
+    # The whole right row rides as ONE struct: last(_r, ignorenulls) then
+    # picks atomically, so a NULL inside a carried column can never be
+    # back-filled from an older right row (which would synthesize a row
+    # that never existed).
     rhs = (
         right.withColumn("_t", F.col(right_time).cast("double"))
         .withColumn("_side", F.lit(0))
@@ -49,16 +53,17 @@ def asof_join(
             F.col(on),
             "_t",
             "_side",
-            F.col(right_time).alias(f"{right_time}{suffix}"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            F.struct(
+                F.col(right_time).alias(f"{right_time}{suffix}"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            ).alias("_r"),
         )
     )
-    carried = [f"{right_time}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
     lhs_aligned = lhs.select(
         *left.columns,
         "_t",
         "_side",
-        *[F.lit(None).cast(rhs.schema[c].dataType).alias(c) for c in carried],
+        F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
     )
     rhs_aligned = rhs.select(
         *[
@@ -67,7 +72,7 @@ def asof_join(
         ],
         "_t",
         "_side",
-        *carried,
+        "_r",
     )
     unioned = lhs_aligned.unionByName(rhs_aligned)
 
@@ -82,6 +87,10 @@ def asof_join(
     filled = unioned.select(
         *left.columns,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    carried = [f"{right_time}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(*left.columns, *[F.col(f"_r.{c}").alias(c) for c in carried])
+    )

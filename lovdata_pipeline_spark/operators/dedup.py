@@ -320,6 +320,9 @@ def embedding_near_duplicates(
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat_n))
     margin = 1e-6
+    # candidate schema follows the id column's actual type (bigint vec_ids
+    # here, string chunk_ids in the chunk store)
+    id_type = vectors.schema[id_col].dataType.simpleString()
 
     def search(batches):
         all_ids, all_mat = bc.value
@@ -337,7 +340,9 @@ def embedding_near_duplicates(
                         out_b.append(all_ids[h])
             yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    cand = vectors.select(id_col).mapInPandas(search, schema="doc_a long, doc_b long")
+    cand = vectors.select(id_col).mapInPandas(
+        search, schema=f"doc_a {id_type}, doc_b {id_type}"
+    )
 
     # exact verify: sequential fold, identical to the SQL-oracle formula
     v = vectors.select(

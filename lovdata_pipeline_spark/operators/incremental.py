@@ -56,12 +56,26 @@ def flatten_sync_state(spark: SparkSession, state_json_path: str | Path) -> Data
 def filter_datasets(manifest: DataFrame, pattern: str) -> DataFrame:
     """Wildcard dataset selection (op 8; reference settings.py:94-97).
 
+    fnmatch-style: ``*`` = any run, ``?`` = one char; LIKE's own
+    metacharacters (``%``/``_``) in the pattern are escaped so they match
+    literally. Rows with NULL dataset_name (removed docs, whose dataset
+    the diff cannot recover) pass through — cleanup must not be silently
+    skipped by a dataset filter.
+
     On a ``dataset_name``-partitioned layout this predicate becomes
     partition pruning — non-matching datasets are never listed.
     """
     if pattern in ("*", "", None):
         return manifest
-    return manifest.filter(F.col("dataset_name").like(pattern.replace("*", "%")))
+    like = (
+        pattern.replace("\\", "\\\\")
+        .replace("%", r"\%")
+        .replace("_", r"\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+    col = F.col("dataset_name")
+    return manifest.filter(col.isNull() | col.like(like))
 
 
 def identify_changed(

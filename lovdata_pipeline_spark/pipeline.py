@@ -97,6 +97,19 @@ def run_pipeline(
         )
         store.upsert_chunks(enriched)
 
+        # A reprocessed doc that now yields ZERO chunks (valid "obsolete
+        # law", file_processing_service.py:79-89) contributes no rows to
+        # the upsert, so its old chunks must be deleted explicitly or
+        # they'd be served forever under the new processed hash.
+        zero_chunk_docs = (
+            to_process.select(F.col("doc_id").alias("document_id"))
+            .join(
+                chunked.select("document_id").distinct(), "document_id", "left_anti"
+            )
+        )
+        if zero_chunk_docs.count():
+            store.delete_documents(zero_chunk_docs)
+
         # --- state MERGE (the commit log, op 34) ---------------------------
         failed_keyed = (
             to_process.select(F.col("doc_id"), F.col("source_hash").alias("hash"))

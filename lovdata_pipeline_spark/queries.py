@@ -579,19 +579,7 @@ def chunk_documents_pipeline(spark, sf_dir):
     from lovdata_pipeline_spark.chunking import chunk_documents_df
     from lovdata_pipeline_spark.config import ChunkParams
 
-    (docs,) = load(spark, sf_dir, "documents")
-    xml = F.concat(
-        F.lit('<html><body><main class="documentBody"><h1>doc</h1>'
-              '<article class="legalP" id="ledd-1">'),
-        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-        F.lit("</article></main></body></html>"),
-    )
-    prepared = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.lit("documents").alias("dataset_name"),
-        xml.alias("xml"),
-        F.md5(F.col("text")).alias("source_hash"),
-    )
+    prepared = _documents_as_xml(spark, sf_dir)
     chunks = chunk_documents_df(prepared, ChunkParams(100, 500, 50, 0.15))
     return (
         chunks.filter(F.col("error").isNull())
@@ -600,16 +588,8 @@ def chunk_documents_pipeline(spark, sf_dir):
     )
 
 
-def embed_documents_pipeline(spark, sf_dir):
-    """Chunk + embed stage: deterministic mock provider, fixed dims.
-    Rows-only check (embedding math is engine-internal)."""
-    from lovdata_pipeline_spark.embedding import embed_chunks_df
-
-    chunks_q = chunk_documents_pipeline(spark, sf_dir)
-    # rebuild full chunk rows for the embedder (it needs `content`)
-    from lovdata_pipeline_spark.chunking import chunk_documents_df
-    from lovdata_pipeline_spark.config import ChunkParams
-
+def _documents_as_xml(spark, sf_dir):
+    """documents.text wrapped in a simple-law envelope → chunker input."""
     (docs,) = load(spark, sf_dir, "documents")
     xml = F.concat(
         F.lit('<html><body><main class="documentBody"><h1>doc</h1>'
@@ -617,12 +597,22 @@ def embed_documents_pipeline(spark, sf_dir):
         F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
         F.lit("</article></main></body></html>"),
     )
-    prepared = docs.select(
+    return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("documents").alias("dataset_name"),
         xml.alias("xml"),
         F.md5(F.col("text")).alias("source_hash"),
     )
+
+
+def embed_documents_pipeline(spark, sf_dir):
+    """Chunk + embed stage: deterministic mock provider, fixed dims.
+    Rows-only check (embedding math is engine-internal)."""
+    from lovdata_pipeline_spark.chunking import chunk_documents_df
+    from lovdata_pipeline_spark.config import ChunkParams
+    from lovdata_pipeline_spark.embedding import embed_chunks_df
+
+    prepared = _documents_as_xml(spark, sf_dir)
     chunks = chunk_documents_df(prepared, ChunkParams(100, 500, 50, 0.15)).filter(
         F.col("error").isNull()
     )

@@ -14,7 +14,34 @@ partition pruning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def project_corpus_columns(raw: DataFrame, root: str) -> DataFrame:
+    """binaryFile rows → documents rows; shared by the batch and
+    streaming readers so both derive identical ids/datasets.
+
+    The root is resolved to an absolute path and stripped with plain
+    substring arithmetic — no regex, so relative ``--corpus`` paths and
+    roots containing regex metacharacters both work.
+    """
+    abs_root = os.path.abspath(root).rstrip("/")
+    prefixes = [f"file:{abs_root}/", f"file://{abs_root}/", f"{abs_root}/"]
+    rel = F.col("path")
+    for p in prefixes:
+        rel = F.when(
+            rel.startswith(p), F.expr(f"substring(path, {len(p) + 1})")
+        ).otherwise(rel)
+    return raw.select(
+        F.regexp_extract(rel, r"([^/]+)\.[^./]+$", 1).alias("doc_id"),
+        F.split(rel, "/").getItem(0).alias("dataset_name"),
+        rel.alias("relative_path"),
+        F.col("content").cast("string").alias("xml"),
+        F.sha2(F.col("content"), 256).alias("source_hash"),
+        F.lit("added").alias("status"),
+    )
 
 
 def read_xml_corpus(spark: SparkSession, root: str, pattern: str = "*.xml") -> DataFrame:
@@ -24,26 +51,16 @@ def read_xml_corpus(spark: SparkSession, root: str, pattern: str = "*.xml") -> D
     status (constant 'added'; a sync diff against a previous manifest
     assigns real statuses — see manifest_diff).
     """
+    # resolve relative roots in Python — the JVM's working directory is
+    # not the Python process's
+    abs_root = os.path.abspath(root)
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
         .option("recursiveFileLookup", "true")
-        .load(root)
+        .load(abs_root)
     )
-    root_norm = root.rstrip("/")
-    rel = F.regexp_replace(
-        F.regexp_replace(F.col("path"), f"^file:{root_norm}/", ""),
-        f"^{root_norm}/",
-        "",
-    )
-    return raw.select(
-        F.regexp_extract(rel, r"([^/]+)\.[^./]+$", 1).alias("doc_id"),
-        F.split(rel, "/").getItem(0).alias("dataset_name"),
-        rel.alias("relative_path"),
-        F.col("content").cast("string").alias("xml"),
-        F.sha2(F.col("content"), 256).alias("source_hash"),
-        F.lit("added").alias("status"),
-    )
+    return project_corpus_columns(raw, abs_root)
 
 
 def manifest_diff(current: DataFrame, previous: DataFrame) -> DataFrame:

@@ -20,10 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lovdata_pipeline_spark.config import ChunkParams
 from lovdata_pipeline_spark.chunking import chunk_documents_df
+from lovdata_pipeline_spark.sources.xml_corpus import project_corpus_columns
 
 
 def stream_xml_corpus(spark: SparkSession, root: str, pattern: str = "*.xml") -> DataFrame:
-    """Streaming scan of an XML corpus tree (file source, text mode)."""
+    """Streaming scan of an XML corpus tree — same column derivation as
+    the batch reader (shared projection), so batch and streaming runs
+    over one tree agree on doc_id/dataset_name."""
+    import os
+
+    abs_root = os.path.abspath(root)
     raw = (
         spark.readStream.format("binaryFile")
         # streaming sources need the schema declared up front
@@ -32,17 +38,9 @@ def stream_xml_corpus(spark: SparkSession, root: str, pattern: str = "*.xml") ->
         )
         .option("pathGlobFilter", pattern)
         .option("recursiveFileLookup", "true")
-        .load(root)
+        .load(abs_root)
     )
-    rel = F.regexp_replace(F.col("path"), r"^file:.*?([^/]+/[^/]+)$", "$1")
-    return raw.select(
-        F.regexp_extract(F.col("path"), r"([^/]+)\.[^./]+$", 1).alias("doc_id"),
-        F.split(rel, "/").getItem(0).alias("dataset_name"),
-        rel.alias("relative_path"),
-        F.col("content").cast("string").alias("xml"),
-        F.sha2(F.col("content"), 256).alias("source_hash"),
-        F.lit("added").alias("status"),
-    )
+    return project_corpus_columns(raw, abs_root)
 
 
 def run_streaming_chunk_pipeline(
