@@ -56,6 +56,35 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Full incremental pipeline: chunk → embed → bucketed-store upsert →
+    # state commit. The reference's baseline for the same path is
+    # 10-50 files/s chunking and 100-500 chunks/s storage (BASELINE.md).
+    import shutil
+    import tempfile
+
+    from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
+    from lovdata_pipeline_spark.pipeline import run_pipeline
+    from lovdata_pipeline_spark.queries import _documents_as_xml
+    from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+    from lovdata_pipeline_spark.sources.state_store import StateStore
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        docs = _documents_as_xml(spark, sf_dir).withColumn(
+            "relative_path", F.col("doc_id")
+        ).withColumn("status", F.lit("added"))
+        store = ChunkStore(spark, f"{tmp}/chunks", n_buckets=32)
+        state = StateStore(spark, f"{tmp}/state")
+        cfg = PipelineConfig(chunk=ChunkParams(100, 500, 50, 0.15), embedding_dims=64)
+        t0 = time.time()
+        result = run_pipeline(docs, store, state, cfg, now="bench")
+        elapsed = time.time() - t0
+        timings["pipeline_e2e"] = round(elapsed, 3)
+        pipeline_docs_per_sec = round(result.processed / elapsed, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_docs_per_sec": pipeline_docs_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
