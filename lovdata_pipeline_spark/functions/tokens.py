@@ -77,13 +77,30 @@ def hard_token_split(text: str, max_tokens: int) -> list[str]:
             _ENC.decode(token_ids[i : i + max_tokens])
             for i in range(0, len(token_ids), max_tokens)
         ]
-    pieces = _PIECE_RE.finditer(text)
     out: list[str] = []
     start = None
     budget = 0
     last_end = 0
-    for m in pieces:
-        cost = max(1, -(-len(m.group(0)) // _CHARS_PER_TOKEN))
+
+    def flush(end: int) -> None:
+        nonlocal start, budget
+        if start is not None and budget:
+            out.append(text[start:end].strip())
+        start = None
+        budget = 0
+
+    for m in _PIECE_RE.finditer(text):
+        piece = m.group(0)
+        cost = max(1, -(-len(piece) // _CHARS_PER_TOKEN))
+        if cost > max_tokens:
+            # single piece over budget: slice it by character budget
+            # (w*CHARS_PER_TOKEN chars cost exactly w tokens)
+            flush(m.start())
+            width = max_tokens * _CHARS_PER_TOKEN
+            out.extend(
+                piece[i : i + width] for i in range(0, len(piece), width)
+            )
+            continue
         if start is None:
             start = m.start()
         if budget + cost > max_tokens and budget > 0:
@@ -92,8 +109,7 @@ def hard_token_split(text: str, max_tokens: int) -> list[str]:
             budget = 0
         budget += cost
         last_end = m.end()
-    if start is not None and budget:
-        out.append(text[start:last_end].strip())
+    flush(last_end)
     return [s for s in out if s]
 
 

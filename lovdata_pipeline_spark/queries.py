@@ -499,13 +499,14 @@ def ann_topk_lsh_bucketed(spark, sf_dir):
 
     (emb,) = load(spark, sf_dir, "embeddings")
     dims = len(emb.first()["embedding"])
-    # 4 planes → 16 buckets; on uniform-random synthetic vectors finer
-    # buckets collapse single-probe recall (real embedding spaces cluster,
-    # which is what SRP-LSH exploits; multi-probe raises recall further)
+    # 4 planes → 16 buckets, 1-bit multi-probe → 5 buckets scanned
+    # (~31% of corpus). On uniform-random synthetic vectors recall is
+    # structurally limited (cosine spread 0.30-0.37 barely shifts
+    # collision odds); real embedding spaces cluster, which SRP exploits.
     rng = np.random.RandomState(42)
     planes = rng.randn(4, dims).tolist()
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return similarity.ann_topk_lsh(emb, query, planes, k=10)
+    return similarity.ann_topk_lsh(emb, query, planes, k=10, n_probe_bits=1)
 
 
 def ann_topk_ivf(spark, sf_dir):

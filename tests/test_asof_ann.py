@@ -74,6 +74,39 @@ class TestAnnRecall:
         overlap = len(set(r.vec_id for r in approx) & set(exact))
         assert overlap >= 1
 
+    def test_lsh_full_multiprobe_equals_exact(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        planes = np.random.RandomState(42).randn(4, len(query)).tolist()
+        exact = [(r.vec_id, r.score) for r in similarity.cosine_topk(emb, query, 10).collect()]
+        full = [
+            (r.vec_id, r.score)
+            for r in similarity.ann_topk_lsh(
+                emb, query, planes, k=10, n_probe_bits=len(planes)
+            ).collect()
+        ]
+        assert full == exact  # probing every bucket degrades to brute force
+
+    def test_lsh_multiprobe_recall_monotone(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        planes = np.random.RandomState(42).randn(4, len(query)).tolist()
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, query, 10).collect()}
+        recalls = []
+        for bits in (0, 2, 4):
+            got = {
+                r.vec_id
+                for r in similarity.ann_topk_lsh(
+                    emb, query, planes, k=10, n_probe_bits=bits
+                ).collect()
+            }
+            recalls.append(len(got & exact))
+        assert recalls == sorted(recalls)  # more probes never lose recall
+
     def test_ivf_nprobe_all_cells_equals_exact(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
