@@ -81,6 +81,10 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
 
     The shape to copy for bespoke streaming state machines (the
     reference's closest analog is its per-document processing state).
+
+    Operational note: with ProcessingTimeTimeout the query stays alive to
+    fire pending timeouts even under Trigger.AvailableNow — drain-and-
+    stop callers should stop() explicitly after the data batch commits.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

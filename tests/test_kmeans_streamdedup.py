@@ -39,6 +39,74 @@ class TestKmeansRefine:
                 assert abs(x - y) < 1e-9
 
 
+class TestStatefulTotals:
+    def test_running_user_totals(self, spark, tmp_path):
+        from lovdata_pipeline_spark.streaming.windows import running_user_totals
+
+        src = tmp_path / "stream"
+        src.mkdir()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+                ),
+                "user_id": [1, 1, 2],
+                "value": [10.0, 5.0, 7.0],
+            }
+        ).to_parquet(src / "p0.parquet", coerce_timestamps="us")
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(str(src))
+
+        collected: list = []
+
+        def run_once():
+            import time
+
+            # memory sink can't recover a stateful checkpoint; foreachBatch can.
+            # NOTE: with ProcessingTimeTimeout the query stays alive to fire
+            # timeouts even under availableNow — stop it explicitly once the
+            # data batch has been delivered.
+            q = (
+                running_user_totals(stream, timeout_minutes=60)
+                .writeStream.foreachBatch(
+                    lambda df, _id: collected.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = time.time() + 120
+            seen = len(collected)
+            while time.time() < deadline:
+                if not q.isActive:
+                    break
+                if len(collected) > seen and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(30)
+
+        run_once()
+        rows = {r.user_id: r for r in collected}
+        assert rows[1].n_events == 2 and rows[1].total_value == 15.0
+        assert rows[2].n_events == 1 and rows[2].total_value == 7.0
+
+        # second batch continues the state from the checkpoint
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:03:00"]),
+                "user_id": [1],
+                "value": [1.0],
+            }
+        ).to_parquet(src / "p1.parquet", coerce_timestamps="us")
+        collected.clear()
+        run_once()
+        rows2 = {r.user_id: r for r in collected}
+        assert rows2[1].n_events == 3 and rows2[1].total_value == 16.0
+
+
 class TestStreamingDedup:
     def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
         from lovdata_pipeline_spark.streaming.windows import streaming_dedup
