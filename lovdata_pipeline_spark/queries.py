@@ -606,6 +606,29 @@ def _documents_as_xml(spark, sf_dir):
     )
 
 
+def enrich_documents_pipeline(spark, sf_dir):
+    """Metadata-enrichment chain over chunked documents (op 21).
+    Rows-only check (the chunker feeding it is non-SQL-expressible)."""
+    from lovdata_pipeline_spark.chunking import chunk_documents_df
+    from lovdata_pipeline_spark.config import ChunkParams
+    from lovdata_pipeline_spark.operators.enrichment import enrich
+
+    prepared = _documents_as_xml(spark, sf_dir)
+    chunks = chunk_documents_df(prepared, ChunkParams(100, 500, 50, 0.15)).filter(
+        F.col("error").isNull()
+    )
+    return enrich(chunks).select(
+        "chunk_id",
+        "document_id",
+        "enriched_title",
+        "law_date",
+        "hierarchy_depth",
+        "chapter_depth",
+        "n_references",
+        "is_amendment",
+    ).orderBy("document_id", "chunk_id")
+
+
 def embed_documents_pipeline(spark, sf_dir):
     """Chunk + embed stage: deterministic mock provider, fixed dims.
     Rows-only check (embedding math is engine-internal)."""
@@ -675,4 +698,5 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "chunk_documents_pipeline": chunk_documents_pipeline,
     "embed_documents_pipeline": embed_documents_pipeline,
+    "enrich_documents_pipeline": enrich_documents_pipeline,
 }
