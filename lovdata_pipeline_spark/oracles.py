@@ -214,6 +214,97 @@ ORACLES: dict[str, str] = {
         SELECT nationkey, 'supplier_only' AS which FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
         ORDER BY which, nationkey
     """,
+    "left_join_customer_orders": """
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_big_orders,
+               round(COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0), 6) AS total_big
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                   WHERE o_totalprice > 350000) big
+          ON c_custkey = big.o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "full_outer_order_presence": """
+        WITH o AS (SELECT DISTINCT o_orderkey FROM orders),
+             l AS (SELECT DISTINCT l_orderkey FROM lineitem)
+        SELECT COALESCE(o_orderkey, l_orderkey) AS orderkey,
+               CAST(o_orderkey IS NOT NULL AS INT) AS in_orders,
+               CAST(l_orderkey IS NOT NULL AS INT) AS in_lineitem
+        FROM o FULL OUTER JOIN l ON o_orderkey = l_orderkey
+        ORDER BY orderkey
+    """,
+    "exists_agg_priority": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "not_exists_high_value": """
+        WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey, count(*) AS n_cust,
+               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_bal
+        FROM customer, a
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "scalar_subquery_part_avg": """
+        WITH pq AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey)
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pq USING (l_partkey)
+        WHERE p_brand = 'Brand#4' AND l_quantity < 0.5 * avg_qty
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+    "percentile_order_totals": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "grouping_sets_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "max_acctbal_supplier_per_nation": """
+        WITH mx AS (SELECT s_nationkey, MAX(s_acctbal) AS max_bal
+                    FROM supplier GROUP BY s_nationkey)
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier
+        JOIN mx ON supplier.s_nationkey = mx.s_nationkey AND s_acctbal = max_bal
+        JOIN nation ON n_nationkey = supplier.s_nationkey
+        ORDER BY n_name, s_name
+    """,
+    "events_lag_gaps": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               round(CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n,

@@ -314,6 +314,203 @@ def set_ops_nations(spark, sf_dir):
     )
 
 
+def left_join_customer_orders(spark, sf_dir):
+    """Left outer join + aggregate: per customer, count and total of
+    high-value orders — customers with none keep a row (0, 0.0). The
+    orders side is filtered BEFORE the join so the null-extension path
+    is actually exercised (every customer has some order)."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 350000).select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("total_big"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def full_outer_order_presence(spark, sf_dir):
+    """Full outer join over key sets: which order keys appear in orders
+    vs lineitem (some orders have no lineitems — see anti_join_changed)."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    o = orders.select("o_orderkey").distinct()
+    l = li.select("l_orderkey").distinct()
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+            F.col("o_orderkey").isNotNull().cast("int").alias("in_orders"),
+            F.col("l_orderkey").isNotNull().cast("int").alias("in_lineitem"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+def exists_agg_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-filtered aggregate — orders having at least
+    one heavy lineitem, counted per priority. Semi-join, never a
+    row-multiplying inner join + distinct."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(heavy, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def not_exists_high_value(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg balance, broadcast) + NOT
+    EXISTS anti-join — above-average-balance customers with no high-value
+    order, per nation."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    high = orders.filter(F.col("o_totalprice") > 350000).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(high, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 6
+            ).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def scalar_subquery_part_avg(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group average as a join against a
+    pre-aggregate (the decorrelated plan Catalyst would want anyway);
+    small part-side filter broadcast."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    pq = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    """Top-k per group: each customer's 3 largest orders (rank window,
+    unique tiebreak on orderkey; row_number cast long ↔ DuckDB BIGINT)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def percentile_order_totals(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`; approx_percentile is the sketch-based 100 TB
+    variant — see agg_approx_stats)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def grouping_sets_status_priority(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status, per-
+    priority, and grand-total rows in one pass."""
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def max_acctbal_supplier_per_nation(spark, sf_dir):
+    """Max-per-group join-back (TPC-H Q2 shape): the top-balance supplier
+    in each nation, via aggregate + equality join back (ties keep all)."""
+    supp, nation = load(spark, sf_dir, "supplier", "nation")
+    mx = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("max_bal")).select(
+        F.col("s_nationkey").alias("mx_nationkey"), "max_bal"
+    )
+    return (
+        supp.join(
+            F.broadcast(mx),
+            (F.col("s_nationkey") == F.col("mx_nationkey"))
+            & (F.col("s_acctbal") == F.col("max_bal")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_name")
+    )
+
+
+def events_lag_gaps(spark, sf_dir):
+    """LAG window over event time: inter-event gaps per user, aggregated.
+    Gap math in integer microseconds (unix_micros ↔ DuckDB epoch_us) so
+    no float rounding can diverge; one double division at the end."""
+    events = load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(by_user)
+    return (
+        events.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / (F.count("*") * 1000000.0), 6
+            ).alias("avg_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Event-time tumbling window aggregate (batch form of the streaming
     windowed agg in streaming/)."""
@@ -674,6 +871,16 @@ QUERIES = {
     "agg_distinct_counts": agg_distinct_counts,
     "cube_status_priority": cube_status_priority,
     "set_ops_nations": set_ops_nations,
+    "left_join_customer_orders": left_join_customer_orders,
+    "full_outer_order_presence": full_outer_order_presence,
+    "exists_agg_priority": exists_agg_priority,
+    "not_exists_high_value": not_exists_high_value,
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "percentile_order_totals": percentile_order_totals,
+    "grouping_sets_status_priority": grouping_sets_status_priority,
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,
+    "events_lag_gaps": events_lag_gaps,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,

@@ -24,7 +24,9 @@ from lovdata_pipeline_spark.session import get_spark
 
 # queries where a nested-loop/cartesian is the intended shape (tiny side
 # or deliberate all-pairs verification step)
-CROSS_JOIN_OK = {"knn_join_top3", "dedup_embedding_cosine"}
+# not_exists_high_value: broadcast of a 1-row scalar aggregate (the
+# decorrelated-scalar-subquery plan Catalyst itself produces).
+CROSS_JOIN_OK = {"knn_join_top3", "dedup_embedding_cosine", "not_exists_high_value"}
 
 # queries whose scans must show a pushed filter
 EXPECT_PUSHED_FILTER = {
@@ -35,6 +37,9 @@ EXPECT_PUSHED_FILTER = {
     "point_lookup",
     "positional_ids",
     "semi_join_processed",
+    "left_join_customer_orders",
+    "exists_agg_priority",
+    "scalar_subquery_part_avg",
 }
 
 # queries that must not read every table column (projection pruning)
