@@ -91,19 +91,57 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard).
 
-    Inverted-index join: explode shingles, self-join on the shingle, count
-    common shingles per pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. The join
-    key is the shingle, so co-occurrence drives the shuffle — no cross
-    join. At 100 TB you run minhash_lsh_pairs first and feed only
-    candidates through this as the verifier.
+    Prefix-filtered inverted-index join (the exact set-similarity-join
+    algorithm from the SSJoin/PPJoin literature): order each document's
+    shingles by global document frequency (rarest first), keep only the
+    first ``|d| - ceil(t*|d|) + 1`` as its *prefix*. Any pair with
+    Jaccard ≥ t must share at least one prefix shingle, so candidates
+    come from a self-join over prefixes only — the posting lists of the
+    frequent shingles (the quadratic mass of a naive inverted index)
+    never enter the join. A size filter (``t*|a| ≤ |b| ≤ |a|/t``) prunes
+    further before verification counts the true intersection over the
+    full shingle sets. Exactness-preserving; at 100 TB the prefix join's
+    shuffle is proportional to near-duplicate mass, not corpus².
     """
     sh = word_shingles(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    # global canonical order: rarest shingles first (smallest posting lists
+    # do the candidate generation), shingle text as tiebreak.
+    df_order = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rank_w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefixes = (
+        sh.join(df_order, "shingle")
+        .join(sizes, id_col)
+        .withColumn("pos", F.row_number().over(rank_w))
+        .filter(F.col("pos") <= prefix_len)
+        .select(id_col, "shingle", "n_sh")
+    )
+    pa = prefixes.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = prefixes.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size filter: Jaccard ≥ t forces t*|a| ≤ |b| ≤ |a|/t
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_b") <= F.col("n_a") / F.lit(threshold))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # verify candidates: true intersection over the FULL shingle sets
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
