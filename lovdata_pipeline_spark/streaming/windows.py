@@ -75,6 +75,46 @@ def streaming_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event joined to
+    right events for the same key within ``[left_time - lookback,
+    left_time]`` (e.g. purchases to the clicks that preceded them).
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in both directions — that pair is what lets Spark evict join
+    state (unbounded stream-stream joins would buffer both streams
+    forever). The batch twin is operators/asof.asof_join (most-recent
+    match only); this keeps ALL matches in the window, the standard
+    streaming enrichment shape.
+
+    Column names: right's key/time columns must be pre-renamed to avoid
+    collision; this helper renames them to ``r_<name>`` itself.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = (
+        right.withColumnRenamed(on, f"r_{on}")
+        .withColumnRenamed(right_time, f"r_{right_time}")
+        .withWatermark(f"r_{right_time}", watermark)
+    )
+    cond = (
+        (F.col(on) == F.col(f"r_{on}"))
+        & (F.col(f"r_{right_time}") <= F.col(left_time))
+        & (
+            F.col(f"r_{right_time}")
+            >= F.col(left_time) - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running value total + event count, state expiring after inactivity.

@@ -208,3 +208,48 @@ class TestStreaming:
         assert len(rows) == 2
         assert rows[0].n == 2 and rows[0].event_type == "click"
         assert rows[1].n == 1 and rows[1].event_type == "view"
+
+    def test_interval_join_available_now(self, spark, tmp_path):
+        import pandas as pd
+
+        from lovdata_pipeline_spark.streaming.windows import interval_join
+
+        lsrc = tmp_path / "purchases_stream"
+        rsrc = tmp_path / "clicks_stream"
+        lsrc.mkdir(), rsrc.mkdir()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 01:00:00", "2024-01-01 02:00:00"]),
+                "user_id": [1, 2],
+                "amount": [9.5, 3.0],
+            }
+        ).to_parquet(lsrc / "p0.parquet", coerce_timestamps="us")
+        pd.DataFrame(
+            {
+                # user 1: one click inside the 30-min lookback, one outside;
+                # user 3: click with no purchase at all
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:40:00", "2024-01-01 00:10:00", "2024-01-01 00:50:00"]
+                ),
+                "user_id": [1, 1, 3],
+                "click_id": [100, 101, 102],
+            }
+        ).to_parquet(rsrc / "p0.parquet", coerce_timestamps="us")
+        purchases = spark.readStream.schema(
+            "ts timestamp, user_id long, amount double"
+        ).parquet(str(lsrc))
+        clicks = spark.readStream.schema(
+            "ts timestamp, user_id long, click_id long"
+        ).parquet(str(rsrc))
+        joined = interval_join(purchases, clicks, lookback="30 minutes")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ij")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT user_id, click_id FROM ij ORDER BY user_id").collect()
+        assert [(r.user_id, r.click_id) for r in rows] == [(1, 100)]
