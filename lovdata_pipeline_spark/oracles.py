@@ -400,6 +400,29 @@ ORACLES: dict[str, str] = {
         SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
     """,
+    "curation_pipeline": f"""
+        WITH h AS (SELECT doc_id,
+{_SW_HITS}
+        FROM documents),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_no) = 0 THEN 'und'
+                      WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'de'
+                      WHEN h_en = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'en'
+                      WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_no) THEN 'fr'
+                      ELSE 'no' END AS detected_lang
+          FROM h),
+        losers AS (SELECT DISTINCT doc_b FROM ({_SHINGLE_CTE}))
+        SELECT d.doc_id, lang.detected_lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+        FROM documents d
+        JOIN lang USING (doc_id)
+        WHERE detected_lang = 'en'
+          AND NOT EXISTS (SELECT 1 FROM losers WHERE doc_b = d.doc_id)
+        ORDER BY doc_id
+    """,
     "text_language_id": f"""
         WITH h AS (SELECT doc_id,
 {_SW_HITS}

@@ -757,6 +757,31 @@ def text_fingerprints(spark, sf_dir):
     return textstats.fingerprints(docs).orderBy("doc_id")
 
 
+def curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: language-ID filter → MinHash-LSH
+    near-dup removal (drop the larger id of each pair) → token counts for
+    budget accounting. One declarative plan — the filters and the
+    anti-join all stay JVM-side; LSH bounds the pair search. The oracle
+    recomputes the same pipeline with exact Jaccard (LSH params chosen
+    for recall ≈ 1 on this corpus, so outputs coincide)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    lang = textstats.language_id(docs)
+    losers = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    toks = textstats.token_counts(docs).select("doc_id", "n_tokens")
+    return (
+        docs.join(lang, "doc_id")
+        .filter(F.col("detected_lang") == "en")
+        .join(losers, "doc_id", "left_anti")
+        .join(toks, "doc_id")
+        .select("doc_id", "detected_lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: text → binary payload column → mapInPandas
     feature extraction (deterministic fake decode; see operators/multimodal)."""
@@ -902,6 +927,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_stopword_ratios": text_stopword_ratios,
     "text_fingerprints": text_fingerprints,
+    "curation_pipeline": curation_pipeline,
     "multimodal_features": multimodal_features,
     "chunk_documents_pipeline": chunk_documents_pipeline,
     "embed_documents_pipeline": embed_documents_pipeline,
