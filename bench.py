@@ -39,6 +39,7 @@ HEADLINE = [
     "text_fingerprints",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Property-based check of the prefix-filtered exact Jaccard join.
+
+The PPJoin-style prefix filter (rarest `|d| - ceil(t*|d|) + 1` shingles
++ size filter) must be exactness-preserving: for ANY corpus it returns
+exactly the pairs a brute-force all-pairs Jaccard finds. Random small
+corpora exercise the edge cases the curated testdata can't (empty docs,
+docs shorter than the shingle width, all-identical docs, threshold
+boundary ties).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from lovdata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+
+_doc = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _brute_force(texts: list[str], threshold: float, n: int = 3):
+    def shingles(t: str) -> set[str]:
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= threshold:
+                    out.add((a, b, round(inter / union, 6)))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+def test_prefix_filter_is_exact(spark, texts, threshold):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=threshold, n=3).collect()
+    }
+    want = _brute_force(texts, threshold)
+    assert got == want
+    for _, _, j in got:
+        assert j >= threshold - 1e-12 and j <= 1.0 and not math.isnan(j)
