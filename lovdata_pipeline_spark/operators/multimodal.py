@@ -43,6 +43,95 @@ def sample_frames(payload: bytes) -> int:
     return len(payload) % 30 + 1
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: real body would decode, resample, and
+    re-encode (PIL). The fake emits a payload whose length encodes the
+    target dims so tests can assert the batch plumbing end-to-end."""
+    return bytes([width % 256, height % 256]) + payload[: width * height % 97]
+
+
+def decode_audio(payload: bytes) -> tuple[int, float]:
+    """Deterministic fake audio decode → (sample_rate, duration_s).
+
+    Real implementation: soundfile/ffprobe. Raising path for genuinely
+    unsupported codecs stays explicit:
+    ``raise NotImplementedError("codec X: install ffmpeg build")``.
+    """
+    n = len(payload)
+    rate = 8000 * (1 + n % 6)  # 8k..48k
+    # unrounded: single IEEE division is engine-identical; consumers round
+    # in their final projection (oracle-parity discipline).
+    return rate, n / float(rate)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """binary → binary transform (the resize shape): payload in, payload
+    out, target dims as typed metadata columns. Arrow moves the bytes;
+    nothing is ever a Python row loop over the whole partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        resize_image(p if p is not None else b"", width, height)
+                        for p in payloads
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return blobs.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, payload) → (id, sample_rate, duration_s) via the audio stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_audio(p if p is not None else b"") for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": [r for r, _ in decoded],
+                    "duration_s": [d for _, d in decoded],
+                }
+            )
+
+    return blobs.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """(id, payload: binary) → typed feature rows, Arrow-batched."""
 

@@ -485,4 +485,11 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
         FROM documents ORDER BY doc_id
     """,
+    "multimodal_audio": """
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id,
+               CAST(8000 * (1 + n % 6) AS INTEGER) AS sample_rate,
+               round(n / CAST(8000 * (1 + n % 6) AS DOUBLE), 6) AS duration_s
+        FROM b ORDER BY doc_id
+    """,
 }

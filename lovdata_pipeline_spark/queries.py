@@ -794,6 +794,22 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(blobs).orderBy("doc_id")
 
 
+def multimodal_audio(spark, sf_dir):
+    """Audio-path plumbing: binary payload → (sample_rate, duration)
+    via the deterministic decode stub; duration rounded here (final
+    projection), never inside the UDF."""
+    from lovdata_pipeline_spark.operators import multimodal
+
+    (docs,) = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feats = multimodal.extract_audio_features(blobs)
+    return feats.select(
+        "doc_id", "sample_rate", F.round("duration_s", 6).alias("duration_s")
+    ).orderBy("doc_id")
+
+
 def chunk_documents_pipeline(spark, sf_dir):
     """The flagship ETL operator over the generic documents table: wrap each
     text in a simple-law envelope, run the 3-tier chunker UDF, return chunk
@@ -929,6 +945,7 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "curation_pipeline": curation_pipeline,
     "multimodal_features": multimodal_features,
+    "multimodal_audio": multimodal_audio,
     "chunk_documents_pipeline": chunk_documents_pipeline,
     "embed_documents_pipeline": embed_documents_pipeline,
     "enrich_documents_pipeline": enrich_documents_pipeline,
