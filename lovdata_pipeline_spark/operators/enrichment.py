@@ -36,6 +36,22 @@ def document_info(df: DataFrame) -> dict[str, Column]:
     }
 
 
+def location_info(df: DataFrame) -> dict[str, Column]:
+    """Location/citation fields (metadata_enrichment_service.py:173-195):
+    the address column (already URL-coalesced by the op-20 projection)
+    plus a normalized '§ N' citation parsed from the structural
+    paragraph ref / chunk id."""
+    para = F.regexp_extract(
+        F.coalesce(F.col("paragraph_ref"), F.col("chunk_id")),
+        r"(?:paragraf-|§\s*)(\d+[a-z]?)",
+        1,
+    )
+    return {
+        "location_address": F.col("absolute_address"),
+        "paragraph_citation": F.when(para != "", F.concat(F.lit("§ "), para)),
+    }
+
+
 def hierarchy_info(df: DataFrame) -> dict[str, Column]:
     """Depth = dash count in the structural address (the reference counts
     '-' in chunk_id, metadata_enrichment_service.py:231-236) + chapter
@@ -76,6 +92,7 @@ def section_context(df: DataFrame) -> dict[str, Column]:
 
 DEFAULT_ENRICHERS: list[tuple[str, Enricher]] = [
     ("document_info", document_info),
+    ("location_info", location_info),
     ("hierarchy_info", hierarchy_info),
     ("references_info", references_info),
     ("section_context", section_context),

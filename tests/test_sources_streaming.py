@@ -124,6 +124,9 @@ class TestEnrichment:
         assert r1.n_references >= 2
         assert rows["lov-2021-06-06-8"].is_amendment is True
         assert r1.is_amendment is False
+        # location_info: address passthrough + normalized § citation
+        assert r1.location_address == r1.absolute_address
+        assert r1.paragraph_citation == "§ 1"  # parsed from 'paragraf-1'/§-ref
 
     def test_broken_enricher_is_skipped(self, spark):
         from lovdata_pipeline_spark.operators.enrichment import enrich
