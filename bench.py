@@ -50,12 +50,22 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # min over reps: machine load variance swamps single samples
+    # (observed 2.8-11.9 s for the same query under load); the min is the
+    # stable estimate of what the plan actually costs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # drop caches created inside query fns (shingle sets etc.) so
+            # reps don't accumulate executor memory pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     # Full incremental pipeline: chunk → embed → bucketed-store upsert →
     # state commit. The reference's baseline for the same path is
