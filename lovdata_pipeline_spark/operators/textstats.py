@@ -27,13 +27,18 @@ def _words(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count as a pure column expression — composable
+    into single-scan pipelines (no join needed to attach it)."""
+    trimmed = F.trim(F.col(text_col))
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_chars): whitespace tokenization, scan-speed."""
-    trimmed = F.trim(F.col(text_col))
-    n_tokens = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        token_count_col(text_col).alias("n_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
 
@@ -56,6 +61,24 @@ def stopword_ratios(
         hits = F.size(F.filter(F.col("_w"), lambda w: w.isin(sw)))
         cols.append(F.round(hits / F.greatest(n, F.lit(1)), 6).alias(f"sw_{lang}"))
     return toks.select(*cols)
+
+
+def language_id_col(words_col: Column) -> Column:
+    """detected_lang as a pure expression over a lowercased token-array
+    column (same logic as language_id; codegen CSE shares the per-language
+    hit counts). Lets single-scan pipelines attach language without a
+    join."""
+    hits = {
+        lang: F.size(F.filter(words_col, lambda w: w.isin(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    detected = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        detected = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            detected
+        )
+    return detected
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

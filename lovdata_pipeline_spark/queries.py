@@ -765,18 +765,24 @@ def curation_pipeline(spark, sf_dir):
     recomputes the same pipeline with exact Jaccard (LSH params chosen
     for recall ≈ 1 on this corpus, so outputs coincide)."""
     (docs,) = load(spark, sf_dir, "documents")
-    lang = textstats.language_id(docs)
     losers = (
         dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    toks = textstats.token_counts(docs).select("doc_id", "n_tokens")
+    # language + token count are row-wise: attach them in the scan
+    # projection (one pass, no joins) rather than joining three
+    # derivations of the same table back together.
+    annotated = docs.withColumn(
+        "_w", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ).select(
+        "doc_id",
+        textstats.language_id_col(F.col("_w")).alias("detected_lang"),
+        textstats.token_count_col("text").alias("n_tokens"),
+    )
     return (
-        docs.join(lang, "doc_id")
-        .filter(F.col("detected_lang") == "en")
+        annotated.filter(F.col("detected_lang") == "en")
         .join(losers, "doc_id", "left_anti")
-        .join(toks, "doc_id")
         .select("doc_id", "detected_lang", "n_tokens")
         .orderBy("doc_id")
     )
