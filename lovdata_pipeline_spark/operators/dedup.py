@@ -345,8 +345,10 @@ def embedding_near_duplicates(
     VERIFY of the few survivors with the sequential-fold dot product so
     the reported score is bit-stable regardless of BLAS accumulation
     order. The search margin (1e-6) makes phase 1 a superset of the true
-    result. At 100 TB, replace the broadcast with hyperplane-LSH blocks
-    (similarity.hyperplane_lsh_bucket) and matmul within blocks.
+    result. This variant collects-and-broadcasts the corpus matrix, which
+    is right while the matrix fits in memory (≤ a few GB); past that use
+    ``embedding_near_duplicates_blocked`` — identical output, no driver
+    materialization, no full-matrix broadcast.
     """
     import numpy as np
     import pandas as pd
@@ -382,7 +384,19 @@ def embedding_near_duplicates(
         search, schema=f"doc_a {id_type}, doc_b {id_type}"
     )
 
-    # exact verify: sequential fold, identical to the SQL-oracle formula
+    return _verify_cosine(vectors, cand, threshold, id_col, vec_col)
+
+
+def _verify_cosine(
+    vectors: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact verify of candidate pairs: sequential-fold dot product,
+    identical to the SQL-oracle formula (bit-stable regardless of how
+    the candidates were found)."""
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -399,3 +413,70 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def embedding_near_duplicates_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed exact cosine near-dup: block-pair search, no driver
+    collect, no full-matrix broadcast.
+
+    Vectors hash into ``n_blocks`` blocks; every block *pair* (i ≤ j)
+    becomes one ``applyInPandas`` group holding just those two blocks'
+    vectors, which BLAS-multiplies cross-block (or within-block for
+    i == j). Every pair of vectors meets in exactly one group, so the
+    candidate set is complete — exactness comes from the same fold
+    verify as the broadcast variant. Costs: each vector is replicated
+    ~n_blocks times through one shuffle, and each group holds 2·n/K
+    vectors — pick K so that fits an executor. This is the 100 TB form;
+    the broadcast variant is the small-corpus fast path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    ).withColumn("pair_id", F.col("bi") * n_blocks + F.col("bj"))
+    v = vectors.select(id_col, vec_col).withColumn(
+        "block", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    mem = v.join(F.broadcast(pairs), F.col("block") == F.col("bi")).unionByName(
+        v.join(
+            F.broadcast(pairs.filter(F.col("bi") != F.col("bj"))),
+            F.col("block") == F.col("bj"),
+        )
+    )
+    margin = 1e-6
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def find(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if bi == bj:
+            sims = mat @ mat.T
+            ia, ja = np.nonzero(sims >= threshold - margin)
+            keep = ids[ia] < ids[ja]
+            return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ja][keep]})
+        blocks = pdf["block"].to_numpy()
+        a_mask, b_mask = blocks == bi, blocks == bj
+        sims = mat[a_mask] @ mat[b_mask].T
+        ia, jb = np.nonzero(sims >= threshold - margin)
+        aa, bb = ids[a_mask][ia], ids[b_mask][jb]
+        lo = np.where(aa < bb, aa, bb)
+        hi = np.where(aa < bb, bb, aa)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    cand = (
+        mem.groupBy("pair_id")
+        .applyInPandas(find, schema=f"doc_a {id_type}, doc_b {id_type}")
+        .distinct()
+    )
+    return _verify_cosine(vectors, cand, threshold, id_col, vec_col)

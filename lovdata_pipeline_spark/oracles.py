@@ -380,6 +380,12 @@ ORACLES: dict[str, str] = {
         WHERE {_COSINE} >= 0.45
         ORDER BY doc_a, doc_b
     """,
+    "dedup_embedding_cosine_blocked": f"""
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_COSINE}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COSINE} >= 0.45
+        ORDER BY doc_a, doc_b
+    """,
     "ann_cosine_topk": f"""
         SELECT b.vec_id AS vec_id, round({_COSINE}, 6) AS score
         FROM embeddings b

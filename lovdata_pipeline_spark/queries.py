@@ -671,6 +671,16 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb, threshold=0.45).orderBy("doc_a", "doc_b")
 
 
+def dedup_embedding_cosine_blocked(spark, sf_dir):
+    """Distributed exact variant (block-pair applyInPandas, no driver
+    collect / full-matrix broadcast) — same output as the broadcast
+    fast path, same oracle."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_blocked(emb, threshold=0.45, n_blocks=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for the vec_id=0 query vector."""
     (emb,) = load(spark, sf_dir, "embeddings")
@@ -939,6 +949,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,
     "ann_topk_ivf": ann_topk_ivf,

@@ -55,3 +55,27 @@ def test_prefix_filter_is_exact(spark, texts, threshold):
     assert got == want
     for _, _, j in got:
         assert j >= threshold - 1e-12 and j <= 1.0 and not math.isnan(j)
+
+
+def test_blocked_embedding_dedup_matches_broadcast(spark):
+    """The distributed block-pair search must return exactly the
+    broadcast variant's pairs, for any block count (1, non-divisor, >n)."""
+    from lovdata_pipeline_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(
+        map(tuple, embedding_near_duplicates(emb, threshold=0.4).collect())
+    )
+    for k in (1, 3, 64):
+        got = sorted(
+            map(
+                tuple,
+                embedding_near_duplicates_blocked(
+                    emb, threshold=0.4, n_blocks=k
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_blocks={k}"
