@@ -145,6 +145,66 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# polynomial rolling-hash parameters: base 257, Mersenne modulus keeps
+# every intermediate (< 2^31 * 257 + 255) inside a bigint in both engines.
+_RH_BASE = 257
+_RH_MOD = (1 << 31) - 1
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing: (id, fingerprint) rows — the distinct minima
+    of k-gram rolling hashes over every w-length window.
+
+    The hash is an explicit polynomial (base 257 mod 2³¹−1) computed with
+    integer arithmetic, not an engine builtin — portable across engines
+    (exact DuckDB oracle) and the literal rolling-hash semantics. All
+    expression-level: substring/transform/aggregate/slice, no UDF.
+    Winnowing guarantees any shared substring of length ≥ k + w − 1
+    yields a shared fingerprint — the standard near-dup localization
+    primitive at corpus scale.
+
+    Cost note: Spark evaluates higher-order lambdas interpreted (not
+    whole-stage codegen), so this runs ~O(len·k) interpreted ops per
+    doc — fine for fingerprint extraction jobs, but prefer the pandas-UDF
+    route if this ever becomes a hot path.
+    """
+    s = F.lower(F.col(text_col))
+    n_grams = F.length(s) - F.lit(k - 1)
+    # guard: Spark sequence(1, n) counts DOWN for n < 1 — emit [] instead
+    grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (acc * _RH_BASE + F.ascii(s.substr(i + j, F.lit(1))))
+                % _RH_MOD,
+            ),
+        )
+    )
+    # materialize the gram array behind a projection boundary: referenced
+    # more than once below, so CollapseProject keeps it evaluated once per
+    # row instead of re-deriving O(n·k) work per window.
+    with_grams = docs.select(F.col(id_col), grams.alias("_g"))
+    n_windows = F.size(F.col("_g")) - F.lit(w - 1)
+    fps = F.when(n_windows < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
+        )
+    )
+    return (
+        with_grams.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint): md5 of the normalized text — lowercase,
     punctuation stripped, whitespace collapsed. The canonical "same

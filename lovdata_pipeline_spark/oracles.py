@@ -491,6 +491,27 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
         FROM documents ORDER BY doc_id
     """,
+    "text_winnowing": """
+        WITH d AS (
+          SELECT doc_id, lower(text) AS s,
+                 length(lower(text)) - 7 AS ng
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(ng, 0)),
+                   i -> list_reduce(
+                          list_transform(generate_series(0, 7),
+                            j -> CAST(ord(substr(s, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647)) AS grams
+          FROM d),
+        f AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(grams) - 3, 0)),
+                   j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)]))) AS fingerprint
+          FROM g)
+        SELECT DISTINCT doc_id, fingerprint FROM f
+        ORDER BY doc_id, fingerprint
+    """,
     "multimodal_audio": """
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         SELECT doc_id,

@@ -767,6 +767,15 @@ def text_fingerprints(spark, sf_dir):
     return textstats.fingerprints(docs).orderBy("doc_id")
 
 
+def text_winnowing(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS): portable polynomial
+    hash, so the oracle reproduces the exact values."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.winnowing_fingerprints(docs, k=8, w=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
 def curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation: language-ID filter → MinHash-LSH
     near-dup removal (drop the larger id of each pair) → token counts for
@@ -960,6 +969,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_stopword_ratios": text_stopword_ratios,
     "text_fingerprints": text_fingerprints,
+    "text_winnowing": text_winnowing,
     "curation_pipeline": curation_pipeline,
     "multimodal_features": multimodal_features,
     "multimodal_audio": multimodal_audio,
