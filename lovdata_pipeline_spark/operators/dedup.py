@@ -255,27 +255,49 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: (id, simhash).
+#: number of simhash bits in portable (md5-derived) mode — 15 hex digits.
+PORTABLE_BITS = 60
 
-    Tokens → xxhash64 → per-bit majority vote, expressed as one
-    aggregate of 64 conditional sums (all codegen'd; no Python). The
-    majority vote: bit b of the result is 1 iff more token-hashes have
-    bit b set than not.
+
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash both engines can compute identically: the first
+    15 hex digits of md5, read as a big-endian integer. Spark gets the
+    long in one shot via ``conv``; DuckDB extracts the same bits from
+    the hex string with ``strpos`` (bit b = bit b%4 of the hex digit at
+    1-based position 15 - b//4). Keeps dedup_simhash oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash per document: (id, simhash).
+
+    Tokens → 63-bit xxhash64 (or the 60-bit md5-derived portable hash,
+    which DuckDB reproduces bit-for-bit) → per-bit majority vote,
+    expressed as one aggregate of conditional sums (all codegen'd; no
+    Python). The majority vote: bit b of the result is 1 iff more
+    token-hashes have bit b set than not.
     """
+    bits = PORTABLE_BITS if portable else 63  # bit 63 is xxhash64's sign bit
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", portable_token_hash(F.col("tok")) if portable else F.xxhash64("tok")
+    )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; keep hashes non-negative
+        for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     result = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(bits):
         result = result + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
     return agg.select(F.col(id_col), result.alias("simhash"))
 
@@ -285,17 +307,19 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into max_hamming+1 segments — any
+    Pigeonhole banding: split the bits into max_hamming+1 segments — any
     pair within distance k agrees exactly on ≥1 segment, so an equi-join
     on (segment_idx, segment_bits) finds all true pairs without a cross
     join; ``bit_count(a^b)`` verifies.
     """
     n_seg = max_hamming + 1
-    seg_width = 64 // n_seg
-    sh = simhash(docs, text_col, id_col)
+    bits = PORTABLE_BITS if portable else 64
+    seg_width = bits // n_seg
+    sh = simhash(docs, text_col, id_col, portable=portable)
     # shiftrightunsigned takes a Python int shift — build the segment array
     # with a comprehension, not F.transform over a Column index.
     segs = F.array(

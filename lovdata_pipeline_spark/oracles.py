@@ -7,8 +7,9 @@ Engine-parity rules used throughout (see queries.py header):
   * counts/sums cast so integer widths line up (Spark long ↔ BIGINT);
   * epoch comparisons in fractional seconds (ts::DOUBLE ↔ epoch(ts)).
 
-Queries with no entry here (dedup_simhash, chunk/embed pipelines) are
-deliberately non-SQL-expressible; the driver records rows-only checks.
+Queries with no entry here (chunk/embed pipelines, the approximate ANN
+variants) are deliberately non-SQL-expressible; the driver records
+rows-only checks.
 """
 
 _SHINGLE_CTE = """
@@ -64,6 +65,37 @@ _STOPWORDS_SQL = {
     "es": "['el','la','los','y','de','que','es','en']",
     "no": "['og','i','det','som','er','av','til','en']",
 }
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Exact DuckDB replica of the portable 60-bit simhash: bit b of the
+    hash is bit b%4 of the md5 hex digit at 1-based position 15 - b//4
+    (the same bits Spark reads from conv(substr(md5,1,15),16,10))."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {15 - b // 4}, 1)) - 1) "
+        f">> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
 
 _SW_HITS = ",\n".join(
     f"  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
@@ -374,6 +406,7 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": _SHINGLE_CTE,
     "dedup_minhash_lsh": _SHINGLE_CTE,  # LSH recall ≈ 1 at these params → same set
+    "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_COSINE}, 6) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

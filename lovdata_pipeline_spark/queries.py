@@ -660,10 +660,13 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle: xxhash64 is Spark-specific —
-    driver records the weaker rows-only check)."""
+    """SimHash near-dup pairs, portable 60-bit md5-derived hash so DuckDB
+    reproduces the exact signatures (oracle hash-match; the xxhash64
+    variant stays the fast path for production use)."""
     (docs,) = load(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return dedup.simhash_near_duplicates(
+        docs, max_hamming=3, portable=True
+    ).orderBy("doc_a", "doc_b")
 
 
 def dedup_embedding_cosine(spark, sf_dir):
