@@ -140,12 +140,23 @@ def ivf_assign(
 
 def deterministic_centroids(vectors: DataFrame, n_cells: int,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
-    """Seed centroids: every (n/k)-th vector in id order — deterministic,
-    no iteration. A k-means refinement loop (Lloyd steps as repeated
-    groupBy-avg) slots in here when cell balance matters."""
-    rows = vectors.orderBy(id_col).select(vec_col).collect()
-    step = max(1, len(rows) // n_cells)
-    return [list(rows[i * step][0]) for i in range(min(n_cells, len(rows)))]
+    """Seed centroids: every (n/k)-th vector by id — deterministic, no
+    iteration. Distributed sample: the modulo filter runs executor-side and
+    only ≤ n_cells rows ever reach the driver (the r1 version collected the
+    whole corpus — an OOM at scale). A k-means refinement loop (Lloyd steps
+    as repeated groupBy-avg) slots in here when cell balance matters."""
+    n = vectors.count()
+    step = max(1, n // n_cells)
+    rows = (
+        vectors.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:  # sparse/non-dense ids: fall back to the first k by id
+        rows = vectors.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [list(r[0]) for r in rows]
 
 
 def kmeans_refine(

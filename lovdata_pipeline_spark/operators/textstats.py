@@ -218,3 +218,22 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         )
     )
     return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def vocab_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): md5 of the sorted DISTINCT-word vocabulary of the
+    normalized text. Collapses word order and repetition, so documents that
+    are shuffled/stuttered rewrites of each other (the common near-dup
+    planting scheme) collide exactly — a coarser, still one-scan dedup key
+    between ``fingerprints`` (formatting-robust) and MinHash (similarity).
+    Pure codegen: split → array_distinct → array_sort → md5, no shuffle
+    before the caller's groupBy."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    vocab = F.array_join(F.array_sort(F.array_distinct(F.split(normalized, " "))), " ")
+    return docs.select(F.col(id_col), F.md5(vocab).alias("fingerprint"))

@@ -106,11 +106,17 @@ _SW_HITS = ",\n".join(
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
+        -- decimal-input arithmetic: cast the 2dp base columns to decimal
+        -- FIRST, multiply in decimal (exact in both engines) — never cast a
+        -- double *product* to decimal (engine-dependent rounding).
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -394,12 +400,20 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "dedup_exact_groups": """
+        -- corpus has no natural exact dups; plant every-25th doc under a
+        -- shifted id (mirrors the Spark query) so the check is non-vacuous
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+        )
         SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        FROM corpus GROUP BY md5(text) HAVING count(*) > 1
         ORDER BY content_hash
     """,
     "dedup_fingerprint_groups": f"""
-        SELECT md5({_NORMALIZED_TEXT}) AS fingerprint,
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split({_NORMALIZED_TEXT}, ' '))), ' ')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS keep_id
         FROM documents GROUP BY 1 HAVING count(*) > 1
         ORDER BY fingerprint

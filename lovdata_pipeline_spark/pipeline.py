@@ -124,6 +124,15 @@ def run_pipeline(
         if n_ok:
             state.mark_processed(ok_docs, at)
         if n_failed:
+            # Mirror the reference's per-doc failure cleanup
+            # (file_processing_service.py cleanup branch): a previously
+            # processed doc whose NEW version fails to parse must not keep
+            # serving its stale old-version chunks — delete them before
+            # marking failed, or `validate` (state vs store) reports the
+            # store inconsistent.
+            store.delete_documents(
+                failed_keyed.select(F.col("doc_id").alias("document_id"))
+            )
             state.mark_failed(failed_keyed, at)
     finally:
         chunked.unpersist()

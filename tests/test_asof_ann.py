@@ -126,3 +126,54 @@ class TestAnnRecall:
         centroids = similarity.deterministic_centroids(emb, n_cells=4)
         rows = similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2).collect()
         assert rows and rows[0].vec_id == 0 and rows[0].score == 1.0
+
+
+class TestAnnRecallClustered:
+    """Recall@10 pinned on a PLANTED-CLUSTER fixture. The driver's
+    embeddings table is uniform-random (max cosine ≈ 0.5), where SRP
+    collision probabilities barely discriminate — recall bounds there are
+    structurally meaningless (r1 verdict #5). On clustered data, the
+    workload ANN indexes exist for, both approximate paths must find the
+    true neighbors."""
+
+    K = 10
+
+    @staticmethod
+    def _clustered(spark, n_clusters=8, per_cluster=60, dims=16, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(n_clusters, dims)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(n_clusters):
+            pts = centers[c] + 0.08 * rng.randn(per_cluster, dims)
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rng
+
+    def _recall(self, spark, approx_fn):
+        emb, rng = self._clustered(spark)
+        emb = emb.cache()
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, query, self.K).collect()}
+        got = {r.vec_id for r in approx_fn(emb, query, rng).collect()}
+        emb.unpersist()
+        return len(got & exact) / self.K
+
+    def test_lsh_recall_on_clusters(self, spark):
+        def lsh(emb, query, rng):
+            planes = rng.randn(6, len(query)).tolist()
+            return similarity.ann_topk_lsh(emb, query, planes, k=self.K, n_probe_bits=2)
+
+        assert self._recall(spark, lsh) >= 0.9
+
+    def test_ivf_recall_on_clusters(self, spark):
+        def ivf(emb, query, rng):
+            seeds = similarity.deterministic_centroids(emb, n_cells=8)
+            cents = similarity.kmeans_refine(emb, seeds, iterations=3)
+            return similarity.ivf_topk(emb, query, cents, k=self.K, n_probe=2)
+
+        assert self._recall(spark, ivf) >= 0.9

@@ -128,6 +128,25 @@ class TestLifecycle:
         r2 = run_pipeline(_docs(spark, rows), store2, state2, cfg2, now="t1")
         assert r2.processed == 2
 
+    def test_modified_doc_that_fails_loses_stale_chunks(self, spark, stores):
+        """Reference parity: on processing failure the doc's existing chunks
+        are deleted (file_processing_service.py cleanup branch) — a modified
+        doc whose new version fails to parse must NOT keep serving its old
+        version's chunks, and state-vs-store validate() stays consistent."""
+        store, state = stores
+        ok = [("docy", "ds", "p/y.xml", fixtures.simple_law(), "hy_v1", "added")]
+        r1 = run_pipeline(_docs(spark, ok), store, state, CFG, now="t1")
+        assert r1.processed == 1
+        assert store.chunks_for_document("docy").count() > 0
+
+        broken = [("docy", "ds", "p/y.xml", fixtures.malformed(), "hy_v2", "modified")]
+        r2 = run_pipeline(_docs(spark, broken), store, state, CFG, now="t2")
+        assert r2.failed == 1
+        assert store.chunks_for_document("docy").count() == 0
+        report = validate(state.processed(), store.distinct_document_ids())
+        assert report.in_state_not_store == []
+        assert report.in_store_not_state == []
+
     def test_empty_doc_is_processed_success(self, spark, stores):
         store, state = stores
         rows = [("empty1", "ds", "p/e.xml", fixtures.empty_law(), "he_v1", "added")]
