@@ -53,6 +53,87 @@ def mock_hash_provider(dims: int = 64) -> EmbeddingProvider:
     return embed
 
 
+def openai_compatible_provider(
+    model: str = "text-embedding-3-small",
+    base_url: str | None = None,
+    api_key: str | None = None,
+    max_retries: int = 5,
+    backoff_s: float = 1.0,
+    timeout_s: float = 30.0,
+    transport: Callable[[str, bytes, dict], bytes] | None = None,
+) -> EmbeddingProvider:
+    """Provider speaking the OpenAI-compatible ``POST /embeddings`` shape
+    (public API: https://platform.openai.com/docs/api-reference/embeddings),
+    mirroring the reference's provider semantics
+    (infrastructure/openai_embedding_provider.py:24-42): caller batches
+    (``embed_chunks_df`` slices to ``batch_size``), one HTTP call per
+    batch, vectors re-ordered by the response ``index`` field, retries
+    with exponential backoff on 429/5xx and transport errors.
+
+    Config comes from args or env (``OPENAI_BASE_URL`` /
+    ``OPENAI_API_KEY``) read lazily at call time, so the closure pickles
+    cleanly to executors and each executor resolves its own credentials.
+    ``transport(url, body, headers) -> bytes`` is injectable for offline
+    tests; the default uses stdlib ``urllib`` (no extra dependency). The
+    mock provider remains the package default — this adapter is opt-in.
+    """
+
+    def embed(texts: list[str]) -> list[list[float]]:
+        import json
+        import os
+        import time
+        import urllib.error
+        import urllib.request
+
+        url = (
+            (base_url or os.environ.get("OPENAI_BASE_URL") or "https://api.openai.com/v1")
+            .rstrip("/")
+            + "/embeddings"
+        )
+        key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        headers = {
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {key}",
+        }
+        body = json.dumps({"model": model, "input": texts}).encode("utf-8")
+
+        def default_transport(u: str, data: bytes, hdrs: dict) -> bytes:
+            req = urllib.request.Request(u, data=data, headers=hdrs, method="POST")
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.read()
+
+        send = transport or default_transport
+        last_exc: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                raw = send(url, body, headers)
+                break
+            except urllib.error.HTTPError as exc:
+                # 429 + 5xx are retryable (rate limit / transient server);
+                # 4xx other than 429 are caller bugs — surface immediately.
+                if exc.code != 429 and exc.code < 500:
+                    raise
+                last_exc = exc
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+                last_exc = exc
+            time.sleep(backoff_s * (2**attempt))
+        else:
+            raise RuntimeError(
+                f"embedding request failed after {max_retries} retries"
+            ) from last_exc
+
+        payload = json.loads(raw.decode("utf-8"))
+        data = sorted(payload["data"], key=lambda d: d["index"])
+        vectors = [d["embedding"] for d in data]
+        if len(vectors) != len(texts):
+            raise ValueError(
+                f"provider returned {len(vectors)} vectors for {len(texts)} texts"
+            )
+        return vectors
+
+    return embed
+
+
 def embed_chunks_df(
     chunks: DataFrame,
     provider: EmbeddingProvider | None = None,
