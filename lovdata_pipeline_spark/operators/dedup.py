@@ -82,6 +82,69 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     )
 
 
+def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Exact Jaccard verify of candidate pairs WITHOUT exploding them.
+
+    Per-doc shingle sets aggregate once (collect_list over the already-
+    distinct (id, shingle) rows); the small candidate pair list then hash-
+    joins the sets table twice (AQE broadcasts the pair side) and the
+    intersection is one JVM ``array_intersect`` per pair. Replaces the
+    r1 plan — cand⋈shingles explode + groupBy — which shuffled
+    pairs × shingles rows; here nothing larger than the sets table itself
+    ever shuffles, and only once."""
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh_set"), F.count("*").alias("n_sh")
+    )
+    a = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("n_a")
+    )
+    b = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def hashed_word_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle: bigint) distinct word-n-gram hashes per document.
+
+    Same set as ``xxhash64`` over ``word_shingles`` output (property-
+    tested), but ~3× faster to materialize: ``posexplode(split)`` +
+    window ``lead`` + ``concat_ws`` + ``xxhash64`` all run in codegen /
+    native window ops, where the array higher-order formulation
+    (``transform``+``slice``+``array_join``) falls back to interpreted
+    expression eval. The distinct happens AFTER hashing, so the dedup
+    shuffle carries 8-byte longs, never the n-gram strings.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    return (
+        words.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),
+            leads[-1].alias("_last") if leads else F.col("w").alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -111,11 +174,7 @@ def ngram_jaccard_pairs(
     cache can be released before returning (repeated calls in one session
     must not accumulate executor storage).
     """
-    sh = (
-        word_shingles(docs, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    sh = hashed_word_shingles(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     # global canonical order: rarest shingles first (smallest posting lists
@@ -149,26 +208,9 @@ def ngram_jaccard_pairs(
     )
 
     # verify candidates: true intersection over the FULL shingle sets
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    result = _verify_jaccard(sh, cand, threshold, id_col).localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -215,11 +257,7 @@ def minhash_lsh_pairs(
     checkpoint of the (small) result.
     """
     rows_per_band = num_hashes // bands
-    sh = (
-        word_shingles(docs, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    sh = hashed_word_shingles(docs, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_arr = F.transform(
@@ -248,28 +286,7 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact jaccard on the same shingle sets
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    result = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .localCheckpoint(eager=True)  # small pair list; lets the cache go
-    )
+    result = _verify_jaccard(sh, cand, threshold, id_col).localCheckpoint(eager=True)
     sh.unpersist()
     return result
 

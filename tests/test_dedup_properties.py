@@ -57,6 +57,33 @@ def test_prefix_filter_is_exact(spark, texts, threshold):
         assert j >= threshold - 1e-12 and j <= 1.0 and not math.isnan(j)
 
 
+def test_hashed_shingles_match_string_shingles(spark):
+    """The fast lead-window shingle path must produce exactly the
+    xxhash64 image of the canonical array-formulation shingle sets —
+    including the no-shingle edge cases (empty text, doc shorter than n)."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.dedup import hashed_word_shingles, word_shingles
+
+    texts = [
+        "a b c d e f g",
+        "a b",          # shorter than n → no shingles
+        "",             # empty
+        "  x   y  z ",  # ragged whitespace
+        "a b c a b c a b c",  # repeated shingles → distinct collapses
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = sorted(
+        word_shingles(docs, "text", "doc_id", 3)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .collect()
+    )
+    got = sorted(hashed_word_shingles(docs, "text", "doc_id", 3).collect())
+    assert got == want
+
+
 def test_blocked_embedding_dedup_matches_broadcast(spark):
     """The distributed block-pair search must return exactly the
     broadcast variant's pairs, for any block count (1, non-divisor, >n)."""
