@@ -159,20 +159,70 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MOSS-style winnowing: (id, fingerprint) rows — the distinct minima
-    of k-gram rolling hashes over every w-length window.
+    of k-gram rolling hashes (base 257 mod 2³¹−1) over every w-length
+    window. Winnowing guarantees any shared substring of length
+    ≥ k + w − 1 yields a shared fingerprint — the standard near-dup
+    localization primitive at corpus scale.
 
-    The hash is an explicit polynomial (base 257 mod 2³¹−1) computed with
-    integer arithmetic, not an engine builtin — portable across engines
-    (exact DuckDB oracle) and the literal rolling-hash semantics. All
-    expression-level: substring/transform/aggregate/slice, no UDF.
-    Winnowing guarantees any shared substring of length ≥ k + w − 1
-    yields a shared fingerprint — the standard near-dup localization
-    primitive at corpus scale.
+    Vectorized Arrow path: one narrow ``mapInPandas`` pass, numpy Horner
+    over codepoint arrays (k vectorized ops) + sliding-window minimum
+    (w vectorized ops) + per-doc ``np.unique`` — no shuffle anywhere and
+    no interpreted expression eval. Produces exactly the same rows as the
+    expression formulation ``winnowing_fingerprints_expr`` (pinned by
+    test) and therefore the same DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    base, mod = _RH_BASE, _RH_MOD
+
+    def run(batches):
+        for pdf in batches:
+            ids_out: list = []
+            fps_out: list = []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                # exact codepoints, vectorized (matches Spark ascii())
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                n = cp.size - (k - 1)
+                if n < 1:
+                    continue
+                acc = np.zeros(n, dtype=np.int64)
+                for j in range(k):  # Horner; values stay < 2^39, no overflow
+                    acc = (acc * base + cp[j : j + n]) % mod
+                m = n - (w - 1)
+                if m < 1:
+                    continue
+                mins = acc[:m].copy()
+                for j in range(1, w):
+                    np.minimum(mins, acc[j : j + m], out=mins)
+                uniq = np.unique(mins)
+                ids_out.extend([vid] * uniq.size)
+                fps_out.extend(uniq.tolist())
+            yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, fingerprint long"
+    )
+
+
+def winnowing_fingerprints_expr(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Expression-only formulation of ``winnowing_fingerprints`` — the
+    literal rolling-hash semantics in substring/transform/aggregate/slice
+    (no Python at all), kept as the cross-check reference for the fast
+    Arrow path and for engines where Python workers are unavailable.
 
     Cost note: Spark evaluates higher-order lambdas interpreted (not
-    whole-stage codegen), so this runs ~O(len·k) interpreted ops per
-    doc — fine for fingerprint extraction jobs, but prefer the pandas-UDF
-    route if this ever becomes a hot path.
+    whole-stage codegen), so this runs ~O(len·k) interpreted ops per doc.
     """
     s = F.lower(F.col(text_col))
     n_grams = F.length(s) - F.lit(k - 1)

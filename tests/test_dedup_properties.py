@@ -84,6 +84,33 @@ def test_hashed_shingles_match_string_shingles(spark):
     assert got == want
 
 
+def test_winnowing_fast_path_matches_expression_path(spark):
+    """The Arrow/numpy winnowing path must emit exactly the rows of the
+    expression-only formulation (same polynomial hash, same window
+    minima, same per-doc dedup) — including short/empty docs around the
+    k and k+w-1 boundaries."""
+    from lovdata_pipeline_spark.operators.textstats import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_expr,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",          # < k → no grams
+        "exactly8",       # == k → one gram, < k+w-1 → no full window... still 1 min
+        "",               # empty
+        "aaaaaaaaaaaa",   # degenerate repeats → heavy dedup
+        "the quick brown fox jumps over the lazy dog",  # duplicate doc
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = sorted(map(tuple, winnowing_fingerprints(docs, k=8, w=4).collect()))
+    expr = sorted(map(tuple, winnowing_fingerprints_expr(docs, k=8, w=4).collect()))
+    assert fast == expr
+    assert fast  # non-vacuous
+
+
 def test_blocked_embedding_dedup_matches_broadcast(spark):
     """The distributed block-pair search must return exactly the
     broadcast variant's pairs, for any block count (1, non-divisor, >n)."""
