@@ -116,7 +116,10 @@ def openai_compatible_provider(
                 last_exc = exc
             except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
                 last_exc = exc
-            time.sleep(backoff_s * (2**attempt))
+            # no sleep after the final attempt — fail fast instead of
+            # stalling every executor task another backoff interval
+            if attempt < max_retries - 1:
+                time.sleep(backoff_s * (2**attempt))
         else:
             raise RuntimeError(
                 f"embedding request failed after {max_retries} retries"

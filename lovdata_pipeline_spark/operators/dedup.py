@@ -207,8 +207,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    # verify candidates: true intersection over the FULL shingle sets
-    result = _verify_jaccard(sh, cand, threshold, id_col).localCheckpoint(eager=True)
+    # verify candidates: true intersection over the FULL shingle sets.
+    # Materialize the (small) pair list eagerly via cache+count so the
+    # shingle cache can be released before returning; cache — not
+    # localCheckpoint — keeps the lineage recoverable (checkpointed
+    # blocks are executor-local and unrecomputable after executor loss,
+    # a liability at cluster scale).
+    result = _verify_jaccard(sh, cand, threshold, id_col).cache()
+    result.count()
     sh.unpersist()
     return result
 
@@ -285,8 +291,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard on the same shingle sets
-    result = _verify_jaccard(sh, cand, threshold, id_col).localCheckpoint(eager=True)
+    # verify candidates with exact jaccard on the same shingle sets;
+    # same eager cache+count / release pattern as ngram_jaccard_pairs
+    # (recoverable lineage, no retained shingle storage).
+    result = _verify_jaccard(sh, cand, threshold, id_col).cache()
+    result.count()
     sh.unpersist()
     return result
 
@@ -422,16 +431,23 @@ def embedding_near_duplicates(
     # corpus matrix fits comfortably in driver/executor memory. Past
     # ~512 MB delegate to the blocked variant — identical output, no
     # driver materialization (r1 verdict: the broadcast path must not be
-    # the default at scale).
-    first = vectors.select(F.size(vec_col).alias("d")).first()
-    dims = int(first["d"]) if first else 0
-    n = vectors.count()
+    # the default at scale). One aggregate job gates (not first()+count(),
+    # which would evaluate a possibly-expensive upstream plan twice);
+    # max(size) is null-safe where first-row size is not.
+    gate = vectors.agg(
+        F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
+    ).first()
+    n, dims = int(gate["n"]), int(gate["d"] or 0)
     if n * dims * 8 > 512 * 1024 * 1024:
         return embedding_near_duplicates_blocked(
             vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
-
     spark = vectors.sparkSession
+    if n == 0:  # empty corpus: the numpy matrix path needs ≥ 1 row
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"doc_a {id_t}, doc_b {id_t}, cosine double"
+        )
     pdf = vectors.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)

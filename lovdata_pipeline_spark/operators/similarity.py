@@ -39,12 +39,18 @@ def cosine_topk(
     The scan computes one fused projection per row (codegen), then a
     global top-k — Spark executes ORDER BY+LIMIT as per-partition
     top-k + a k-row merge on the driver, so no full sort materializes.
+
+    Zero-norm corpus vectors are excluded (cosine is undefined, and the
+    bare division crashes under ANSI mode — the Spark 4 default — the
+    moment one degenerate embedding appears in the corpus).
     """
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _as_double(F.col(vec_col))
     score = _dot(v, q) / (_norm(v) * _norm(q))
     return (
-        vectors.select(F.col(id_col), F.round(score, 6).alias("score"))
+        vectors.withColumn("_n", _norm(v))
+        .filter(F.col("_n") > 0)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -67,12 +73,18 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(query_id), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
+    # zero-norm rows on either side are excluded: cosine is undefined and
+    # the division would crash under ANSI mode (Spark 4 default)
+    q = (
+        queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
     scored = F.broadcast(q).crossJoin(c).select(
         query_id,
         corpus_id,
@@ -140,22 +152,23 @@ def ivf_assign(
 
 def deterministic_centroids(vectors: DataFrame, n_cells: int,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
-    """Seed centroids: every (n/k)-th vector by id — deterministic, no
-    iteration. Distributed sample: the modulo filter runs executor-side and
-    only ≤ n_cells rows ever reach the driver (the r1 version collected the
-    whole corpus — an OOM at scale). A k-means refinement loop (Lloyd steps
-    as repeated groupBy-avg) slots in here when cell balance matters."""
-    n = vectors.count()
-    step = max(1, n // n_cells)
+    """Seed centroids: the k smallest ids under a hash ordering —
+    deterministic, no iteration, and a *spread* sample for any id type.
+
+    ``orderBy(xxhash64(id)).limit(k)`` compiles to TakeOrderedAndProject:
+    each partition keeps its local top-k and only ≤ k rows ever reach the
+    driver (the r1 version collected the whole corpus — an OOM at scale).
+    Hash order makes the pick pseudo-random but reproducible, immune to
+    id density/parity patterns (an id-modulo sample degenerates when id
+    values correlate with the step) and works for string ids too. Always
+    returns min(k, n) seeds. A k-means refinement loop (Lloyd steps as
+    repeated groupBy-avg) slots in here when cell balance matters."""
     rows = (
-        vectors.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-        .orderBy(id_col)
+        vectors.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_cells)
         .select(vec_col)
         .collect()
     )
-    if not rows:  # sparse/non-dense ids: fall back to the first k by id
-        rows = vectors.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     return [list(r[0]) for r in rows]
 
 

@@ -255,19 +255,25 @@ def winnowing_fingerprints_expr(
     )
 
 
-def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, fingerprint): md5 of the normalized text — lowercase,
-    punctuation stripped, whitespace collapsed. The canonical "same
-    document modulo formatting" key; groupBy(fingerprint) is
-    normalization-robust exact dedup."""
-    normalized = F.trim(
+def _normalized(text_col: str):
+    """Shared normalization for the fingerprint family: lowercase,
+    punctuation stripped, whitespace collapsed. ONE definition — the
+    DuckDB oracle (`oracles._NORMALIZED_TEXT`) mirrors it; changing the
+    character class here must change it there too."""
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
             r"\s+",
             " ",
         )
     )
-    return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): md5 of the normalized text (see ``_normalized``).
+    The canonical "same document modulo formatting" key;
+    groupBy(fingerprint) is normalization-robust exact dedup."""
+    return docs.select(F.col(id_col), F.md5(_normalized(text_col)).alias("fingerprint"))
 
 
 def vocab_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -278,12 +284,7 @@ def vocab_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "d
     between ``fingerprints`` (formatting-robust) and MinHash (similarity).
     Pure codegen: split → array_distinct → array_sort → md5, no shuffle
     before the caller's groupBy."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
+    vocab = F.array_join(
+        F.array_sort(F.array_distinct(F.split(_normalized(text_col), " "))), " "
     )
-    vocab = F.array_join(F.array_sort(F.array_distinct(F.split(normalized, " "))), " ")
     return docs.select(F.col(id_col), F.md5(vocab).alias("fingerprint"))

@@ -401,11 +401,13 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_exact_groups": """
         -- corpus has no natural exact dups; plant every-25th doc under a
-        -- shifted id (mirrors the Spark query) so the check is non-vacuous
+        -- shifted id (mirrors the Spark query) so the check is non-vacuous;
+        -- shift = max(doc_id)+1 so planted ids never collide at any sf
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+            SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+            FROM documents WHERE doc_id % 25 = 0
         )
         SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         FROM corpus GROUP BY md5(text) HAVING count(*) > 1

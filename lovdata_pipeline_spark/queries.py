@@ -638,10 +638,17 @@ def dedup_exact_groups(spark, sf_dir):
     natural exact duplicates (its planted dups are near-dups), so the query
     deterministically plants some — every 25th doc re-appended under a
     shifted id — and the oracle plants the identical set; a detector that
-    found nothing would now fail instead of vacuously passing."""
+    found nothing would now fail instead of vacuously passing. The shift
+    is max(doc_id)+1 (not a hardcoded constant) so planted ids can never
+    collide with real ones at any scale factor, keeping keep_id = min id
+    an unambiguous survivor."""
     (docs,) = load(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(100000)
+    shift = docs.agg((F.max("doc_id") + F.lit(1)).alias("_shift"))
+    planted = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .crossJoin(F.broadcast(shift))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_shift"))
+        .drop("_shift")
     )
     corpus = docs.select("doc_id", "text").unionByName(planted.select("doc_id", "text"))
     return (

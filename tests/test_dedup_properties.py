@@ -97,7 +97,7 @@ def test_winnowing_fast_path_matches_expression_path(spark):
     texts = [
         "the quick brown fox jumps over the lazy dog",
         "short",          # < k → no grams
-        "exactly8",       # == k → one gram, < k+w-1 → no full window... still 1 min
+        "exactly8",       # == k → one gram but < w grams → ZERO fingerprints (both paths)
         "",               # empty
         "aaaaaaaaaaaa",   # degenerate repeats → heavy dedup
         "the quick brown fox jumps over the lazy dog",  # duplicate doc

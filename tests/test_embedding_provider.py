@@ -108,17 +108,20 @@ class TestProviderInPipeline:
         chunks = chunk_documents_df(docs, ChunkParams(10, 100, 300, 0.15)).filter(
             "error is null"
         )
-        seen: list[int] = []
 
-        def spy_provider(texts):
-            seen.append(len(texts))
+        # A driver-side spy list never sees worker-subprocess mutations, so
+        # enforce the contract IN the provider: raise if any call exceeds
+        # batch_size. A regression that ships whole Arrow batches to the
+        # provider now fails the job instead of passing silently.
+        def strict_provider(texts):
+            if len(texts) > 2:
+                raise AssertionError(
+                    f"provider called with {len(texts)} texts; batch_size=2"
+                )
             return mock_hash_provider(8)(texts)
 
-        out = embed_chunks_df(chunks, provider=spy_provider, batch_size=2, dims=8)
+        out = embed_chunks_df(chunks, provider=strict_provider, batch_size=2, dims=8)
         n = out.count()
-        assert n > 0
-        # local mode: the spy list is only mutated on the driver when the
-        # mapInPandas runs in-process; assert via row math instead — every
-        # produced embedding has the right dims (provider actually ran)
+        assert n > 2  # enough chunks that slicing actually had to happen
         row = out.select("embedding").first()
         assert len(row["embedding"]) == 8

@@ -24,9 +24,15 @@ from lovdata_pipeline_spark.session import get_spark
 
 # queries where a nested-loop/cartesian is the intended shape (tiny side
 # or deliberate all-pairs verification step)
-# not_exists_high_value: broadcast of a 1-row scalar aggregate (the
-# decorrelated-scalar-subquery plan Catalyst itself produces).
-CROSS_JOIN_OK = {"knn_join_top3", "dedup_embedding_cosine", "not_exists_high_value"}
+# not_exists_high_value / dedup_exact_groups: broadcast of a 1-row scalar
+# aggregate (max-id shift / decorrelated scalar subquery) — the plan
+# Catalyst itself produces for a scalar broadcast, O(1) rows on one side.
+CROSS_JOIN_OK = {
+    "knn_join_top3",
+    "dedup_embedding_cosine",
+    "not_exists_high_value",
+    "dedup_exact_groups",
+}
 
 # queries whose scans must show a pushed filter
 EXPECT_PUSHED_FILTER = {
