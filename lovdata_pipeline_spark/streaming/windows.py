@@ -115,25 +115,20 @@ def interval_join(
     return l.join(r, cond, "inner")
 
 
-def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
-    """Custom stateful operator via applyInPandasWithState: per-user
-    running value total + event count, state expiring after inactivity.
+def _totals_update(timeout_minutes: int):
+    """The per-group state-machine for running_user_totals, exposed for
+    direct unit testing (the timeout branch can't be driven quickly
+    through a live streaming query)."""
 
-    The shape to copy for bespoke streaming state machines (the
-    reference's closest analog is its per-document processing state).
-
-    Operational note: with ProcessingTimeTimeout the query stays alive to
-    fire pending timeouts even under Trigger.AvailableNow — drain-and-
-    stop callers should stop() explicitly after the data batch commits.
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
-
-    def update(key, pdfs, state: GroupState):
+    def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # inactivity expiry: DROP the state instead of re-arming it —
+            # re-updating here would re-register the timeout and keep every
+            # key's state (and a phantom re-emit) alive forever.
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -144,10 +139,28 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    return update
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running value total + event count, state expiring after inactivity
+    (the timeout branch removes the group state — bounded state at any
+    key cardinality).
+
+    The shape to copy for bespoke streaming state machines (the
+    reference's closest analog is its per-document processing state).
+
+    Operational note: with ProcessingTimeTimeout the query stays alive to
+    fire pending timeouts even under Trigger.AvailableNow — drain-and-
+    stop callers should stop() explicitly after the data batch commits.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        _totals_update(timeout_minutes),
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -142,3 +142,59 @@ class TestStreamingDedup:
         rows = spark.sql("SELECT key, count(*) n FROM dedup_out GROUP BY key").collect()
         counts = {r.key: r.n for r in rows}
         assert counts == {"a": 1, "b": 1}
+
+
+class TestStatefulTimeout:
+    def test_timed_out_state_is_removed_not_rearmed(self):
+        """The timeout invocation must DROP state (bounded streaming state);
+        re-arming would keep every key alive forever and phantom-emit."""
+        from lovdata_pipeline_spark.streaming.windows import _totals_update
+
+        class FakeState:
+            hasTimedOut = True
+            exists = True
+            get = (3, 30.0)
+
+            def __init__(self):
+                self.removed = False
+                self.updated = False
+
+            def remove(self):
+                self.removed = True
+
+            def update(self, v):
+                self.updated = True
+
+            def setTimeoutDuration(self, ms):
+                self.updated = True
+
+        state = FakeState()
+        out = list(_totals_update(60)((1,), iter([]), state))
+        assert out == []          # no phantom emission on expiry
+        assert state.removed      # state dropped
+        assert not state.updated  # not re-armed
+
+    def test_update_accumulates_and_arms_timeout(self):
+        from lovdata_pipeline_spark.streaming.windows import _totals_update
+
+        class FakeState:
+            hasTimedOut = False
+            exists = True
+            get = (2, 10.0)
+
+            def __init__(self):
+                self.value = None
+                self.timeout_ms = None
+
+            def update(self, v):
+                self.value = v
+
+            def setTimeoutDuration(self, ms):
+                self.timeout_ms = ms
+
+        state = FakeState()
+        batch = pd.DataFrame({"value": [5.0, 7.0]})
+        out = list(_totals_update(60)((42,), iter([batch]), state))
+        assert state.value == (4, 22.0)
+        assert state.timeout_ms == 60 * 60 * 1000
+        assert len(out) == 1 and out[0].iloc[0]["total_value"] == 22.0
