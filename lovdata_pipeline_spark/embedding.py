@@ -137,6 +137,49 @@ def openai_compatible_provider(
     return embed
 
 
+def rate_limited(
+    provider: EmbeddingProvider,
+    requests_per_second: float,
+    burst: int = 1,
+    clock: Callable[[], float] | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> EmbeddingProvider:
+    """Token-bucket rate limiter around any provider.
+
+    Scale model: the limiter state lives in the wrapped callable, so the
+    bound is per Python worker process. On a cluster the effective rate
+    is ``executors × cores × requests_per_second`` — set the argument to
+    ``provider_quota / planned_parallelism``. This is the deliberate
+    design: a global limiter would need a coordination service; a
+    per-worker bucket needs none and degrades safely (the provider's own
+    429 + the retry/backoff in ``openai_compatible_provider`` is the
+    backstop when the estimate is off).
+
+    ``clock``/``sleep`` are injectable for tests (defaults: monotonic
+    time and ``time.sleep``).
+    """
+    import time as _time
+
+    now = clock or _time.monotonic
+    pause = sleep or _time.sleep
+    capacity = float(max(1, burst))
+    state = {"tokens": capacity, "at": now()}
+
+    def embed(texts: list[str]) -> list[list[float]]:
+        t = now()
+        state["tokens"] = min(capacity, state["tokens"] + (t - state["at"]) * requests_per_second)
+        state["at"] = t
+        if state["tokens"] < 1.0:
+            wait = (1.0 - state["tokens"]) / requests_per_second
+            pause(wait)
+            state["tokens"] = 1.0
+            state["at"] = now()
+        state["tokens"] -= 1.0
+        return provider(texts)
+
+    return embed
+
+
 def embed_chunks_df(
     chunks: DataFrame,
     provider: EmbeddingProvider | None = None,

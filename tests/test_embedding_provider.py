@@ -125,3 +125,50 @@ class TestProviderInPipeline:
         assert n > 2  # enough chunks that slicing actually had to happen
         row = out.select("embedding").first()
         assert len(row["embedding"]) == 8
+
+
+class TestRateLimiter:
+    def test_token_bucket_paces_calls(self):
+        from lovdata_pipeline_spark.embedding import mock_hash_provider, rate_limited
+
+        t = [0.0]
+        slept: list[float] = []
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            slept.append(s)
+            t[0] += s
+
+        p = rate_limited(mock_hash_provider(4), requests_per_second=2.0,
+                         clock=clock, sleep=sleep)
+        p(["a"])               # bucket starts full: no sleep
+        assert slept == []
+        p(["b"])               # immediate second call: must wait ~0.5s
+        assert len(slept) == 1 and abs(slept[0] - 0.5) < 1e-9
+        t[0] += 10.0           # long idle refills the bucket (capped at burst)
+        p(["c"])
+        assert len(slept) == 1  # no extra sleep after idle
+
+    def test_burst_allows_back_to_back(self):
+        from lovdata_pipeline_spark.embedding import mock_hash_provider, rate_limited
+
+        t = [0.0]
+        slept: list[float] = []
+        p = rate_limited(
+            mock_hash_provider(4), requests_per_second=1.0, burst=3,
+            clock=lambda: t[0], sleep=lambda s: slept.append(s) or t.__setitem__(0, t[0] + s),
+        )
+        for _ in range(3):
+            p(["x"])
+        assert slept == []      # burst capacity absorbs the first 3
+        p(["y"])
+        assert len(slept) == 1  # fourth call is paced
+
+    def test_vectors_pass_through_unchanged(self):
+        from lovdata_pipeline_spark.embedding import mock_hash_provider, rate_limited
+
+        base = mock_hash_provider(8)
+        limited = rate_limited(base, requests_per_second=1000.0)
+        assert limited(["hello", "world"]) == base(["hello", "world"])

@@ -198,3 +198,43 @@ class TestStores:
             spark.createDataFrame([("c", "h4")], "doc_id string, hash string"), at="t2"
         )
         assert state.failed().count() == 0
+
+
+class TestCompaction:
+    def test_compact_merges_fragmented_buckets(self, spark, stores):
+        from pathlib import Path
+
+        from lovdata_pipeline_spark.chunking import chunk_documents_df
+        from lovdata_pipeline_spark.embedding import embed_chunks_df
+
+        store, _ = stores
+        docs = _docs(spark, _with_xml(RUN1))
+        enriched = embed_chunks_df(chunk_documents_df(docs, CFG.chunk), dims=8)
+        # three upserts of the same docs: each rewrite leaves fresh files,
+        # and repeated single-doc upserts fragment the touched buckets
+        store.upsert_chunks(enriched)
+        one_doc = enriched.filter("document_id = 'doc1'")
+        store.upsert_chunks(one_doc)
+        before = store.count()
+        content_before = sorted(
+            (r.chunk_id, r.content) for r in store.read().collect()
+        )
+
+        def files_per_bucket():
+            return {
+                d.name: len(list(d.glob("*.parquet")))
+                for d in Path(store.root).glob("bucket=*")
+            }
+
+        n = store.compact()
+        assert n >= 0
+        after_files = files_per_bucket()
+        assert all(c == 1 for c in after_files.values()), after_files
+        # contents and counts unchanged
+        assert store.count() == before
+        assert (
+            sorted((r.chunk_id, r.content) for r in store.read().collect())
+            == content_before
+        )
+        # idempotent: nothing left to compact
+        assert store.compact() == 0
