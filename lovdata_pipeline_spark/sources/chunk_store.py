@@ -81,15 +81,23 @@ class ChunkStore:
         Touched buckets are recomputed as (survivors ∪ incoming) and
         atomically swapped; untouched buckets are not read or written.
         """
-        incoming = chunks.withColumn(_BUCKET, self._bucket_col())
-        touched = [r[_BUCKET] for r in incoming.select(_BUCKET).distinct().collect()]
-        if not touched:
-            return
-        existing = self.read().filter(F.col(_BUCKET).isin(touched))
-        survivors = existing.join(
-            incoming.select("document_id").distinct(), "document_id", "left_anti"
-        )
-        self._write_buckets(survivors.unionByName(incoming.select(*survivors.columns)))
+        # Cache the incoming side: the touched-bucket probe AND the write
+        # below each materialize it, and upstream is typically the whole
+        # chunk→embed Python path — without the cache that pipeline runs
+        # twice per upsert. With a real (paid, rate-limited) embedding
+        # provider that is double the API calls, not just double compute.
+        incoming = chunks.withColumn(_BUCKET, self._bucket_col()).cache()
+        try:
+            touched = [r[_BUCKET] for r in incoming.select(_BUCKET).distinct().collect()]
+            if not touched:
+                return
+            existing = self.read().filter(F.col(_BUCKET).isin(touched))
+            survivors = existing.join(
+                incoming.select("document_id").distinct(), "document_id", "left_anti"
+            )
+            self._write_buckets(survivors.unionByName(incoming.select(*survivors.columns)))
+        finally:
+            incoming.unpersist()
 
     def delete_documents(self, doc_ids: DataFrame) -> int:
         """DELETE WHERE document_id IN (...); returns deleted count
