@@ -160,13 +160,23 @@ def rate_limited(
     """
     import time as _time
 
+    if requests_per_second <= 0:
+        # fail at construction (on the driver), not as a cryptic
+        # ZeroDivisionError inside an executor task
+        raise ValueError(f"requests_per_second must be > 0, got {requests_per_second}")
     now = clock or _time.monotonic
     pause = sleep or _time.sleep
     capacity = float(max(1, burst))
-    state = {"tokens": capacity, "at": now()}
+    # 'at' initializes LAZILY on the first call: the wrapper is built on
+    # the driver but pickled into executor closures, and CLOCK_MONOTONIC
+    # epochs differ per machine — a driver-side timestamp could make the
+    # first refill delta hugely negative and sleep for days.
+    state = {"tokens": capacity, "at": None}
 
     def embed(texts: list[str]) -> list[list[float]]:
         t = now()
+        if state["at"] is None:
+            state["at"] = t
         state["tokens"] = min(capacity, state["tokens"] + (t - state["at"]) * requests_per_second)
         state["at"] = t
         if state["tokens"] < 1.0:

@@ -40,17 +40,34 @@ def cosine_topk(
     global top-k — Spark executes ORDER BY+LIMIT as per-partition
     top-k + a k-row merge on the driver, so no full sort materializes.
 
-    Zero-norm corpus vectors are excluded (cosine is undefined, and the
-    bare division crashes under ANSI mode — the Spark 4 default — the
-    moment one degenerate embedding appears in the corpus).
+    Zero-norm vectors are excluded on BOTH sides (cosine is undefined,
+    and the bare division crashes under ANSI mode — the Spark 4 default
+    — the moment one degenerate embedding appears): zero-norm corpus
+    rows are filtered, and a zero-norm query returns an empty result.
+    The query norm is a Python float literal (computing it per-row as a
+    higher-order fold would not be constant-folded), and the corpus norm
+    is computed once per row and reused for both the filter and the
+    score denominator.
     """
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    if qn == 0.0:
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        return vectors.sparkSession.createDataFrame(
+            [], f"{id_col} {id_t}, score double"
+        )
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _as_double(F.col(vec_col))
-    score = _dot(v, q) / (_norm(v) * _norm(q))
     return (
-        vectors.withColumn("_n", _norm(v))
+        vectors.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n"))
         .filter(F.col("_n") > 0)
-        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col("_v"), q) / (F.col("_n") * F.lit(qn)), 6
+            ).alias("score"),
+        )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )

@@ -129,30 +129,14 @@ class ChunkStore:
         self.spark.catalog.refreshByPath(self.root)
         return n
 
-    def compact(self, max_files_per_bucket: int = 1) -> int:
-        """Rewrite fragmented buckets into one file each; returns the
-        number of buckets compacted.
-
-        Every upsert/delete rewrites its touched buckets as fresh files,
-        so a long-lived store accumulates small parquet files per bucket
-        directory — the classic small-files tax on scan listing and read
-        throughput at scale. Compaction is a maintenance pass (the
-        parquet analog of Delta OPTIMIZE): only buckets holding more
-        than ``max_files_per_bucket`` data files are read and rewritten;
-        quiet buckets are untouched. Mutation-safe to interleave with
-        reads (same dynamic-overwrite commit as every other mutation).
-        """
-        fragmented = [
-            int(d.name.split("=", 1)[1])
-            for d in Path(self.root).glob(f"{_BUCKET}=*")
-            if len(list(d.glob("*.parquet"))) > max_files_per_bucket
-        ]
-        if not fragmented:
-            return 0
-        self._write_buckets(
-            self.read().filter(F.col(_BUCKET).isin(fragmented))
-        )
-        return len(fragmented)
+    # NOTE on file counts: no compaction op is needed in this layout.
+    # Every mutation rewrites its touched buckets *wholesale* (dynamic
+    # partition overwrite replaces the partition's files, and
+    # repartition(_BUCKET) gives one task — hence one file — per bucket),
+    # so a bucket directory holds exactly one data file at all times and
+    # small files never accumulate. If a single bucket outgrows one
+    # healthy file at scale, the levers are raising n_buckets or
+    # `spark.sql.files.maxRecordsPerFile` — not an OPTIMIZE pass.
 
     # -- queries (ops 28-30) ----------------------------------------------------
 

@@ -177,3 +177,25 @@ class TestAnnRecallClustered:
             return similarity.ivf_topk(emb, query, cents, k=self.K, n_probe=2)
 
         assert self._recall(spark, ivf) >= 0.9
+
+
+class TestZeroNormGuards:
+    def test_zero_norm_query_returns_empty(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import cosine_topk
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+        )
+        out = cosine_topk(vecs, [0.0, 0.0], k=2)
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "score"]
+
+    def test_zero_norm_corpus_row_is_skipped(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import cosine_topk
+
+        vecs = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.5, 0.5]), (3, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = cosine_topk(vecs, [1.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in rows] == [3, 2]  # zero row absent, no crash

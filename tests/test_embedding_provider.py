@@ -172,3 +172,27 @@ class TestRateLimiter:
         base = mock_hash_provider(8)
         limited = rate_limited(base, requests_per_second=1000.0)
         assert limited(["hello", "world"]) == base(["hello", "world"])
+
+    def test_rejects_nonpositive_rate(self):
+        from lovdata_pipeline_spark.embedding import mock_hash_provider, rate_limited
+
+        with pytest.raises(ValueError, match="requests_per_second"):
+            rate_limited(mock_hash_provider(4), requests_per_second=0.0)
+
+    def test_first_call_initializes_clock_lazily(self):
+        """The bucket timestamp must come from the FIRST call's clock, not
+        wrap time: the wrapper is pickled to executors whose monotonic
+        epoch differs from the driver's — a wrap-time stamp could make the
+        first refill delta negative by days and sleep unboundedly."""
+        from lovdata_pipeline_spark.embedding import mock_hash_provider, rate_limited
+
+        t = [0.0]
+        slept: list[float] = []
+        p = rate_limited(
+            mock_hash_provider(4), requests_per_second=1.0,
+            clock=lambda: t[0], sleep=lambda s: slept.append(s),
+        )
+        # simulate "other machine": clock jumps far from the wrap-time value
+        t[0] = -500_000.0
+        p(["a"])
+        assert slept == []  # full bucket at first call; no pathological sleep

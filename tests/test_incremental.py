@@ -200,8 +200,12 @@ class TestStores:
         assert state.failed().count() == 0
 
 
-class TestCompaction:
-    def test_compact_merges_fragmented_buckets(self, spark, stores):
+class TestBucketFileDiscipline:
+    def test_buckets_hold_exactly_one_file_after_repeated_mutations(self, spark, stores):
+        """The layout's no-small-files invariant: every mutation rewrites
+        its touched buckets wholesale (dynamic overwrite + one task per
+        bucket), so bucket dirs hold exactly ONE parquet file at all
+        times — no compaction pass exists or is needed."""
         from pathlib import Path
 
         from lovdata_pipeline_spark.chunking import chunk_documents_df
@@ -210,31 +214,21 @@ class TestCompaction:
         store, _ = stores
         docs = _docs(spark, _with_xml(RUN1))
         enriched = embed_chunks_df(chunk_documents_df(docs, CFG.chunk), dims=8)
-        # three upserts of the same docs: each rewrite leaves fresh files,
-        # and repeated single-doc upserts fragment the touched buckets
         store.upsert_chunks(enriched)
-        one_doc = enriched.filter("document_id = 'doc1'")
-        store.upsert_chunks(one_doc)
         before = store.count()
-        content_before = sorted(
-            (r.chunk_id, r.content) for r in store.read().collect()
+        # repeated single-doc upserts and a delete — the mutation patterns
+        # that would fragment an append-style layout
+        store.upsert_chunks(enriched.filter("document_id = 'doc1'"))
+        store.upsert_chunks(enriched.filter("document_id = 'doc2'"))
+        store.delete_documents(
+            spark.createDataFrame([("doc2",)], "document_id string")
         )
-
-        def files_per_bucket():
-            return {
-                d.name: len(list(d.glob("*.parquet")))
-                for d in Path(store.root).glob("bucket=*")
-            }
-
-        n = store.compact()
-        assert n >= 0
-        after_files = files_per_bucket()
-        assert all(c == 1 for c in after_files.values()), after_files
-        # contents and counts unchanged
-        assert store.count() == before
-        assert (
-            sorted((r.chunk_id, r.content) for r in store.read().collect())
-            == content_before
-        )
-        # idempotent: nothing left to compact
-        assert store.compact() == 0
+        files = {
+            d.name: len(list(d.glob("*.parquet")))
+            for d in Path(store.root).glob("bucket=*")
+        }
+        assert files and all(c == 1 for c in files.values()), files
+        n_doc2 = enriched.filter("document_id = 'doc2'").count()
+        assert store.count() == before - n_doc2
+        assert store.chunks_for_document("doc1").count() > 0
+        assert store.chunks_for_document("doc2").count() == 0
