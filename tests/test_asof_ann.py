@@ -199,3 +199,59 @@ class TestZeroNormGuards:
         )
         rows = cosine_topk(vecs, [1.0, 0.0], k=3).collect()
         assert [r.vec_id for r in rows] == [3, 2]  # zero row absent, no crash
+
+
+class TestAsofRandomizedDifferential:
+    def test_matches_duckdb_asof_join_on_random_data(self, spark):
+        """Fixed-seed randomized differential: our union+window composition
+        vs DuckDB's native ASOF JOIN on the same data (unique right
+        timestamps per key keep both engines' pick well-defined)."""
+        import random
+
+        import duckdb
+        import pandas as pd
+
+        rng = random.Random(20260813)
+        left_rows = [
+            (i, rng.randrange(8), rng.randrange(0, 100_000))
+            for i in range(400)
+        ]
+        # unique (key, ts) on the right: duplicate timestamps would make
+        # "the" most recent row ambiguous in both engines
+        seen = set()
+        right_rows = []
+        for j in range(300):
+            key, ts = rng.randrange(8), rng.randrange(0, 100_000)
+            if (key, ts) in seen:
+                continue
+            seen.add((key, ts))
+            right_rows.append((key, ts, float(j)))
+
+        left = spark.createDataFrame(left_rows, "id long, key long, t long")
+        right = spark.createDataFrame(right_rows, "key long, t long, v double")
+        ours = {
+            r.id: (r.t_asof, r.v_asof)
+            for r in asof_join(
+                left, right, on="key", left_time="t", right_time="t", right_cols=["v"]
+            ).collect()
+        }
+
+        con = duckdb.connect()
+        con.register("l", pd.DataFrame(left_rows, columns=["id", "key", "t"]))
+        con.register("r", pd.DataFrame(right_rows, columns=["key", "t", "v"]))
+        oracle_df = con.execute(
+            """
+            SELECT l.id, r.t AS rt, r.v AS rv
+            FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.t >= r.t
+            """
+        ).df()
+        oracle = {
+            int(row["id"]): (
+                None if pd.isna(row["rt"]) else int(row["rt"]),
+                None if pd.isna(row["rv"]) else float(row["rv"]),
+            )
+            for _, row in oracle_df.iterrows()
+        }
+        assert len(ours) == len(left_rows) == len(oracle)
+        mismatches = {i: (ours[i], oracle[i]) for i in oracle if ours[i] != oracle[i]}
+        assert not mismatches, list(mismatches.items())[:5]
