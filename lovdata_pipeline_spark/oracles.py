@@ -7,9 +7,12 @@ Engine-parity rules used throughout (see queries.py header):
   * counts/sums cast so integer widths line up (Spark long ↔ BIGINT);
   * epoch comparisons in fractional seconds (ts::DOUBLE ↔ epoch(ts)).
 
-Queries with no entry here (chunk/embed pipelines, the approximate ANN
-variants) are deliberately non-SQL-expressible; the driver records
-rows-only checks.
+Queries with no entry here (chunk/embed pipelines, IVF ANN whose
+centroid seeds depend on Spark's xxhash64 ordering, engine-specific
+sketch aggregates) are deliberately non-SQL-expressible; the driver
+records rows-only checks. The SRP-LSH ANN variant IS oracle-checked:
+its seed-42 hyperplanes are deterministic, so `_ann_lsh_sql` inlines
+them as literals.
 """
 
 _SHINGLE_CTE = """
@@ -569,3 +572,46 @@ ORACLES: dict[str, str] = {
         FROM b ORDER BY doc_id
     """,
 }
+
+
+def _ann_lsh_sql() -> str:
+    """Exact oracle for the 'approximate' SRP-LSH ANN query: the
+    hyperplanes are FIXED (seed-42 randn, mirroring queries.py), so the
+    bucket assignment, the 1-bit multi-probe set, and the within-bucket
+    exact cosine are all deterministic and SQL-expressible. The plane
+    values are inlined as DOUBLE literals via repr (shortest round-trip,
+    parses to the identical double in both engines); sign-of-dot is a
+    sequential fold in both (bitwise-equal per the parity rules), and
+    Hamming distance over the 4-bit signature strings reproduces the
+    multi-probe bucket set."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(4, 64)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(planes[i])}) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(s.sig, {i}, 1) <> substr(q.sig, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, 5)
+    )
+    return f"""
+        WITH sig AS (SELECT vec_id, embedding, {bits} AS sig FROM embeddings),
+        q AS (SELECT embedding, sig FROM sig WHERE vec_id = 0)
+        SELECT s.vec_id AS vec_id,
+               round(list_dot_product(s.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS score
+        FROM sig s, q
+        WHERE ({ham}) <= 1
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """
+
+
+ORACLES["ann_topk_lsh_bucketed"] = _ann_lsh_sql()

@@ -739,8 +739,11 @@ def knn_join_top3(spark, sf_dir):
 
 def ann_topk_lsh_bucketed(spark, sf_dir):
     """Scale-path ANN: random-hyperplane LSH bucket pruning, then exact
-    cosine within the query's bucket. Approximate by construction →
-    rows-only check; the exact baseline is ann_cosine_topk."""
+    cosine within the query's bucket. Approximate relative to
+    ann_cosine_topk, but DETERMINISTIC given the fixed seed-42 planes —
+    so it has an exact DuckDB oracle (oracles._ann_lsh_sql) that inlines
+    the same planes and reproduces bucket assignment, the 1-bit
+    multi-probe set, and the within-bucket cosine top-k."""
     import numpy as np
 
     (emb,) = load(spark, sf_dir, "embeddings")
