@@ -168,20 +168,29 @@ def ivf_assign(
 
 
 def deterministic_centroids(vectors: DataFrame, n_cells: int,
-                            id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            portable: bool = False) -> list[list[float]]:
     """Seed centroids: the k smallest ids under a hash ordering —
     deterministic, no iteration, and a *spread* sample for any id type.
 
-    ``orderBy(xxhash64(id)).limit(k)`` compiles to TakeOrderedAndProject:
+    ``orderBy(hash(id)).limit(k)`` compiles to TakeOrderedAndProject:
     each partition keeps its local top-k and only ≤ k rows ever reach the
     driver (the r1 version collected the whole corpus — an OOM at scale).
     Hash order makes the pick pseudo-random but reproducible, immune to
     id density/parity patterns (an id-modulo sample degenerates when id
     values correlate with the step) and works for string ids too. Always
-    returns min(k, n) seeds. A k-means refinement loop (Lloyd steps as
-    repeated groupBy-avg) slots in here when cell balance matters."""
+    returns min(k, n) seeds. ``portable=True`` orders by the md5 hex of
+    the stringified id instead of xxhash64 — same shape and cost, but
+    reproducible in DuckDB, which makes the IVF query oracle-checkable.
+    A k-means refinement loop (Lloyd steps as repeated groupBy-avg)
+    slots in here when cell balance matters."""
+    order = (
+        F.md5(F.col(id_col).cast("string"))
+        if portable
+        else F.xxhash64(F.col(id_col))
+    )
     rows = (
-        vectors.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        vectors.orderBy(order, F.col(id_col))
         .limit(n_cells)
         .select(vec_col)
         .collect()

@@ -7,12 +7,14 @@ Engine-parity rules used throughout (see queries.py header):
   * counts/sums cast so integer widths line up (Spark long ↔ BIGINT);
   * epoch comparisons in fractional seconds (ts::DOUBLE ↔ epoch(ts)).
 
-Queries with no entry here (chunk/embed pipelines, IVF ANN whose
-centroid seeds depend on Spark's xxhash64 ordering, engine-specific
-sketch aggregates) are deliberately non-SQL-expressible; the driver
-records rows-only checks. The SRP-LSH ANN variant IS oracle-checked:
-its seed-42 hyperplanes are deterministic, so `_ann_lsh_sql` inlines
-them as literals.
+Queries with no entry here (the chunk/embed/enrich pipelines, whose
+chunker is procedural, and the engine-specific sketch aggregates in
+agg_approx_stats) are deliberately non-SQL-expressible; the driver
+records rows-only checks. Both "approximate" ANN variants ARE
+oracle-checked — approximation is not nondeterminism: `_ann_lsh_sql`
+inlines the seed-42 hyperplanes as literals, and `_ann_ivf_sql`
+reproduces the portable md5-ordered centroid seeding, assignment, and
+probe selection exactly.
 """
 
 _SHINGLE_CTE = """
@@ -615,3 +617,59 @@ def _ann_lsh_sql() -> str:
 
 
 ORACLES["ann_topk_lsh_bucketed"] = _ann_lsh_sql()
+
+
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, dims: int = 64) -> str:
+    """Exact oracle for the IVF ANN query, possible because every stage
+    is deterministic: (1) seeds = the n_cells rows with smallest
+    md5(vec_id) hex — the portable ordering deterministic_centroids uses;
+    (2) assignment = argmin of sequential-fold squared L2 (list_reduce's
+    first-element init equals Spark's 0.0-init fold bitwise since
+    0.0 + x == x), ties to the lower cell exactly like Spark's
+    struct-array_min; (3) probes = the n_probe cells nearest the query
+    (same fold, same tie-break); (4) exact cosine top-k inside the
+    probed cells."""
+    sq = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)]) "
+        "* ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+        WITH c AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, ev, cell FROM (
+            SELECT e.vec_id, e.ev, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {sq.format(d=dims, a="e.ev", b="c.cv")}, c.cell
+                   ) AS rn
+            FROM e CROSS JOIN c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT cell FROM c CROSS JOIN q
+          ORDER BY {sq.format(d=dims, a="q.qe", b="c.cv")}, cell
+          LIMIT {n_probe}
+        )
+        SELECT a.vec_id AS vec_id,
+               round(list_dot_product(a.ev, q.qe) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        FROM assigned a
+        JOIN probes p ON a.cell = p.cell
+        CROSS JOIN q
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """
+
+
+ORACLES["ann_topk_ivf"] = _ann_ivf_sql()

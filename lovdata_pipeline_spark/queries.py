@@ -760,9 +760,12 @@ def ann_topk_lsh_bucketed(spark, sf_dir):
 
 def ann_topk_ivf(spark, sf_dir):
     """Scale-path ANN: IVF coarse quantization with 2-probe search.
-    Approximate → rows-only check."""
+    Approximate relative to ann_cosine_topk but fully deterministic:
+    portable (md5-ordered) centroid seeding lets the DuckDB oracle
+    (oracles._ann_ivf_sql) reproduce seeds, nearest-cell assignment,
+    probe choice, and the in-cell cosine top-k exactly."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    centroids = similarity.deterministic_centroids(emb, n_cells=8)
+    centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     return similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2)
 
