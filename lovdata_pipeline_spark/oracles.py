@@ -611,15 +611,21 @@ def _ann_lsh_sql() -> str:
                       sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS score
         FROM sig s, q
         WHERE ({ham}) <= 1
+          AND sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) > 0
         ORDER BY score DESC, vec_id
         LIMIT 10
     """
 
 
-ORACLES["ann_topk_lsh_bucketed"] = _ann_lsh_sql()
+try:  # numpy only needed to regenerate the plane literals; without it
+    # the ANN LSH entry is simply absent and the driver falls back to its
+    # rows-only check — oracles.py stays importable in a DuckDB-only env.
+    ORACLES["ann_topk_lsh_bucketed"] = _ann_lsh_sql()
+except ImportError:  # pragma: no cover - numpy is present in this container
+    pass
 
 
-def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, dims: int = 64) -> str:
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
     """Exact oracle for the IVF ANN query, possible because every stage
     is deterministic: (1) seeds = the n_cells rows with smallest
     md5(vec_id) hex — the portable ordering deterministic_centroids uses;
@@ -629,8 +635,12 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, dims: int = 64) -> str:
     struct-array_min; (3) probes = the n_probe cells nearest the query
     (same fold, same tie-break); (4) exact cosine top-k inside the
     probed cells."""
+    # dims come from len() of the vectors themselves, matching the Spark
+    # side's data-derived dims — a hardcoded width would fail SILENTLY on a
+    # dims change (DuckDB out-of-range list indexing yields NULL, collapsing
+    # every assignment to cell 0, instead of erroring loudly).
     sq = (
-        "list_reduce(list_transform(generate_series(1, {d}), "
+        "list_reduce(list_transform(generate_series(1, len({a})), "
         "i -> ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)]) "
         "* ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)])), "
         "(x, y) -> x + y)"
@@ -650,14 +660,14 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, dims: int = 64) -> str:
             SELECT e.vec_id, e.ev, c.cell,
                    row_number() OVER (
                      PARTITION BY e.vec_id
-                     ORDER BY {sq.format(d=dims, a="e.ev", b="c.cv")}, c.cell
+                     ORDER BY {sq.format(a="e.ev", b="c.cv")}, c.cell
                    ) AS rn
             FROM e CROSS JOIN c
           ) WHERE rn = 1
         ),
         probes AS (
           SELECT cell FROM c CROSS JOIN q
-          ORDER BY {sq.format(d=dims, a="q.qe", b="c.cv")}, cell
+          ORDER BY {sq.format(a="q.qe", b="c.cv")}, cell
           LIMIT {n_probe}
         )
         SELECT a.vec_id AS vec_id,
@@ -667,6 +677,7 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, dims: int = 64) -> str:
         FROM assigned a
         JOIN probes p ON a.cell = p.cell
         CROSS JOIN q
+        WHERE sqrt(list_dot_product(a.ev, a.ev)) > 0
         ORDER BY score DESC, vec_id
         LIMIT 10
     """

@@ -178,6 +178,18 @@ class TestAnnRecallClustered:
 
         assert self._recall(spark, ivf) >= 0.9
 
+    def test_ivf_recall_shipped_config(self, spark):
+        """The EXACT configuration the graded ann_topk_ivf query ships:
+        portable (md5-ordered) seeds, NO Lloyd refinement, 2-probe —
+        pinning the refined xxhash64 variant alone would certify a path
+        the query doesn't run."""
+
+        def ivf(emb, query, rng):
+            seeds = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
+            return similarity.ivf_topk(emb, query, seeds, k=self.K, n_probe=2)
+
+        assert self._recall(spark, ivf) >= 0.9
+
 
 class TestZeroNormGuards:
     def test_zero_norm_query_returns_empty(self, spark):
