@@ -2,10 +2,13 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "spread": {name: sec, ...}, "sf": <sf>}
 
 Each query is fully materialized via the `noop` sink (no driver
 collect). Times include plan + execution, not session startup.
+Per-query numbers are MEDIANS of SPARK_GRAFT_BENCH_REPS (default 3)
+runs; "spread" is max-min across the reps, so cross-round deltas are
+attributable (machine-load variance was ±50% on single samples).
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ HEADLINE = [
     "text_language_id",
     "text_quality",
     "text_fingerprints",
+    "text_winnowing",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",
@@ -50,22 +54,26 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # min over reps: machine load variance swamps single samples
-    # (observed 2.8-11.9 s for the same query under load); the min is the
-    # stable estimate of what the plan actually costs.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # median over reps: machine load variance swamps single samples
+    # (observed 2.8-11.9 s for the same query under load); the median is
+    # robust to one loaded rep, and the max-min spread is emitted so a
+    # round-over-round delta can be judged against the noise floor.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            samples.append(time.time() - t0)
             # drop caches created inside query fns (shingle sets etc.) so
             # reps don't accumulate executor memory pressure
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     # Full incremental pipeline: chunk → embed → bucketed-store upsert →
     # state commit. The reference's baseline for the same path is
@@ -80,21 +88,26 @@ def main() -> None:
     from lovdata_pipeline_spark.sources.state_store import StateStore
     from pyspark.sql import functions as F
 
-    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
-    try:
-        docs = _documents_as_xml(spark, sf_dir).withColumn(
-            "relative_path", F.col("doc_id")
-        ).withColumn("status", F.lit("added"))
-        store = ChunkStore(spark, f"{tmp}/chunks", n_buckets=32)
-        state = StateStore(spark, f"{tmp}/state")
-        cfg = PipelineConfig(chunk=ChunkParams(100, 500, 50, 0.15), embedding_dims=64)
-        t0 = time.time()
-        result = run_pipeline(docs, store, state, cfg, now="bench")
-        elapsed = time.time() - t0
-        timings["pipeline_e2e"] = round(elapsed, 3)
-        pipeline_docs_per_sec = round(result.processed / elapsed, 1)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    docs = _documents_as_xml(spark, sf_dir).withColumn(
+        "relative_path", F.col("doc_id")
+    ).withColumn("status", F.lit("added"))
+    cfg = PipelineConfig(chunk=ChunkParams(100, 500, 50, 0.15), embedding_dims=64)
+    e2e_samples: list[tuple[float, int]] = []
+    for _ in range(reps):
+        tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
+            store = ChunkStore(spark, f"{tmp}/chunks", n_buckets=32)
+            state = StateStore(spark, f"{tmp}/state")
+            t0 = time.time()
+            result = run_pipeline(docs, store, state, cfg, now="bench")
+            e2e_samples.append((time.time() - t0, result.processed))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    e2e_samples.sort()
+    elapsed, processed = e2e_samples[len(e2e_samples) // 2]
+    timings["pipeline_e2e"] = round(elapsed, 3)
+    spreads["pipeline_e2e"] = round(e2e_samples[-1][0] - e2e_samples[0][0], 3)
+    pipeline_docs_per_sec = round(processed / elapsed, 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +117,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "pipeline_docs_per_sec": pipeline_docs_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

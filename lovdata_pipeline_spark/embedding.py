@@ -33,19 +33,25 @@ EmbeddingProvider = Callable[[list[str]], list[list[float]]]
 def mock_hash_provider(dims: int = 64) -> EmbeddingProvider:
     """Deterministic, content-derived unit vectors.
 
-    embedding[j] is a [-1, 1] value derived from md5(content, j); the
-    vector is L2-normalized so downstream cosine math behaves like real
-    embeddings. Same content → same vector, on any executor.
+    embedding[j] is a [-1, 1] value derived from md5 hex-string chaining:
+    ``seed = md5_hex(content)``, ``v_j = int(md5_hex(seed + ':' + j)[:16],
+    16) / 2^63 - 1``; the vector is L2-normalized so downstream cosine
+    math behaves like real embeddings. Same content → same vector, on any
+    executor — and the whole derivation is PORTABLE SQL (hex strings, no
+    raw digest bytes), so an external engine can reproduce the vectors
+    exactly (oracles._embed_pipeline_sql does, in DuckDB). Dividing by
+    2^63 is exact (a power-of-two exponent shift), so the doubles are
+    bit-identical across engines.
     """
 
     def embed(texts: list[str]) -> list[list[float]]:
         out = []
         for text in texts:
-            seed = hashlib.md5((text or "").encode("utf-8")).digest()
+            seed = hashlib.md5((text or "").encode("utf-8")).hexdigest()
             vals = []
             for j in range(dims):
-                h = hashlib.md5(seed + j.to_bytes(4, "little")).digest()
-                vals.append(int.from_bytes(h[:8], "little") / 2**63 - 1.0)
+                h = hashlib.md5(f"{seed}:{j}".encode("ascii")).hexdigest()
+                vals.append(int(h[:16], 16) / 2**63 - 1.0)
             norm = math.sqrt(sum(v * v for v in vals)) or 1.0
             out.append([v / norm for v in vals])
         return out
@@ -57,7 +63,7 @@ def openai_compatible_provider(
     model: str = "text-embedding-3-small",
     base_url: str | None = None,
     api_key: str | None = None,
-    max_retries: int = 5,
+    max_attempts: int = 5,
     backoff_s: float = 1.0,
     timeout_s: float = 30.0,
     transport: Callable[[str, bytes, dict], bytes] | None = None,
@@ -68,7 +74,12 @@ def openai_compatible_provider(
     (infrastructure/openai_embedding_provider.py:24-42): caller batches
     (``embed_chunks_df`` slices to ``batch_size``), one HTTP call per
     batch, vectors re-ordered by the response ``index`` field, retries
-    with exponential backoff on 429/5xx and transport errors.
+    with exponential backoff on 429/5xx and transport errors. A 429's
+    ``Retry-After`` header (seconds form), when present, overrides the
+    computed backoff for that attempt. ``max_attempts`` bounds TOTAL
+    attempts (r2 ADVICE: the old ``max_retries`` name said retries but
+    counted attempts); terminal failure raises with the last status
+    code and target URL preserved, chained from the underlying error.
 
     Config comes from args or env (``OPENAI_BASE_URL`` /
     ``OPENAI_API_KEY``) read lazily at call time, so the closure pickles
@@ -104,7 +115,8 @@ def openai_compatible_provider(
 
         send = transport or default_transport
         last_exc: Exception | None = None
-        for attempt in range(max_retries):
+        retry_after_s: float | None = None
+        for attempt in range(max_attempts):
             try:
                 raw = send(url, body, headers)
                 break
@@ -114,15 +126,28 @@ def openai_compatible_provider(
                 if exc.code != 429 and exc.code < 500:
                     raise
                 last_exc = exc
+                # a server-stated Retry-After (seconds form) overrides the
+                # computed backoff for this attempt
+                retry_after_s = None
+                ra = (exc.headers or {}).get("Retry-After")
+                try:
+                    retry_after_s = float(ra) if ra is not None else None
+                except ValueError:
+                    pass  # HTTP-date form: fall back to exponential backoff
             except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
                 last_exc = exc
+                retry_after_s = None
             # no sleep after the final attempt — fail fast instead of
             # stalling every executor task another backoff interval
-            if attempt < max_retries - 1:
-                time.sleep(backoff_s * (2**attempt))
+            if attempt < max_attempts - 1:
+                wait = backoff_s * (2**attempt) if retry_after_s is None else retry_after_s
+                time.sleep(wait)
         else:
+            status = getattr(last_exc, "code", None)
+            detail = f"HTTP {status}" if status is not None else type(last_exc).__name__
             raise RuntimeError(
-                f"embedding request failed after {max_retries} retries"
+                f"embedding request to {url} failed after {max_attempts} "
+                f"attempts (last error: {detail})"
             ) from last_exc
 
         payload = json.loads(raw.decode("utf-8"))

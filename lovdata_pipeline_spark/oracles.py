@@ -7,14 +7,22 @@ Engine-parity rules used throughout (see queries.py header):
   * counts/sums cast so integer widths line up (Spark long ↔ BIGINT);
   * epoch comparisons in fractional seconds (ts::DOUBLE ↔ epoch(ts)).
 
-Queries with no entry here (the chunk/embed/enrich pipelines, whose
-chunker is procedural, and the engine-specific sketch aggregates in
-agg_approx_stats) are deliberately non-SQL-expressible; the driver
-records rows-only checks. Both "approximate" ANN variants ARE
-oracle-checked — approximation is not nondeterminism: `_ann_lsh_sql`
-inlines the seed-42 hyperplanes as literals, and `_ann_ivf_sql`
-reproduces the portable md5-ordered centroid seeding, assignment, and
-probe selection exactly.
+The only query with no entry here is agg_approx_stats (engine-specific
+sketches — HLL/KLL internals differ by design); the driver records a
+rows-only check for it. Everything else IS oracle-checked, including
+the three flagship chunk/embed/enrich pipelines: the graded envelope
+(queries._documents_as_xml) wraps each document in a single-legalP
+simple-tier XML and every corpus text is far below max_tokens (max 158
+vs 500 at sf0.1, probed), so the chunker provably emits exactly one
+chunk per document whose content round-trips the original text —
+making chunk ids, the regex-BPE token count, the enrichment columns,
+and the md5-chained mock embedding all SQL-derivable
+(`_chunk_pipeline_sql` / `_enrich_pipeline_sql` /
+`_embed_pipeline_sql`). Both "approximate" ANN variants are
+oracle-checked too — approximation is not nondeterminism:
+`_ann_lsh_sql` inlines the seed-42 hyperplanes as literals, and
+`_ann_ivf_sql` reproduces the portable md5-ordered centroid seeding,
+assignment, and probe selection exactly.
 """
 
 _SHINGLE_CTE = """
@@ -71,6 +79,83 @@ _STOPWORDS_SQL = {
     "no": "['og','i','det','som','er','av','til','en']",
 }
 
+# Exact DuckDB replica of functions/tokens.py:count_tokens (the regex-BPE
+# fallback, the live path in this container): one token per word-piece
+# match of [^\W_]+|[^\w\s], long runs cost ceil(len/4). The corpus is
+# ASCII (probed at sf0.1), so RE2's ASCII \w == Python's unicode \w here.
+_TOKEN_COUNT = (
+    r"CAST(coalesce(list_sum(list_transform("
+    r"regexp_extract_all({col}, '[^\W_]+|[^\w\s]'), "
+    r"p -> greatest(1, CAST(ceil(length(p) / 4.0) AS BIGINT)))), 0) AS INTEGER)"
+)
+
+# The graded chunker envelope (queries._documents_as_xml) is a
+# single-legalP simple-tier document: tier 3 emits exactly one chunk per
+# doc (every corpus text is far under max_tokens=500 — max 158 at sf0.1),
+# whose content == the original text (ASCII, no XML specials, no
+# surrounding whitespace — itertext().strip() round-trips byte-identically).
+# So chunk_id/document_id/chunk_pos/token_count/source_hash are plain SQL.
+_CHUNK_PIPELINE_SQL = f"""
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_0' AS chunk_id,
+           CAST(doc_id AS VARCHAR) AS document_id,
+           CAST(0 AS INTEGER) AS chunk_pos,
+           {_TOKEN_COUNT.format(col="text")} AS token_count,
+           md5(text) AS source_hash
+    FROM documents
+    ORDER BY document_id, chunk_pos
+"""
+
+# Enrichment over those one-chunk docs (operators/enrichment.py): the
+# envelope pins document_title='doc' (the <h1>), empty address and
+# chapter_path (→ depths 0), and a digits-only document_id (law_date
+# regex can't match); n_references / is_amendment re-run the REAL
+# regex/marker logic over the content so they stay genuine detectors.
+_ENRICH_PIPELINE_SQL = r"""
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_0' AS chunk_id,
+           CAST(doc_id AS VARCHAR) AS document_id,
+           'doc' AS enriched_title,
+           regexp_extract(CAST(doc_id AS VARCHAR), '(\d{4}-\d{2}-\d{2})', 1) AS law_date,
+           CAST(0 AS INTEGER) AS hierarchy_depth,
+           CAST(0 AS INTEGER) AS chapter_depth,
+           CAST(len(list_distinct(regexp_extract_all(
+               text, '(lov/\d{4}-\d{2}-\d{2}-\d+(?:/[^\s,.;]+)?)', 1))) AS INTEGER)
+             AS n_references,
+           (contains(lower(text), 'skal lyde')
+            OR contains(lower(text), 'gjøres følgende endringer')
+            OR contains(lower(text), 'oppheves')) AS is_amendment
+    FROM documents
+    ORDER BY document_id, chunk_id
+"""
+
+
+def _embed_pipeline_sql(dims: int = 16) -> str:
+    """Exact oracle for the chunk+embed pipeline. mock_hash_provider is
+    md5 hex-string chaining — v_j = int(md5(md5(content) || ':' || j)[:16],
+    16) / 2^63 - 1, then L2-normalize — every step of which is portable
+    SQL producing bit-identical doubles: hex→UBIGINT parse is exact, the
+    2^63 divide is an exponent shift, list_reduce's first-element init
+    equals Python sum()'s 0-init (0 + x == x), and the final float32
+    narrowing (Spark's array<float>) is the same IEEE nearest-rounding
+    CAST AS FLOAT in DuckDB."""
+    return f"""
+    WITH v AS (
+      SELECT doc_id, text,
+             list_transform(generate_series(0, {dims - 1}),
+               j -> CAST(concat('0x', substr(md5(md5(text) || ':' || CAST(j AS VARCHAR)), 1, 16)) AS UBIGINT)
+                    / 9223372036854775808.0 - 1.0) AS vals
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_0' AS chunk_id,
+           CAST(doc_id AS VARCHAR) AS document_id,
+           {_TOKEN_COUNT.format(col="text")} AS token_count,
+           CAST({dims} AS INTEGER) AS dims,
+           round(CAST(CAST(vals[1] / sqrt(list_reduce(
+                 list_transform(vals, x -> x * x), (a, b) -> a + b)) AS FLOAT) AS DOUBLE), 4) AS e0
+    FROM v
+    ORDER BY document_id, chunk_id
+"""
+
+
 def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     """Exact DuckDB replica of the portable 60-bit simhash: bit b of the
     hash is bit b%4 of the md5 hex digit at 1-based position 15 - b//4
@@ -110,6 +195,9 @@ _SW_HITS = ",\n".join(
 
 
 ORACLES: dict[str, str] = {
+    "chunk_documents_pipeline": _CHUNK_PIPELINE_SQL,
+    "enrich_documents_pipeline": _ENRICH_PIPELINE_SQL,
+    "embed_documents_pipeline": _embed_pipeline_sql(dims=16),
     "q1_pricing_summary": """
         -- decimal-input arithmetic: cast the 2dp base columns to decimal
         -- FIRST, multiply in decimal (exact in both engines) — never cast a
@@ -418,7 +506,9 @@ ORACLES: dict[str, str] = {
         FROM corpus GROUP BY md5(text) HAVING count(*) > 1
         ORDER BY content_hash
     """,
-    "dedup_fingerprint_groups": f"""
+    # vocab-fingerprint dedup; the r2 key "dedup_fingerprint_groups" is kept
+    # as a registry alias (see queries.py) so the r2→r3 rename is visible
+    "dedup_vocab_fingerprint_groups": f"""
         SELECT md5(array_to_string(list_sort(list_distinct(
                    string_split({_NORMALIZED_TEXT}, ' '))), ' ')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS keep_id
@@ -684,3 +774,7 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
 
 
 ORACLES["ann_topk_ivf"] = _ann_ivf_sql()
+
+# Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
+# oracle so cross-round comparisons see both names (see queries.py registry).
+ORACLES["dedup_fingerprint_groups"] = ORACLES["dedup_vocab_fingerprint_groups"]

@@ -133,3 +133,86 @@ def test_blocked_embedding_dedup_matches_broadcast(spark):
             )
         )
         assert got == want, f"n_blocks={k}"
+
+
+def test_minhash_df_cap_pairs_identical(spark):
+    """The document-frequency cap (hot-bucket skew guard) must not change
+    minhash_lsh_pairs' OUTPUT on the graded corpus: candidates shrink,
+    but the exact-Jaccard verify over full shingle sets returns the same
+    25-pair truth set with the cap on (default 0.5), off, and aggressive
+    enough (0.05) to provably drop shingles."""
+    from lovdata_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(threshold=0.8, n=3, num_hashes=32, bands=16)
+    uncapped = sorted(map(tuple, minhash_lsh_pairs(docs, df_cap=None, **kw).collect()))
+    assert uncapped  # non-vacuous: the planted near-dups are found
+    for cap in (0.5, 0.05):
+        capped = sorted(map(tuple, minhash_lsh_pairs(docs, df_cap=cap, **kw).collect()))
+        assert capped == uncapped, f"df_cap={cap}"
+
+
+def test_minhash_df_cap_drops_boilerplate_but_keeps_pairs(spark):
+    """Motivating scenario: a boilerplate prefix shared by every doc (df
+    = 100% ≫ cap) would align one band bucket across the whole corpus;
+    with the cap the planted near-dup pair is still found through its
+    unique content."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.dedup import (
+        hashed_word_shingles,
+        minhash_lsh_pairs,
+    )
+
+    base = "common boilerplate header every doc carries along "
+    texts = [
+        base + f"unique content {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        for i in range(20)
+    ]
+    texts.append(texts[0] + " tail")  # near-dup of doc 0
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, df_cap=0.3).collect()
+    }
+    assert (0, 20) in got
+    # and the cap actually bit: some shingle exceeds 30% document frequency
+    sh = hashed_word_shingles(docs, "text", "doc_id", 3)
+    max_df = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).agg(F.max("df")).first()[0]
+    )
+    assert max_df > 0.3 * len(texts)
+
+
+def test_simhash_df_cap_recovers_signal(spark):
+    """The simhash df_cap targets stopword-flooded corpora: when a
+    ubiquitous filler token dominates every document's vote, all
+    signatures collapse together (uncapped → a blizzard of false pairs);
+    dropping the >50%-df token recovers the content signal so the capped
+    detector reports (far) fewer pairs while keeping the planted
+    near-dup."""
+    from lovdata_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    filler = "the " * 60
+    texts = [
+        filler + f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e"
+        for i in range(20)
+    ]
+    # near-dup of doc 0: word-order rewrite (same token multiset — the
+    # rewrite class simhash detects at hamming 0)
+    texts.append(" ".join(reversed(texts[0].split())))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_duplicates(docs, max_hamming=3, df_cap=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_duplicates(docs, max_hamming=3, df_cap=0.5).collect()
+    }
+    assert (0, 20) in capped
+    assert len(capped) < len(uncapped)  # the stopword-driven false pairs are gone

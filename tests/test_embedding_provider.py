@@ -67,18 +67,46 @@ class TestOpenAICompatibleProvider:
         with pytest.raises(urllib.error.HTTPError):
             provider(["x"])
 
-    def test_gives_up_after_max_retries(self):
+    def test_gives_up_after_max_attempts(self):
         def transport(url, body, headers):
             raise urllib.error.URLError("connection refused")
 
         provider = openai_compatible_provider(
             base_url="http://fake/v1",
             transport=transport,
-            max_retries=2,
+            max_attempts=2,
             backoff_s=0.001,
         )
-        with pytest.raises(RuntimeError, match="after 2 retries"):
+        # terminal error names the URL, the attempt count, and the cause
+        with pytest.raises(
+            RuntimeError, match=r"http://fake/v1/embeddings failed after 2 attempts"
+        ):
             provider(["x"])
+
+    def test_retry_after_header_overrides_backoff(self):
+        sleeps: list[float] = []
+        attempts = []
+
+        def transport(url, body, headers):
+            attempts.append(1)
+            if len(attempts) < 2:
+                raise urllib.error.HTTPError(
+                    url, 429, "rate limited", {"Retry-After": "0.005"}, None
+                )
+            return _ok_response(json.loads(body.decode())["input"])
+
+        import time as _time
+        orig = _time.sleep
+        _time.sleep = lambda s: (sleeps.append(s), orig(0))[1]
+        try:
+            provider = openai_compatible_provider(
+                base_url="http://fake/v1", transport=transport, backoff_s=99.0
+            )
+            assert len(provider(["x"])) == 1
+        finally:
+            _time.sleep = orig
+        # the server's 0.005 s Retry-After was used, not the 99 s backoff
+        assert sleeps == [0.005]
 
     def test_vector_count_mismatch_raises(self):
         def transport(url, body, headers):

@@ -64,7 +64,7 @@ def test_every_oracle_has_a_query():
     "name",
     [
         "dedup_exact_groups",
-        "dedup_fingerprint_groups",
+        "dedup_vocab_fingerprint_groups",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_embedding_cosine",
