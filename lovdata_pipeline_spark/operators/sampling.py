@@ -1,0 +1,54 @@
+"""Deterministic stratified sampling — the domain-mixing step of an LLM
+data pipeline ("keep 20% of web, 100% of books, 5% of logs, …").
+
+Sampling is a pure filter on a PORTABLE hash of the row key (first 15
+hex digits of md5, the same trick as ``dedup.portable_token_hash``), so:
+
+  * reproducible: the same row is kept in every run, on every engine —
+    the DuckDB oracle replays the identical decision, no RNG state;
+  * distributed: no shuffle at all — the filter runs inside the scan,
+    and Catalyst pushes the strata predicate alongside it;
+  * resumable: re-sampling after appending new rows never flips the
+    decision for existing rows (hash depends on the key alone).
+
+A seed string mixes into the hash so independent samples (train/val
+splits, A/B slices) decorrelate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: hash-space denominator: rates are granular to 0.01%.
+DENOM = 10_000
+
+
+def portable_rate_hash(key: Column, seed: str = "") -> Column:
+    """Uniform value in [0, DENOM) from the row key: first 15 md5 hex
+    digits (60 bits, fits a long exactly) mod DENOM. String-hex based so
+    external engines reproduce it bit-for-bit."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 15), 16, 10)
+        .cast("long")
+        % DENOM
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed keep ``default_rate``. The plan is a single filter — no
+    shuffle, no RNG, no driver state.
+    """
+    rate = F.lit(float(default_rate))
+    for value, frac in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(rate)
+    return df.filter(portable_rate_hash(F.col(key_col), seed) < rate * DENOM)

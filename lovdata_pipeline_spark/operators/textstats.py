@@ -255,6 +255,93 @@ def winnowing_fingerprints_expr(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters per document:
+    (id, n_words, distinct_word_ratio, top_bigram_frac).
+
+    ``distinct_word_ratio`` (unique words / words) catches stutter-style
+    duplication; ``top_bigram_frac`` (occurrences of the most common
+    bigram / all bigram occurrences) catches boilerplate loops — the two
+    standard "remove machine-generated repetition" signals in LLM
+    corpus curation.
+
+    Plan shape: the word-level signals are scan-local array ops; the
+    bigram mode needs a (doc, bigram) count — two aggregates keyed by
+    (id, bigram) then id, partial-aggregated map-side, shuffling short
+    bigram strings, never the document text.
+    """
+    from pyspark.sql import Window
+
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(trimmed, r"\s+")).alias("pos", "w"),
+    )
+    w_win = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        tok.withColumn("w2", F.lead("w").over(w_win))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "w", "w2").alias("bigram"))
+    )
+    bg_counts = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    bg_top = bg_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    return (
+        base.join(bg_top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.round(
+                F.col("n_distinct") / F.greatest(F.col("n_words"), F.lit(1)), 6
+            ).alias("distinct_word_ratio"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("total_c"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: PII patterns shared with the DuckDB oracle — ASCII-only classes so
+#: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d+"
+
+
+def pii_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction per document: (id, n_emails, n_phones,
+    redacted_hash). Emails are masked to ``[EMAIL]`` then phones to
+    ``[PHONE]`` (fixed order — the hash is order-sensitive), and the
+    md5 of the redacted text is returned instead of the text itself so
+    the (possibly huge) clean column never leaves the scan.
+
+    Pure codegen: regexp_extract_all + regexp_replace, no Python, no
+    shuffle before the caller's consumption.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
 def _normalized(text_col: str):
     """Shared normalization for the fingerprint family: lowercase,
     punctuation stripped, whitespace collapsed. ONE definition — the

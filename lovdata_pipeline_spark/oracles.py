@@ -663,6 +663,87 @@ ORACLES: dict[str, str] = {
                round(n / CAST(8000 * (1 + n % 6) AS DOUBLE), 6) AS duration_s
         FROM b ORDER BY doc_id
     """,
+    # Gopher-style repetition signals (operators/textstats.py
+    # repetition_signals): distinct-word ratio + top-bigram coverage.
+    "text_repetition": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws
+          FROM w),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          FROM w),
+        bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM bc GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(n_words AS INTEGER) AS n_words,
+               round(n_distinct * 1.0 / greatest(n_words, 1), 6) AS distinct_word_ratio,
+               round(coalesce(top_c * 1.0 / total_c, 0.0), 6) AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
+    """,
+    # PII scan with the same in-query planting as the Spark side (every
+    # 10th doc gets an email + phone appended); patterns are ASCII-only
+    # so Java regex and RE2 agree. Same replace order: emails first.
+    "pii_scan_documents": r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' contact_' || CAST(doc_id AS VARCHAR)
+                           || '@example.com call +1-555-' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d+')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\+\d{1,2}-\d{3}-\d+', '[PHONE]', 'g')) AS redacted_hash
+        FROM planted ORDER BY doc_id
+    """,
+    # deterministic stratified sampling: keep iff the portable 60-bit
+    # md5 hash of the key (mod 10000) clears the stratum's rate. The
+    # hash is the same first-15-hex-digits construction as
+    # operators/sampling.portable_rate_hash.
+    "stratified_sample_orders": """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS UBIGINT)
+              % 10000
+              < 10000 * (CASE o_orderpriority
+                           WHEN '1-URGENT' THEN 0.5
+                           WHEN '2-HIGH' THEN 0.25
+                           WHEN '3-MEDIUM' THEN 0.1
+                           WHEN '4-NOT SPECIFIED' THEN 0.05
+                           WHEN '5-LOW' THEN 0.02
+                           ELSE 0.0 END)
+        ORDER BY o_orderkey
+    """,
+    # shard packing: global running token total BEFORE each doc (id
+    # order), integer-divided by the 4096 budget. One window here; the
+    # Spark side computes the identical values with the distributed
+    # two-phase prefix sum (operators/packing.py).
+    "shard_pack_documents": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                   AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(floor(coalesce(SUM(n_tokens) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 4096.0) AS BIGINT) AS shard_id
+        FROM t ORDER BY doc_id
+    """,
 }
 
 

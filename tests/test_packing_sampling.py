@@ -1,0 +1,117 @@
+"""LLM-curation operators: shard packing, stratified sampling,
+repetition signals, PII scan. Oracle parity is covered by the
+auto-parametrized test_queries_oracle; these pin the distributed-
+correctness and determinism properties the oracles can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.operators import textstats
+from lovdata_pipeline_spark.operators.packing import pack_into_shards
+from lovdata_pipeline_spark.operators.sampling import stratified_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_with_tokens(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", textstats.token_count_col("text").alias("n_tokens"))
+    )
+
+
+def test_pack_into_shards_partition_independent(spark):
+    """The two-phase prefix sum must assign identical shards for any
+    range-partition count — 1 (the degenerate single-task case), a
+    non-divisor, and more partitions than make sense."""
+    docs = _docs_with_tokens(spark)
+    base = sorted(map(tuple, pack_into_shards(docs, 512, num_partitions=1).collect()))
+    assert base  # non-vacuous
+    for n in (3, 8, 64):
+        got = sorted(map(tuple, pack_into_shards(docs, 512, num_partitions=n).collect()))
+        assert got == base, f"num_partitions={n}"
+
+
+def test_pack_into_shards_budget_semantics(spark):
+    """shard_id must equal floor(tokens-before / budget) in id order —
+    checked against a driver-side fold; shards are contiguous in id
+    order and every shard's PRE-boundary total stays below budget+max."""
+    docs = _docs_with_tokens(spark)
+    rows = sorted(
+        map(tuple, pack_into_shards(docs, 512, num_partitions=5).collect())
+    )
+    running = 0
+    for doc_id, n_tokens, shard_id in rows:
+        assert shard_id == running // 512, doc_id
+        running += n_tokens
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    """Same seed → identical rows across invocations and partitionings;
+    different seed → a different (decorrelated) selection; unlisted
+    strata drop entirely by default."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    rates = {"1-URGENT": 0.5, "5-LOW": 0.05}
+    take = lambda df: sorted(r["o_orderkey"] for r in df.select("o_orderkey").collect())
+    a = take(stratified_sample(orders, rates, "o_orderpriority", "o_orderkey"))
+    b = take(
+        stratified_sample(
+            orders.repartition(7), rates, "o_orderpriority", "o_orderkey"
+        )
+    )
+    assert a == b and a
+    seeded = take(
+        stratified_sample(orders, rates, "o_orderpriority", "o_orderkey", seed="v2")
+    )
+    assert seeded != a
+    kept_prios = {
+        r["o_orderpriority"]
+        for r in stratified_sample(orders, rates, "o_orderpriority", "o_orderkey")
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    }
+    assert kept_prios <= set(rates)
+
+
+def test_stratified_sample_rates_roughly_hold(spark):
+    """The kept fraction per stratum lands near its configured rate
+    (md5 is uniform; tolerance generous for the small corpus)."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    rates = {"1-URGENT": 0.5}
+    total = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    kept = stratified_sample(orders, rates, "o_orderpriority", "o_orderkey").count()
+    assert 0.3 * total <= kept <= 0.7 * total
+
+
+def test_repetition_signals_detect_stutter(spark):
+    """A stuttered doc must score a LOWER distinct-word ratio and a
+    HIGHER top-bigram fraction than honest prose; empty text is (0,0,0)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_signals(docs).collect()}
+    assert rows[2]["distinct_word_ratio"] < rows[1]["distinct_word_ratio"]
+    assert rows[2]["top_bigram_frac"] > rows[1]["top_bigram_frac"]
+    assert rows[3]["n_words"] == 0 and rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    """Counts fire per occurrence and the redacted hash equals the hash
+    of the masked text (emails masked before phones)."""
+    import hashlib
+
+    text = "reach a@b.com or c.d+x@e.org, dial +1-555-123456 now"
+    docs = spark.createDataFrame([(1, text), (2, "clean")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textstats.pii_scan(docs).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    masked = "reach [EMAIL] or [EMAIL], dial [PHONE] now"
+    assert rows[1]["redacted_hash"] == hashlib.md5(masked.encode()).hexdigest()
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["redacted_hash"] == hashlib.md5(b"clean").hexdigest()
