@@ -1,0 +1,85 @@
+"""Lexical (keyword) search: BM25 ranking over the corpus.
+
+Complements the vector-similarity surface (operators/similarity.py) with
+the classic sparse ranking — together they're the hybrid-retrieval pair
+a RAG pipeline needs (the reference's domain: its promised `lg search`
+is embedding-only; reference cli.py:120-141).
+
+Plan shape at 100 TB: one tokenize scan feeds (a) per-doc lengths —
+corpus-wide, partial-aggregated — and (b) per-(doc, term) counts for the
+QUERY TERMS ONLY (the `isin` filter sits right on the scan output, so
+the heavy aggregate runs over a thin slice, not the whole posting
+space). Document-frequency and the N/avgdl scalars broadcast; nothing
+driver-side. The per-term partial scores are pivoted into columns and
+added in FIXED order — a plain ``sum`` over exploded term rows would
+accumulate doubles in nondeterministic order, which is invisible to
+users but breaks bit-parity with the external oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query: (id, score).
+
+    Lucene-style BM25: idf = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    tf-saturation tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    Deterministic: ties break on ascending id; per-term score addition
+    is in ``query_terms`` order.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(list(query_terms)))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+
+    per_term = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), "w", term_score.alias("s"))
+    )
+    # pivot to one column per query term → fixed-order float addition
+    pivoted = per_term.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("w") == t, F.col("s"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(query_terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        pivoted.select(F.col(id_col), F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

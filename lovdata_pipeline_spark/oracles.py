@@ -727,6 +727,39 @@ ORACLES: dict[str, str] = {
                            ELSE 0.0 END)
         ORDER BY o_orderkey
     """,
+    # BM25 top-20 (operators/search.py): Lucene-style idf/tf-saturation,
+    # formula written with IDENTICAL literal values and associativity as
+    # the Spark expression so every double matches; per-term scores sum
+    # in fixed column order (a bare SUM would add floats in shuffle
+    # order). ln() is the only libm call — 1-ulp engine differences are
+    # absorbed by round(,6).
+    "text_bm25_search": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        corpus AS (
+          SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tok
+          WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+        dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        per AS (
+          SELECT tf.doc_id, tf.w,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+          FROM tf JOIN dft USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        piv AS (
+          SELECT doc_id,
+                 max(CASE WHEN w = 'vector' THEN s END) AS s0,
+                 max(CASE WHEN w = 'join' THEN s END) AS s1,
+                 max(CASE WHEN w = 'stream' THEN s END) AS s2
+          FROM per GROUP BY doc_id)
+        SELECT doc_id,
+               round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS score
+        FROM piv ORDER BY score DESC, doc_id LIMIT 20
+    """,
     # shard packing: global running token total BEFORE each doc (id
     # order), integer-divided by the 4096 budget. One window here; the
     # Spark side computes the identical values with the distributed

@@ -1049,6 +1049,22 @@ def stratified_sample_orders(spark, sf_dir):
     )
 
 
+#: bag-of-words query for the BM25 ranking query — mid-frequency corpus
+#: terms so idf differences are meaningful.
+BM25_TERMS = ["vector", "join", "stream"]
+
+
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword search top-20 — the lexical half of hybrid retrieval
+    (vector half: ann_cosine_topk). Per-term scores pivot into columns
+    and add in fixed order so the doubles are bit-stable against the
+    oracle."""
+    from lovdata_pipeline_spark.operators.search import bm25_topk
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=20)
+
+
 def shard_pack_documents(spark, sf_dir):
     """Training-shard packing: documents stream into 4096-token shards
     in doc_id order, via the distributed two-phase prefix sum in
@@ -1139,6 +1155,7 @@ QUERIES = {
     "pii_scan_documents": pii_scan_documents,
     "stratified_sample_orders": stratified_sample_orders,
     "shard_pack_documents": shard_pack_documents,
+    "text_bm25_search": text_bm25_search,
     # every entry below is driver-attested (green in r1 and/or r2)
     # or an exact twin of a graded entry; diffcheck covers them all ----------
     "semi_join_processed": semi_join_processed,          # green r1+r2

@@ -115,3 +115,27 @@ def test_pii_scan_counts_and_redacts(spark):
     assert rows[1]["redacted_hash"] == hashlib.md5(masked.encode()).hexdigest()
     assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
     assert rows[2]["redacted_hash"] == hashlib.md5(b"clean").hexdigest()
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 must rank the doc matching BOTH query terms first, weight
+    rare terms above common ones (idf), and saturate repeated terms
+    (a 50× stuffed doc must not score 50× the single-mention doc)."""
+    from lovdata_pipeline_spark.operators.search import bm25_topk
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"rare common {filler}"),          # both terms
+            (2, f"rare {filler}"),                 # rare only
+            (3, f"common {filler}"),               # common only
+            (4, ("common " * 50) + filler),        # term stuffing
+        ]
+        + [(10 + i, f"common {filler}") for i in range(6)],  # make 'common' common
+        "doc_id long, text string",
+    )
+    ranked = bm25_topk(docs, ["rare", "common"], k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in ranked}
+    assert ranked[0]["doc_id"] == 1                     # both terms win
+    assert scores[2] > scores[3]                        # idf: rare > common
+    assert scores[4] < scores[3] * (1.2 + 1.0)          # saturation bound (k1+1)
