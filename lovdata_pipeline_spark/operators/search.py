@@ -18,7 +18,7 @@ users but breaks bit-parity with the external oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bm25_topk(
@@ -81,5 +81,45 @@ def bm25_topk(
     return (
         pivoted.select(F.col(id_col), F.round(total, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (id, score) result lists:
+    rrf = Σ 1/(rrf_k + rank) — the standard score-free way to combine
+    BM25 and embedding retrieval into one hybrid ranking.
+
+    Ranks are assigned here (score desc, id tiebreak) so callers pass
+    plain top-k outputs. The rank windows are GLOBAL windows — fine
+    precisely because the inputs are already top-k lists (≤ k rows);
+    never apply this to un-truncated corpora. Contributions add in
+    fixed (lexical, semantic) order for cross-engine bit-parity.
+    """
+
+    def ranked(df: DataFrame, alias: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        return df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.row_number().over(w))).alias(alias),
+        )
+
+    return (
+        ranked(lexical, "_lex")
+        .join(ranked(semantic, "_sem"), id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce("_lex", F.lit(0.0)) + F.coalesce("_sem", F.lit(0.0)), 6
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
     )

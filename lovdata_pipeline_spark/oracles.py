@@ -733,33 +733,7 @@ ORACLES: dict[str, str] = {
     # in fixed column order (a bare SUM would add floats in shuffle
     # order). ln() is the only libm call — 1-ulp engine differences are
     # absorbed by round(,6).
-    "text_bm25_search": r"""
-        WITH tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-          FROM documents),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        corpus AS (
-          SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
-          FROM dl),
-        tf AS (
-          SELECT doc_id, w, count(*) AS tf FROM tok
-          WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
-        dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        per AS (
-          SELECT tf.doc_id, tf.w,
-                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
-          FROM tf JOIN dft USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
-        piv AS (
-          SELECT doc_id,
-                 max(CASE WHEN w = 'vector' THEN s END) AS s0,
-                 max(CASE WHEN w = 'join' THEN s END) AS s1,
-                 max(CASE WHEN w = 'stream' THEN s END) AS s2
-          FROM per GROUP BY doc_id)
-        SELECT doc_id,
-               round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS score
-        FROM piv ORDER BY score DESC, doc_id LIMIT 20
-    """,
+    "text_bm25_search": None,  # assigned below from _BM25_CTES
     # shard packing: global running token total BEFORE each doc (id
     # order), integer-divided by the 4096 budget. One window here; the
     # Spark side computes the identical values with the distributed
@@ -892,3 +866,60 @@ ORACLES["ann_topk_ivf"] = _ann_ivf_sql()
 # Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
 # oracle so cross-round comparisons see both names (see queries.py registry).
 ORACLES["dedup_fingerprint_groups"] = ORACLES["dedup_vocab_fingerprint_groups"]
+
+# BM25 pipeline as reusable CTEs (through the fixed-order score sum) so the
+# standalone ranking query and the hybrid-fusion query share one definition.
+_BM25_CTES = r"""tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        corpus AS (
+          SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tok
+          WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+        dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        per AS (
+          SELECT tf.doc_id, tf.w,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+          FROM tf JOIN dft USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        piv AS (
+          SELECT doc_id,
+                 max(CASE WHEN w = 'vector' THEN s END) AS s0,
+                 max(CASE WHEN w = 'join' THEN s END) AS s1,
+                 max(CASE WHEN w = 'stream' THEN s END) AS s2
+          FROM per GROUP BY doc_id),
+        bm AS (
+          SELECT doc_id,
+                 round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS score
+          FROM piv ORDER BY score DESC, doc_id LIMIT 20)"""
+
+ORACLES["text_bm25_search"] = f"""
+        WITH {_BM25_CTES}
+        SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id
+"""
+
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and the
+# cosine top-20 for the vec_id=0 query embedding — ranks from the rounded
+# scores (bit-matched above), contributions 1/(60+rank) added in fixed
+# (lexical, semantic) order, all arithmetic explicitly DOUBLE (DuckDB
+# would otherwise divide 1.0 as DECIMAL).
+ORACLES["hybrid_search_rrf"] = f"""
+        WITH {_BM25_CTES},
+        bmr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        ann AS (
+          SELECT b.vec_id AS doc_id, round({_COSINE}, 6) AS score
+          FROM embeddings b JOIN embeddings a ON a.vec_id = 0
+          ORDER BY score DESC, doc_id LIMIT 20),
+        annr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM ann)
+        SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id,
+               round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bmr.r), CAST(0.0 AS DOUBLE))
+                     + coalesce(CAST(1.0 AS DOUBLE) / (60 + annr.r), CAST(0.0 AS DOUBLE)), 6)
+                 AS rrf_score
+        FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""

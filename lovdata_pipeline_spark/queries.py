@@ -1065,6 +1065,23 @@ def text_bm25_search(spark, sf_dir):
     return bm25_topk(docs, BM25_TERMS, k=20)
 
 
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
+    for the vec_id=0 query embedding (semantic) by reciprocal-rank
+    fusion, top-10 out. vec_id aligns with doc_id in the synthetic
+    corpus, standing in for the chunk↔embedding linkage of the real
+    pipeline."""
+    from lovdata_pipeline_spark.operators.search import bm25_topk, rrf_fuse
+
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    lexical = bm25_topk(docs, BM25_TERMS, k=20)
+    semantic = similarity.cosine_topk(emb, list(query), k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(lexical, semantic, k=10)
+
+
 def shard_pack_documents(spark, sf_dir):
     """Training-shard packing: documents stream into 4096-token shards
     in doc_id order, via the distributed two-phase prefix sum in
@@ -1156,6 +1173,7 @@ QUERIES = {
     "stratified_sample_orders": stratified_sample_orders,
     "shard_pack_documents": shard_pack_documents,
     "text_bm25_search": text_bm25_search,
+    "hybrid_search_rrf": hybrid_search_rrf,
     # every entry below is driver-attested (green in r1 and/or r2)
     # or an exact twin of a graded entry; diffcheck covers them all ----------
     "semi_join_processed": semi_join_processed,          # green r1+r2

@@ -139,3 +139,21 @@ def test_bm25_ranking_semantics(spark):
     assert ranked[0]["doc_id"] == 1                     # both terms win
     assert scores[2] > scores[3]                        # idf: rare > common
     assert scores[4] < scores[3] * (1.2 + 1.0)          # saturation bound (k1+1)
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked by BOTH systems must outrank docs ranked by one;
+    rank contributions follow 1/(60+rank) exactly."""
+    from lovdata_pipeline_spark.operators.search import rrf_fuse
+
+    lexical = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    semantic = spark.createDataFrame(
+        [(1, 0.95), (4, 0.9), (5, 0.85)], "doc_id long, score double"
+    )
+    rows = rrf_fuse(lexical, semantic, k=10).collect()
+    assert rows[0]["doc_id"] == 1  # in both lists at rank 1
+    assert rows[0]["rrf_score"] == round(1.0 / 61 + 1.0 / 61, 6)
+    only_one = {r["doc_id"]: r["rrf_score"] for r in rows[1:]}
+    assert only_one[2] == only_one[4] == round(1.0 / 62, 6)  # both rank-2 singles

@@ -32,6 +32,11 @@ CROSS_JOIN_OK = {
     "dedup_embedding_cosine",
     "not_exists_high_value",
     "dedup_exact_groups",
+    # bm25: crossJoin(broadcast(corpus)) attaches the 1-row N/avgdl
+    # scalar aggregate — O(1) rows on one side, same shape as the
+    # scalar-subquery broadcast above; hybrid composes bm25.
+    "text_bm25_search",
+    "hybrid_search_rrf",
 }
 
 # queries whose scans must show a pushed filter
