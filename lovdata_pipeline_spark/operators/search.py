@@ -37,49 +37,54 @@ def bm25_topk(
     Deterministic: ties break on ascending id; per-term score addition
     is in ``query_terms`` order.
     """
+    # ONE tokenize pass: per-doc length and per-term tf come out of a
+    # single conditional aggregate (an explode + groupBy(id)), instead of
+    # aggregating the token stream twice (lengths + term counts) — at
+    # corpus scale that halves the scan work, and it also dissolves the
+    # per-(doc, term) shuffle and the document-frequency join: df is a
+    # second aggregate over the already-tiny per-doc frame. The corpus-
+    # stats branch and the scoring branch share the same per_doc subplan,
+    # and Spark's exchange reuse makes that physical: the runtime plan
+    # shows ReusedExchange — the tokenize+aggregate executes once.
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
+    per_doc = tok.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    corpus = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("w").isin(list(query_terms)))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
-
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    norm = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
-    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
-
-    per_term = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-        .select(F.col(id_col), "w", term_score.alias("s"))
-    )
-    # pivot to one column per query term → fixed-order float addition
-    pivoted = per_term.groupBy(id_col).agg(
         *[
-            F.max(F.when(F.col("w") == t, F.col("s"))).alias(f"_s{i}")
-            for i, t in enumerate(query_terms)
-        ]
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
     )
+
+    def term_score(i: int):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / norm).otherwise(F.lit(0.0))
+
     total = F.lit(0.0)
     for i in range(len(query_terms)):
-        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = total + term_score(i)  # fixed query_terms order
     return (
-        pivoted.select(F.col(id_col), F.round(total, 6).alias("score"))
+        per_doc.crossJoin(F.broadcast(corpus))
+        .filter(F.greatest(*[F.col(f"_tf{i}") for i in range(len(query_terms))]) > 0)
+        .select(F.col(id_col), F.round(total, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
