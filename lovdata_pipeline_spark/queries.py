@@ -1102,15 +1102,21 @@ def shard_pack_documents(spark, sf_dir):
 # Ordering is deliberate and documented: the external driver grades exactly
 # the FIRST 50 registry entries. Goal (stated in r2 VERDICT "Next #2"):
 # every oracle-bearing query gets a driver-graded row in the union of
-# rounds. r3 therefore promotes the three never-yet-graded queries
-# (ann_topk_lsh_bucketed / ann_topk_ivf — exact oracles since r2 — and
-# agg_approx_stats) into the window, and demotes to the tail three queries
-# that were driver-green in BOTH r1 and r2 and whose semantics duplicate
-# other still-graded rows (semi_join_processed ≈ exists_agg_priority's
-# semi-join; pivot_status ≈ the rollup/grouping-sets family's conditional
-# aggs; distinct_projection ≈ agg_distinct_counts). Everything in the tail
-# has at least one prior driver-green row or an exact twin in the window;
-# local diffcheck still runs ALL entries every round.
+# rounds. r3 therefore puts inside the window (a) the three queries never
+# graded in r1/r2 (ann_topk_lsh_bucketed / ann_topk_ivf — exact oracles
+# since r2 — and agg_approx_stats) and (b) all six NEW r3 operators
+# (repetition, PII, stratified sample, shard packing, BM25, hybrid RRF),
+# so nothing oracle-bearing is born ungraded. Nine doubly-attested
+# queries (driver-green in BOTH r1 and r2, each duplicating a semantics
+# family that stays graded) move to the tail: semi_join_processed ≈
+# exists_agg_priority's semi-join; pivot_status / rollup_priority ≈ the
+# graded grouping-sets row; distinct_projection / topk_limit /
+# filter_like ≈ agg_distinct_counts / top3_orders_per_customer /
+# point_lookup; events_hourly ≈ events_sessionize's windowed agg;
+# left_join_customer_orders ≈ full-outer/anti family; percentile ≈ the
+# approx-stats twin. Everything in the tail has at least one prior
+# driver-green row or an exact twin in the window; local diffcheck still
+# runs ALL entries every round.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1125,30 +1131,31 @@ QUERIES = {
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
     "agg_approx_stats": agg_approx_stats,
+    # --- new r3 LLM-curation / retrieval operators --------------------------
+    "text_repetition": text_repetition,
+    "pii_scan_documents": pii_scan_documents,
+    "stratified_sample_orders": stratified_sample_orders,
+    "shard_pack_documents": shard_pack_documents,
+    "text_bm25_search": text_bm25_search,
+    "hybrid_search_rrf": hybrid_search_rrf,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
     "status_counts": status_counts,
-    "filter_like": filter_like,
     "point_lookup": point_lookup,
-    "topk_limit": topk_limit,
     "positional_ids": positional_ids,
     "greedy_token_buckets": greedy_token_buckets,
-    "rollup_priority": rollup_priority,
     "set_difference_validation": set_difference_validation,
     "agg_distinct_counts": agg_distinct_counts,
-    "left_join_customer_orders": left_join_customer_orders,
     "exists_agg_priority": exists_agg_priority,
     "not_exists_high_value": not_exists_high_value,
     "scalar_subquery_part_avg": scalar_subquery_part_avg,
     "top3_orders_per_customer": top3_orders_per_customer,
-    "percentile_order_totals": percentile_order_totals,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,
     "events_lag_gaps": events_lag_gaps,
-    "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -1165,20 +1172,17 @@ QUERIES = {
     "text_quality": text_quality,
     "text_token_counts": text_token_counts,
     "text_stopword_ratios": text_stopword_ratios,
-    # --- tail: not inside the 50-entry grading window this round ------------
-    # new r3 LLM-curation operators (oracle-checked by diffcheck/pytest;
-    # rotate into the window next round in place of freshly-attested rows):
-    "text_repetition": text_repetition,
-    "pii_scan_documents": pii_scan_documents,
-    "stratified_sample_orders": stratified_sample_orders,
-    "shard_pack_documents": shard_pack_documents,
-    "text_bm25_search": text_bm25_search,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    # every entry below is driver-attested (green in r1 and/or r2)
-    # or an exact twin of a graded entry; diffcheck covers them all ----------
+    # --- tail: every entry is driver-attested (green in r1 and/or r2) or an
+    # --- exact twin of a graded entry; diffcheck covers them all ------------
     "semi_join_processed": semi_join_processed,          # green r1+r2
     "pivot_status": pivot_status,                        # green r1+r2
     "distinct_projection": distinct_projection,          # green r1+r2
+    "filter_like": filter_like,                          # green r1+r2
+    "topk_limit": topk_limit,                            # green r1+r2
+    "rollup_priority": rollup_priority,                  # green r1+r2
+    "events_hourly": events_hourly,                      # green r1+r2
+    "left_join_customer_orders": left_join_customer_orders,  # green r1+r2
+    "percentile_order_totals": percentile_order_totals,  # green r1+r2
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
     "running_sum": running_sum,                          # green r1
