@@ -312,6 +312,46 @@ def repetition_signals(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LM-based quality scoring (the CCNet shape, with the corpus itself
+    as the language model): per-doc mean unigram surprisal
+    −ln((c_w + 1) / (N + V)) under add-one smoothing, where c_w are
+    corpus token counts, N total tokens, V vocabulary size. Low mean
+    surprisal ⇒ the doc is made of corpus-typical tokens; high ⇒ rare
+    junk — the standard "perplexity filter" signal without an external
+    model artifact.
+
+    Determinism note: per-token surprisals are rounded to 9 dp and
+    accumulated in DECIMAL(18,9) — a bare double SUM would add in
+    shuffle order and leak nondeterministic low bits into the result.
+    Plan shape: one tokenize; vocabulary counts via hash aggregate; the
+    token→count join is an equi-join on the word (AQE handles the
+    stopword skew); N/V broadcast as a 1-row scalar.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    stats = vocab.agg(F.sum("c").alias("N"), F.count("*").alias("V"))
+    s = -F.log((F.col("c") + F.lit(1.0)) / (F.col("N") + F.col("V")))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.round(s, 9).cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 #: PII patterns shared with the DuckDB oracle — ASCII-only classes so
 #: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

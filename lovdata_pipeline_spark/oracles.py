@@ -803,28 +803,27 @@ except ImportError:  # pragma: no cover - numpy is present in this container
     pass
 
 
-def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
-    """Exact oracle for the IVF ANN query, possible because every stage
-    is deterministic: (1) seeds = the n_cells rows with smallest
-    md5(vec_id) hex — the portable ordering deterministic_centroids uses;
-    (2) assignment = argmin of sequential-fold squared L2 (list_reduce's
-    first-element init equals Spark's 0.0-init fold bitwise since
-    0.0 + x == x), ties to the lower cell exactly like Spark's
-    struct-array_min; (3) probes = the n_probe cells nearest the query
-    (same fold, same tie-break); (4) exact cosine top-k inside the
-    probed cells."""
-    # dims come from len() of the vectors themselves, matching the Spark
-    # side's data-derived dims — a hardcoded width would fail SILENTLY on a
-    # dims change (DuckDB out-of-range list indexing yields NULL, collapsing
-    # every assignment to cell 0, instead of erroring loudly).
-    sq = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)]) "
-        "* ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)])), "
-        "(x, y) -> x + y)"
-    )
-    return f"""
-        WITH c AS (
+# sequential-fold squared L2 — dims come from len() of the vectors
+# themselves, matching the Spark side's data-derived dims — a hardcoded
+# width would fail SILENTLY on a dims change (DuckDB out-of-range list
+# indexing yields NULL, collapsing every assignment to cell 0, instead
+# of erroring loudly).
+_IVF_SQ = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)]) "
+    "* ({a}[CAST(i AS INTEGER)] - {b}[CAST(i AS INTEGER)])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _ivf_assigned_ctes(n_cells: int) -> str:
+    """Shared CTE block reproducing deterministic_centroids(portable) +
+    ivf_assign exactly: (1) seeds = the n_cells rows with smallest
+    md5(vec_id) hex; (2) assignment = argmin of sequential-fold squared
+    L2 (list_reduce's first-element init equals Spark's 0.0-init fold
+    bitwise since 0.0 + x == x), ties to the lower cell exactly like
+    Spark's struct-array_min."""
+    return f"""c AS (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
                  embedding::DOUBLE[] AS cv
           FROM embeddings
@@ -832,20 +831,29 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
           LIMIT {n_cells}
         ),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
         assigned AS (
           SELECT vec_id, ev, cell FROM (
             SELECT e.vec_id, e.ev, c.cell,
                    row_number() OVER (
                      PARTITION BY e.vec_id
-                     ORDER BY {sq.format(a="e.ev", b="c.cv")}, c.cell
+                     ORDER BY {_IVF_SQ.format(a="e.ev", b="c.cv")}, c.cell
                    ) AS rn
             FROM e CROSS JOIN c
           ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
+    """Exact oracle for the IVF ANN query (see _ivf_assigned_ctes for the
+    deterministic seeding/assignment; probes = the n_probe cells nearest
+    the query, same fold and tie-break; exact cosine top-k inside the
+    probed cells)."""
+    return f"""
+        WITH {_ivf_assigned_ctes(n_cells)},
+        q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
         probes AS (
           SELECT cell FROM c CROSS JOIN q
-          ORDER BY {sq.format(a="q.qe", b="c.cv")}, cell
+          ORDER BY {_IVF_SQ.format(a="q.qe", b="c.cv")}, cell
           LIMIT {n_probe}
         )
         SELECT a.vec_id AS vec_id,
@@ -862,6 +870,36 @@ def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2) -> str:
 
 
 ORACLES["ann_topk_ivf"] = _ann_ivf_sql()
+
+# k-means-style cluster assignment over the whole embedding corpus (the
+# partitioning step of IVF indexing / topic bucketing), reusing the same
+# deterministic seeding + argmin CTEs as the IVF ANN oracle.
+ORACLES["embedding_cluster_assign"] = f"""
+        WITH {_ivf_assigned_ctes(8)}
+        SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM assigned
+        ORDER BY vec_id
+"""
+
+# per-doc mean unigram surprisal under add-one smoothing with the corpus
+# as its own LM (textstats.unigram_surprisal): per-token values round to
+# 9 dp then accumulate in DECIMAL(18,9) — same fixed-point discipline as
+# the Spark side, so shuffle-order float addition can't diverge.
+ORACLES["text_unigram_surprisal"] = r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents),
+        vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        stats AS (SELECT SUM(c) AS N, count(*) AS V FROM vocab),
+        per AS (
+          SELECT tok.doc_id,
+                 -ln((c + CAST(1.0 AS DOUBLE)) / (N + V)) AS s
+          FROM tok JOIN vocab USING (w) CROSS JOIN stats)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_surprisal
+        FROM per GROUP BY doc_id ORDER BY doc_id
+"""
 
 # Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
 # oracle so cross-round comparisons see both names (see queries.py registry).

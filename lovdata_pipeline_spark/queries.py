@@ -1065,6 +1065,29 @@ def text_bm25_search(spark, sf_dir):
     return bm25_topk(docs, BM25_TERMS, k=20)
 
 
+def text_unigram_surprisal(spark, sf_dir):
+    """LM-quality scoring: per-doc mean unigram surprisal with the corpus
+    as its own language model (CCNet's perplexity-filter shape without an
+    external model artifact). Fixed-point accumulation keeps the mean
+    deterministic under any shuffle order."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.unigram_surprisal(docs).orderBy("doc_id")
+
+
+def embedding_cluster_assign(spark, sf_dir):
+    """K-means-style cluster assignment over the embedding corpus (the
+    partitioning step of IVF indexing / topic bucketing): portable
+    md5-seeded centroids, JVM argmin assignment — the oracle reproduces
+    both exactly (same CTEs as the IVF ANN oracle)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
+    return (
+        similarity.ivf_assign(emb, centroids)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
 def hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
     for the vec_id=0 query embedding (semantic) by reciprocal-rank
@@ -1106,7 +1129,7 @@ def shard_pack_documents(spark, sf_dir):
 # graded in r1/r2 (ann_topk_lsh_bucketed / ann_topk_ivf — exact oracles
 # since r2 — and agg_approx_stats) and (b) all six NEW r3 operators
 # (repetition, PII, stratified sample, shard packing, BM25, hybrid RRF),
-# so nothing oracle-bearing is born ungraded. Nine doubly-attested
+# so nothing oracle-bearing is born ungraded. Eleven doubly-attested
 # queries (driver-green in BOTH r1 and r2, each duplicating a semantics
 # family that stays graded) move to the tail: semi_join_processed ≈
 # exists_agg_priority's semi-join; pivot_status / rollup_priority ≈ the
@@ -1114,7 +1137,9 @@ def shard_pack_documents(spark, sf_dir):
 # filter_like ≈ agg_distinct_counts / top3_orders_per_customer /
 # point_lookup; events_hourly ≈ events_sessionize's windowed agg;
 # left_join_customer_orders ≈ full-outer/anti family; percentile ≈ the
-# approx-stats twin. Everything in the tail has at least one prior
+# approx-stats twin; text_token_counts / text_stopword_ratios ≈ the
+# token/stopword arithmetic embedded in the graded curation_pipeline and
+# text_language_id rows. Everything in the tail has at least one prior
 # driver-green row or an exact twin in the window; local diffcheck still
 # runs ALL entries every round.
 QUERIES = {
@@ -1138,6 +1163,8 @@ QUERIES = {
     "shard_pack_documents": shard_pack_documents,
     "text_bm25_search": text_bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "text_unigram_surprisal": text_unigram_surprisal,
+    "embedding_cluster_assign": embedding_cluster_assign,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1170,10 +1197,10 @@ QUERIES = {
     "knn_join_top3": knn_join_top3,
     "text_language_id": text_language_id,
     "text_quality": text_quality,
-    "text_token_counts": text_token_counts,
-    "text_stopword_ratios": text_stopword_ratios,
     # --- tail: every entry is driver-attested (green in r1 and/or r2) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "text_token_counts": text_token_counts,              # green r1+r2
+    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "semi_join_processed": semi_join_processed,          # green r1+r2
     "pivot_status": pivot_status,                        # green r1+r2
     "distinct_projection": distinct_projection,          # green r1+r2

@@ -157,3 +157,17 @@ def test_rrf_fusion_semantics(spark):
     assert rows[0]["rrf_score"] == round(1.0 / 61 + 1.0 / 61, 6)
     only_one = {r["doc_id"]: r["rrf_score"] for r in rows[1:]}
     assert only_one[2] == only_one[4] == round(1.0 / 62, 6)  # both rank-2 singles
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """A doc of corpus-rare tokens must score higher mean surprisal than
+    a doc of corpus-common tokens; n_tokens counts whitespace tokens."""
+    common = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(100, "zzyzx qwfp vexing"), (101, common)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.unigram_surprisal(docs).collect()}
+    assert rows[100]["mean_surprisal"] > rows[101]["mean_surprisal"]
+    assert rows[100]["n_tokens"] == 3

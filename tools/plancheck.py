@@ -34,9 +34,11 @@ CROSS_JOIN_OK = {
     "dedup_exact_groups",
     # bm25: crossJoin(broadcast(corpus)) attaches the 1-row N/avgdl
     # scalar aggregate — O(1) rows on one side, same shape as the
-    # scalar-subquery broadcast above; hybrid composes bm25.
+    # scalar-subquery broadcast above; hybrid composes bm25; the
+    # surprisal query broadcasts its 1-row N/V LM stats the same way.
     "text_bm25_search",
     "hybrid_search_rrf",
+    "text_unigram_surprisal",
 }
 
 # queries whose scans must show a pushed filter
