@@ -41,6 +41,10 @@ HEADLINE = [
     "text_quality",
     "text_fingerprints",
     "text_winnowing",
+    "text_repetition",
+    "text_unigram_surprisal",
+    "text_bm25_search",
+    "shard_pack_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",
