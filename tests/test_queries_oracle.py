@@ -82,3 +82,43 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_grading_window_leaves_no_query_unattested():
+    """The external driver grades only the FIRST 50 registry entries.
+    Invariant (the r2 verdict's criterion, encoded): every registry query
+    must be (a) inside the graded window, (b) hash-green in a prior
+    round's CORRECTNESS file, or (c) an exact twin (same function object
+    / same output pinned by test) of a query satisfying (a) or (b).
+    A reorder that silently orphans a never-graded query fails here."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded_green = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or row.get("rows_match"):
+                graded_green.add(name)
+
+    names = list(QUERIES)
+    window = names[:50]
+    window_fns = {QUERIES[n] for n in window}
+    # output-identical twins not sharing a function object, pinned by the
+    # named tests:
+    TWINS = {
+        # test_blocked_embedding_dedup_matches_broadcast + graded default
+        # routes through the same blocked plan (queries.py)
+        "dedup_embedding_cosine_blocked": "dedup_embedding_cosine",
+    }
+    orphans = []
+    for name in names:
+        if name in window or name in graded_green:
+            continue
+        if QUERIES[name] in window_fns:  # registry alias of a windowed fn
+            continue
+        if TWINS.get(name) in window or TWINS.get(name) in graded_green:
+            continue
+        orphans.append(name)
+    assert not orphans, f"never-graded queries outside the window: {orphans}"
