@@ -133,16 +133,19 @@ def cmd_validate(args) -> int:
 
 
 def cmd_search(args) -> int:
-    """Vector similarity search over the chunk store — the command the
-    reference documents but never implemented (docs/GUIDE.md:162-194;
-    its cli.py has no search). Embeds the query text with the same mock
-    provider and returns cosine top-k chunks."""
+    """Search over the chunk store — the command the reference documents
+    but never implemented (docs/GUIDE.md:162-194; its cli.py has no
+    search). Three modes: ``vector`` (cosine top-k over embeddings, the
+    reference's promised semantics), ``keyword`` (BM25 over chunk
+    content), ``hybrid`` (both, fused by reciprocal rank)."""
     from pyspark.sql import functions as F
 
     from lovdata_pipeline_spark.embedding import mock_hash_provider
+    from lovdata_pipeline_spark.operators.search import bm25_topk, rrf_fuse
     from lovdata_pipeline_spark.operators.similarity import cosine_topk
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
 
+    mode = getattr(args, "mode", "vector")
     spark = _spark("lg-search")
     store = ChunkStore(spark, args.store)
     chunks = store.read().filter(F.col("embedding").isNotNull())
@@ -150,9 +153,24 @@ def cmd_search(args) -> int:
     if dims_row is None:
         print(json.dumps({"results": []}))
         return 0
-    provider = mock_hash_provider(dims_row["d"])
-    query_vec = provider([args.query])[0]
-    top = cosine_topk(chunks, query_vec, k=args.k, id_col="chunk_id", vec_col="embedding")
+
+    def vector_top(k):
+        provider = mock_hash_provider(dims_row["d"])
+        query_vec = provider([args.query])[0]
+        return cosine_topk(chunks, query_vec, k=k, id_col="chunk_id", vec_col="embedding")
+
+    def keyword_top(k):
+        terms = [t for t in args.query.lower().split() if t]
+        return bm25_topk(chunks, terms, k=k, id_col="chunk_id", text_col="content")
+
+    if mode == "vector":
+        top = vector_top(args.k)
+    elif mode == "keyword":
+        top = keyword_top(args.k)
+    else:  # hybrid: fuse the two k-deep lists, keep the fused score
+        top = rrf_fuse(
+            keyword_top(args.k), vector_top(args.k), id_col="chunk_id", k=args.k
+        ).withColumnRenamed("rrf_score", "score")
     hits = top.join(
         chunks.select("chunk_id", "document_id", "section_heading", "content"),
         "chunk_id",
@@ -224,10 +242,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--state", required=True)
     v.set_defaults(func=cmd_validate)
 
-    se = sub.add_parser("search", help="cosine top-k search over the chunk store")
+    se = sub.add_parser("search", help="search the chunk store (vector/keyword/hybrid)")
     se.add_argument("--store", required=True)
     se.add_argument("--query", required=True)
     se.add_argument("-k", type=int, default=5)
+    se.add_argument(
+        "--mode",
+        choices=["vector", "keyword", "hybrid"],
+        default="vector",
+        help="vector = cosine over embeddings (default); keyword = BM25 "
+        "over content; hybrid = reciprocal-rank fusion of both",
+    )
     se.set_defaults(func=cmd_search)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")

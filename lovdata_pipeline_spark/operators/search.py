@@ -37,6 +37,8 @@ def bm25_topk(
     Deterministic: ties break on ascending id; per-term score addition
     is in ``query_terms`` order.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     # ONE tokenize pass: per-doc length and per-term tf come out of a
     # single conditional aggregate (an explode + groupBy(id)), instead of
     # aggregating the token stream twice (lengths + term counts) — at
@@ -81,9 +83,11 @@ def bm25_topk(
     total = F.lit(0.0)
     for i in range(len(query_terms)):
         total = total + term_score(i)  # fixed query_terms order
+    tf_cols = [F.col(f"_tf{i}") for i in range(len(query_terms))]
+    any_hit = (tf_cols[0] if len(tf_cols) == 1 else F.greatest(*tf_cols)) > 0
     return (
         per_doc.crossJoin(F.broadcast(corpus))
-        .filter(F.greatest(*[F.col(f"_tf{i}") for i in range(len(query_terms))]) > 0)
+        .filter(any_hit)
         .select(F.col(id_col), F.round(total, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)

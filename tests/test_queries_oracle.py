@@ -122,3 +122,25 @@ def test_grading_window_leaves_no_query_unattested():
             continue
         orphans.append(name)
     assert not orphans, f"never-graded queries outside the window: {orphans}"
+
+
+def test_graded_envelope_stays_single_chunk():
+    """The chunk/embed/enrich pipeline oracles derive their SQL from the
+    proof that the graded envelope yields exactly ONE chunk per document
+    (every corpus text under max_tokens=500, single legalP, content
+    round-trips). Probe that precondition directly against the corpus the
+    driver grades (sf0.01) so a future testdata regeneration with longer
+    or XML-special documents fails HERE with an explanation, not as an
+    opaque oracle hash mismatch."""
+    import duckdb
+
+    from lovdata_pipeline_spark.functions.tokens import count_tokens
+
+    rows = duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+    assert rows
+    for (text,) in rows:
+        assert count_tokens(text) <= 500, "doc over max_tokens: oracle's 1-chunk proof void"
+        assert text == text.strip(), "surrounding whitespace: content round-trip void"
+        assert not any(c in text for c in "<>&"), "XML specials: envelope escape void"
