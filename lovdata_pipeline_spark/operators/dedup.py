@@ -449,6 +449,82 @@ def simhash_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# connected components (pair graph → dedup clusters → survivors)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Near-dup pair graph → (doc_id, component_id, is_survivor).
+
+    Pair emitters (minhash/simhash/jaccard/cosine) find EDGES; production
+    dedup needs the transitive closure — if A≈B and B≈C, exactly one of
+    {A,B,C} survives even though (A,C) was never emitted. component_id is
+    the minimum doc id reachable from each node (deterministic), and the
+    survivor is the node equal to its component id.
+
+    Algorithm: plain label propagation — label'(v) = min(label(v),
+    min over in-edges of label(u)) — iterated to fixpoint, ≤ graph
+    diameter rounds. Each round is one equi-join + one aggregate over the
+    PAIR graph (nodes that appear in some pair), not the corpus; near-dup
+    graphs are sparse and their components shallow, so rounds are few and
+    cheap. One driver action per round checks convergence (inherent to
+    iterative algorithms — same shape as Lloyd refinement); labels persist
+    per round and the previous round unpersists, so lineage doesn't grow
+    with iterations. Raises if the diameter exceeds ``max_iterations``
+    (silent partial convergence would merge too little — a correctness
+    bug, not a tuning knob).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            incoming = (
+                sym.join(labels, F.col("src") == F.col("id"))
+                .select(F.col("dst").alias("id"), "label")
+            )
+            new_labels = (
+                labels.unionByName(incoming)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+        out = labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            (F.col("id") == F.col("label")).alias("is_survivor"),
+        )
+        # materialize before releasing the label cache the plan reads from
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        labels.unpersist()
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

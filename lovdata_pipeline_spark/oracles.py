@@ -25,8 +25,11 @@ oracle-checked too — approximation is not nondeterminism:
 assignment, and probe selection exactly.
 """
 
-_SHINGLE_CTE = """
-WITH words AS (
+# Exact word-3-gram Jaccard pairs at threshold 0.8, as a reusable CTE
+# body (jac holds every co-occurring pair with its jaccard) so the
+# pair-emitting oracles AND the connected-components oracle share one
+# definition.
+_SHINGLE_BODY = """words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ),
 sh AS (
@@ -36,18 +39,24 @@ sh AS (
   FROM words
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-pairs AS (
+copairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
-FROM pairs
-JOIN sizes x ON doc_a = x.doc_id
-JOIN sizes y ON doc_b = y.doc_id
-WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard,
+         n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jv
+  FROM copairs
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+)"""
+
+_SHINGLE_CTE = f"""
+WITH {_SHINGLE_BODY}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jv >= 0.8
 ORDER BY doc_a, doc_b
 """
 
@@ -904,6 +913,29 @@ ORACLES["text_unigram_surprisal"] = r"""
 # Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
 # oracle so cross-round comparisons see both names (see queries.py registry).
 ORACLES["dedup_fingerprint_groups"] = ORACLES["dedup_vocab_fingerprint_groups"]
+
+# Dedup clusters: transitive closure of the MinHash pair graph via a
+# recursive CTE (reach(n, m) = m reachable from n), component id = min
+# reachable node, survivor = the node equal to its component id — the
+# exact semantics of the Spark label-propagation loop
+# (dedup.connected_components). Pairs come from the shared jaccard CTEs
+# (LSH recall ≈ 1 at these parameters — same equivalence as the
+# dedup_minhash_lsh oracle).
+ORACLES["dedup_components"] = f"""
+        WITH RECURSIVE {_SHINGLE_BODY},
+        good AS (SELECT doc_a, doc_b FROM jac WHERE jv >= 0.8),
+        sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM good
+          UNION ALL
+          SELECT doc_b AS a, doc_a AS b FROM good),
+        reach(n, m) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+        )
+        SELECT n AS doc_id, min(m) AS component_id, (n = min(m)) AS is_survivor
+        FROM reach GROUP BY n ORDER BY doc_id
+"""
 
 # BM25 pipeline as reusable CTEs (through the fixed-order score sum) so the
 # standalone ranking query and the hybrid-fusion query share one definition.

@@ -216,3 +216,35 @@ def test_simhash_df_cap_recovers_signal(spark):
     }
     assert (0, 20) in capped
     assert len(capped) < len(uncapped)  # the stopword-driven false pairs are gone
+
+
+def test_connected_components_transitive_closure(spark):
+    """A≈B and B≈C must land in ONE component with exactly one survivor
+    (min id), even though (A,C) was never emitted; disjoint pairs stay
+    separate; a lone pair has one survivor."""
+    from lovdata_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in connected_components(pairs).collect()}
+    assert {rows[n]["component_id"] for n in (3, 5, 7, 9)} == {3}
+    assert [n for n in (3, 5, 7, 9) if rows[n]["is_survivor"]] == [3]
+    assert rows[20]["component_id"] == 20 and rows[21]["component_id"] == 20
+    assert sum(r["is_survivor"] for r in rows.values()) == 2
+
+
+def test_connected_components_diameter_guard(spark):
+    """Non-convergence within max_iterations must raise, not silently
+    under-merge (partial labels would drop duplicates)."""
+    import pytest as _pytest
+
+    from lovdata_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
+    rows = connected_components(chain, max_iterations=30).collect()
+    assert {r["component_id"] for r in rows} == {0}
