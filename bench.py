@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
