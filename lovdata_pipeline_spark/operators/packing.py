@@ -45,7 +45,17 @@ def pack_into_shards(
         if num_partitions is not None
         else parts.repartitionByRange(F.col(id_col))
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # PIN the range partitioning before anything reads it. Each action
+    # re-plans the physical Exchange, and RangePartitioner boundaries come
+    # from reservoir sampling (plus AQE coalescing with no explicit
+    # partition count) — two executions can legally disagree once upstream
+    # exceeds the sample size. Persisting makes the first physical plan an
+    # InMemoryRelation both phases (and any cache-miss recomputation) read,
+    # so _pid is one consistent assignment; it also keeps the corpus scan
+    # single-pass. Released before return, same cache+count discipline as
+    # ngram_jaccard_pairs.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid.count()
 
     # phase 1: k subtotal rows — the ONLY driver materialization.
     # range partitioner maps ascending id ranges to ascending partition
@@ -73,11 +83,14 @@ def pack_into_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(token_col).over(local_w), F.lit(0)) + F.col("_offset")
-    return (
+    result = (
         with_pid.join(F.broadcast(offset_df), "_pid")
         .select(
             F.col(id_col),
             F.col(token_col),
             F.floor(cum_before / F.lit(budget)).cast("long").alias("shard_id"),
         )
-    )
+    ).cache()
+    result.count()
+    with_pid.unpersist()
+    return result
