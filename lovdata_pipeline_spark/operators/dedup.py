@@ -260,16 +260,31 @@ def minhash_lsh_pairs(
 
     ``df_cap`` is the hot-bucket skew guard (the fix SCALING.md names):
     shingles present in more than that fraction of documents are dropped
-    BEFORE signature computation, via a broadcast anti-join against the
-    (tiny) hot-shingle set. Boilerplate shingles shared by a large slice
-    of the corpus otherwise align minhash rows across that whole slice,
-    and one band bucket holding m docs costs an m² bucket join — the
-    classic LSH skew failure at 100 TB. The cap only shrinks the
-    CANDIDATE space; the verify step still computes exact Jaccard over
-    the FULL shingle sets, so reported pairs/scores are unchanged
-    wherever banding recall holds (pinned at sf0.01 — capped and
-    uncapped both return the exact 25-pair truth set — by
-    test_minhash_df_cap_pairs_identical). ``None`` disables.
+    BEFORE signature computation. The hot set is bounded by construction
+    (at cap c, at most avg_shingles_per_doc / c distinct shingles can
+    exceed it — a few thousand even at 100 TB), so it collects to the
+    driver and the drop is a codegen ``isin`` filter; when the corpus has
+    no hot shingles (the common case) the guard costs one aggregate over
+    the cached shingle frame and nothing else. Boilerplate shingles
+    shared by a large slice of the corpus otherwise align minhash rows
+    across that whole slice, and one band bucket holding m docs costs an
+    m² bucket join — the classic LSH skew failure at 100 TB.
+
+    Recall guard (r3 ADVICE): a document whose EVERY shingle is hot would
+    lose its entire signature and could never become a candidate — and
+    all-boilerplate docs are precisely the heaviest duplicate clusters.
+    Docs left with zero post-cap shingles are therefore routed through an
+    exact set-hash: identical full shingle sets (Jaccard 1.0) become
+    candidates via an equi-join on xxhash64(sorted shingle set). Dropped
+    docs with *different* all-hot shingle sets remain un-candidated —
+    the one residual recall trade, documented in SCALING.md. The cap only
+    shrinks the CANDIDATE space; the verify step still computes exact
+    Jaccard over the FULL shingle sets, so reported pairs/scores are
+    unchanged wherever banding recall holds (pinned at sf0.01 — capped
+    and uncapped both return the exact 25-pair truth set — by
+    test_minhash_df_cap_pairs_identical; the zero-survivor route is
+    pinned by test_minhash_df_cap_all_hot_docs_recovered). ``None``
+    disables.
 
     Shingles are xxhash64-compressed to longs first (8-byte shuffle keys;
     Jaccard is collision-immune in practice — see ngram_jaccard_pairs),
@@ -279,15 +294,52 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = hashed_word_shingles(docs, text_col, id_col, n).cache()
     sh_for_sig = sh
+    extra_cand = None
     if df_cap is not None:
         n_docs = docs.count()  # parquet metadata count: no scan
-        hot = (
-            sh.groupBy("shingle")
+        hot_list = [
+            r["shingle"]
+            for r in sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap * n_docs)
             .select("shingle")
-        )
-        sh_for_sig = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            .collect()
+        ]
+        if hot_list:
+            sh_for_sig = sh.filter(~F.col("shingle").isin(hot_list))
+            # zero-survivor recall guard: docs whose whole shingle set was
+            # hot re-enter candidacy through an exact set-hash equi-join
+            # (identical sets ⇒ Jaccard 1.0 ≥ any threshold; verify step
+            # recomputes the exact score either way).
+            survivors = sh_for_sig.select(id_col).distinct()
+            set_hash = (
+                sh.join(
+                    sh.select(id_col).distinct()
+                    .join(survivors, id_col, "left_anti"),
+                    id_col,
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list("shingle")),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("set_hash")
+                )
+            )
+            extra_cand = (
+                set_hash.select(F.col(id_col).alias("doc_a"), "set_hash")
+                .join(
+                    set_hash.select(F.col(id_col).alias("doc_b"), "set_hash"),
+                    "set_hash",
+                )
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
     sig = minhash_signatures(sh_for_sig, id_col, num_hashes)
 
     band_arr = F.transform(
@@ -312,8 +364,10 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
+    if extra_cand is not None:
+        cand = cand.unionByName(extra_cand)
+    cand = cand.distinct()
 
     # verify candidates with exact jaccard on the same shingle sets;
     # same eager cache+count / release pattern as ngram_jaccard_pairs

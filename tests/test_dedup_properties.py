@@ -186,6 +186,30 @@ def test_minhash_df_cap_drops_boilerplate_but_keeps_pairs(spark):
     assert max_df > 0.3 * len(texts)
 
 
+def test_minhash_df_cap_all_hot_docs_recovered(spark):
+    """r3 ADVICE recall guard: a duplicate cluster whose EVERY shingle
+    exceeds the cap (pure boilerplate duplicated across most of the
+    corpus — the heaviest cluster dedup exists to remove) loses its whole
+    signature, so banding alone could never pair it. The zero-survivor
+    set-hash route must recover those pairs at Jaccard 1.0."""
+    from lovdata_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "terms of service apply to all users of this web site always"
+    texts = [boiler] * 10 + [
+        f"unique content about topic {i} with clearly distinct wording number {i}"
+        for i in range(2)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # every boilerplate shingle has df = 10/12 > 0.5: all hot, zero survivors
+    rows = minhash_lsh_pairs(docs, threshold=0.8, df_cap=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    want = {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert got == want
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
 def test_simhash_df_cap_recovers_signal(spark):
     """The simhash df_cap targets stopword-flooded corpora: when a
     ubiquitous filler token dominates every document's vote, all
