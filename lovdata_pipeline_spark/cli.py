@@ -159,8 +159,16 @@ def cmd_search(args) -> int:
         query_vec = provider([args.query])[0]
         return cosine_topk(chunks, query_vec, k=k, id_col="chunk_id", vec_col="embedding")
 
+    terms = [t for t in args.query.lower().split() if t]
+    if not terms and mode == "keyword":
+        # a whitespace-only query has no lexical signal; mirror the
+        # empty-store behavior instead of letting bm25_topk raise
+        print(json.dumps({"results": []}))
+        return 0
+    if not terms and mode == "hybrid":
+        mode = "vector"  # degrade gracefully: the vector arm still works
+
     def keyword_top(k):
-        terms = [t for t in args.query.lower().split() if t]
         return bm25_topk(chunks, terms, k=k, id_col="chunk_id", text_col="content")
 
     if mode == "vector":

@@ -47,8 +47,17 @@ def stratified_sample(
     ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
     listed keep ``default_rate``. The plan is a single filter — no
     shuffle, no RNG, no driver state.
+
+    The keep decision compares the hash against an INTEGER threshold
+    ``round(frac * DENOM)`` fixed once per stratum on the driver
+    (r3 ADVICE): a float product like ``0.07 * 10000`` evaluates to
+    700.0000000000001 in binary, so an engine replaying the decision in
+    decimal arithmetic would flip rows hashing exactly to the boundary.
+    Integer-vs-integer comparison is bit-identical on every engine.
     """
-    rate = F.lit(float(default_rate))
+    threshold = F.lit(int(round(float(default_rate) * DENOM)))
     for value, frac in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(rate)
-    return df.filter(portable_rate_hash(F.col(key_col), seed) < rate * DENOM)
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(float(frac) * DENOM)))
+        ).otherwise(threshold)
+    return df.filter(portable_rate_hash(F.col(key_col), seed) < threshold)

@@ -725,15 +725,18 @@ ORACLES: dict[str, str] = {
     "stratified_sample_orders": """
         SELECT o_orderkey, o_orderpriority
         FROM orders
+        -- integer thresholds = round(rate * 10000), mirroring the Spark
+        -- side's per-stratum driver-fixed integers (no float product at
+        -- the comparison boundary on either engine)
         WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS UBIGINT)
               % 10000
-              < 10000 * (CASE o_orderpriority
-                           WHEN '1-URGENT' THEN 0.5
-                           WHEN '2-HIGH' THEN 0.25
-                           WHEN '3-MEDIUM' THEN 0.1
-                           WHEN '4-NOT SPECIFIED' THEN 0.05
-                           WHEN '5-LOW' THEN 0.02
-                           ELSE 0.0 END)
+              < (CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 5000
+                   WHEN '2-HIGH' THEN 2500
+                   WHEN '3-MEDIUM' THEN 1000
+                   WHEN '4-NOT SPECIFIED' THEN 500
+                   WHEN '5-LOW' THEN 200
+                   ELSE 0 END)
         ORDER BY o_orderkey
     """,
     # BM25 top-20 (operators/search.py): Lucene-style idf/tf-saturation,

@@ -54,6 +54,18 @@ def test_search_modes_return_results(spark, store_path, mode, capsys):
     assert scores == sorted(scores, reverse=True)
 
 
+@pytest.mark.parametrize("mode", ["keyword", "hybrid"])
+def test_whitespace_query_degrades_cleanly(spark, store_path, mode, capsys):
+    """r3 ADVICE: a whitespace-only query must not escape as a
+    bm25_topk ValueError. Keyword mode mirrors the empty-store answer
+    ({"results": []}); hybrid falls back to its vector arm."""
+    out = _run(store_path, mode, "   ", capsys)
+    if mode == "keyword":
+        assert out["results"] == []
+    else:
+        assert out["results"]  # vector arm still ranks
+
+
 def test_keyword_mode_ranks_matching_chunk_first(spark, store_path, capsys):
     """A query term that appears in the corpus must surface a chunk
     actually containing it at rank 1 (BM25 is content-grounded where the

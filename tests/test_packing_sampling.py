@@ -85,6 +85,31 @@ def test_stratified_sample_rates_roughly_hold(spark):
     assert 0.3 * total <= kept <= 0.7 * total
 
 
+def test_stratified_sample_integer_boundary(spark):
+    """r3 ADVICE: a rate whose float product is inexact (0.07 * 10000 =
+    700.0000000000001) must not flip rows hashing exactly to the
+    threshold. The decision compares against the driver-fixed INTEGER
+    round(rate*DENOM), so a key hashing to exactly 700 is excluded at
+    rate 0.07 on every engine — verified against a pure-Python decimal
+    replica of the decision."""
+    import hashlib
+
+    from lovdata_pipeline_spark.operators.sampling import DENOM
+
+    def h(key: int) -> int:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % DENOM
+
+    boundary = next(k for k in range(100_000) if h(k) == 700)
+    keys = [boundary] + [k for k in range(200) if h(k) != 700]
+    df = spark.createDataFrame([(k, "s") for k in keys], "key long, stratum string")
+    kept = {
+        r["key"]
+        for r in stratified_sample(df, {"s": 0.07}, "stratum", "key").collect()
+    }
+    assert boundary not in kept  # 700 < 700 is false — no float fuzz
+    assert kept == {k for k in keys if h(k) < 700}  # exact replica agreement
+
+
 def test_repetition_signals_detect_stutter(spark):
     """A stuttered doc must score a LOWER distinct-word ratio and a
     HIGHER top-bigram fraction than honest prose; empty text is (0,0,0)."""
