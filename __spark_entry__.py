@@ -3,10 +3,11 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data extensions, as (spark, sf_dir) callables.
-``oracle_sql()``— exact DuckDB equivalents for every query except the
-                  engine-specific sketch aggregates (agg_approx_stats),
-                  which get the driver's rows-only check. As of r3 that
-                  includes the chunk/embed/enrich pipelines, both ANN
+``oracle_sql()``— DuckDB equivalents for EVERY query as of r4: the
+                  engine-specific sketch aggregates (agg_approx_stats)
+                  emit a tolerance-band verdict whose oracle asserts the
+                  bands, so even sketches hash-check as real pass/fail.
+                  Includes the chunk/embed/enrich pipelines, both ANN
                   scale paths, and the LLM-curation/retrieval operators.
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is

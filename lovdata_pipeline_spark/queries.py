@@ -805,16 +805,42 @@ def ann_topk_ivf(spark, sf_dir):
 
 def agg_approx_stats(spark, sf_dir):
     """Sketch-based aggregates (HLL distinct, quantile sketch) — the
-    100 TB forms of countDistinct/percentile. Sketches are engine-
-    specific → rows-only check; exact twins are oracle-checked in
-    agg_distinct_counts."""
+    100 TB forms of countDistinct/percentile — graded as a TOLERANCE-BAND
+    verdict (r3 VERDICT #1). Raw sketch values are engine-specific, so
+    the query emits the *banded comparison* instead: per group, the exact
+    distinct count plus booleans asserting each sketch landed inside its
+    documented error bound. The oracle recomputes the exact count and
+    asserts the verdicts TRUE, so the driver hash-checks a real
+    pass/fail, not sketch internals.
+
+    Bands: approx_count_distinct's default relativeSD is 0.05 — the
+    band is 4×rsd (|approx−exact| ≤ 0.20·exact, a ≥4-sigma allowance;
+    observed excursions reach 1.7σ). percentile_approx's default
+    accuracy 10000 guarantees rank error ≤ 1e-4 — the band brackets the
+    sketch value between exact percentiles at q ± 1e-3, 10× the
+    guarantee. The exact arms (count_distinct + exact percentile) exist
+    to VERIFY the sketches and share the one hash aggregate; production
+    callers at 100 TB run the sketch columns alone."""
     (li,) = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("ap99"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.499, 0.501, 0.989, 0.991))"
+        ).alias("ex"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-            F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+        agg.select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.20 * F.col("exact_orders")
+            ).alias("orders_in_band"),
+            F.col("ap50").between(F.col("ex")[0], F.col("ex")[1]).alias("p50_in_band"),
+            F.col("ap99").between(F.col("ex")[2], F.col("ex")[3]).alias("p99_in_band"),
         )
         .orderBy("l_returnflag")
     )
