@@ -521,61 +521,174 @@ def connected_components(
     the minimum doc id reachable from each node (deterministic), and the
     survivor is the node equal to its component id.
 
-    Algorithm: plain label propagation — label'(v) = min(label(v),
-    min over in-edges of label(u)) — iterated to fixpoint, ≤ graph
-    diameter rounds. Each round is one equi-join + one aggregate over the
-    PAIR graph (nodes that appear in some pair), not the corpus; near-dup
-    graphs are sparse and their components shallow, so rounds are few and
-    cheap. One driver action per round checks convergence (inherent to
-    iterative algorithms — same shape as Lloyd refinement); labels persist
-    per round and the previous round unpersists, so lineage doesn't grow
-    with iterations. Raises if the diameter exceeds ``max_iterations``
-    (silent partial convergence would merge too little — a correctness
-    bug, not a tuning knob).
+    Algorithm (r4, replacing plain O(diameter) label propagation —
+    r3 VERDICT #3): min-label propagation WITH per-round pointer jumping
+    (path halving). Each round computes label'(v) = min over v and its
+    neighbors of their labels, then shortcuts label''(v) =
+    label'(label'(v)) — the pointer-doubling step that collapses label
+    chains geometrically, so a path component of n nodes (the
+    pathological templated-boilerplate chain) converges in O(log n)
+    rounds instead of n (pinned: a 5000-node path converges within 15
+    rounds by test_connected_components_path_graph_log_rounds).
+
+    Correctness invariants: labels only decrease, label(v) ≤ v, and
+    label(v) is always the id of a node in v's component (propagation
+    reads neighbors; jumping reads the label's own label — both stay in
+    the component). At fixpoint labels are edge-constant and the
+    component minimum labels itself, so the contract — component_id =
+    min reachable id — is unchanged, as is the recursive-CTE oracle.
+
+    Each round is one equi-join + aggregate (propagation) and one
+    self-join on the label table (the jump). One driver action per round
+    checks convergence (inherent to iterative algorithms — same shape
+    as Lloyd refinement). The round's label table materializes via
+    ``localCheckpoint`` — persist alone caches DATA but the LOGICAL plan
+    would still nest (the jump references the round plan twice →
+    O(4^rounds) analyzer nodes, a driver OOM right at the log-round
+    counts this algorithm exists for); the checkpoint truncates lineage
+    so every round's plan is constant-size. Old rounds' blocks are
+    released by the ContextCleaner as references drop. On a multi-node
+    cluster, executor loss makes a localCheckpoint block unrecoverable
+    and FAILS the job loudly (rerun; for long jobs configure
+    ``setCheckpointDir`` and swap in reliable ``checkpoint`` — same
+    trade documented for the store rewrite in SCALING.md). Raises if
+    ``max_iterations`` rounds don't converge (silent partial
+    convergence would merge too little — a correctness bug, not a
+    tuning knob).
     """
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
-    labels.count()
-    try:
-        for _ in range(max_iterations):
-            incoming = (
-                sym.join(labels, F.col("src") == F.col("id"))
-                .select(F.col("dst").alias("id"), "label")
-            )
-            new_labels = (
-                labels.unionByName(incoming)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-            ).persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} rounds"
-            )
-        out = labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("label").alias("component_id"),
-            (F.col("id") == F.col("label")).alias("is_survivor"),
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        incoming = (
+            sym.join(labels, F.col("src") == F.col("id"))
+            .select(F.col("dst").alias("id"), "label")
         )
-        # materialize before releasing the label cache the plan reads from
-        out = out.cache()
-        out.count()
-        return out
-    finally:
-        labels.unpersist()
+        merged = (
+            labels.unionByName(incoming)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = merged.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            merged.alias("m")
+            .join(jump.alias("j"), F.col("m.label") == F.col("j.jid"), "left")
+            .select(
+                F.col("m.id").alias("id"),
+                F.least(
+                    F.col("m.label"),
+                    F.coalesce(F.col("j.jlabel"), F.col("m.label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = (  # first job over new_labels also materializes its checkpoint
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# substring-level (span) duplication
+# --------------------------------------------------------------------------
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_anchors: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-SPAN detection between document pairs — the substring-
+    level dedup family ("Deduplicating Training Data Makes Language
+    Models Better": exact repeated passages, boilerplate headers, quoted
+    blocks) that whole-document similarity can't localize.
+
+    (doc_a, doc_b, a_start, a_end, b_start, b_end, n_anchors): maximal
+    runs of ≥ ``min_anchors`` matched winnowing anchors on one character-
+    offset diagonal, with 1-based inclusive char bounds in both docs.
+
+    Why this is both recall-complete and scale-safe:
+      * winnowing guarantees any shared substring of length ≥ k + w − 1
+        chars yields a shared fingerprint, and inside a shared region
+        both docs SELECT THE SAME relative positions (selection is a
+        pure function of local window content) — so a duplicated span
+        appears as matched anchors at constant pos_a − pos_b, at most
+        ``w`` chars apart;
+      * candidates come from an EQUI-join on fingerprint over the
+        winnow-sampled anchors (~2/(w+1) of positions) — never all-pairs,
+        never unsampled k-gram postings;
+      * run assembly is gaps-and-islands over (doc_a, doc_b, diagonal)
+        partitions — each partition is one candidate pair's anchors, so
+        the windows are small and skew-free.
+
+    Chance fingerprint collisions land on scattered diagonals and are
+    killed by ``min_anchors`` (3 anchors ⇒ span ≳ k + 2 shared chars in
+    practice; raise for stricter precision). The detected span is the
+    anchor hull: boundaries are tight to within w + k − 2 chars of the
+    true shared extent (winnowing's localization granularity).
+
+    Reference parity: the reference pipeline has no span-level dedup
+    (nothing comparable anywhere in martgra/lovdata-pipeline); this is
+    part of the training-data extension surface, anchored on the same
+    primitive the oracle-checked ``text_winnowing`` pins.
+    """
+    from lovdata_pipeline_spark.operators.textstats import winnowing_anchors
+
+    anc = winnowing_anchors(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    a = anc.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "fingerprint"
+    )
+    b = anc.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "fingerprint"
+    )
+    matched = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    run_w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    gap = F.col("pos_a") - F.lag("pos_a").over(run_w)
+    islands = matched.withColumn(
+        "brk", F.when(gap.isNull() | (gap > w), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("brk").over(run_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + F.lit(k - 1)).alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") + F.lit(k - 1)).alias("b_end"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select(
+            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "n_anchors"
+        )
+    )
 
 
 # --------------------------------------------------------------------------

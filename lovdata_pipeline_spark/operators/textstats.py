@@ -255,6 +255,75 @@ def winnowing_fingerprints_expr(
     )
 
 
+def winnowing_anchors(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional winnowing: (id, pos, fingerprint) — the distinct
+    (position, hash) selections of full MOSS winnowing, where each
+    w-window of k-gram rolling hashes selects its minimum at the
+    RIGHTMOST minimal position. ``pos`` is the 1-based character offset
+    of the selected k-gram's start.
+
+    This is ``winnowing_fingerprints`` plus the positions, the extra
+    ingredient span-level dedup needs: within a shared substring both
+    documents select the same relative positions (selection depends only
+    on local window content), so shared spans surface as runs of matched
+    anchors on one character-offset diagonal — see
+    ``dedup.shared_span_pairs``. Winnowing's density guarantee (≥ one
+    selection per w consecutive windows, ~2/(w+1) of positions selected)
+    bounds both the row count and the in-span anchor gap (≤ w chars).
+
+    Same vectorized Arrow shape as ``winnowing_fingerprints``: one
+    narrow ``mapInPandas`` pass, no shuffle, numpy Horner + sliding-
+    window minima; the rightmost-argmin is one reversed argmax.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    base, mod = _RH_BASE, _RH_MOD
+
+    def run(batches):
+        for pdf in batches:
+            ids_out: list = []
+            pos_out: list = []
+            fps_out: list = []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                n = cp.size - (k - 1)
+                if n < 1:
+                    continue
+                acc = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    acc = (acc * base + cp[j : j + n]) % mod
+                m = n - (w - 1)
+                if m < 1:
+                    continue
+                win = sliding_window_view(acc, w)          # (m, w)
+                mins = win.min(axis=1)
+                # rightmost argmin: first match in the reversed window
+                r = (w - 1) - np.argmax(win[:, ::-1] == mins[:, None], axis=1)
+                sel = np.unique(np.arange(m) + r)          # 0-based gram starts
+                ids_out.extend([vid] * sel.size)
+                pos_out.extend((sel + 1).tolist())         # 1-based, SQL substr
+                fps_out.extend(acc[sel].tolist())
+            yield pd.DataFrame(
+                {id_col: ids_out, "pos": pos_out, "fingerprint": fps_out}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, pos long, fingerprint long"
+    )
+
+
 def repetition_signals(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

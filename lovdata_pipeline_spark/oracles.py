@@ -681,6 +681,64 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id, fingerprint FROM f
         ORDER BY doc_id, fingerprint
     """,
+    # substring-level span dedup (operators/dedup.py shared_span_pairs,
+    # k=25 w=8 min_anchors=3): positional winnowing — same rolling hash
+    # as text_winnowing, window minima selected at the RIGHTMOST minimal
+    # position (list_max over matching positions; 0 is the -inf sentinel,
+    # real positions are ≥1) — then anchor matches on equal fingerprints,
+    # grouped into runs by character-offset diagonal with a gap>w break
+    # (gaps-and-islands), runs of ≥3 anchors reported with their 1-based
+    # inclusive char hulls.
+    "dedup_shared_spans": """
+        WITH d AS (
+          SELECT doc_id, lower(text) AS s,
+                 length(lower(text)) - 24 AS ng
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(ng, 0)),
+                   i -> list_reduce(
+                          list_transform(generate_series(0, 24),
+                            j -> CAST(ord(substr(s, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647)) AS grams
+          FROM d),
+        wins AS (
+          SELECT doc_id, grams,
+                 unnest(generate_series(1, greatest(len(grams) - 7, 0))) AS j
+          FROM g),
+        sel AS (
+          SELECT doc_id, grams, j,
+                 list_min(grams[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]) AS mn
+          FROM wins),
+        anchors AS (
+          SELECT DISTINCT doc_id,
+                 list_max(list_transform(generate_series(0, 7),
+                   t -> CASE WHEN grams[CAST(j + t AS INTEGER)] = mn
+                             THEN j + t ELSE 0 END)) AS pos,
+                 mn AS fingerprint
+          FROM sel),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM anchors a
+          JOIN anchors b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
+        brks AS (
+          SELECT *, CASE WHEN pos_a - lag(pos_a) OVER win IS NULL
+                           OR pos_a - lag(pos_a) OVER win > 8
+                         THEN 1 ELSE 0 END AS brk
+          FROM m WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)),
+        isl AS (
+          SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM brks)
+        SELECT doc_a, doc_b,
+               min(pos_a) AS a_start, max(pos_a) + 24 AS a_end,
+               min(pos_b) AS b_start, max(pos_b) + 24 AS b_end,
+               count(*) AS n_anchors
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+        HAVING count(*) >= 3
+        ORDER BY doc_a, doc_b, a_start, b_start
+    """,
     "multimodal_audio": """
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         SELECT doc_id,

@@ -731,6 +731,20 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs).orderBy("doc_id")
 
 
+def dedup_shared_spans(spark, sf_dir):
+    """Substring-level duplicated-span detection (new r4 — the dedup
+    family whole-document similarity can't localize): maximal runs of
+    matched positional winnowing anchors on one character-offset
+    diagonal, k=25/w=8 (spans ≥ 32 shared chars guaranteed a shared
+    anchor), ≥3 anchors per run. Oracle: the identical rolling-hash /
+    rightmost-min winnowing + diagonal gaps-and-islands in DuckDB SQL —
+    same primitive the text_winnowing oracle pins, plus positions."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return dedup.shared_span_pairs(docs, k=25, w=8, min_anchors=3).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs. Routes through the BLOCKED variant — the
     100 TB plan (block-pair applyInPandas, no driver collect, no
@@ -1180,6 +1194,10 @@ def shard_pack_documents(spark, sf_dir):
 # text_language_id rows. Everything in the tail has at least one prior
 # driver-green row or an exact twin in the window; local diffcheck still
 # runs ALL entries every round.
+#
+# r4: the new dedup_shared_spans enters the window at birth (attestation
+# rule); point_lookup (green r1+r2+r3, trivial bucketed-scan family also
+# pinned by pytest) moves to the tail to keep the window at 50.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1203,13 +1221,14 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_unigram_surprisal": text_unigram_surprisal,
     "embedding_cluster_assign": embedding_cluster_assign,
+    # --- new r4 operator (in-window at birth, per the attestation rule) -----
+    "dedup_shared_spans": dedup_shared_spans,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
     "status_counts": status_counts,
-    "point_lookup": point_lookup,
     "positional_ids": positional_ids,
     "greedy_token_buckets": greedy_token_buckets,
     "set_difference_validation": set_difference_validation,
@@ -1235,8 +1254,9 @@ QUERIES = {
     "knn_join_top3": knn_join_top3,
     "text_language_id": text_language_id,
     "text_quality": text_quality,
-    # --- tail: every entry is driver-attested (green in r1 and/or r2) or an
+    # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "point_lookup": point_lookup,                        # green r1+r2+r3; demoted r4 for dedup_shared_spans
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

@@ -242,6 +242,57 @@ def test_simhash_df_cap_recovers_signal(spark):
     assert len(capped) < len(uncapped)  # the stopword-driven false pairs are gone
 
 
+def test_shared_spans_localize_duplicated_passage(spark):
+    """The detected char hull must contain the planted shared passage in
+    BOTH documents (at different offsets), and unrelated docs must emit
+    nothing. Bounds are 1-based inclusive."""
+    from lovdata_pipeline_spark.operators.dedup import shared_span_pairs
+
+    passage = "this exact boilerplate passage is repeated verbatim across documents"
+    t1 = f"unique preamble alpha. {passage} trailing alpha text here."
+    t2 = f"different opening beta content -- {passage} and then beta diverges."
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "completely unrelated filler with nothing shared")],
+        "doc_id long, text string",
+    )
+    rows = shared_span_pairs(docs, k=8, w=4, min_anchors=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+    # one island covering the passage; hull is within winnowing's w+k-2
+    # localization granularity of the true extent and never overshoots
+    # into text that differs
+    (r,) = rows
+    span_a = t1[r.a_start - 1 : r.a_end].lower()
+    span_b = t2[r.b_start - 1 : r.b_end].lower()
+    assert span_a == span_b  # the hulls cut the SAME shared text
+    assert passage[10:-10] in span_a  # covers the passage interior
+    assert r.n_anchors >= 3
+
+
+def test_shared_spans_anchor_parity_with_winnowing(spark):
+    """winnowing_anchors must select a SUBSET-free positional refinement
+    of winnowing_fingerprints: the distinct (id, fingerprint) projection
+    of the positional variant equals the pinned fingerprint primitive
+    (same k/w), so the span operator inherits text_winnowing's oracle-
+    checked hash semantics."""
+    from lovdata_pipeline_spark.operators.textstats import (
+        winnowing_anchors,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    got = set(
+        map(
+            tuple,
+            winnowing_anchors(docs, k=8, w=4)
+            .select("doc_id", "fingerprint")
+            .distinct()
+            .collect(),
+        )
+    )
+    want = set(map(tuple, winnowing_fingerprints(docs, k=8, w=4).collect()))
+    assert got == want and got
+
+
 def test_connected_components_transitive_closure(spark):
     """A≈B and B≈C must land in ONE component with exactly one survivor
     (min id), even though (A,C) was never emitted; disjoint pairs stay
@@ -272,3 +323,20 @@ def test_connected_components_diameter_guard(spark):
         connected_components(chain, max_iterations=1)
     rows = connected_components(chain, max_iterations=30).collect()
     assert {r["component_id"] for r in rows} == {0}
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """r3 VERDICT #3: the pathological case for label propagation is a
+    long path (templated boilerplate chains), O(diameter) rounds. With
+    pointer jumping a 5000-node path must converge within 15 rounds
+    (≈ log2 n + confirm) — under plain propagation this needs ~5000."""
+    from lovdata_pipeline_spark.operators.dedup import connected_components
+
+    n = 5000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(path, max_iterations=15).collect()
+    assert len(rows) == n
+    assert {r["component_id"] for r in rows} == {0}
+    assert sum(r["is_survivor"] for r in rows) == 1
