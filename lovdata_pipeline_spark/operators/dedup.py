@@ -691,6 +691,108 @@ def shared_span_pairs(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated spans out of the NON-canonical copies — the actual
+    removal step of substring-level dedup ("Deduplicating Training Data
+    Makes Language Models Better" removes the repeated passage, it
+    doesn't drop whole documents). Every span pair keeps doc_a's
+    occurrence (the lower id is canonical, matching the min-id survivor
+    convention of ``connected_components``) and schedules the doc_b
+    char range [b_start, b_end] for removal.
+
+    Returns one row per input document: (id, n_cut_regions,
+    n_chars_removed, clean_hash) where clean_hash = md5 of the text
+    with removal regions spliced out (untouched docs hash their
+    original text). The narrow hash output keeps the frame small; the
+    splice itself is exposed because callers rewriting a corpus want
+    the text — use ``.withColumn`` on the same plan if needed.
+
+    Plan shape (scale-graded): removal ranges for one doc merge with
+    windowed gaps-and-islands (running max of interval end; new island
+    when a range starts past it) — per-doc partitions, pure codegen, no
+    higher-order folds; kept segments between merged ranges splice back
+    with substring + an order-pinned array_join. Nothing ever shuffles
+    except by doc id, and docs without spans pass through a left join.
+    """
+    b = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    )
+    # merge overlapping/adjacent removal ranges: island = #starts seen
+    # that open past the running max end so far (gaps-and-islands)
+    ord_w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(ord_w.rowsBetween(Window.unboundedPreceding, -1))
+    ranged = b.withColumn(
+        "brk", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("brk").over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = ranged.groupBy(id_col, "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    # kept segment BEFORE each merged range, in one pass over the ranges
+    seg_w = Window.partitionBy(id_col).orderBy("s")
+    cuts = merged.withColumn(
+        "keep_from", F.coalesce(F.lag("e").over(seg_w) + 1, F.lit(1))
+    )
+    docs_sel = docs.select(id_col, F.col(text_col).alias("_text"))
+    pieces = cuts.join(docs_sel, id_col).select(
+        id_col,
+        F.col("keep_from").alias("start"),
+        F.expr(f"substring(_text, keep_from, s - keep_from)").alias("piece"),
+        (F.col("e") - F.col("s") + 1).alias("removed"),
+    )
+    # tail segment after the LAST merged range, one row per affected doc
+    tails = (
+        merged.groupBy(id_col)
+        .agg(F.max("e").alias("last_e"), F.count("*").alias("n_cut_regions"))
+        .join(docs_sel, id_col)
+        .select(
+            id_col,
+            F.col("last_e").alias("_last_e"),
+            F.col("n_cut_regions"),
+            F.expr("substring(_text, last_e + 1)").alias("tail_piece"),
+        )
+    )
+    clean = (
+        pieces.groupBy(id_col)
+        .agg(
+            F.sum("removed").alias("n_chars_removed"),
+            # collect_list order is partition-nondeterministic; array_sort
+            # on the struct's leading start field pins the splice order
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("head_text"),
+        )
+        .join(tails, id_col)
+        .select(
+            id_col,
+            "n_cut_regions",
+            "n_chars_removed",
+            F.concat(F.col("head_text"), F.col("tail_piece")).alias("_clean"),
+        )
+    )
+    return (
+        docs_sel.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_cut_regions", F.lit(0)).alias("n_cut_regions"),
+            F.coalesce("n_chars_removed", F.lit(0)).alias("n_chars_removed"),
+            F.md5(F.coalesce(F.col("_clean"), F.col("_text"))).alias("clean_hash"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

@@ -688,57 +688,9 @@ ORACLES: dict[str, str] = {
     # real positions are ≥1) — then anchor matches on equal fingerprints,
     # grouped into runs by character-offset diagonal with a gap>w break
     # (gaps-and-islands), runs of ≥3 anchors reported with their 1-based
-    # inclusive char hulls.
-    "dedup_shared_spans": """
-        WITH d AS (
-          SELECT doc_id, lower(text) AS s,
-                 length(lower(text)) - 24 AS ng
-          FROM documents),
-        g AS (
-          SELECT doc_id,
-                 list_transform(generate_series(1, greatest(ng, 0)),
-                   i -> list_reduce(
-                          list_transform(generate_series(0, 24),
-                            j -> CAST(ord(substr(s, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
-                          (acc, x) -> (acc * 257 + x) % 2147483647)) AS grams
-          FROM d),
-        wins AS (
-          SELECT doc_id, grams,
-                 unnest(generate_series(1, greatest(len(grams) - 7, 0))) AS j
-          FROM g),
-        sel AS (
-          SELECT doc_id, grams, j,
-                 list_min(grams[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]) AS mn
-          FROM wins),
-        anchors AS (
-          SELECT DISTINCT doc_id,
-                 list_max(list_transform(generate_series(0, 7),
-                   t -> CASE WHEN grams[CAST(j + t AS INTEGER)] = mn
-                             THEN j + t ELSE 0 END)) AS pos,
-                 mn AS fingerprint
-          FROM sel),
-        m AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
-          FROM anchors a
-          JOIN anchors b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
-        brks AS (
-          SELECT *, CASE WHEN pos_a - lag(pos_a) OVER win IS NULL
-                           OR pos_a - lag(pos_a) OVER win > 8
-                         THEN 1 ELSE 0 END AS brk
-          FROM m WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)),
-        isl AS (
-          SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
-                                   ROWS UNBOUNDED PRECEDING) AS island
-          FROM brks)
-        SELECT doc_a, doc_b,
-               min(pos_a) AS a_start, max(pos_a) + 24 AS a_end,
-               min(pos_b) AS b_start, max(pos_b) + 24 AS b_end,
-               count(*) AS n_anchors
-        FROM isl GROUP BY doc_a, doc_b, diag, island
-        HAVING count(*) >= 3
-        ORDER BY doc_a, doc_b, a_start, b_start
-    """,
+    # inclusive char hulls. Shared via _SPAN_CTES with the removal oracle.
+    "dedup_shared_spans": None,  # assigned below from _SPAN_CTES
+    "dedup_remove_spans": None,  # assigned below from _SPAN_CTES
     "multimodal_audio": """
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         SELECT doc_id,
@@ -1046,6 +998,113 @@ _BM25_CTES = r"""tok AS (
 ORACLES["text_bm25_search"] = f"""
         WITH {_BM25_CTES}
         SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id
+"""
+
+# Positional winnowing + diagonal span assembly as reusable CTEs (through
+# the `spans` hull table) so the span-report query and the span-removal
+# query share one definition. k=25 (hash over 25 chars), w=8 (windows of
+# 8 grams), min 3 anchors per run — mirrors shared_span_pairs' registry
+# parameters.
+_SPAN_CTES = """d AS (
+          SELECT doc_id, lower(text) AS s,
+                 length(lower(text)) - 24 AS ng
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(ng, 0)),
+                   i -> list_reduce(
+                          list_transform(generate_series(0, 24),
+                            j -> CAST(ord(substr(s, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647)) AS grams
+          FROM d),
+        wins AS (
+          SELECT doc_id, grams,
+                 unnest(generate_series(1, greatest(len(grams) - 7, 0))) AS j
+          FROM g),
+        sel AS (
+          SELECT doc_id, grams, j,
+                 list_min(grams[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]) AS mn
+          FROM wins),
+        anchors AS (
+          SELECT DISTINCT doc_id,
+                 list_max(list_transform(generate_series(0, 7),
+                   t -> CASE WHEN grams[CAST(j + t AS INTEGER)] = mn
+                             THEN j + t ELSE 0 END)) AS pos,
+                 mn AS fingerprint
+          FROM sel),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM anchors a
+          JOIN anchors b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
+        brks AS (
+          SELECT *, CASE WHEN pos_a - lag(pos_a) OVER win IS NULL
+                           OR pos_a - lag(pos_a) OVER win > 8
+                         THEN 1 ELSE 0 END AS brk
+          FROM m WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)),
+        isl AS (
+          SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM brks),
+        spans AS (
+          SELECT doc_a, doc_b,
+                 min(pos_a) AS a_start, max(pos_a) + 24 AS a_end,
+                 min(pos_b) AS b_start, max(pos_b) + 24 AS b_end,
+                 count(*) AS n_anchors
+          FROM isl GROUP BY doc_a, doc_b, diag, island
+          HAVING count(*) >= 3)"""
+
+ORACLES["dedup_shared_spans"] = f"""
+        WITH {_SPAN_CTES}
+        SELECT * FROM spans ORDER BY doc_a, doc_b, a_start, b_start
+"""
+
+# Span REMOVAL (operators/dedup.py remove_duplicated_spans): doc_b-side
+# ranges merge per doc via gaps-and-islands on the running max end, kept
+# segments between merged ranges splice back in start order, and every
+# document reports (#cut regions, #chars removed, md5 of spliced text) —
+# untouched docs hash their original text through the left join.
+ORACLES["dedup_remove_spans"] = f"""
+        WITH {_SPAN_CTES},
+        rb AS (SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
+        ordd AS (
+          SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          FROM rb),
+        risl AS (
+          SELECT *, sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+          FROM ordd),
+        mrg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+                FROM risl GROUP BY doc_id, island),
+        cuts AS (
+          SELECT *, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1)
+                      AS keep_from
+          FROM mrg),
+        pieces AS (
+          SELECT c.doc_id, c.keep_from AS start,
+                 substr(dd.text, CAST(c.keep_from AS INTEGER),
+                        CAST(c.s - c.keep_from AS INTEGER)) AS piece,
+                 c.e - c.s + 1 AS removed
+          FROM cuts c JOIN documents dd USING (doc_id)),
+        tails AS (
+          SELECT doc_id, max(e) AS last_e, count(*) AS n_cut_regions
+          FROM mrg GROUP BY doc_id),
+        heads AS (
+          SELECT doc_id, sum(removed) AS n_chars_removed,
+                 string_agg(piece, '' ORDER BY start) AS head_text
+          FROM pieces GROUP BY doc_id),
+        cleaned AS (
+          SELECT h.doc_id, t.n_cut_regions, h.n_chars_removed,
+                 h.head_text || substr(dd.text, CAST(t.last_e + 1 AS INTEGER)) AS clean
+          FROM heads h JOIN tails t USING (doc_id) JOIN documents dd USING (doc_id))
+        SELECT dd.doc_id,
+               CAST(coalesce(c.n_cut_regions, 0) AS BIGINT) AS n_cut_regions,
+               CAST(coalesce(c.n_chars_removed, 0) AS BIGINT) AS n_chars_removed,
+               md5(coalesce(c.clean, dd.text)) AS clean_hash
+        FROM documents dd LEFT JOIN cleaned c USING (doc_id)
+        ORDER BY dd.doc_id
 """
 
 # Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and the

@@ -745,6 +745,18 @@ def dedup_shared_spans(spark, sf_dir):
     )
 
 
+def dedup_remove_spans(spark, sf_dir):
+    """Span REMOVAL — the second half of substring-level dedup (the
+    cited paper removes the repeated passage, it doesn't drop the
+    document): doc_b-side ranges from dedup_shared_spans merge per doc
+    and splice out; every document reports (#cut regions, #chars
+    removed, md5 of the spliced text). Oracle: identical winnowing +
+    interval-merge + splice in DuckDB (shared _SPAN_CTES)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    spans = dedup.shared_span_pairs(docs, k=25, w=8, min_anchors=3)
+    return dedup.remove_duplicated_spans(docs, spans).orderBy("doc_id")
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs. Routes through the BLOCKED variant — the
     100 TB plan (block-pair applyInPandas, no driver collect, no
@@ -1195,9 +1207,10 @@ def shard_pack_documents(spark, sf_dir):
 # driver-green row or an exact twin in the window; local diffcheck still
 # runs ALL entries every round.
 #
-# r4: the new dedup_shared_spans enters the window at birth (attestation
-# rule); point_lookup (green r1+r2+r3, trivial bucketed-scan family also
-# pinned by pytest) moves to the tail to keep the window at 50.
+# r4: the new dedup_shared_spans and dedup_remove_spans enter the window
+# at birth (attestation rule); point_lookup and status_counts (each green
+# r1+r2+r3, trivial scan/groupBy families also pinned by pytest) move to
+# the tail to keep the window at 50.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1221,14 +1234,14 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_unigram_surprisal": text_unigram_surprisal,
     "embedding_cluster_assign": embedding_cluster_assign,
-    # --- new r4 operator (in-window at birth, per the attestation rule) -----
+    # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
+    "dedup_remove_spans": dedup_remove_spans,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
-    "status_counts": status_counts,
     "positional_ids": positional_ids,
     "greedy_token_buckets": greedy_token_buckets,
     "set_difference_validation": set_difference_validation,
@@ -1257,6 +1270,7 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "point_lookup": point_lookup,                        # green r1+r2+r3; demoted r4 for dedup_shared_spans
+    "status_counts": status_counts,                      # green r1+r2+r3; demoted r4 for dedup_remove_spans
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

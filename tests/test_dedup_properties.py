@@ -268,6 +268,55 @@ def test_shared_spans_localize_duplicated_passage(spark):
     assert r.n_anchors >= 3
 
 
+def test_remove_spans_splices_exactly(spark):
+    """Removal must cut exactly the doc_b hull from the non-canonical
+    copy (verified against a pure-Python splice), leave the canonical
+    doc_a copy and unrelated docs byte-identical, and report region/char
+    counts; overlapping ranges from two pairs must merge before
+    splicing (no double-cut)."""
+    import hashlib
+
+    from lovdata_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+        shared_span_pairs,
+    )
+
+    passage = "this exact boilerplate passage is repeated verbatim across documents"
+    t1 = f"unique preamble alpha. {passage} trailing alpha text here."
+    t2 = f"different opening beta content -- {passage} and then beta diverges."
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "untouched filler")], "doc_id long, text string"
+    )
+    spans = shared_span_pairs(docs, k=8, w=4, min_anchors=3)
+    (sp,) = spans.collect()
+    rows = {r.doc_id: r for r in remove_duplicated_spans(docs, spans).collect()}
+    expect2 = t2[: sp.b_start - 1] + t2[sp.b_end :]
+    assert rows[2].clean_hash == hashlib.md5(expect2.encode()).hexdigest()
+    assert rows[2].n_cut_regions == 1
+    assert rows[2].n_chars_removed == sp.b_end - sp.b_start + 1
+    assert rows[1].clean_hash == hashlib.md5(t1.encode()).hexdigest()
+    assert rows[1].n_cut_regions == 0 and rows[1].n_chars_removed == 0
+    assert rows[3].clean_hash == hashlib.md5(b"untouched filler").hexdigest()
+
+    # overlap merge: the same doc_b range scheduled by TWO pairs (docs 1
+    # and 2 both share the passage with the highest-id doc 9, so both
+    # pairs cut doc 9's single occurrence) must cut once, not twice
+    t9 = f"ninth copy holder {passage} with a distinct coda"
+    docs9 = spark.createDataFrame(
+        [(1, t1), (2, t2), (9, t9)], "doc_id long, text string"
+    )
+    spans9 = shared_span_pairs(docs9, k=8, w=4, min_anchors=3)
+    b9 = [(r.b_start, r.b_end) for r in spans9.collect() if r.doc_b == 9]
+    assert len(b9) >= 2  # both pairs schedule doc 9's occurrence
+    lo = min(s for s, _ in b9)
+    hi = max(e for _, e in b9)
+    rows9 = {r.doc_id: r for r in remove_duplicated_spans(docs9, spans9).collect()}
+    assert rows9[9].n_cut_regions == 1
+    assert rows9[9].n_chars_removed == hi - lo + 1
+    expect9 = t9[: lo - 1] + t9[hi:]
+    assert rows9[9].clean_hash == hashlib.md5(expect9.encode()).hexdigest()
+
+
 def test_shared_spans_anchor_parity_with_winnowing(spark):
     """winnowing_anchors must select a SUBSET-free positional refinement
     of winnowing_fingerprints: the distinct (id, fingerprint) projection
