@@ -1,0 +1,111 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The canonical frontier-pipeline step (GPT-3 appendix C / PaLM / Llama
+style): a training document is contaminated if it shares at least
+``min_overlaps`` distinct word n-grams with any benchmark document.
+Flagged documents are then dropped (``decontaminate``) or routed to
+manual review. Not present in the reference (its corpus is a closed
+legal corpus); first-class here because no LLM training pipeline ships
+without it.
+
+Scale shape at 100 TB:
+  * Train-side n-grams are generated SCAN-LOCALLY (split + higher-order
+    ``transform`` over an index sequence + ``xxhash64``) — no window, so
+    document text never shuffles. This deliberately trades the ~3×
+    faster-but-shuffling window formulation of
+    ``dedup.hashed_word_shingles`` for zero data movement: at corpus
+    scale the word-level window shuffle IS the bottleneck, while the
+    interpreted higher-order expression is a constant CPU factor that
+    scales out with executors.
+  * The benchmark side is small by nature (eval sets are MBs against a
+    100 TB corpus) → its distinct (n-gram, bench_doc) pairs BROADCAST;
+    the contamination join is a map-side broadcast hash join.
+  * The only shuffle is the per-document aggregate, and it carries
+    16-byte (doc_id, ngram-hash) partial-distinct pairs — never text.
+    Catalyst's partial aggregation collapses those map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _scan_local_ngram_hashes(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle: bigint) word-n-gram hashes, generated inside the scan
+    projection (NOT distinct — downstream distinct aggregation dedups on
+    the 8-byte hash, so the pre-shuffle data is already minimal).
+
+    ``sequence(1, size-n+1)`` would generate a DESCENDING sequence when a
+    document has fewer than n words (Spark's sequence walks backwards for
+    start > stop), so short documents are guarded to an empty array.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def ngram_overlap_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlaps: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination report: one row per flagged training document.
+
+    Returns (id, n_ngrams, n_overlap, n_benchmark_docs, overlap_frac):
+    the document's distinct n-gram count, how many of those n-grams
+    appear anywhere in the benchmark, how many distinct benchmark
+    documents it collides with, and the contaminated fraction.
+
+    Exact semantics (hash-collision-equivalent, same contract as
+    ``dedup.ngram_jaccard_pairs``): a train n-gram matches iff the same
+    word sequence occurs in some benchmark document.
+    """
+    tsh = _scan_local_ngram_hashes(train, text_col, id_col, n)
+    bsh = (
+        _scan_local_ngram_hashes(benchmark, text_col, id_col, n)
+        .select(F.col(id_col).alias("bench_doc"), "shingle")
+        .distinct()
+    )
+    j = tsh.join(F.broadcast(bsh), "shingle", "left")
+    matched: Column = F.when(F.col("bench_doc").isNotNull(), F.col("shingle"))
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_ngrams"),
+            F.countDistinct(matched).alias("n_overlap"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_overlap") >= min_overlaps)
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlaps: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cut: training rows minus contaminated documents (left-anti
+    join against the flag set — broadcastable, since the flagged id list
+    is bounded by benchmark size × collision fan-out, not corpus size)."""
+    flags = ngram_overlap_flags(
+        train, benchmark, n, min_overlaps, text_col, id_col
+    ).select(id_col)
+    return train.join(F.broadcast(flags), id_col, "left_anti")

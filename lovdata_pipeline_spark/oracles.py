@@ -1129,3 +1129,43 @@ ORACLES["hybrid_search_rrf"] = f"""
         FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
         ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+# Benchmark decontamination (r4): word-3-gram overlap between the train
+# slice (doc_id % 97 != 0) and the benchmark slice (doc_id % 97 = 0).
+# The Spark side joins on xxhash64(ngram); the oracle joins on the raw
+# n-gram string — collision-equivalent, the same contract as
+# dedup_ngram_jaccard. overlap_frac divides two exact integers, rounded
+# identically in both engines.
+_DECONTAM_CTES = r"""words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        dsh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM words),
+        bench AS (SELECT DISTINCT doc_id AS bench_doc, shingle FROM dsh WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 97 <> 0),
+        flags AS (
+          SELECT t.doc_id,
+                 count(DISTINCT t.shingle) AS n_ngrams,
+                 count(DISTINCT CASE WHEN b.bench_doc IS NOT NULL THEN t.shingle END) AS n_overlap,
+                 count(DISTINCT b.bench_doc) AS n_benchmark_docs
+          FROM train t LEFT JOIN bench b USING (shingle)
+          GROUP BY t.doc_id
+          HAVING count(DISTINCT CASE WHEN b.bench_doc IS NOT NULL THEN t.shingle END) >= 1)"""
+
+ORACLES["decontaminate_benchmark_overlap"] = f"""
+        WITH {_DECONTAM_CTES}
+        SELECT doc_id, n_ngrams, n_overlap, n_benchmark_docs,
+               round(n_overlap * CAST(1.0 AS DOUBLE) / n_ngrams, 6) AS overlap_frac
+        FROM flags ORDER BY doc_id
+"""
+
+ORACLES["decontaminate_clean_set"] = f"""
+        WITH {_DECONTAM_CTES}
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM flags)
+        ORDER BY d.doc_id
+"""

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from lovdata_pipeline_spark.operators import dedup, similarity, textstats
+from lovdata_pipeline_spark.operators import decontam, dedup, similarity, textstats
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -757,6 +757,37 @@ def dedup_remove_spans(spark, sf_dir):
     return dedup.remove_duplicated_spans(docs, spans).orderBy("doc_id")
 
 
+def _bench_split(spark, sf_dir):
+    """Deterministic benchmark/train split of the documents table for the
+    decontamination queries: every 97th doc plays the eval set (6 docs at
+    sf0.01 — the realistic shape: a tiny benchmark vs the corpus)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return train, bench
+
+
+def decontaminate_benchmark_overlap(spark, sf_dir):
+    """Benchmark decontamination report (new r4): training docs sharing
+    any word-3-gram with the benchmark slice, with overlap counts.
+    Scale shape: scan-local n-gram hashing, broadcast benchmark set,
+    one 16-byte-pair aggregate shuffle — text never moves."""
+    train, bench = _bench_split(spark, sf_dir)
+    return decontam.ngram_overlap_flags(train, bench, n=3).orderBy("doc_id")
+
+
+def decontaminate_clean_set(spark, sf_dir):
+    """The cut half: training rows surviving decontamination (broadcast
+    anti-join on the flagged id set). Text column dropped from the
+    output projection so the oracle hash stays on stable metadata."""
+    train, bench = _bench_split(spark, sf_dir)
+    return (
+        decontam.decontaminate(train, bench, n=3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs. Routes through the BLOCKED variant — the
     100 TB plan (block-pair applyInPandas, no driver collect, no
@@ -1210,7 +1241,11 @@ def shard_pack_documents(spark, sf_dir):
 # r4: the new dedup_shared_spans and dedup_remove_spans enter the window
 # at birth (attestation rule); point_lookup and status_counts (each green
 # r1+r2+r3, trivial scan/groupBy families also pinned by pytest) move to
-# the tail to keep the window at 50.
+# the tail to keep the window at 50. The decontamination pair
+# (decontaminate_benchmark_overlap / decontaminate_clean_set) also enters
+# at birth; set_difference_validation and scalar_subquery_part_avg (each
+# green r1+r2+r3; except-all and scalar-subquery semantics also pinned by
+# pytest and diffcheck) demote in exchange.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1237,6 +1272,8 @@ QUERIES = {
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,
+    "decontaminate_clean_set": decontaminate_clean_set,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1244,11 +1281,9 @@ QUERIES = {
     "anti_join_changed": anti_join_changed,
     "positional_ids": positional_ids,
     "greedy_token_buckets": greedy_token_buckets,
-    "set_difference_validation": set_difference_validation,
     "agg_distinct_counts": agg_distinct_counts,
     "exists_agg_priority": exists_agg_priority,
     "not_exists_high_value": not_exists_high_value,
-    "scalar_subquery_part_avg": scalar_subquery_part_avg,
     "top3_orders_per_customer": top3_orders_per_customer,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,
@@ -1271,6 +1306,8 @@ QUERIES = {
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "point_lookup": point_lookup,                        # green r1+r2+r3; demoted r4 for dedup_shared_spans
     "status_counts": status_counts,                      # green r1+r2+r3; demoted r4 for dedup_remove_spans
+    "set_difference_validation": set_difference_validation,  # green r1+r2+r3; demoted r4 for decontaminate_benchmark_overlap
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1+r2+r3; demoted r4 for decontaminate_clean_set
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

@@ -1,0 +1,92 @@
+"""Benchmark decontamination: the n-gram overlap flags must equal a
+brute-force set computation for any corpus, and the cut must remove
+exactly the flagged documents. Random corpora over a tiny vocabulary
+force heavy collisions (the interesting regime) plus the edge cases:
+documents shorter than the n-gram width, empty benchmark, a document
+fully contained in the benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from lovdata_pipeline_spark.operators.decontam import (
+    decontaminate,
+    ngram_overlap_flags,
+)
+
+VOCAB = ["a", "b", "c", "d"]
+_doc = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10).map(" ".join)
+
+
+def _grams(t: str, n: int) -> set[str]:
+    w = t.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _brute(train, bench, n, min_overlaps):
+    bgrams = {}
+    for i, t in bench:
+        for g in _grams(t, n):
+            bgrams.setdefault(g, set()).add(i)
+    out = {}
+    for i, t in train:
+        gs = _grams(t, n)
+        hit = {g for g in gs if g in bgrams}
+        if len(hit) >= min_overlaps:
+            bdocs = set().union(*(bgrams[g] for g in hit)) if hit else set()
+            out[i] = (len(gs), len(hit), len(bdocs), round(len(hit) / len(gs), 6))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=10),
+    n=st.sampled_from([2, 3]),
+    min_overlaps=st.sampled_from([1, 2]),
+)
+def test_flags_match_brute_force(spark, texts, n, min_overlaps):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    bench_rows = [r for r in rows if r[0] % 3 == 0]
+    train_rows = [r for r in rows if r[0] % 3 != 0]
+    schema = "doc_id long, text string"
+    train = spark.createDataFrame(train_rows, schema)
+    bench = spark.createDataFrame(bench_rows, schema)
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_overlap, r.n_benchmark_docs, r.overlap_frac)
+        for r in ngram_overlap_flags(
+            train, bench, n=n, min_overlaps=min_overlaps
+        ).collect()
+    }
+    assert got == _brute(train_rows, bench_rows, n, min_overlaps)
+
+
+def test_short_docs_never_flag(spark):
+    """Documents with fewer than n words have no n-grams → never flagged,
+    and sequence(1, size-n+1) must not wrap to a descending sequence."""
+    train = spark.createDataFrame(
+        [(1, "x"), (2, "x y"), (3, ""), (4, "x y z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    flags = ngram_overlap_flags(train, bench, n=3).collect()
+    assert {r.doc_id for r in flags} == {4}
+    (r,) = flags
+    assert (r.n_ngrams, r.n_overlap, r.n_benchmark_docs) == (1, 1, 1)
+
+
+def test_decontaminate_removes_exactly_the_flags(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "p q r s")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c"), (9, "d e f")], "doc_id long, text string")
+    clean = decontaminate(train, bench, n=3)
+    assert {r.doc_id for r in clean.collect()} == {3}
+
+
+def test_empty_benchmark_flags_nothing(spark):
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_overlap_flags(train, bench, n=3).count() == 0
+    assert decontaminate(train, bench, n=3).count() == 1
