@@ -484,3 +484,64 @@ def vocab_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "d
         F.array_sort(F.array_distinct(F.split(_normalized(text_col), " "))), " "
     )
     return docs.select(F.col(id_col), F.md5(vocab).alias("fingerprint"))
+
+
+def hashed_linear_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "quality-v1",
+) -> DataFrame:
+    """fastText-style hashed-bag-of-words linear quality classifier:
+    (id, n_tokens, quality_logit, quality_score, keep).
+
+    The model-quality curation step (CCNet / Llama "Wikipedia-like"
+    classifier shape): score = mean over tokens of a per-token weight,
+    squashed through a sigmoid; documents with positive logit pass. Real
+    deployments load trained weights; here the weight table is a
+    deterministic hash-derived stand-in — ``w(token) = portable_hash60(
+    token ‖ seed) % 10001 - 5000`` ∈ [-5000, 5000] — which exercises the
+    identical execution plan (the lookup IS the hash, exactly how
+    fastText's hashing trick works) while staying engine-portable for
+    the oracle. Swapping in trained weights = replacing the hash
+    expression with a broadcast map lookup; the plan shape is unchanged.
+
+    Determinism discipline: integer weights summed as BIGINT (order-
+    independent, exact), the logit divides two exact integers once per
+    doc (IEEE-identical everywhere) and is emitted UNROUNDED — the exact
+    rational frequently lands on 6-decimal ties (denominators are
+    5000·n_tokens) where Spark's HALF_UP-on-shortest-repr round and
+    DuckDB's round disagree, while the raw double is bit-identical by
+    construction. Only the sigmoid is rounded (to 6): libm vs java.Math
+    exp may differ in the last ulp, and its output never sits on a
+    rounding tie.
+
+    Plan shape at 100 TB: explode is scan-local, the hash is codegen
+    (md5+conv, no Python), and partial aggregation collapses each
+    document map-side — the only shuffle carries one (id, sum, count)
+    row per document. Text never moves.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(seed))), 1, 15), 16, 10
+        ).cast("long")
+        % 10001
+        - 5000
+    )
+    agg = tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum(weight).alias("w_sum")
+    )
+    logit = F.col("w_sum") / (F.col("n_tokens") * F.lit(5000))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        logit.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * logit)), 6).alias(
+            "quality_score"
+        ),
+        (logit > 0).alias("keep"),
+    )

@@ -1169,3 +1169,33 @@ ORACLES["decontaminate_clean_set"] = f"""
           AND d.doc_id NOT IN (SELECT doc_id FROM flags)
         ORDER BY d.doc_id
 """
+
+# Hashed linear quality classifier (r4): integer weights w(token) =
+# hash60(md5(token || seed)) % 10001 - 5000, summed exactly as BIGINT;
+# the logit divides two exact integers (IEEE-identical division) and is
+# deliberately UNROUNDED — it often lands exactly on 6-decimal ties
+# (denominator 5000·n_tokens) where the two engines' round() disagree,
+# while the raw double is bit-identical. The sigmoid IS rounded to 6
+# (exp may differ by an ulp across libms; its output never ties).
+# UBIGINT arithmetic is kept away from the subtraction (cast to BIGINT
+# first) so the % result can go negative safely.
+ORACLES["text_quality_classifier"] = r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents),
+        wt AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(w || 'quality-v1'), 1, 15)) AS UBIGINT)
+                      % 10001 AS BIGINT) - 5000 AS wgt
+          FROM tok),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tokens, SUM(wgt) AS w_sum
+          FROM wt GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000) AS quality_logit,
+               round(CAST(1.0 AS DOUBLE)
+                     / (1 + exp(-4.0 * (w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)))),
+                     6) AS quality_score,
+               (w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)) > 0 AS keep
+        FROM agg ORDER BY doc_id
+"""

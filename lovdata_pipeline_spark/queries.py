@@ -1169,6 +1169,15 @@ def text_unigram_surprisal(spark, sf_dir):
     return textstats.unigram_surprisal(docs).orderBy("doc_id")
 
 
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (new r4): fastText-style hashed
+    linear classifier — integer hash weights summed per doc, logit +
+    sigmoid score + keep flag. The curation step between heuristic
+    quality signals (text_quality) and LM scoring (unigram surprisal)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.hashed_linear_quality(docs).orderBy("doc_id")
+
+
 def embedding_cluster_assign(spark, sf_dir):
     """K-means-style cluster assignment over the embedding corpus (the
     partitioning step of IVF indexing / topic bucketing): portable
@@ -1245,7 +1254,10 @@ def shard_pack_documents(spark, sf_dir):
 # (decontaminate_benchmark_overlap / decontaminate_clean_set) also enters
 # at birth; set_difference_validation and scalar_subquery_part_avg (each
 # green r1+r2+r3; except-all and scalar-subquery semantics also pinned by
-# pytest and diffcheck) demote in exchange.
+# pytest and diffcheck) demote in exchange. text_quality_classifier (new
+# r4) likewise enters at birth; agg_distinct_counts (green r1+r2+r3,
+# distinct-agg semantics still windowed via countDistinct inside the
+# decontamination rows) demotes in exchange.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1274,6 +1286,7 @@ QUERIES = {
     "dedup_remove_spans": dedup_remove_spans,
     "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,
     "decontaminate_clean_set": decontaminate_clean_set,
+    "text_quality_classifier": text_quality_classifier,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1281,7 +1294,6 @@ QUERIES = {
     "anti_join_changed": anti_join_changed,
     "positional_ids": positional_ids,
     "greedy_token_buckets": greedy_token_buckets,
-    "agg_distinct_counts": agg_distinct_counts,
     "exists_agg_priority": exists_agg_priority,
     "not_exists_high_value": not_exists_high_value,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -1308,6 +1320,7 @@ QUERIES = {
     "status_counts": status_counts,                      # green r1+r2+r3; demoted r4 for dedup_remove_spans
     "set_difference_validation": set_difference_validation,  # green r1+r2+r3; demoted r4 for decontaminate_benchmark_overlap
     "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1+r2+r3; demoted r4 for decontaminate_clean_set
+    "agg_distinct_counts": agg_distinct_counts,              # green r1+r2+r3; demoted r4 for text_quality_classifier
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

@@ -1,0 +1,67 @@
+"""Hashed linear quality classifier: Spark output must equal a pure-
+Python replica of the hash-weight model (md5-derived integer weights,
+exact integer sum, one IEEE division), stay partition-independent, and
+handle the short-document edges."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from lovdata_pipeline_spark.operators.textstats import hashed_linear_quality
+
+SEED = "quality-v1"
+
+
+def _weight(w: str) -> int:
+    h = int(hashlib.md5((w + SEED).encode()).hexdigest()[:15], 16)
+    return h % 10001 - 5000
+
+
+def _expect(text: str):
+    toks = text.strip().lower().split()
+    if not toks:
+        toks = [""]  # split('') yields one empty token in both engines
+    s = sum(_weight(w) for w in toks)
+    logit = s / (len(toks) * 5000)
+    return (
+        len(toks),
+        logit,
+        round(1.0 / (1.0 + math.exp(-4.0 * logit)), 6),
+        logit > 0,
+    )
+
+
+def test_matches_python_replica(spark):
+    texts = ["the quick brown fox", "spark spark spark", "a", "x y z w v u"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.quality_logit, r.quality_score, r.keep)
+        for r in hashed_linear_quality(df).collect()
+    }
+    for i, t in enumerate(texts):
+        n, logit, score, keep = _expect(t)
+        assert got[i][0] == n
+        assert got[i][1] == logit  # bit-exact: integer sum + one division
+        assert abs(got[i][2] - score) < 2e-6
+        assert got[i][3] == keep
+
+
+def test_partition_independent(spark):
+    rows = [(i, f"w{i % 7} w{i % 5} w{i % 3} common words here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, hashed_linear_quality(df).collect()))
+    b = sorted(map(tuple, hashed_linear_quality(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_stutter_scores_single_token_weight(spark):
+    """A document repeating one token n times has logit = w/5000 exactly,
+    independent of n — the mean normalization contract."""
+    df = spark.createDataFrame(
+        [(1, "dup"), (2, "dup dup dup dup")], "doc_id long, text string"
+    )
+    r = {x.doc_id: x.quality_logit for x in hashed_linear_quality(df).collect()}
+    assert r[1] == r[2] == _weight("dup") / 5000
