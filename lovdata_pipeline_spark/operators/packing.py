@@ -18,6 +18,12 @@ is JVM-side; the only driver materialization is k subtotal rows. The
 assignment is independent of the partition count (pinned by
 ``test_pack_into_shards_partition_independent``) because prefix sums are
 a function of the global id order only.
+
+Two consumers of the same prefix sum:
+  * ``pack_into_shards``     — whole documents → fixed token-budget shards;
+  * ``pack_token_sequences`` — token-level fixed-length training sequences
+    crossing document boundaries (the "concatenate the corpus, cut every
+    seq_len tokens" pretraining step).
 """
 
 from __future__ import annotations
@@ -25,19 +31,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def pack_into_shards(
+def global_token_offsets(
     df: DataFrame,
-    budget: int,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, shard_id): shard_id = floor(tokens-before-this-doc /
-    budget) in ascending ``id_col`` order — documents stream into a shard
-    until the budget is crossed, then the next shard starts.
-
-    ``num_partitions`` sizes the range partitioning (default: session
-    shuffle partitions). Output values are partition-count-independent.
+    """(id, n_tokens, tok_start): tok_start = sum of ``token_col`` over
+    all rows with smaller ``id_col`` — the distributed prefix sum
+    described in the module docstring. The returned frame is cached and
+    materialized (callers derive cheap projections from it); callers
+    must not re-derive the range partitioning.
     """
     parts = df.select(id_col, token_col)
     ranged = (
@@ -88,9 +92,69 @@ def pack_into_shards(
         .select(
             F.col(id_col),
             F.col(token_col),
-            F.floor(cum_before / F.lit(budget)).cast("long").alias("shard_id"),
+            cum_before.cast("long").alias("tok_start"),
         )
     ).cache()
     result.count()
     with_pid.unpersist()
     return result
+
+
+def pack_into_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard_id): shard_id = floor(tokens-before-this-doc /
+    budget) in ascending ``id_col`` order — documents stream into a shard
+    until the budget is crossed, then the next shard starts.
+
+    ``num_partitions`` sizes the range partitioning (default: session
+    shuffle partitions). Output values are partition-count-independent.
+    """
+    off = global_token_offsets(df, id_col, token_col, num_partitions)
+    return off.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.floor(F.col("tok_start") / F.lit(budget)).cast("long").alias("shard_id"),
+    )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-length training-sequence assignment: the corpus is one
+    virtual token stream in ascending ``id_col`` order, cut every
+    ``seq_len`` tokens; each document reports where its tokens land.
+
+    (id, n_tokens, tok_start, seq_start, seq_end, n_seqs, offset_in_seq):
+    ``seq_start``/``seq_end`` are the first/last sequence index touched,
+    ``n_seqs`` how many sequences the document spans (0 for empty
+    documents), ``offset_in_seq`` the position of the document's first
+    token within its first sequence. Downstream shuffle-writers group by
+    sequence index to emit actual training rows; this operator is the
+    distributed bookkeeping that makes that grouping local arithmetic.
+    """
+    off = global_token_offsets(df, id_col, token_col, num_partitions)
+    tok_start = F.col("tok_start")
+    n_tok = F.col(token_col)
+    seq_start = F.floor(tok_start / F.lit(seq_len)).cast("long")
+    seq_end = F.floor((tok_start + n_tok - 1) / F.lit(seq_len)).cast("long")
+    return off.select(
+        F.col(id_col),
+        n_tok,
+        tok_start,
+        seq_start.alias("seq_start"),
+        F.when(n_tok > 0, seq_end).otherwise(seq_start).alias("seq_end"),
+        F.when(n_tok > 0, seq_end - seq_start + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+        (tok_start % seq_len).cast("long").alias("offset_in_seq"),
+    )

@@ -1199,3 +1199,30 @@ ORACLES["text_quality_classifier"] = r"""
                (w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)) > 0 AS keep
         FROM agg ORDER BY doc_id
 """
+
+# Fixed-length token-sequence packing (r4): same token count and global
+# prefix sum as shard_pack_documents, cut every 512 tokens. All-integer
+# arithmetic — no float anywhere.
+ORACLES["pack_sequences_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                   AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS tok_start
+          FROM t)
+        SELECT doc_id, n_tokens, tok_start,
+               tok_start // 512 AS seq_start,
+               CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+                    ELSE tok_start // 512 END AS seq_end,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs,
+               tok_start % 512 AS offset_in_seq
+        FROM o ORDER BY doc_id
+"""

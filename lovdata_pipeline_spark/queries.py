@@ -1222,6 +1222,20 @@ def shard_pack_documents(spark, sf_dir):
     return pack_into_shards(with_tokens, budget=4096).orderBy("doc_id")
 
 
+def pack_sequences_documents(spark, sf_dir):
+    """Fixed-length pretraining-sequence assignment (new r4): the corpus
+    as one token stream cut every 512 tokens; each doc reports the
+    sequences it lands in. Same two-phase distributed prefix sum as
+    shard packing — no global single-task window."""
+    from lovdata_pipeline_spark.operators.packing import pack_token_sequences
+
+    (docs,) = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", textstats.token_count_col("text").alias("n_tokens")
+    )
+    return pack_token_sequences(with_tokens, seq_len=512).orderBy("doc_id")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1254,10 +1268,12 @@ def shard_pack_documents(spark, sf_dir):
 # (decontaminate_benchmark_overlap / decontaminate_clean_set) also enters
 # at birth; set_difference_validation and scalar_subquery_part_avg (each
 # green r1+r2+r3; except-all and scalar-subquery semantics also pinned by
-# pytest and diffcheck) demote in exchange. text_quality_classifier (new
-# r4) likewise enters at birth; agg_distinct_counts (green r1+r2+r3,
-# distinct-agg semantics still windowed via countDistinct inside the
-# decontamination rows) demotes in exchange.
+# pytest and diffcheck) demote in exchange. text_quality_classifier and
+# pack_sequences_documents (new r4) likewise enter at birth;
+# agg_distinct_counts (green r1+r2+r3, distinct-agg semantics still
+# windowed via countDistinct inside the decontamination rows) and
+# max_acctbal_supplier_per_nation (green r1+r2+r3, rank-window twin
+# top3_orders_per_customer stays windowed) demote in exchange.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1287,6 +1303,7 @@ QUERIES = {
     "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,
     "decontaminate_clean_set": decontaminate_clean_set,
     "text_quality_classifier": text_quality_classifier,
+    "pack_sequences_documents": pack_sequences_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1298,7 +1315,6 @@ QUERIES = {
     "not_exists_high_value": not_exists_high_value,
     "top3_orders_per_customer": top3_orders_per_customer,
     "grouping_sets_status_priority": grouping_sets_status_priority,
-    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -1321,6 +1337,7 @@ QUERIES = {
     "set_difference_validation": set_difference_validation,  # green r1+r2+r3; demoted r4 for decontaminate_benchmark_overlap
     "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1+r2+r3; demoted r4 for decontaminate_clean_set
     "agg_distinct_counts": agg_distinct_counts,              # green r1+r2+r3; demoted r4 for text_quality_classifier
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3; demoted r4 for pack_sequences_documents (rank-window twin top3_orders_per_customer stays)
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

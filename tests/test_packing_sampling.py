@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lovdata_pipeline_spark.operators import textstats
-from lovdata_pipeline_spark.operators.packing import pack_into_shards
+from lovdata_pipeline_spark.operators.packing import (
+    pack_into_shards,
+    pack_token_sequences,
+)
 from lovdata_pipeline_spark.operators.sampling import stratified_sample
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -45,6 +48,51 @@ def test_pack_into_shards_budget_semantics(spark):
     for doc_id, n_tokens, shard_id in rows:
         assert shard_id == running // 512, doc_id
         running += n_tokens
+
+
+def test_pack_token_sequences_matches_driver_fold(spark):
+    """Sequence assignment must equal a driver-side cumulative fold:
+    tok_start is the exact prefix sum, seq indices are the integer cuts,
+    and consecutive docs tile the token stream with no gap/overlap."""
+    docs = _docs_with_tokens(spark)
+    rows = sorted(
+        map(tuple, pack_token_sequences(docs, seq_len=64, num_partitions=5).collect())
+    )
+    expect, cum = [], 0
+    for doc_id, n in sorted((r.doc_id, r.n_tokens) for r in docs.collect()):
+        if n > 0:
+            expect.append(
+                (doc_id, n, cum, cum // 64, (cum + n - 1) // 64,
+                 (cum + n - 1) // 64 - cum // 64 + 1, cum % 64)
+            )
+        else:
+            expect.append((doc_id, n, cum, cum // 64, cum // 64, 0, cum % 64))
+        cum += n
+    assert rows == expect
+
+
+def test_pack_token_sequences_partition_independent(spark):
+    docs = _docs_with_tokens(spark)
+    base = sorted(
+        map(tuple, pack_token_sequences(docs, 128, num_partitions=1).collect())
+    )
+    assert base
+    for n in (3, 64):
+        got = sorted(
+            map(tuple, pack_token_sequences(docs, 128, num_partitions=n).collect())
+        )
+        assert got == base, f"num_partitions={n}"
+
+
+def test_pack_token_sequences_empty_doc(spark):
+    """A zero-token row spans no sequences and must not shift later
+    offsets; seq_end stays clamped to seq_start (no floor(-1/L) wrap)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: r for r in pack_token_sequences(df, seq_len=8).collect()}
+    assert (got[2].tok_start, got[2].n_seqs, got[2].seq_start, got[2].seq_end) == (10, 0, 1, 1)
+    assert (got[3].tok_start, got[3].seq_start, got[3].seq_end, got[3].n_seqs) == (10, 1, 1, 1)
 
 
 def test_stratified_sample_deterministic_and_stratified(spark):
