@@ -44,7 +44,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_shared_spans",
     "dedup_embedding_cosine",
+    "decontaminate_benchmark_overlap",
     "ann_cosine_topk",
+    "ann_topk_pq",
     "knn_join_top3",
     "text_language_id",
     "text_quality",
@@ -52,8 +54,10 @@ HEADLINE = [
     "text_winnowing",
     "text_repetition",
     "text_unigram_surprisal",
+    "text_quality_classifier",
     "text_bm25_search",
     "shard_pack_documents",
+    "pack_sequences_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",

@@ -258,6 +258,124 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int,
+    k_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces × ``k_sub``
+    centroids × (dims/m) floats, seeded from the k_sub hash-ordered
+    corpus rows (same TakeOrdered ≤ k-row driver materialization as
+    ``deterministic_centroids`` — never a corpus collect). Subspace j's
+    codebook is the j-th slice of each seed vector, so one k-row sample
+    seeds every subspace; per-subspace Lloyd refinement (k-means on the
+    slices) slots in exactly like ``kmeans_refine`` when quantization
+    error matters more than seeding determinism."""
+    seeds = deterministic_centroids(vectors, k_sub, id_col, vec_col, portable)
+    dims = len(seeds[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d_sub = dims // m
+    return [
+        [[float(x) for x in s[j * d_sub : (j + 1) * d_sub]] for s in seeds]
+        for j in range(m)
+    ]
+
+
+def _pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid indices for one row —
+    the same struct-pack + array_min argmin as ``ivf_assign``, applied to
+    ``slice``s of the vector, all JVM-side."""
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vec, j * d_sub + 1, d_sub)
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("d"),
+                F.lit(i).alias("code"),
+            )
+            for i, c in enumerate(book)
+        ]
+        codes.append(F.array_min(F.array(*dists)).getField("code"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to m small ints — 64 float32
+    dims at m=8 go from 256 bytes to 8, the 32× memory cut that lets a
+    100 TB embedding corpus fit an in-memory ANN index. Encoding is one
+    codegen projection; at scale, write the codes table partitioned by a
+    coarse IVF cell so probes prune partitions."""
+    v = _as_double(F.col(vec_col))
+    return vectors.select(F.col(id_col), _pq_codes(v, codebooks).alias("codes"))
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: (id, adc_score).
+
+    The corpus side is scored purely from its PQ codes — score =
+    dot(query, reconstruction), where the reconstruction concatenates
+    each subspace's chosen centroid. Expressed as a dot against the
+    flattened centroid pick (rather than a precomputed driver-side
+    lookup table) so the float fold runs in the SAME sequential order
+    as the oracle's ``list_dot_product`` — the established cross-engine
+    parity contract; a real deployment would fold the m table lookups
+    instead, an algebraically identical regrouping.
+
+    The query side stays full-precision (that's the "asymmetric"):
+    only the corpus is quantized, halving the quantization error vs
+    symmetric code-to-code scoring. Compose with an IVF cell filter
+    (``ivf_assign`` + probe list) for IVF-PQ; residual encoding —
+    quantizing v − coarse_centroid instead of v — is the standard
+    refinement the deterministic seeding here intentionally skips.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+            for book in codebooks
+        ]
+    )
+    v = _as_double(F.col(vec_col))
+    recon = F.flatten(
+        F.transform(
+            _pq_codes(v, codebooks),
+            lambda c, j: F.element_at(F.element_at(cb, j + 1), c + 1),
+        )
+    )
+    return (
+        vectors.select(
+            F.col(id_col), F.round(_dot(q, recon), 6).alias("adc_score")
+        )
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     query: list[float],

@@ -1226,3 +1226,53 @@ ORACLES["pack_sequences_documents"] = r"""
                tok_start % 512 AS offset_in_seq
         FROM o ORDER BY doc_id
 """
+
+# Product-quantization ADC top-k (r4). Reproduces pq_codebooks +
+# pq_encode + pq_adc_topk exactly: seeds = the 16 md5-hash-ordered
+# corpus rows (same rule as the IVF oracle), codebook[j] = subspace-j
+# slices of the seeds, encoding = per-(vec, subspace) argmin of the
+# sequential-fold squared L2 (ties to the lower code, matching Spark's
+# struct array_min), reconstruction = codebook picks flattened in
+# subspace order, score = list_dot_product(query, reconstruction) —
+# the same fold-parity contract the cosine/IVF oracles rely on.
+def _ann_pq_sql(m: int = 8, k_sub: int = 16, dims: int = 64, k: int = 10) -> str:
+    d_sub = dims // m
+    sq = _IVF_SQ.format(a=f"(e.ev[b.j * {d_sub} + 1 : b.j * {d_sub} + {d_sub}])", b="b.cv")
+    return f"""
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                 embedding::DOUBLE[] AS sv
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k_sub}
+        ),
+        book AS (
+          SELECT s.code, t.j, s.sv[t.j * {d_sub} + 1 : t.j * {d_sub} + {d_sub}] AS cv
+          FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j) t
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, b.j, b.code,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id, b.j
+                     ORDER BY {sq}, b.code
+                   ) AS rn
+            FROM e CROSS JOIN book b
+          ) WHERE rn = 1
+        ),
+        recon AS (
+          SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.j)) AS rv
+          FROM enc JOIN book b ON b.j = enc.j AND b.code = enc.code
+          GROUP BY enc.vec_id
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT r.vec_id AS vec_id,
+               round(list_dot_product(q.qe, r.rv), 6) AS adc_score
+        FROM recon r CROSS JOIN q
+        ORDER BY adc_score DESC, vec_id
+        LIMIT {k}
+    """
+
+
+ORACLES["ann_topk_pq"] = _ann_pq_sql()

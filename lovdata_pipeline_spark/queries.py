@@ -860,6 +860,18 @@ def ann_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2)
 
 
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (new r4): the memory-compression
+    scale path — 64 float dims → 8 one-byte codes (32×), corpus scored
+    from codes alone against a full-precision query. Portable md5-seeded
+    codebooks make seeding, per-subspace argmin encoding, reconstruction,
+    and the ADC dot all DuckDB-reproducible."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks(emb, m=8, k_sub=16, portable=True)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.pq_adc_topk(emb, query, books, k=10)
+
+
 def agg_approx_stats(spark, sf_dir):
     """Sketch-based aggregates (HLL distinct, quantile sketch) — the
     100 TB forms of countDistinct/percentile — graded as a TOLERANCE-BAND
@@ -1268,12 +1280,13 @@ def pack_sequences_documents(spark, sf_dir):
 # (decontaminate_benchmark_overlap / decontaminate_clean_set) also enters
 # at birth; set_difference_validation and scalar_subquery_part_avg (each
 # green r1+r2+r3; except-all and scalar-subquery semantics also pinned by
-# pytest and diffcheck) demote in exchange. text_quality_classifier and
-# pack_sequences_documents (new r4) likewise enter at birth;
-# agg_distinct_counts (green r1+r2+r3, distinct-agg semantics still
-# windowed via countDistinct inside the decontamination rows) and
+# pytest and diffcheck) demote in exchange. text_quality_classifier,
+# pack_sequences_documents and ann_topk_pq (new r4) likewise enter at
+# birth; agg_distinct_counts (green r1+r2+r3, distinct-agg semantics
+# still windowed via countDistinct inside the decontamination rows),
 # max_acctbal_supplier_per_nation (green r1+r2+r3, rank-window twin
-# top3_orders_per_customer stays windowed) demote in exchange.
+# top3_orders_per_customer stays windowed) and
+# grouping_sets_status_priority (green r1+r2+r3) demote in exchange.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1304,6 +1317,7 @@ QUERIES = {
     "decontaminate_clean_set": decontaminate_clean_set,
     "text_quality_classifier": text_quality_classifier,
     "pack_sequences_documents": pack_sequences_documents,
+    "ann_topk_pq": ann_topk_pq,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1314,7 +1328,6 @@ QUERIES = {
     "exists_agg_priority": exists_agg_priority,
     "not_exists_high_value": not_exists_high_value,
     "top3_orders_per_customer": top3_orders_per_customer,
-    "grouping_sets_status_priority": grouping_sets_status_priority,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -1338,6 +1351,7 @@ QUERIES = {
     "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1+r2+r3; demoted r4 for decontaminate_clean_set
     "agg_distinct_counts": agg_distinct_counts,              # green r1+r2+r3; demoted r4 for text_quality_classifier
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3; demoted r4 for pack_sequences_documents (rank-window twin top3_orders_per_customer stays)
+    "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1+r2+r3; demoted r4 for ann_topk_pq (rollup/cube/pivot family twins in tail, each with prior green rows)
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

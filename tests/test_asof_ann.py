@@ -191,6 +191,86 @@ class TestAnnRecallClustered:
         assert self._recall(spark, ivf) >= 0.9
 
 
+class TestProductQuantization:
+    """PQ encode + ADC scoring: a numpy replica pins the exact argmin /
+    reconstruction / dot arithmetic; structural tests pin partition
+    independence and retrieval sanity on clustered data."""
+
+    @staticmethod
+    def _np_replica(rows, query, books):
+        import numpy as np
+
+        m = len(books)
+        d_sub = len(books[0][0])
+        scores = {}
+        for vid, vec in rows:
+            recon = []
+            for j in range(m):
+                sub = np.array(vec[j * d_sub : (j + 1) * d_sub])
+                dists = [float(((sub - np.array(c)) ** 2).sum()) for c in books[j]]
+                recon.extend(books[j][int(np.argmin(dists))])
+            scores[vid] = round(float(np.dot(query, recon)), 6)
+        return scores
+
+    def test_adc_matches_numpy_replica(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = similarity.pq_codebooks(emb, m=4, k_sub=5, portable=True)
+        query = rows[0][1]
+        got = {
+            r.vec_id: r.adc_score
+            for r in similarity.pq_adc_topk(emb, query, books, k=40).collect()
+        }
+        want = self._np_replica(rows, query, books)
+        assert set(got) == set(want)
+        for vid in got:
+            assert abs(got[vid] - want[vid]) < 2e-6, vid
+
+    def test_codes_in_range_and_partition_independent(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = similarity.pq_codebooks(emb, m=8, k_sub=6, portable=True)
+        a = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.pq_encode(emb, books).collect()
+        )
+        b = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.pq_encode(emb.repartition(17), books).collect()
+        )
+        assert a == b
+        for _, codes in a:
+            assert len(codes) == 8
+            assert all(0 <= c < 6 for c in codes)
+
+    def test_adc_retrieves_query_cluster(self, spark):
+        """On well-separated clusters, ADC top-k should come mostly from
+        the query's own cluster even with unrefined hash-seeded books."""
+        emb, _ = TestAnnRecallClustered._clustered(spark)
+        emb = emb.cache()
+        books = similarity.pq_codebooks(emb, m=4, k_sub=16, portable=True)
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        top = [r.vec_id for r in similarity.pq_adc_topk(emb, query, books, k=10).collect()]
+        emb.unpersist()
+        assert sum(1 for v in top if v < 60) >= 7  # cluster 0 = ids 0..59
+
+    def test_indivisible_dims_raise(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        try:
+            similarity.pq_codebooks(emb, m=2, k_sub=1, portable=True)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
 class TestZeroNormGuards:
     def test_zero_norm_query_returns_empty(self, spark):
         from lovdata_pipeline_spark.operators.similarity import cosine_topk
