@@ -61,6 +61,7 @@ HEADLINE = [
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",
+    "pretraining_pipeline",
 ]
 
 

@@ -1276,3 +1276,82 @@ def _ann_pq_sql(m: int = 8, k_sub: int = 16, dims: int = 64, k: int = 10) -> str
 
 
 ORACLES["ann_topk_pq"] = _ann_pq_sql()
+
+# Pretraining-data curation capstone (r4): PII gate → decontamination →
+# exact fingerprint dedup → stratified domain mix → quality annotate →
+# 512-token sequence packing, each stage the exact SQL replica of its
+# graded standalone oracle (PII planting from pii_scan_documents,
+# 3-gram flags from _DECONTAM_CTES' rule, _NORMALIZED_TEXT fingerprints,
+# the integer-threshold portable rate hash, the quality-v1 weight hash,
+# and the all-integer prefix-sum packing arithmetic).
+ORACLES["pretraining_pipeline"] = rf"""
+        WITH train AS (
+          SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+        ingested AS (
+          SELECT doc_id, source, text FROM train
+          UNION ALL
+          SELECT doc_id + (SELECT max(doc_id) + 1 FROM train), source, text
+          FROM train WHERE doc_id % 25 = 0),
+        planted AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' contact_' || CAST(doc_id AS VARCHAR)
+                           || '@example.com call +1-555-' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+          FROM ingested),
+        no_pii AS (
+          SELECT * FROM planted
+          WHERE len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) = 0
+            AND len(regexp_extract_all(text, '\+\d{{1,2}}-\d{{3}}-\d+')) = 0),
+        fp AS (
+          SELECT doc_id, source, text, md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
+          FROM no_pii),
+        surv AS (
+          SELECT doc_id, source, text FROM fp
+          WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+        tr_sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM surv)),
+        b_sh AS (
+          SELECT DISTINCT
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE doc_id % 97 = 0)),
+        contaminated AS (
+          SELECT DISTINCT t.doc_id FROM tr_sh t JOIN b_sh b USING (shingle)),
+        decont AS (
+          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        mixed AS (
+          SELECT * FROM decont
+          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 15))
+                     AS UBIGINT) % 10000
+                < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 10000 ELSE 4000 END),
+        tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM mixed),
+        stats AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 SUM(CAST(CAST(concat('0x', substr(md5(w || 'quality-v1'), 1, 15)) AS UBIGINT)
+                          % 10001 AS BIGINT) - 5000) AS w_sum
+          FROM tok GROUP BY doc_id),
+        packed AS (
+          SELECT doc_id, n_tokens, w_sum,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS tok_start
+          FROM stats)
+        SELECT p.doc_id, m.source, p.n_tokens,
+               p.w_sum * CAST(1.0 AS DOUBLE) / (p.n_tokens * 5000) AS quality_logit,
+               p.tok_start,
+               p.tok_start // 512 AS seq_start,
+               CAST(CASE WHEN p.n_tokens > 0
+                    THEN (p.tok_start + p.n_tokens - 1) // 512 - p.tok_start // 512 + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs
+        FROM packed p JOIN mixed m USING (doc_id)
+        ORDER BY p.doc_id
+"""

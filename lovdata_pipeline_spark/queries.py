@@ -860,6 +860,95 @@ def ann_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, query, centroids, k=10, n_probe=2)
 
 
+def pretraining_pipeline(spark, sf_dir):
+    """End-to-end pretraining-data curation (r4 capstone): every stage a
+    single-scan / broadcast-join shape, composed in the order a frontier
+    pipeline runs them:
+
+      0. ingest     — the corpus arrives with exact re-crawls: every
+                      25th train doc re-appended under a shifted id
+                      (the corpus has no organic exact dups, same
+                      planting-in-query pattern and rationale as
+                      dedup_exact_groups / pii_scan_documents — each
+                      gate below must provably fire, mirrored in the
+                      oracle).
+      1. PII gate   — drop documents containing emails/phones (planted
+                      into every 10th id); pure codegen regex filter,
+                      no join.
+      2. exact dedup— keep the min-id document per normalized-text
+                      fingerprint (hash-aggregate + join-back on the
+                      16-byte md5 key; text never shuffles) — cuts the
+                      re-crawled copies whose original survived.
+      3. decontam   — remove docs sharing any word-3-gram with the
+                      benchmark slice (broadcast benchmark set).
+      4. domain mix — deterministic stratified sampling: sources 0-9
+                      keep 100%, sources 10-19 keep 40% (portable hash
+                      filter, no shuffle, append-stable).
+      5. quality    — hashed linear classifier annotates n_tokens +
+                      logit (one tokenize pass, map-side partials).
+      6. packing    — fixed-length 512-token sequence assignment via the
+                      shared distributed prefix sum.
+
+    Output: one row per surviving document with its quality score and
+    sequence placement. The oracle replays every stage in SQL."""
+    from lovdata_pipeline_spark.operators.packing import pack_token_sequences
+    from lovdata_pipeline_spark.operators.sampling import stratified_sample
+
+    train, bench = _bench_split(spark, sf_dir)
+    shift = train.agg((F.max("doc_id") + F.lit(1)).alias("_shift"))
+    copies = (
+        train.filter(F.col("doc_id") % 25 == 0)
+        .crossJoin(F.broadcast(shift))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_shift"))
+        .drop("_shift")
+    )
+    ingested = train.unionByName(copies)
+    planted = ingested.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact_"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call +1-555-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    no_pii = planted.filter(
+        (F.size(F.regexp_extract_all("text", F.lit(textstats.EMAIL_RE), F.lit(0))) == 0)
+        & (F.size(F.regexp_extract_all("text", F.lit(textstats.PHONE_RE), F.lit(0))) == 0)
+    )
+    fp = no_pii.withColumn("fp", F.md5(textstats._normalized("text")))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(keep, ["fp", "doc_id"]).drop("fp")
+    decont = decontam.decontaminate(surv, bench, n=3)
+    rates = {f"src{i}": (1.0 if i < 10 else 0.4) for i in range(20)}
+    mixed = stratified_sample(decont, rates, "source", "doc_id", seed="mix-v1")
+    stats = textstats.hashed_linear_quality(mixed).select(
+        "doc_id", "n_tokens", "quality_logit"
+    )
+    seqs = pack_token_sequences(stats.select("doc_id", "n_tokens"), seq_len=512)
+    return (
+        seqs.join(stats.select("doc_id", "quality_logit"), "doc_id")
+        .join(mixed.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality_logit",
+            "tok_start",
+            "seq_start",
+            "n_seqs",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ann_topk_pq(spark, sf_dir):
     """Product-quantization ADC top-k (new r4): the memory-compression
     scale path — 64 float dims → 8 one-byte codes (32×), corpus scored
@@ -1285,8 +1374,9 @@ def pack_sequences_documents(spark, sf_dir):
 # birth; agg_distinct_counts (green r1+r2+r3, distinct-agg semantics
 # still windowed via countDistinct inside the decontamination rows),
 # max_acctbal_supplier_per_nation (green r1+r2+r3, rank-window twin
-# top3_orders_per_customer stays windowed) and
-# grouping_sets_status_priority (green r1+r2+r3) demote in exchange.
+# top3_orders_per_customer stays windowed), grouping_sets_status_priority
+# (green r1+r2+r3) and events_json_props (green r1+r2+r3) demote in
+# exchange — the last for the pretraining_pipeline capstone.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
@@ -1318,6 +1408,7 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "pack_sequences_documents": pack_sequences_documents,
     "ann_topk_pq": ann_topk_pq,
+    "pretraining_pipeline": pretraining_pipeline,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1331,7 +1422,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
-    "events_json_props": events_json_props,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1352,6 +1442,7 @@ QUERIES = {
     "agg_distinct_counts": agg_distinct_counts,              # green r1+r2+r3; demoted r4 for text_quality_classifier
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3; demoted r4 for pack_sequences_documents (rank-window twin top3_orders_per_customer stays)
     "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1+r2+r3; demoted r4 for ann_topk_pq (rollup/cube/pivot family twins in tail, each with prior green rows)
+    "events_json_props": events_json_props,                              # green r1+r2+r3; demoted r4 for pretraining_pipeline
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)
