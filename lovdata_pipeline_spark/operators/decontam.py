@@ -104,8 +104,28 @@ def decontaminate(
 ) -> DataFrame:
     """The cut: training rows minus contaminated documents (left-anti
     join against the flag set — broadcastable, since the flagged id list
-    is bounded by benchmark size × collision fan-out, not corpus size)."""
-    flags = ngram_overlap_flags(
-        train, benchmark, n, min_overlaps, text_col, id_col
-    ).select(id_col)
+    is bounded by benchmark size × collision fan-out, not corpus size).
+
+    At the default ``min_overlaps=1`` the cut needs EXISTENCE of one
+    shared n-gram, not counts — a semi-join against the broadcast
+    benchmark set, skipping ``ngram_overlap_flags``' three-way distinct
+    aggregation (the countDistinct Expand triples pre-shuffle rows).
+    Same output by definition: "n_overlap ≥ 1" ⇔ "some shingle matched".
+    """
+    if min_overlaps <= 1:
+        tsh = _scan_local_ngram_hashes(train, text_col, id_col, n)
+        bset = (
+            _scan_local_ngram_hashes(benchmark, text_col, id_col, n)
+            .select("shingle")
+            .distinct()
+        )
+        flags = (
+            tsh.join(F.broadcast(bset), "shingle", "leftsemi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        flags = ngram_overlap_flags(
+            train, benchmark, n, min_overlaps, text_col, id_col
+        ).select(id_col)
     return train.join(F.broadcast(flags), id_col, "left_anti")

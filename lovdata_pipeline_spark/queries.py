@@ -925,10 +925,18 @@ def pretraining_pipeline(spark, sf_dir):
     )
     fp = no_pii.withColumn("fp", F.md5(textstats._normalized("text")))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    surv = fp.join(keep, ["fp", "doc_id"]).drop("fp")
+    # surv feeds decontamination twice (the n-gram flag scan AND the
+    # anti-join's left side) and everything upstream is regex-heavy;
+    # cache+count pins ONE evaluation of the ingest/PII/dedup prefix
+    # (same scoped-cache discipline as ngram_jaccard_pairs — released by
+    # the session's cache clearing, lineage recoverable).
+    surv = fp.join(keep, ["fp", "doc_id"]).drop("fp").cache()
+    surv.count()
     decont = decontam.decontaminate(surv, bench, n=3)
     rates = {f"src{i}": (1.0 if i < 10 else 0.4) for i in range(20)}
-    mixed = stratified_sample(decont, rates, "source", "doc_id", seed="mix-v1")
+    # mixed likewise fans out three ways (quality stats, packing input,
+    # final source join)
+    mixed = stratified_sample(decont, rates, "source", "doc_id", seed="mix-v1").cache()
     stats = textstats.hashed_linear_quality(mixed).select(
         "doc_id", "n_tokens", "quality_logit"
     )
