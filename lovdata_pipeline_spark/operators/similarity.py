@@ -285,31 +285,43 @@ def pq_codebooks(
     ]
 
 
-def _pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """array<int> of per-subspace nearest-centroid indices for one row —
-    the same struct-pack + array_min argmin as ``ivf_assign``, applied to
-    ``slice``s of the vector, all JVM-side."""
-    d_sub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        sub = F.slice(vec, j * d_sub + 1, d_sub)
-        dists = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                ).alias("d"),
-                F.lit(i).alias("code"),
-            )
-            for i, c in enumerate(book)
+def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    """The codebook as ONE nested array literal [m][k_sub][d_sub]."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+            for book in codebooks
         ]
-        codes.append(F.array_min(F.array(*dists)).getField("code"))
-    return F.array(*codes)
+    )
+
+
+def _pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid indices for one row.
+
+    Same argmin semantics as ``ivf_assign`` (sequential-fold squared L2,
+    ties to the LOWER code via ``array_position``'s first-match rule),
+    but the m × k_sub loop runs as nested ``transform``s over the
+    codebook LITERAL rather than m·k unrolled fold expressions — the
+    unrolled tree made Catalyst analysis itself the dominant cost
+    (seconds of driver time per call at m=8, k=16); the data-driven form
+    is O(1) expression nodes with identical per-row arithmetic."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _cb_literal(codebooks)
+
+    def code_for(j: Column) -> Column:
+        sub = F.slice(vec, j * d_sub + 1, d_sub)
+        dists = F.transform(
+            F.element_at(cb, (j + 1).cast("int")),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
 
 def pq_encode(
@@ -354,12 +366,7 @@ def pq_adc_topk(
     refinement the deterministic seeding here intentionally skips.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-            for book in codebooks
-        ]
-    )
+    cb = _cb_literal(codebooks)
     v = _as_double(F.col(vec_col))
     recon = F.flatten(
         F.transform(

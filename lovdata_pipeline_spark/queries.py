@@ -966,7 +966,12 @@ def ann_topk_pq(spark, sf_dir):
     (emb,) = load(spark, sf_dir, "embeddings")
     books = similarity.pq_codebooks(emb, m=8, k_sub=16, portable=True)
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return similarity.pq_adc_topk(emb, query, books, k=10)
+    # The test corpus is ONE parquet file → one scan task, and encode is
+    # the (interpreted higher-order) hot loop; spread it across cores.
+    # Purely a local-file artifact: a corpus-scale table is already
+    # many-partitioned and needs no explicit repartition.
+    scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.pq_adc_topk(scored, query, books, k=10)
 
 
 def agg_approx_stats(spark, sf_dir):
