@@ -31,26 +31,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _scan_local_ngram_hashes(
-    docs: DataFrame, text_col: str, id_col: str, n: int
-) -> DataFrame:
-    """(id, shingle: bigint) word-n-gram hashes, generated inside the scan
-    projection (NOT distinct — downstream distinct aggregation dedups on
-    the 8-byte hash, so the pre-shuffle data is already minimal).
+def ngram_hash_array(text_col: str, n: int) -> Column:
+    """array<bigint> of word-n-gram hashes for one row, computed inside
+    the scan projection (shared by the batch explode path and the
+    streaming row-local filter).
 
     ``sequence(1, size-n+1)`` would generate a DESCENDING sequence when a
     document has fewer than n words (Spark's sequence walks backwards for
     start > stop), so short documents are guarded to an empty array.
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
+    return F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
             lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def _scan_local_ngram_hashes(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle: bigint) word-n-gram hashes, generated inside the scan
+    projection (NOT distinct — downstream distinct aggregation dedups on
+    the 8-byte hash, so the pre-shuffle data is already minimal)."""
+    return docs.select(
+        F.col(id_col), F.explode(ngram_hash_array(text_col, n)).alias("shingle")
+    )
 
 
 def ngram_overlap_flags(
@@ -129,3 +137,37 @@ def decontaminate(
             train, benchmark, n, min_overlaps, text_col, id_col
         ).select(id_col)
     return train.join(F.broadcast(flags), id_col, "left_anti")
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> list[int]:
+    """The benchmark's distinct n-gram hashes, collected to the driver —
+    bounded by benchmark size (eval sets are MBs by contract), the same
+    asymmetry the broadcast join exploits. Feed to
+    ``decontaminate_rowlocal`` for streams or repeated incremental runs
+    (compute once, reuse per micro-batch)."""
+    rows = (
+        benchmark.select(F.explode(ngram_hash_array(text_col, n)).alias("shingle"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["shingle"] for r in rows)
+
+
+def decontaminate_rowlocal(
+    docs: DataFrame, bench_set: list[int], n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Row-local decontamination: keep rows sharing NO n-gram with the
+    benchmark set, as a pure ``arrays_overlap`` filter against the
+    inlined set — no join, no aggregation, no shuffle.
+
+    This is the STREAMING form (stream-side aggregation would force
+    watermarks, and a per-shingle anti-join can't drop whole documents):
+    each micro-batch row is checked scan-locally, so the operator
+    composes with any trigger/checkpoint and with ``foreachBatch``
+    sinks. Batch callers with a huge flagged set should prefer
+    ``decontaminate``; the inlined literal is the explicit
+    benchmark-is-small contract."""
+    bench = F.array(*[F.lit(int(h)) for h in bench_set]).cast("array<bigint>")
+    return docs.filter(~F.arrays_overlap(ngram_hash_array(text_col, n), bench))

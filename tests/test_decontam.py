@@ -12,7 +12,9 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from lovdata_pipeline_spark.operators.decontam import (
+    benchmark_ngram_set,
     decontaminate,
+    decontaminate_rowlocal,
     ngram_overlap_flags,
 )
 
@@ -90,3 +92,24 @@ def test_empty_benchmark_flags_nothing(spark):
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert ngram_overlap_flags(train, bench, n=3).count() == 0
     assert decontaminate(train, bench, n=3).count() == 1
+    assert decontaminate_rowlocal(train, benchmark_ngram_set(bench)).count() == 1
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=10), n=st.sampled_from([2, 3]))
+def test_rowlocal_equals_join_form(spark, texts, n):
+    """The streaming row-local filter must keep exactly the rows the
+    batch anti-join form keeps, for any corpus."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    schema = "doc_id long, text string"
+    train = spark.createDataFrame([r for r in rows if r[0] % 3 != 0], schema)
+    bench = spark.createDataFrame([r for r in rows if r[0] % 3 == 0], schema)
+    via_join = {r.doc_id for r in decontaminate(train, bench, n=n).collect()}
+    via_local = {
+        r.doc_id
+        for r in decontaminate_rowlocal(
+            train, benchmark_ngram_set(bench, n=n), n=n
+        ).collect()
+    }
+    assert via_local == via_join

@@ -212,6 +212,53 @@ class TestStreaming:
         assert rows[0].n == 2 and rows[0].event_type == "click"
         assert rows[1].n == 1 and rows[1].event_type == "view"
 
+    def test_streaming_decontamination_available_now(self, spark, tmp_path):
+        """Row-local decontamination over a document stream must keep
+        exactly what the batch anti-join form keeps — the streaming
+        operator is a pure scan-local filter, so it composes with
+        AvailableNow + checkpoint like any stateless projection."""
+        import pandas as pd
+
+        from lovdata_pipeline_spark.operators.decontam import (
+            benchmark_ngram_set,
+            decontaminate,
+            decontaminate_rowlocal,
+        )
+
+        texts = {
+            1: "alpha beta gamma delta",
+            2: "epsilon zeta eta theta",
+            3: "alpha beta gamma iota",   # shares 3-gram with bench
+            4: "kappa lam mu nu",
+        }
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        ).to_parquet(src / "p0.parquet")
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma zeta")], "doc_id long, text string"
+        )
+        bench_set = benchmark_ngram_set(bench, n=3)
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        clean = decontaminate_rowlocal(stream, bench_set, n=3)
+        q = (
+            clean.writeStream.format("memory")
+            .queryName("decontam_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_stream").collect()}
+        batch_docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        want = {r.doc_id for r in decontaminate(batch_docs, bench, n=3).collect()}
+        assert got == want == {2, 4}
+
     def test_interval_join_available_now(self, spark, tmp_path):
         import pandas as pd
 
