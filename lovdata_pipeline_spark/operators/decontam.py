@@ -139,6 +139,34 @@ def decontaminate(
     return train.join(F.broadcast(flags), id_col, "left_anti")
 
 
+def benchmark_contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reverse direction: which BENCHMARK documents are compromised,
+    and how badly — (bench_doc, n_contaminated_train_docs,
+    n_shared_ngrams). The report an eval owner reads before trusting a
+    score; same broadcast join as the forward flags, aggregated by the
+    benchmark side (k distinct bench docs ⇒ k output rows)."""
+    tsh = _scan_local_ngram_hashes(train, text_col, id_col, n).distinct()
+    bsh = (
+        _scan_local_ngram_hashes(benchmark, text_col, id_col, n)
+        .select(F.col(id_col).alias("bench_doc"), "shingle")
+        .distinct()
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("bench_doc")
+        .agg(
+            F.countDistinct(id_col).alias("n_contaminated_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+        )
+    )
+
+
 def benchmark_ngram_set(
     benchmark: DataFrame, n: int = 3, text_col: str = "text"
 ) -> list[int]:

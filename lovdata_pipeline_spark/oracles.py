@@ -1355,3 +1355,35 @@ ORACLES["pretraining_pipeline"] = rf"""
         FROM packed p JOIN mixed m USING (doc_id)
         ORDER BY p.doc_id
 """
+
+# Reverse-direction contamination report (r4): same join rule as the
+# forward flags, aggregated per benchmark document.
+ORACLES["benchmark_contamination_report"] = f"""
+        WITH {_DECONTAM_CTES.split(',        flags AS')[0]}
+        SELECT b.bench_doc,
+               count(DISTINCT t.doc_id) AS n_contaminated_train_docs,
+               count(DISTINCT t.shingle) AS n_shared_ngrams
+        FROM (SELECT DISTINCT doc_id, shingle FROM train) t
+        JOIN bench b USING (shingle)
+        GROUP BY b.bench_doc
+        ORDER BY b.bench_doc
+"""
+
+# Temperature-alpha mixing (r4, alpha = 0.5): thresholds recomputed in
+# SQL with the exact driver arithmetic — sqrt is IEEE correctly rounded
+# in both engines and the quantization is floor (engine-identical),
+# never round (tie-divergent).
+ORACLES["temperature_mix_orders"] = """
+        WITH s AS (SELECT o_orderkey,
+                          CAST(length(CAST(o_orderkey AS VARCHAR)) AS INTEGER) AS magnitude
+                   FROM orders),
+        c AS (SELECT magnitude AS v, count(*) AS c FROM s GROUP BY 1),
+        m AS (SELECT min(c) AS cmin FROM c),
+        t AS (SELECT v, CAST(floor(10000 * sqrt(cmin * CAST(1.0 AS DOUBLE) / c)) AS BIGINT) AS th
+              FROM c CROSS JOIN m)
+        SELECT s.o_orderkey, s.magnitude
+        FROM s JOIN t ON s.magnitude = t.v
+        WHERE CAST(concat('0x', substr(md5(CAST(s.o_orderkey AS VARCHAR) || 'temp-v1'), 1, 15))
+                   AS UBIGINT) % 10000 < th
+        ORDER BY s.o_orderkey
+"""

@@ -788,6 +788,39 @@ def decontaminate_clean_set(spark, sf_dir):
     )
 
 
+def benchmark_contamination_report(spark, sf_dir):
+    """Per-benchmark-doc contamination report (new r4): how many train
+    docs and distinct n-grams compromise each eval document — the view
+    an eval owner checks before trusting a score."""
+    train, bench = _bench_split(spark, sf_dir)
+    return decontam.benchmark_contamination_report(train, bench, n=3).orderBy(
+        "bench_doc"
+    )
+
+
+def temperature_mix_orders(spark, sf_dir):
+    """Temperature-α domain mixing (new r4, α=0.5): keep rates derived
+    from stratum counts — rate_d = sqrt(c_min/c_d), floor-quantized to
+    integer thresholds — then the same shuffle-free portable hash filter
+    as stratified sampling. The GPT-3/PaLM rare-domain upweighting
+    scheme, fully deterministic. Every categorical column in the
+    synthetic data is near-uniform (which would make α-scaling a no-op),
+    so the stratum is the order key's decimal-digit MAGNITUDE — counts
+    9/90/900/9000/5001 at sf0.01, a real exponential skew; rates span
+    1.0 down to sqrt(9/9000) ≈ 0.03."""
+    from lovdata_pipeline_spark.operators.sampling import temperature_sample
+
+    (orders,) = load(spark, sf_dir, "orders")
+    strat = orders.select(
+        "o_orderkey",
+        F.length(F.col("o_orderkey").cast("string")).alias("magnitude"),
+    )
+    return (
+        temperature_sample(strat, "magnitude", "o_orderkey", alpha=0.5, seed="temp-v1")
+        .orderBy("o_orderkey")
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs. Routes through the BLOCKED variant — the
     100 TB plan (block-pair applyInPandas, no driver collect, no
@@ -1422,13 +1455,13 @@ QUERIES = {
     "pack_sequences_documents": pack_sequences_documents,
     "ann_topk_pq": ann_topk_pq,
     "pretraining_pipeline": pretraining_pipeline,
+    "benchmark_contamination_report": benchmark_contamination_report,
+    "temperature_mix_orders": temperature_mix_orders,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
-    "positional_ids": positional_ids,
-    "greedy_token_buckets": greedy_token_buckets,
     "exists_agg_priority": exists_agg_priority,
     "not_exists_high_value": not_exists_high_value,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -1456,6 +1489,8 @@ QUERIES = {
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3; demoted r4 for pack_sequences_documents (rank-window twin top3_orders_per_customer stays)
     "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1+r2+r3; demoted r4 for ann_topk_pq (rollup/cube/pivot family twins in tail, each with prior green rows)
     "events_json_props": events_json_props,                              # green r1+r2+r3; demoted r4 for pretraining_pipeline
+    "positional_ids": positional_ids,                                    # green r1+r2+r3; demoted r4 for benchmark_contamination_report (in-UDF id assignment also inside windowed chunk_documents_pipeline)
+    "greedy_token_buckets": greedy_token_buckets,                        # green r1+r2+r3; demoted r4 for temperature_mix_orders (tier-2 grouping also inside windowed chunk_documents_pipeline)
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

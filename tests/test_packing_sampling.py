@@ -12,7 +12,11 @@ from lovdata_pipeline_spark.operators.packing import (
     pack_into_shards,
     pack_token_sequences,
 )
-from lovdata_pipeline_spark.operators.sampling import stratified_sample
+from lovdata_pipeline_spark.operators.sampling import (
+    stratified_sample,
+    temperature_sample,
+    temperature_thresholds,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -156,6 +160,30 @@ def test_stratified_sample_integer_boundary(spark):
     }
     assert boundary not in kept  # 700 < 700 is false — no float fuzz
     assert kept == {k for k in keys if h(k) < 700}  # exact replica agreement
+
+
+def test_temperature_thresholds_semantics():
+    """α=0.5 upweights rare strata: smallest keeps all, rates fall as
+    sqrt(c_min/c); α=1 is proportional passthrough (keep everything)."""
+    counts = {"rare": 100, "mid": 400, "big": 10000}
+    th = temperature_thresholds(counts, alpha=0.5)
+    assert th["rare"] == 10000
+    assert th["mid"] == 5000  # sqrt(100/400) = 0.5 exactly
+    assert th["big"] == 1000  # sqrt(100/10000) = 0.1 exactly
+    assert all(t == 10000 for t in temperature_thresholds(counts, alpha=1.0).values())
+
+
+def test_temperature_sample_deterministic_and_skew_corrected(spark):
+    rows = [(i, "rare" if i < 50 else "big") for i in range(2050)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    a = sorted(r.k for r in temperature_sample(df, "dom", "k", seed="s").collect())
+    b = sorted(r.k for r in temperature_sample(df.repartition(7), "dom", "k", seed="s").collect())
+    assert a == b  # deterministic under any partitioning
+    kept = temperature_sample(df, "dom", "k", seed="s").groupBy("dom").count().collect()
+    by_dom = {r.dom: r["count"] for r in kept}
+    # rare kept fully; big kept at ~sqrt(50/2000) ≈ 15.8%
+    assert by_dom["rare"] == 50
+    assert 200 <= by_dom.get("big", 0) <= 450
 
 
 def test_repetition_signals_detect_stutter(spark):
