@@ -203,6 +203,95 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Curate a documents parquet into a training-ready corpus: optional
+    PII gate/redaction, exact fingerprint dedup, benchmark
+    decontamination, deterministic domain mixing, quality annotation,
+    and fixed-length sequence assignment — the CLI surface of the
+    pretraining_pipeline registry query, each stage opt-in. Prints one
+    JSON line of per-stage row counts."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import decontam, textstats
+    from lovdata_pipeline_spark.operators.packing import pack_token_sequences
+    from lovdata_pipeline_spark.operators.sampling import (
+        stratified_sample,
+        temperature_sample,
+    )
+
+    spark = _spark("lg-curate")
+    id_col, text_col, strata_col = args.id_col, args.text_col, args.strata_col
+    cur = spark.read.parquet(args.input)
+    stages: dict[str, int] = {"input": cur.count()}
+
+    if args.pii == "drop":
+        cur = cur.filter(
+            (
+                F.size(
+                    F.regexp_extract_all(text_col, F.lit(textstats.EMAIL_RE), F.lit(0))
+                )
+                == 0
+            )
+            & (
+                F.size(
+                    F.regexp_extract_all(text_col, F.lit(textstats.PHONE_RE), F.lit(0))
+                )
+                == 0
+            )
+        )
+    elif args.pii == "redact":
+        cur = cur.withColumn(
+            text_col,
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), textstats.EMAIL_RE, "[EMAIL]"),
+                textstats.PHONE_RE,
+                "[PHONE]",
+            ),
+        )
+    cur = cur.cache()
+    stages["after_pii"] = cur.count()
+
+    if not args.no_dedup:
+        fp = cur.withColumn("_fp", F.md5(textstats._normalized(text_col)))
+        keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        cur = fp.join(keep, ["_fp", id_col]).drop("_fp").cache()
+        stages["after_dedup"] = cur.count()
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        cur = decontam.decontaminate(
+            cur, bench, n=args.ngram, text_col=text_col, id_col=id_col
+        ).cache()
+        stages["after_decontam"] = cur.count()
+
+    if args.mix:
+        rates = {}
+        for part in args.mix.split(","):
+            k, _, v = part.partition("=")
+            rates[k.strip()] = float(v)
+        cur = stratified_sample(cur, rates, strata_col, id_col, seed=args.seed).cache()
+        stages["after_mix"] = cur.count()
+    elif args.temperature is not None:
+        cur = temperature_sample(
+            cur, strata_col, id_col, alpha=args.temperature, seed=args.seed
+        ).cache()
+        stages["after_mix"] = cur.count()
+
+    stats = textstats.hashed_linear_quality(cur, text_col, id_col).select(
+        id_col, "n_tokens", "quality_logit"
+    )
+    out = cur.join(stats, id_col)
+    if args.seq_len:
+        seqs = pack_token_sequences(
+            stats.select(id_col, "n_tokens"), seq_len=args.seq_len, id_col=id_col
+        ).drop("n_tokens")
+        out = out.join(seqs, id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    stages["output"] = spark.read.parquet(args.output).count()
+    print(json.dumps({"stages": stages, "output_path": args.output}))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -263,6 +352,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     se.set_defaults(func=cmd_search)
 
+    c = sub.add_parser("curate", help="curate a documents parquet for training")
+    c.add_argument("--input", required=True, help="documents parquet path")
+    c.add_argument("--output", required=True, help="curated output parquet path")
+    c.add_argument("--benchmark", default=None, help="eval-set parquet to decontaminate against")
+    c.add_argument("--pii", choices=["drop", "redact", "keep"], default="drop")
+    c.add_argument("--no-dedup", action="store_true")
+    c.add_argument("--ngram", type=int, default=3)
+    c.add_argument("--mix", default=None, help="stratified rates, e.g. 'src0=1.0,src1=0.4'")
+    c.add_argument("--temperature", type=float, default=None, help="temperature-mix alpha (instead of --mix)")
+    c.add_argument("--seq-len", type=int, default=512, help="0 skips sequence assignment")
+    c.add_argument("--seed", default="curate-v1")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--strata-col", default="source")
+    c.set_defaults(func=cmd_curate)
+
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)
     m.add_argument("--source", required=True)
@@ -273,6 +378,8 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if getattr(args, "source_format", None) == getattr(args, "target_format", "x"):
         parser.error("source and target formats must differ")
+    if getattr(args, "mix", None) and getattr(args, "temperature", None) is not None:
+        parser.error("--mix and --temperature are mutually exclusive")
     return args.func(args)
 
 

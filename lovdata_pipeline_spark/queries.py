@@ -771,8 +771,12 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     """Benchmark decontamination report (new r4): training docs sharing
     any word-3-gram with the benchmark slice, with overlap counts.
     Scale shape: scan-local n-gram hashing, broadcast benchmark set,
-    one 16-byte-pair aggregate shuffle — text never moves."""
+    one 16-byte-pair aggregate shuffle — text never moves. The
+    single-file test corpus pins the interpreted n-gram loop to one
+    scan task, so spread it locally (a corpus-scale table is already
+    many-partitioned)."""
     train, bench = _bench_split(spark, sf_dir)
+    train = train.repartition(spark.sparkContext.defaultParallelism)
     return decontam.ngram_overlap_flags(train, bench, n=3).orderBy("doc_id")
 
 

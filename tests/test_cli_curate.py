@@ -1,0 +1,90 @@
+"""`lg curate`: the CLI surface of the curation DAG — drives the real
+command end-to-end over parquet fixtures and checks stage accounting,
+output schema, and the gate semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lovdata_pipeline_spark.cli import main
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "web"),
+        (2, "alpha beta gamma delta epsilon", "web"),     # exact dup of 1
+        (3, "zeta eta theta iota kappa", "web"),
+        (4, "contact me at bob@example.com now", "web"),  # PII
+        (5, "lorem ipsum dolor sit amet", "books"),
+        (6, "totally unique words here folks", "books"),
+    ]
+    p = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        str(p)
+    )
+    return str(p)
+
+
+@pytest.fixture()
+def bench_parquet(spark, tmp_path):
+    p = tmp_path / "bench"
+    spark.createDataFrame(
+        [(100, "zeta eta theta of the eval set")], "doc_id long, text string"
+    ).write.parquet(str(p))
+    return str(p)
+
+
+def test_curate_end_to_end(spark, tmp_path, docs_parquet, bench_parquet, capsys):
+    out = tmp_path / "curated"
+    rc = main(
+        [
+            "curate",
+            "--input", docs_parquet,
+            "--output", str(out),
+            "--benchmark", bench_parquet,
+            "--seq-len", "8",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = summary["stages"]
+    assert st["input"] == 6
+    assert st["after_pii"] == 5          # doc 4 dropped
+    assert st["after_dedup"] == 4        # doc 2 dropped (dup of 1)
+    assert st["after_decontam"] == 3     # doc 3 shares 'zeta eta theta'
+    assert st["output"] == 3
+    got = spark.read.parquet(str(out))
+    assert {r.doc_id for r in got.collect()} == {1, 5, 6}
+    for col in ("n_tokens", "quality_logit", "tok_start", "seq_start", "n_seqs"):
+        assert col in got.columns, col
+    # sequence assignment covers the stream contiguously in id order
+    rows = sorted(got.collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.tok_start == cum
+        cum += r.n_tokens
+
+
+def test_curate_redact_keeps_row(spark, tmp_path, docs_parquet, capsys):
+    out = tmp_path / "curated2"
+    rc = main(
+        ["curate", "--input", docs_parquet, "--output", str(out),
+         "--pii", "redact", "--seq-len", "0"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == 5  # dup still cut, PII doc kept but masked
+    masked = got.filter("doc_id = 4").first()
+    assert "[EMAIL]" in masked.text and "@" not in masked.text
+    assert "tok_start" not in got.columns  # packing skipped
+
+
+def test_curate_mix_and_temperature_exclusive(docs_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        main(
+            ["curate", "--input", docs_parquet, "--output", str(tmp_path / "x"),
+             "--mix", "web=1.0", "--temperature", "0.5"]
+        )
