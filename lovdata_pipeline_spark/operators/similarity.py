@@ -383,6 +383,35 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full production ANN shape — coarse quantization prunes
+    the scan to the n_probe cells nearest the query (partition pruning
+    when the corpus is written partitioned by cell), then ADC scores the
+    surviving rows from their PQ codes alone. Memory = m bytes/vector,
+    scan = n_probe/n_cells of the corpus: the combination that serves
+    billion-vector corpora from RAM. Residual encoding (PQ over
+    v − coarse_centroid) is the standard refinement deliberately skipped
+    for codebook determinism — see ``pq_adc_topk``."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query, centroids[i])),
+    )
+    probes = order[:n_probe]
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    return pq_adc_topk(
+        assigned.filter(F.col("cell").isin(probes)), query, codebooks, k, id_col, vec_col
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     query: list[float],

@@ -1387,3 +1387,65 @@ ORACLES["temperature_mix_orders"] = """
                    AS UBIGINT) % 10000 < th
         ORDER BY s.o_orderkey
 """
+
+# IVF-PQ composition (r4): probe cells from the IVF oracle's seeding +
+# assignment CTEs, then the PQ oracle's encode/reconstruct/ADC applied
+# to the probed subset only. Python's probe-ordering fold (0-init
+# left-to-right sum) is bitwise the SQL sequential fold, the contract
+# ivf_topk already relies on.
+def _ann_ivfpq_sql(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k_sub: int = 16,
+    dims: int = 64,
+    k: int = 10,
+) -> str:
+    d_sub = dims // m
+    sq = _IVF_SQ.format(
+        a=f"(p.ev[b.j * {d_sub} + 1 : b.j * {d_sub} + {d_sub}])", b="b.cv"
+    )
+    return f"""
+        WITH {_ivf_assigned_ctes(n_cells)},
+        q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
+        probes AS (
+          SELECT cell FROM c CROSS JOIN q
+          ORDER BY {_IVF_SQ.format(a="q.qe", b="c.cv")}, cell
+          LIMIT {n_probe}
+        ),
+        pr AS (SELECT a.vec_id, a.ev FROM assigned a JOIN probes USING (cell)),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                 embedding::DOUBLE[] AS sv
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k_sub}
+        ),
+        book AS (
+          SELECT s.code, t.j, s.sv[t.j * {d_sub} + 1 : t.j * {d_sub} + {d_sub}] AS cv
+          FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j) t
+        ),
+        enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT p.vec_id, b.j, b.code,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id, b.j
+                     ORDER BY {sq}, b.code
+                   ) AS rn
+            FROM pr p CROSS JOIN book b
+          ) WHERE rn = 1
+        ),
+        recon AS (
+          SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.j)) AS rv
+          FROM enc JOIN book b ON b.j = enc.j AND b.code = enc.code
+          GROUP BY enc.vec_id
+        )
+        SELECT r.vec_id AS vec_id,
+               round(list_dot_product(q.qe, r.rv), 6) AS adc_score
+        FROM recon r CROSS JOIN q
+        ORDER BY adc_score DESC, vec_id
+        LIMIT {k}
+    """
+
+
+ORACLES["ann_topk_ivfpq"] = _ann_ivfpq_sql()

@@ -1011,6 +1011,21 @@ def ann_topk_pq(spark, sf_dir):
     return similarity.pq_adc_topk(scored, query, books, k=10)
 
 
+def ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ (new r4): the full production ANN shape — 2-of-8 coarse
+    cells probed, survivors scored from 8 one-byte PQ codes (ADC). Same
+    portable seeding as the IVF and PQ queries, so the oracle reproduces
+    probe choice, encoding, and scores exactly."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
+    books = similarity.pq_codebooks(emb, m=8, k_sub=16, portable=True)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.ivf_pq_topk(
+        scored, query, centroids, books, k=10, n_probe=2
+    )
+
+
 def agg_approx_stats(spark, sf_dir):
     """Sketch-based aggregates (HLL distinct, quantile sketch) — the
     100 TB forms of countDistinct/percentile — graded as a TOLERANCE-BAND
@@ -1461,6 +1476,7 @@ QUERIES = {
     "pretraining_pipeline": pretraining_pipeline,
     "benchmark_contamination_report": benchmark_contamination_report,
     "temperature_mix_orders": temperature_mix_orders,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1471,7 +1487,6 @@ QUERIES = {
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
-    "events_range_join": events_range_join,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1495,6 +1510,7 @@ QUERIES = {
     "events_json_props": events_json_props,                              # green r1+r2+r3; demoted r4 for pretraining_pipeline
     "positional_ids": positional_ids,                                    # green r1+r2+r3; demoted r4 for benchmark_contamination_report (in-UDF id assignment also inside windowed chunk_documents_pipeline)
     "greedy_token_buckets": greedy_token_buckets,                        # green r1+r2+r3; demoted r4 for temperature_mix_orders (tier-2 grouping also inside windowed chunk_documents_pipeline)
+    "events_range_join": events_range_join,                              # green r1+r2+r3; demoted r4 for ann_topk_ivfpq
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

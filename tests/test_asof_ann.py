@@ -260,6 +260,51 @@ class TestProductQuantization:
         emb.unpersist()
         assert sum(1 for v in top if v < 60) >= 7  # cluster 0 = ids 0..59
 
+    def test_ivfpq_full_probe_equals_plain_adc(self, spark):
+        """n_probe = n_cells degrades IVF-PQ to plain PQ-ADC exactly."""
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = similarity.deterministic_centroids(emb, n_cells=4, portable=True)
+        books = similarity.pq_codebooks(emb, m=4, k_sub=6, portable=True)
+        query = rows[0][1]
+        full = [
+            tuple(r)
+            for r in similarity.ivf_pq_topk(
+                emb, query, cents, books, k=10, n_probe=4
+            ).collect()
+        ]
+        plain = [
+            tuple(r) for r in similarity.pq_adc_topk(emb, query, books, k=10).collect()
+        ]
+        assert full == plain
+
+    def test_ivfpq_partial_probe_subset_of_plain(self, spark):
+        """Partial probing returns a subset of the plain ADC ranking,
+        scored identically."""
+        import numpy as np
+
+        rng = np.random.RandomState(6)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = similarity.deterministic_centroids(emb, n_cells=4, portable=True)
+        books = similarity.pq_codebooks(emb, m=4, k_sub=6, portable=True)
+        query = rows[0][1]
+        part = {
+            r.vec_id: r.adc_score
+            for r in similarity.ivf_pq_topk(
+                emb, query, cents, books, k=80, n_probe=2
+            ).collect()
+        }
+        plain = {
+            r.vec_id: r.adc_score
+            for r in similarity.pq_adc_topk(emb, query, books, k=80).collect()
+        }
+        assert set(part) < set(plain)
+        assert all(plain[v] == s for v, s in part.items())
+
     def test_indivisible_dims_raise(self, spark):
         emb = spark.createDataFrame(
             [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
