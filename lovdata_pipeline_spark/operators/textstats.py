@@ -521,9 +521,14 @@ def hashed_linear_quality(
     document map-side — the only shuffle carries one (id, sum, count)
     row per document. Text never moves.
     """
+    # coalesce: a NULL text must yield a scored row (one empty token),
+    # not silently vanish through explode(NULL) — at corpus scale silent
+    # row loss in a quality stage is a data bug, not a convenience.
     tok = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("w"),
     )
     weight = (
         F.conv(

@@ -1181,7 +1181,8 @@ ORACLES["decontaminate_clean_set"] = f"""
 # first) so the % result can go negative safely.
 ORACLES["text_quality_classifier"] = r"""
         WITH tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
           FROM documents),
         wt AS (
           SELECT doc_id,

@@ -87,6 +87,21 @@ def test_decontaminate_removes_exactly_the_flags(spark):
     assert {r.doc_id for r in clean.collect()} == {3}
 
 
+def test_null_text_never_flags_and_survives(spark):
+    """NULL text has no n-grams: never flagged, survives the cut (both
+    join and row-local forms) — 'no content' is trivially clean."""
+    train = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    assert {r.doc_id for r in ngram_overlap_flags(train, bench, n=3).collect()} == {2}
+    assert {r.doc_id for r in decontaminate(train, bench, n=3).collect()} == {1}
+    assert {
+        r.doc_id
+        for r in decontaminate_rowlocal(train, benchmark_ngram_set(bench)).collect()
+    } == {1}
+
+
 def test_empty_benchmark_flags_nothing(spark):
     train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     bench = spark.createDataFrame([], "doc_id long, text string")

@@ -49,6 +49,18 @@ def test_matches_python_replica(spark):
         assert got[i][3] == keep
 
 
+def test_null_text_scores_instead_of_vanishing(spark):
+    """A NULL text row must still produce a scored row (one empty token
+    — same as empty string), never silently drop from the output."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in hashed_linear_quality(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_tokens == got[2].n_tokens == 1
+    assert got[1].quality_logit == got[2].quality_logit == _weight("") / 5000
+
+
 def test_partition_independent(spark):
     rows = [(i, f"w{i % 7} w{i % 5} w{i % 3} common words here") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
