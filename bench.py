@@ -47,6 +47,7 @@ HEADLINE = [
     "decontaminate_benchmark_overlap",
     "ann_cosine_topk",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "knn_join_top3",
     "text_language_id",
     "text_quality",
@@ -58,6 +59,7 @@ HEADLINE = [
     "text_bm25_search",
     "shard_pack_documents",
     "pack_sequences_documents",
+    "temperature_mix_orders",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",
