@@ -225,19 +225,12 @@ def cmd_curate(args) -> int:
     stages: dict[str, int] = {"input": cur.count()}
 
     if args.pii == "drop":
+        # coalesce: NULL text contains no PII; without it the NULL
+        # propagates through the predicate and silently drops the row
+        safe = F.coalesce(F.col(text_col), F.lit(""))
         cur = cur.filter(
-            (
-                F.size(
-                    F.regexp_extract_all(text_col, F.lit(textstats.EMAIL_RE), F.lit(0))
-                )
-                == 0
-            )
-            & (
-                F.size(
-                    F.regexp_extract_all(text_col, F.lit(textstats.PHONE_RE), F.lit(0))
-                )
-                == 0
-            )
+            (F.size(F.regexp_extract_all(safe, F.lit(textstats.EMAIL_RE), F.lit(0))) == 0)
+            & (F.size(F.regexp_extract_all(safe, F.lit(textstats.PHONE_RE), F.lit(0))) == 0)
         )
     elif args.pii == "redact":
         cur = cur.withColumn(
@@ -252,7 +245,12 @@ def cmd_curate(args) -> int:
     stages["after_pii"] = cur.count()
 
     if not args.no_dedup:
-        fp = cur.withColumn("_fp", F.md5(textstats._normalized(text_col)))
+        # coalesce: md5(normalized(NULL)) is NULL and a NULL join key
+        # silently drops the row; NULL and empty texts instead dedup
+        # together as one "no content" group
+        fp = cur.withColumn(
+            "_fp", F.md5(F.coalesce(textstats._normalized(text_col), F.lit("")))
+        )
         keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
         cur = fp.join(keep, ["_fp", id_col]).drop("_fp").cache()
         stages["after_dedup"] = cur.count()

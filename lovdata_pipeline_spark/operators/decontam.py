@@ -96,9 +96,11 @@ def ngram_overlap_flags(
             F.countDistinct("bench_doc").alias("n_benchmark_docs"),
         )
         .filter(F.col("n_overlap") >= min_overlaps)
-        .withColumn(
-            "overlap_frac", F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
-        )
+        # UNROUNDED: the ratio of two exact integers is bit-identical in
+        # every IEEE engine, while round(·, 6) diverges across engines on
+        # exact decimal ties (e.g. 1/128 = 0.0078125) — the same
+        # discipline as hashed_linear_quality's logit.
+        .withColumn("overlap_frac", F.col("n_overlap") / F.col("n_ngrams"))
     )
 
 

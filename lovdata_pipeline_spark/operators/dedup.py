@@ -240,6 +240,11 @@ def minhash_signatures(
     )
 
 
+#: largest hot-shingle set inlined as a codegen isin literal; bigger sets
+#: (small df_cap on a large corpus) fall back to a broadcast anti-join
+_HOT_SET_ISIN_MAX = 20_000
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -297,16 +302,22 @@ def minhash_lsh_pairs(
     extra_cand = None
     if df_cap is not None:
         n_docs = docs.count()  # parquet metadata count: no scan
-        hot_list = [
-            r["shingle"]
-            for r in sh.groupBy("shingle")
+        hot = (
+            sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap * n_docs)
             .select("shingle")
-            .collect()
-        ]
-        if hot_list:
+        )
+        hot_list = [r["shingle"] for r in hot.limit(_HOT_SET_ISIN_MAX + 1).collect()]
+        if len(hot_list) > _HOT_SET_ISIN_MAX:
+            # small df_cap values (a public parameter) can make the hot
+            # set ~avg_shingles_per_doc/cap entries — far past what a
+            # driver-side isin literal should hold; fall back to the
+            # broadcast anti-join, which handles any hot-set size.
+            sh_for_sig = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        elif hot_list:
             sh_for_sig = sh.filter(~F.col("shingle").isin(hot_list))
+        if hot_list:
             # zero-survivor recall guard: docs whose whole shingle set was
             # hot re-enter candidacy through an exact set-hash equi-join
             # (identical sets ⇒ Jaccard 1.0 ≥ any threshold; verify step
@@ -696,6 +707,7 @@ def remove_duplicated_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Cut duplicated spans out of the NON-canonical copies — the actual
     removal step of substring-level dedup ("Deduplicating Training Data
@@ -708,9 +720,9 @@ def remove_duplicated_spans(
     Returns one row per input document: (id, n_cut_regions,
     n_chars_removed, clean_hash) where clean_hash = md5 of the text
     with removal regions spliced out (untouched docs hash their
-    original text). The narrow hash output keeps the frame small; the
-    splice itself is exposed because callers rewriting a corpus want
-    the text — use ``.withColumn`` on the same plan if needed.
+    original text). The narrow hash output keeps the graded frame
+    small; corpus-rewriting callers pass ``keep_text=True`` to also get
+    the spliced ``clean_text`` column itself.
 
     Plan shape (scale-graded): removal ranges for one doc merge with
     windowed gaps-and-islands (running max of interval end; new island
@@ -782,15 +794,15 @@ def remove_duplicated_spans(
             F.concat(F.col("head_text"), F.col("tail_piece")).alias("_clean"),
         )
     )
-    return (
-        docs_sel.join(clean, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_cut_regions", F.lit(0)).alias("n_cut_regions"),
-            F.coalesce("n_chars_removed", F.lit(0)).alias("n_chars_removed"),
-            F.md5(F.coalesce(F.col("_clean"), F.col("_text"))).alias("clean_hash"),
-        )
-    )
+    cols = [
+        F.col(id_col),
+        F.coalesce("n_cut_regions", F.lit(0)).alias("n_cut_regions"),
+        F.coalesce("n_chars_removed", F.lit(0)).alias("n_chars_removed"),
+        F.md5(F.coalesce(F.col("_clean"), F.col("_text"))).alias("clean_hash"),
+    ]
+    if keep_text:
+        cols.append(F.coalesce(F.col("_clean"), F.col("_text")).alias("clean_text"))
+    return docs_sel.join(clean, id_col, "left").select(*cols)
 
 
 # --------------------------------------------------------------------------

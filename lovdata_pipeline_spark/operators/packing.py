@@ -39,9 +39,17 @@ def global_token_offsets(
 ) -> DataFrame:
     """(id, n_tokens, tok_start): tok_start = sum of ``token_col`` over
     all rows with smaller ``id_col`` — the distributed prefix sum
-    described in the module docstring. The returned frame is cached and
-    materialized (callers derive cheap projections from it); callers
-    must not re-derive the range partitioning.
+    described in the module docstring.
+
+    The returned frame is CACHED and eagerly materialized: the cache is
+    load-bearing, not an optimization — it pins the offsets computed
+    against the (sampling-dependent) range partitioning before
+    ``with_pid`` is released, so later actions can never recompute
+    against a re-drawn partitioning. The cost is one retained
+    (id, n_tokens, tok_start) InMemoryRelation per call: long-lived
+    sessions packing many batches should ``.unpersist()`` the result
+    (or its derived frame) once consumed — bench and the registry rely
+    on the session's cache clearing.
     """
     parts = df.select(id_col, token_col)
     ranged = (

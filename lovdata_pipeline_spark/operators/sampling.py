@@ -105,6 +105,14 @@ def temperature_sample(
     counts = {
         r[0]: r[1] for r in df.groupBy(strata_col).agg(F.count("*")).collect()
     }
+    # NULL strata carry no count-derived rate — they are dropped (the
+    # when-chain's otherwise(0) already excludes them, since col == value
+    # is never true for NULL); keeping None out of the dict also keeps
+    # sorted() from comparing None against real keys. An empty frame has
+    # no thresholds to derive — return it unchanged (still empty).
+    counts.pop(None, None)
+    if not counts:
+        return df.filter(F.lit(False))
     th = temperature_thresholds(counts, alpha)
     threshold = F.lit(0)
     for value, t in sorted(th.items()):

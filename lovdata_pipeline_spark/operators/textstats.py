@@ -182,7 +182,15 @@ def winnowing_fingerprints(
             ids_out: list = []
             fps_out: list = []
             for vid, text in zip(pdf[id_col], pdf[text_col]):
-                t = (text or "").lower()
+                # length-preserving lowercase only: a handful of
+                # codepoints expand under lower() ("\u0130" -> 2 chars),
+                # which would shift every later 1-based offset relative
+                # to the ORIGINAL text the span splicer cuts; such docs
+                # hash original-case instead (deterministic, mirrored in
+                # the oracle; loses case-folding for those rare docs).
+                raw = text or ""
+                low = raw.lower()
+                t = low if len(low) == len(raw) else raw
                 # exact codepoints, vectorized (matches Spark ascii())
                 cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
@@ -294,7 +302,15 @@ def winnowing_anchors(
             pos_out: list = []
             fps_out: list = []
             for vid, text in zip(pdf[id_col], pdf[text_col]):
-                t = (text or "").lower()
+                # length-preserving lowercase only: a handful of
+                # codepoints expand under lower() ("\u0130" -> 2 chars),
+                # which would shift every later 1-based offset relative
+                # to the ORIGINAL text the span splicer cuts; such docs
+                # hash original-case instead (deterministic, mirrored in
+                # the oracle; loses case-folding for those rare docs).
+                raw = text or ""
+                low = raw.lower()
+                t = low if len(low) == len(raw) else raw
                 cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
                 )

@@ -662,8 +662,12 @@ ORACLES: dict[str, str] = {
     """,
     "text_winnowing": """
         WITH d AS (
-          SELECT doc_id, lower(text) AS s,
-                 length(lower(text)) - 7 AS ng
+          -- length-preserving lowercase only (mirrors winnowing_anchors:
+          -- expanding codepoints would shift offsets vs the original)
+          SELECT doc_id,
+                 CASE WHEN length(lower(text)) = length(text)
+                      THEN lower(text) ELSE text END AS s,
+                 length(text) - 7 AS ng
           FROM documents),
         g AS (
           SELECT doc_id,
@@ -1006,8 +1010,10 @@ ORACLES["text_bm25_search"] = f"""
 # 8 grams), min 3 anchors per run — mirrors shared_span_pairs' registry
 # parameters.
 _SPAN_CTES = """d AS (
-          SELECT doc_id, lower(text) AS s,
-                 length(lower(text)) - 24 AS ng
+          SELECT doc_id,
+                 CASE WHEN length(lower(text)) = length(text)
+                      THEN lower(text) ELSE text END AS s,
+                 length(text) - 24 AS ng
           FROM documents),
         g AS (
           SELECT doc_id,
@@ -1136,7 +1142,8 @@ ORACLES["hybrid_search_rrf"] = f"""
 # n-gram string — collision-equivalent, the same contract as
 # dedup_ngram_jaccard. overlap_frac divides two exact integers, rounded
 # identically in both engines.
-_DECONTAM_CTES = r"""words AS (
+#: n-gram + bench/train-slice CTEs shared by the flag and report oracles
+_DECONTAM_BASE = r"""words AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         dsh AS (
           SELECT doc_id,
@@ -1144,7 +1151,9 @@ _DECONTAM_CTES = r"""words AS (
                                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
           FROM words),
         bench AS (SELECT DISTINCT doc_id AS bench_doc, shingle FROM dsh WHERE doc_id % 97 = 0),
-        train AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 97 <> 0),
+        train AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 97 <> 0)"""
+
+_DECONTAM_CTES = _DECONTAM_BASE + r""",
         flags AS (
           SELECT t.doc_id,
                  count(DISTINCT t.shingle) AS n_ngrams,
@@ -1156,8 +1165,10 @@ _DECONTAM_CTES = r"""words AS (
 
 ORACLES["decontaminate_benchmark_overlap"] = f"""
         WITH {_DECONTAM_CTES}
+        -- overlap_frac UNROUNDED: exact-integer ratio is IEEE-identical
+        -- cross-engine; round(,6) would diverge on ties like 1/128
         SELECT doc_id, n_ngrams, n_overlap, n_benchmark_docs,
-               round(n_overlap * CAST(1.0 AS DOUBLE) / n_ngrams, 6) AS overlap_frac
+               n_overlap * CAST(1.0 AS DOUBLE) / n_ngrams AS overlap_frac
         FROM flags ORDER BY doc_id
 """
 
@@ -1302,9 +1313,9 @@ ORACLES["pretraining_pipeline"] = rf"""
           FROM ingested),
         no_pii AS (
           SELECT * FROM planted
-          WHERE len(regexp_extract_all(text,
+          WHERE len(regexp_extract_all(coalesce(text, ''),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) = 0
-            AND len(regexp_extract_all(text, '\+\d{{1,2}}-\d{{3}}-\d+')) = 0),
+            AND len(regexp_extract_all(coalesce(text, ''), '\+\d{{1,2}}-\d{{3}}-\d+')) = 0),
         fp AS (
           SELECT doc_id, source, text, md5(trim(regexp_replace(regexp_replace(lower(text),
                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
@@ -1360,7 +1371,7 @@ ORACLES["pretraining_pipeline"] = rf"""
 # Reverse-direction contamination report (r4): same join rule as the
 # forward flags, aggregated per benchmark document.
 ORACLES["benchmark_contamination_report"] = f"""
-        WITH {_DECONTAM_CTES.split(',        flags AS')[0]}
+        WITH {_DECONTAM_BASE}
         SELECT b.bench_doc,
                count(DISTINCT t.doc_id) AS n_contaminated_train_docs,
                count(DISTINCT t.shingle) AS n_shared_ngrams

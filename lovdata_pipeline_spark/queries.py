@@ -956,9 +956,10 @@ def pretraining_pipeline(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    safe_text = F.coalesce(F.col("text"), F.lit(""))  # NULL text holds no PII
     no_pii = planted.filter(
-        (F.size(F.regexp_extract_all("text", F.lit(textstats.EMAIL_RE), F.lit(0))) == 0)
-        & (F.size(F.regexp_extract_all("text", F.lit(textstats.PHONE_RE), F.lit(0))) == 0)
+        (F.size(F.regexp_extract_all(safe_text, F.lit(textstats.EMAIL_RE), F.lit(0))) == 0)
+        & (F.size(F.regexp_extract_all(safe_text, F.lit(textstats.PHONE_RE), F.lit(0))) == 0)
     )
     fp = no_pii.withColumn("fp", F.md5(textstats._normalized("text")))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
