@@ -150,6 +150,12 @@ def pack_token_sequences(
     distributed bookkeeping that makes that grouping local arithmetic.
     """
     off = global_token_offsets(df, id_col, token_col, num_partitions)
+    return _sequence_fields(off, seq_len, id_col, token_col)
+
+
+def _sequence_fields(
+    off: DataFrame, seq_len: int, id_col: str, token_col: str
+) -> DataFrame:
     tok_start = F.col("tok_start")
     n_tok = F.col(token_col)
     seq_start = F.floor(tok_start / F.lit(seq_len)).cast("long")
@@ -165,4 +171,47 @@ def pack_token_sequences(
         .cast("long")
         .alias("n_seqs"),
         (tok_start % seq_len).cast("long").alias("offset_in_seq"),
+    )
+
+
+def sequence_manifest(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row per TRAINING SEQUENCE: (seq_id, n_docs, n_tokens_filled,
+    first_doc, last_doc) — the writer-side view of sequence packing:
+    grouping by seq_id is exactly the shuffle a sequence emitter runs,
+    and the manifest is what a data loader reads to locate documents.
+
+    Per-(doc, sequence) token contribution is pure interval arithmetic
+    over the prefix sum — min(doc_end, seq_end) − max(doc_start,
+    seq_start), all integers. Every interior sequence reports exactly
+    ``seq_len`` filled tokens (only the corpus tail may be short), an
+    invariant the tests pin. explode(sequence(...)) fans each doc to
+    the sequences it touches — bounded by n_tokens/seq_len + 1 rows per
+    doc, so the fan-out carries small ints, never text.
+    """
+    seqs = pack_token_sequences(df, seq_len, id_col, token_col, num_partitions)
+    per = (
+        seqs.filter(F.col("n_seqs") > 0)
+        .select(
+            F.col(id_col),
+            F.col("tok_start"),
+            F.col(token_col),
+            F.explode(F.sequence(F.col("seq_start"), F.col("seq_end"))).alias("seq_id"),
+        )
+        .withColumn(
+            "filled",
+            F.least(F.col("tok_start") + F.col(token_col), (F.col("seq_id") + 1) * seq_len)
+            - F.greatest(F.col("tok_start"), F.col("seq_id") * seq_len),
+        )
+    )
+    return per.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("filled").alias("n_tokens_filled"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

@@ -1461,3 +1461,33 @@ def _ann_ivfpq_sql(
 
 
 ORACLES["ann_topk_ivfpq"] = _ann_ivfpq_sql()
+
+# Per-sequence manifest (r4): same token counts and prefix sum as the
+# packing oracles, fanned out with generate_series and aggregated with
+# pure interval arithmetic — all integers.
+ORACLES["sequence_manifest_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                   AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS tok_start
+          FROM t),
+        per AS (
+          SELECT doc_id, n_tokens, tok_start,
+                 unnest(generate_series(tok_start // 512,
+                                        (tok_start + n_tokens - 1) // 512)) AS seq_id
+          FROM o WHERE n_tokens > 0)
+        SELECT seq_id,
+               count(*) AS n_docs,
+               SUM(least(tok_start + n_tokens, (seq_id + 1) * 512)
+                   - greatest(tok_start, seq_id * 512)) AS n_tokens_filled,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM per GROUP BY seq_id ORDER BY seq_id
+"""

@@ -792,6 +792,20 @@ def decontaminate_clean_set(spark, sf_dir):
     )
 
 
+def sequence_manifest_documents(spark, sf_dir):
+    """Per-sequence manifest (new r4): the writer-side view of 512-token
+    sequence packing — how many documents feed each training sequence
+    and how full it is; every interior sequence must report exactly 512
+    filled tokens. Fan-out carries small ints only."""
+    from lovdata_pipeline_spark.operators.packing import sequence_manifest
+
+    (docs,) = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", textstats.token_count_col("text").alias("n_tokens")
+    )
+    return sequence_manifest(with_tokens, seq_len=512).orderBy("seq_id")
+
+
 def benchmark_contamination_report(spark, sf_dir):
     """Per-benchmark-doc contamination report (new r4): how many train
     docs and distinct n-grams compromise each eval document — the view
@@ -1478,13 +1492,13 @@ QUERIES = {
     "benchmark_contamination_report": benchmark_contamination_report,
     "temperature_mix_orders": temperature_mix_orders,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "sequence_manifest_documents": sequence_manifest_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
     "exists_agg_priority": exists_agg_priority,
-    "not_exists_high_value": not_exists_high_value,
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
@@ -1512,6 +1526,7 @@ QUERIES = {
     "positional_ids": positional_ids,                                    # green r1+r2+r3; demoted r4 for benchmark_contamination_report (in-UDF id assignment also inside windowed chunk_documents_pipeline)
     "greedy_token_buckets": greedy_token_buckets,                        # green r1+r2+r3; demoted r4 for temperature_mix_orders (tier-2 grouping also inside windowed chunk_documents_pipeline)
     "events_range_join": events_range_join,                              # green r1+r2+r3; demoted r4 for ann_topk_ivfpq
+    "not_exists_high_value": not_exists_high_value,                      # green r1+r2+r3; demoted r4 for sequence_manifest_documents (anti-join twin anti_join_changed stays)
     "text_token_counts": text_token_counts,              # green r1+r2
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)

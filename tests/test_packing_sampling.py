@@ -11,6 +11,7 @@ from lovdata_pipeline_spark.operators import textstats
 from lovdata_pipeline_spark.operators.packing import (
     pack_into_shards,
     pack_token_sequences,
+    sequence_manifest,
 )
 from lovdata_pipeline_spark.operators.sampling import (
     stratified_sample,
@@ -160,6 +161,26 @@ def test_stratified_sample_integer_boundary(spark):
     }
     assert boundary not in kept  # 700 < 700 is false — no float fuzz
     assert kept == {k for k in keys if h(k) < 700}  # exact replica agreement
+
+
+def test_sequence_manifest_invariants(spark):
+    """Every interior sequence is exactly seq_len full, the tail holds
+    the remainder, filled tokens conserve the corpus total, and doc
+    ranges are contiguous across consecutive sequences."""
+    docs = _docs_with_tokens(spark)
+    total = docs.agg(F.sum("n_tokens")).first()[0]
+    rows = sorted(
+        (r.seq_id, r.n_docs, r.n_tokens_filled, r.first_doc, r.last_doc)
+        for r in sequence_manifest(docs, seq_len=64, num_partitions=7).collect()
+    )
+    assert [r[0] for r in rows] == list(range(len(rows)))  # dense seq ids
+    assert all(r[2] == 64 for r in rows[:-1])
+    assert rows[-1][2] == total - 64 * (len(rows) - 1)
+    assert sum(r[2] for r in rows) == total
+    for prev, nxt in zip(rows, rows[1:]):
+        # a sequence boundary either splits a doc (shared id) or falls
+        # exactly between two docs (adjacent ids)
+        assert nxt[3] in (prev[4], prev[4] + 1)
 
 
 def test_temperature_thresholds_semantics():
