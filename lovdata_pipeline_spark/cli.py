@@ -285,6 +285,10 @@ def cmd_curate(args) -> int:
         ).drop("n_tokens")
         out = out.join(seqs, id_col)
     out.write.mode("overwrite").parquet(args.output)
+    if args.seq_len:
+        from lovdata_pipeline_spark.operators.packing import release_offsets_caches
+
+        release_offsets_caches()  # the write above was the final action
     stages["output"] = spark.read.parquet(args.output).count()
     print(json.dumps({"stages": stages, "output_path": args.output}))
     return 0

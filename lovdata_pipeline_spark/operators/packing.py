@@ -30,6 +30,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Cached offsets frames retained by global_token_offsets. The cache is
+# load-bearing while a derived frame may still be acted on (see the
+# function docstring), so release is a caller decision: call
+# release_offsets_caches() after the FINAL action on anything derived
+# from a packing operator. Long-lived sessions packing many batches
+# otherwise accrete one InMemoryRelation per call.
+_RETAINED: list[DataFrame] = []
+
+
+def release_offsets_caches() -> int:
+    """Unpersist every offsets frame retained by ``global_token_offsets``
+    and return how many were released. Safe to call repeatedly; only
+    call once all actions on frames derived from packing operators have
+    run (a post-release action would recompute against a freshly drawn
+    range partitioning — values identical, work duplicated)."""
+    n = 0
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+        n += 1
+    return n
+
 
 def global_token_offsets(
     df: DataFrame,
@@ -47,9 +68,9 @@ def global_token_offsets(
     ``with_pid`` is released, so later actions can never recompute
     against a re-drawn partitioning. The cost is one retained
     (id, n_tokens, tok_start) InMemoryRelation per call: long-lived
-    sessions packing many batches should ``.unpersist()`` the result
-    (or its derived frame) once consumed — bench and the registry rely
-    on the session's cache clearing.
+    sessions packing many batches should call ``release_offsets_caches()``
+    once the derived frames' final actions have run — bench and the
+    registry rely on the session's cache clearing.
     """
     parts = df.select(id_col, token_col)
     ranged = (
@@ -105,6 +126,7 @@ def global_token_offsets(
     ).cache()
     result.count()
     with_pid.unpersist()
+    _RETAINED.append(result)
     return result
 
 
@@ -214,4 +236,82 @@ def sequence_manifest(
         F.sum("filled").alias("n_tokens_filled"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
+    )
+
+
+def emit_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The SEQUENCE EMITTER: materialize the actual fixed-length training
+    rows that ``sequence_manifest`` only books — (seq_id, n_docs,
+    n_tokens_filled, seq_text), where ``seq_text`` is each sequence's
+    tokens in global corpus order, space-joined. What a data loader
+    actually consumes; every interior sequence carries exactly
+    ``seq_len`` tokens (only the corpus tail may be short).
+
+    Scale shape — each token moves across the wire EXACTLY ONCE:
+
+      1. tokenize scan-locally (whitespace split, the registry's token
+         convention) and prefix-sum the counts (two-phase distributed
+         scan, k-row driver materialization only);
+      2. join text back on the id (one sort-merge shuffle by id);
+      3. fan each doc out to the sequences it touches via
+         ``explode(sequence(seq_start, seq_end))`` and SLICE the token
+         array per (doc, sequence) BEFORE the groupBy — the shuffle to
+         seq_id carries only the tokens that belong to each sequence,
+         never whole documents;
+      4. groupBy(seq_id): ``array_sort`` on (tok_start, slice) structs
+         restores global order deterministically, ``flatten`` +
+         ``array_join`` emit the row. All steps codegen builtins — no
+         Python in the path.
+
+    Skew-free by construction: a sequence holds at most ``seq_len``
+    tokens, so groupBy(seq_id) partitions are uniformly tiny no matter
+    how skewed document lengths are.
+    """
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = df.select(
+        F.col(id_col),
+        F.when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, r"\s+"))
+        .alias("_toks"),
+    ).withColumn("n_tokens", F.size("_toks"))
+
+    off = global_token_offsets(toks, id_col, "n_tokens", num_partitions)
+    fields = _sequence_fields(off, seq_len, id_col, "n_tokens")
+    joined = fields.filter(F.col("n_seqs") > 0).join(
+        toks.select(id_col, "_toks"), id_col
+    )
+
+    seq_id = F.col("seq_id")
+    tok_start = F.col("tok_start")
+    # 0-based slice start within the doc's token array, and its length:
+    # the same interval arithmetic the manifest uses.
+    sl_start = F.greatest(seq_id * seq_len - tok_start, F.lit(0))
+    sl_len = F.least(tok_start + F.col("n_tokens"), (seq_id + 1) * seq_len) - F.greatest(
+        tok_start, seq_id * seq_len
+    )
+    per = joined.select(
+        tok_start,
+        F.explode(F.sequence(F.col("seq_start"), F.col("seq_end"))).alias("seq_id"),
+        F.col("_toks"),
+        F.col("n_tokens"),
+    ).select(
+        "seq_id",
+        F.struct(
+            tok_start.alias("o"),
+            F.slice("_toks", (sl_start + 1).cast("int"), sl_len.cast("int")).alias("t"),
+        ).alias("piece"),
+    )
+
+    ordered = F.array_sort(F.collect_list("piece"))
+    flat = F.flatten(ordered.getField("t"))
+    return per.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.size(flat).cast("long").alias("n_tokens_filled"),
+        F.array_join(flat, " ").alias("seq_text"),
     )

@@ -1317,8 +1317,8 @@ ORACLES["pretraining_pipeline"] = rf"""
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) = 0
             AND len(regexp_extract_all(coalesce(text, ''), '\+\d{{1,2}}-\d{{3}}-\d+')) = 0),
         fp AS (
-          SELECT doc_id, source, text, md5(trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
+          SELECT doc_id, source, text, md5(coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), '')) AS f
           FROM no_pii),
         surv AS (
           SELECT doc_id, source, text FROM fp
@@ -1344,7 +1344,7 @@ ORACLES["pretraining_pipeline"] = rf"""
                      AS UBIGINT) % 10000
                 < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 10000 ELSE 4000 END),
         tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          SELECT doc_id, unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
           FROM mixed),
         stats AS (
           SELECT doc_id, count(*) AS n_tokens,
@@ -1485,9 +1485,47 @@ ORACLES["sequence_manifest_documents"] = r"""
           FROM o WHERE n_tokens > 0)
         SELECT seq_id,
                count(*) AS n_docs,
-               SUM(least(tok_start + n_tokens, (seq_id + 1) * 512)
-                   - greatest(tok_start, seq_id * 512)) AS n_tokens_filled,
+               CAST(SUM(least(tok_start + n_tokens, (seq_id + 1) * 512)
+                   - greatest(tok_start, seq_id * 512)) AS BIGINT) AS n_tokens_filled,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM per GROUP BY seq_id ORDER BY seq_id
+"""
+
+# Sequence emitter (r5): same token counts + prefix sum as the manifest
+# oracle, then a 1-based DuckDB list slice per (doc, sequence) and an
+# ORDER BY tok_start string_agg — the exact splice the Spark side does
+# with slice + array_sort + flatten + array_join.
+ORACLES["pack_emit_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                      ELSE string_split_regex(trim(text), '\s+') END AS w
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
+        o AS (
+          SELECT doc_id, w, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS tok_start
+          FROM c),
+        per AS (
+          SELECT doc_id, w, n_tokens, tok_start,
+                 unnest(generate_series(tok_start // 512,
+                                        (tok_start + n_tokens - 1) // 512)) AS seq_id
+          FROM o WHERE n_tokens > 0),
+        sliced AS (
+          SELECT seq_id, tok_start,
+                 w[(greatest(seq_id * 512 - tok_start, 0) + 1):
+                   (greatest(seq_id * 512 - tok_start, 0)
+                    + least(tok_start + n_tokens, (seq_id + 1) * 512)
+                    - greatest(tok_start, seq_id * 512))] AS piece
+          FROM per)
+        SELECT seq_id,
+               count(*) AS n_docs,
+               CAST(SUM(len(piece)) AS BIGINT) AS n_tokens_filled,
+               string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_start)
+                 AS seq_text
+        FROM sliced GROUP BY seq_id ORDER BY seq_id
 """

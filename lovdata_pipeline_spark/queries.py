@@ -44,6 +44,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than cores. The single-file sf0.01/sf0.1 parquet tables arrive as one
+    scan task, which serializes any interpreted hot loop (n-gram hashing,
+    PQ encode) — but a corpus-scale table is already many-partitioned, and
+    an unconditional repartition there would full-shuffle the widest
+    column for nothing. Conditional spread keeps the local bench parallel
+    and the 100-TB plan Exchange-free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dsum(col, alias: str):
     """Order-independent double sum: exact DECIMAL(18,4) accumulation,
     surfaced as double. Oracle analog:
@@ -776,7 +790,7 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     scan task, so spread it locally (a corpus-scale table is already
     many-partitioned)."""
     train, bench = _bench_split(spark, sf_dir)
-    train = train.repartition(spark.sparkContext.defaultParallelism)
+    train = spread_if_narrow(train)
     return decontam.ngram_overlap_flags(train, bench, n=3).orderBy("doc_id")
 
 
@@ -804,6 +818,20 @@ def sequence_manifest_documents(spark, sf_dir):
         "doc_id", textstats.token_count_col("text").alias("n_tokens")
     )
     return sequence_manifest(with_tokens, seq_len=512).orderBy("seq_id")
+
+
+def pack_emit_sequences(spark, sf_dir):
+    """Sequence EMITTER (new r5): materialize the actual 512-token
+    training rows the manifest only books — per sequence, the tokens of
+    every contributing document sliced and concatenated in global corpus
+    order. Each token crosses the wire exactly once (sliced scan-side
+    before the groupBy-seq_id shuffle); every interior sequence carries
+    exactly 512 tokens. The full seq_text hashes, so the oracle pins the
+    splice byte-for-byte."""
+    from lovdata_pipeline_spark.operators.packing import emit_token_sequences
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return emit_token_sequences(docs, seq_len=512).orderBy("seq_id")
 
 
 def benchmark_contamination_report(spark, sf_dir):
@@ -975,7 +1003,12 @@ def pretraining_pipeline(spark, sf_dir):
         (F.size(F.regexp_extract_all(safe_text, F.lit(textstats.EMAIL_RE), F.lit(0))) == 0)
         & (F.size(F.regexp_extract_all(safe_text, F.lit(textstats.PHONE_RE), F.lit(0))) == 0)
     )
-    fp = no_pii.withColumn("fp", F.md5(textstats._normalized("text")))
+    # coalesce: a NULL-text doc would get a NULL fp and the ['fp','doc_id']
+    # equi-join below would drop it, while the oracle's GROUP BY groups
+    # NULLs together and keeps it (same guard as cli.cmd_curate).
+    fp = no_pii.withColumn(
+        "fp", F.md5(F.coalesce(textstats._normalized("text"), F.lit("")))
+    )
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     # surv feeds decontamination twice (the n-gram flag scan AND the
     # anti-join's left side) and everything upstream is regex-heavy;
@@ -1022,7 +1055,7 @@ def ann_topk_pq(spark, sf_dir):
     # the (interpreted higher-order) hot loop; spread it across cores.
     # Purely a local-file artifact: a corpus-scale table is already
     # many-partitioned and needs no explicit repartition.
-    scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    scored = spread_if_narrow(emb)
     return similarity.pq_adc_topk(scored, query, books, k=10)
 
 
@@ -1035,7 +1068,7 @@ def ann_topk_ivfpq(spark, sf_dir):
     centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
     books = similarity.pq_codebooks(emb, m=8, k_sub=16, portable=True)
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    scored = spread_if_narrow(emb)
     return similarity.ivf_pq_topk(
         scored, query, centroids, books, k=10, n_probe=2
     )
@@ -1493,12 +1526,13 @@ QUERIES = {
     "temperature_mix_orders": temperature_mix_orders,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "sequence_manifest_documents": sequence_manifest_documents,
+    # --- new r5 operators (in-window at birth) ------------------------------
+    "pack_emit_sequences": pack_emit_sequences,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "anti_join_changed": anti_join_changed,
-    "exists_agg_priority": exists_agg_priority,
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
@@ -1515,6 +1549,7 @@ QUERIES = {
     "text_quality": text_quality,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
     "point_lookup": point_lookup,                        # green r1+r2+r3; demoted r4 for dedup_shared_spans
     "status_counts": status_counts,                      # green r1+r2+r3; demoted r4 for dedup_remove_spans
     "set_difference_validation": set_difference_validation,  # green r1+r2+r3; demoted r4 for decontaminate_benchmark_overlap

@@ -38,7 +38,7 @@ def _brute(train, bench, n, min_overlaps):
         hit = {g for g in gs if g in bgrams}
         if len(hit) >= min_overlaps:
             bdocs = set().union(*(bgrams[g] for g in hit)) if hit else set()
-            out[i] = (len(gs), len(hit), len(bdocs), round(len(hit) / len(gs), 6))
+            out[i] = (len(gs), len(hit), len(bdocs), len(hit) / len(gs))
     return out
 
 

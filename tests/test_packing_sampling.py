@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from lovdata_pipeline_spark.operators import textstats
 from lovdata_pipeline_spark.operators.packing import (
+    emit_token_sequences,
     pack_into_shards,
     pack_token_sequences,
     sequence_manifest,
@@ -181,6 +182,71 @@ def test_sequence_manifest_invariants(spark):
         # a sequence boundary either splits a doc (shared id) or falls
         # exactly between two docs (adjacent ids)
         assert nxt[3] in (prev[4], prev[4] + 1)
+
+
+def test_emit_token_sequences_reconstructs_corpus(spark):
+    """The emitter's output, concatenated in seq_id order, must be
+    byte-identical to the whitespace-normalized corpus concatenated in
+    doc_id order — every token present exactly once, in order."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = sorted(
+        (r.seq_id, r.n_docs, r.n_tokens_filled, r.seq_text)
+        for r in emit_token_sequences(docs, seq_len=64, num_partitions=5).collect()
+    )
+    assert [r[0] for r in rows] == list(range(len(rows)))  # dense seq ids
+    assert all(r[2] == 64 for r in rows[:-1])  # interior sequences full
+    assert all(len(r[3].split(" ")) == r[2] for r in rows)  # text agrees with count
+    expected = " ".join(
+        " ".join(r.text.split())
+        for r in docs.orderBy("doc_id").collect()
+        if r.text is not None and r.text.strip()
+    )
+    assert " ".join(r[3] for r in rows) == expected
+
+
+def test_emit_token_sequences_matches_manifest(spark):
+    """Emitter bookkeeping columns must agree with sequence_manifest
+    computed independently from the same corpus."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    counts = docs.select("doc_id", textstats.token_count_col("text").alias("n_tokens"))
+    man = {
+        r.seq_id: (r.n_docs, r.n_tokens_filled)
+        for r in sequence_manifest(counts, seq_len=64).collect()
+    }
+    emit = {
+        r.seq_id: (r.n_docs, r.n_tokens_filled)
+        for r in emit_token_sequences(docs, seq_len=64).collect()
+    }
+    assert emit == man
+
+
+def test_emit_token_sequences_handles_empty_and_null_docs(spark):
+    """Empty/NULL-text docs contribute nothing, never crash, and doc
+    boundaries splice mid-sequence correctly."""
+    rows = [(0, "a b c"), (1, None), (2, ""), (3, "d e"), (4, "f g h i")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.seq_id: (r.n_docs, r.n_tokens_filled, r.seq_text)
+        for r in emit_token_sequences(docs, seq_len=4).collect()
+    }
+    assert got == {
+        0: (2, 4, "a b c d"),
+        1: (2, 4, "e f g h"),
+        2: (1, 1, "i"),
+    }
+
+
+def test_release_offsets_caches(spark):
+    """Every packing call retains one offsets cache; release drops all
+    of them (assertable via the JVM persistent-RDD map)."""
+    from lovdata_pipeline_spark.operators.packing import release_offsets_caches
+
+    release_offsets_caches()  # clean slate from earlier tests
+    docs = _docs_with_tokens(spark)
+    pack_into_shards(docs, 512).count()
+    pack_token_sequences(docs, 64).count()
+    assert release_offsets_caches() == 2
+    assert release_offsets_caches() == 0
 
 
 def test_temperature_thresholds_semantics():

@@ -47,6 +47,30 @@ def _norm(v):
     return str(v)
 
 
+def _dtype_drift(sdf, odf) -> list[str]:
+    """Int-vs-float drift the string-normalized value compare can't see.
+
+    The driver's hash is typed: a DuckDB HUGEINT sum surfacing as float64
+    (512.0) hash-mismatches Spark's BIGINT 512 even though `_norm` collapses
+    both to the same string. Flag any column where one side is an integer
+    dtype and the other is a float dtype with no NaNs (a float column WITH
+    NaNs is usually a nullable int pandas had to widen — not drift).
+    """
+    out = []
+    omap = {c.lower(): c for c in odf.columns}
+    for sc in sdf.columns:
+        oc = omap.get(sc.lower())
+        if oc is None:
+            continue
+        sk, ok = sdf[sc].dtype.kind, odf[oc].dtype.kind
+        pairs = {(sk, ok), (ok, sk)}
+        if ("i", "f") in pairs or ("u", "f") in pairs:
+            fcol = sdf[sc] if sk == "f" else odf[oc]
+            if not fcol.isna().any():
+                out.append(f"dtype drift on {sc!r}: spark {sdf[sc].dtype} vs oracle {odf[oc].dtype}")
+    return out
+
+
 def main(sf_dir: str) -> int:
     spark = get_spark("diffcheck")
     con = duckdb.connect()
@@ -76,6 +100,8 @@ def main(sf_dir: str) -> int:
             problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
         if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            problems.extend(_dtype_drift(sdf, odf))
         if not problems:
             a, b = canon(sdf), canon(odf)
             if a != b:
