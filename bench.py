@@ -60,10 +60,14 @@ HEADLINE = [
     "text_repetition",
     "text_unigram_surprisal",
     "text_quality_classifier",
+    "text_gopher_quality",
+    "importance_score_documents",
     "text_bm25_search",
     "shard_pack_documents",
     "pack_sequences_documents",
     "pack_emit_sequences",
+    "training_order_documents",
+    "epoch_mix_documents",
     "temperature_mix_orders",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",

@@ -315,3 +315,31 @@ def emit_token_sequences(
         F.size(flat).cast("long").alias("n_tokens_filled"),
         F.array_join(flat, " ").alias("seq_text"),
     )
+
+
+def training_order(
+    df: DataFrame, key_col: str = "doc_id", seed: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE for training order: every input row
+    plus a dense 0-based ``shuffle_rank`` — the corpus in the
+    pseudo-random order a training run should consume it, reproducible
+    on any engine and any partition count.
+
+    rank = position of md5(key ‖ seed) in the sorted order of all keys'
+    hashes. A naive ``row_number() OVER (ORDER BY hash)`` funnels the
+    corpus through ONE task; this reuses ``global_token_offsets``' two-
+    phase prefix sum with unit weights (rank = count of smaller hashes),
+    so ranking is fully distributed: range-partition by hash, k subtotal
+    rows to the driver, partition-local windows. The only extra cost vs
+    the naive plan is one join back on the 32-char hash key. md5 output
+    is unique per distinct key in practice, making the order total;
+    reshuffle with a new ``seed`` for a different epoch order.
+    """
+    keyed = df.withColumn(
+        "_shuffle_key",
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))),
+    )
+    ranks = global_token_offsets(
+        keyed.withColumn("_one", F.lit(1)), id_col="_shuffle_key", token_col="_one"
+    ).select("_shuffle_key", F.col("tok_start").alias("shuffle_rank"))
+    return keyed.join(ranks, "_shuffle_key").drop("_shuffle_key")

@@ -118,3 +118,50 @@ def temperature_sample(
     for value, t in sorted(th.items()):
         threshold = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(threshold)
     return df.filter(portable_rate_hash(F.col(key_col), seed) < threshold)
+
+
+def epoch_mix(
+    df: DataFrame,
+    epochs: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: str = "",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-EPOCH upsampling — the "2.5 epochs of books, 0.3 of
+    logs" mixture-materialization step of a pretraining run: each row is
+    emitted ``floor(e)`` times unconditionally plus once more with
+    probability ``frac(e)``, each copy tagged with a 0-based ``epoch``
+    column (so downstream shuffling/packing can decorrelate copies).
+
+    Deterministic and shuffle-free: the whole-copy fan-out is a
+    row-local ``explode(sequence(...))`` and the fractional copy reuses
+    the stratified-sampling portable-hash rule (hash < frac·DENOM with
+    an INTEGER threshold — same tie discipline as ``stratified_sample``),
+    keyed on (key ‖ seed) so the partial-epoch subset is stable under
+    appends and reproducible by the oracle. Expected output size is
+    Σ_s e_s·|s|; no copy of the text crosses the wire beyond the
+    explode's in-partition duplication.
+    """
+    n_whole = F.lit(int(default_epochs))
+    threshold = F.lit(int(round((float(default_epochs) % 1.0) * DENOM)))
+    for value, e in sorted(epochs.items()):
+        n_whole = F.when(F.col(strata_col) == value, F.lit(int(e))).otherwise(n_whole)
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round((float(e) % 1.0) * DENOM)))
+        ).otherwise(threshold)
+    extra = (portable_rate_hash(F.col(key_col), seed) < threshold).cast("int")
+    n_copies = n_whole + extra
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), (F.col("_n_copies") - 1).cast("long")
+                )
+            ),
+        )
+        .drop("_n_copies")
+    )

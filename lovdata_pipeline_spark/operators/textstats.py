@@ -566,3 +566,195 @@ def hashed_linear_quality(
         ),
         (logit > 0).alias("keep"),
     )
+
+
+#: Gopher repetition-filter stop words (Rae et al. 2021, §A1.1): a doc
+#: must contain at least 2 of these to pass. Shared with the oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 heuristics):
+    (id, n_words, mean_word_len, frac_alpha_words, frac_bullet_lines,
+    frac_ellipsis_lines, frac_dup_lines, n_stop_present, gopher_pass).
+
+    The published web-corpus filter rules, each a pure column expression:
+      * 50 ≤ word count ≤ 100 000;
+      * 3 ≤ mean word length ≤ 10;
+      * ≥ 80 % of words contain an alphabetic character;
+      * ≤ 90 % of lines start with a bullet, ≤ 30 % end with an
+        ellipsis;
+      * duplicate (non-empty) line fraction ≤ 30 %;
+      * ≥ 2 of the 8 Gopher stop words present.
+
+    Scale shape: one scan, all codegen builtins (split / filter /
+    aggregate higher-order functions run in the JVM), no shuffle, no
+    Python. Ratios are single IEEE divisions of integer counts — the
+    DuckDB oracle replays each with the identical operand order, so
+    values hash-match bit-for-bit. Empty/NULL docs score zeros and fail
+    the gate rather than erroring.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(text)
+    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        char_sum.cast("double") / n_words
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_words
+    )
+
+    lines = F.filter(
+        F.transform(F.split(text, "\n", -1), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike("^[-*•·]")))
+    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    frac_bullet = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_bullet.cast("double") / n_lines
+    )
+    frac_ellipsis = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_ellipsis.cast("double") / n_lines
+    )
+    frac_dup = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_dup.cast("double") / n_lines
+    )
+
+    lower_words = F.array_distinct(F.transform(words, lambda w: F.lower(w)))
+    n_stop = F.size(
+        F.array_intersect(lower_words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (frac_bullet <= 0.9)
+        & (frac_ellipsis <= 0.3)
+        & (frac_dup <= 0.3)
+        & (n_stop >= 2)
+    )
+    # safe_* exist only to keep the otherwise-branches total; the when()
+    # guards above make them unreachable at n == 0.
+    _ = (safe_words, safe_lines)
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellipsis.alias("frac_ellipsis_lines"),
+        frac_dup.alias("frac_dup_lines"),
+        n_stop.cast("long").alias("n_stop_present"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def hashed_importance_score(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance scoring (Xie et al. 2023
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw document by how target-domain-like its hashed word-
+    bigram features are — the distributed "select pretraining data that
+    looks like the target corpus" step.
+
+    (id, n_bigrams, target_mass, raw_mass, importance): per document,
+    ``target_mass`` / ``raw_mass`` are the summed per-bucket counts of
+    the doc's bigrams in the target / raw corpora; ``importance`` =
+    target_mass/T − raw_mass/R (each corpus's total bigram count
+    normalizes its side). Positive ⇒ the doc's features are relatively
+    more frequent in the target domain.
+
+    DEVIATION (documented determinism trade, same policy as the IVF-PQ
+    residual skip): the paper scores Σ log(p̂_target/p̂_raw) per feature;
+    transcendental log is not bit-reproducible across engines, so this
+    implementation uses the linear difference of normalized masses —
+    integer sums plus two IEEE divisions and one subtraction, which the
+    DuckDB oracle replays exactly. Rank order agrees with the paper's
+    score in the regime that matters (features with strong target/raw
+    contrast dominate both).
+
+    Scale shape: bigram→bucket hashing is scan-local (text never
+    shuffles; the fan-out carries (id, int) pairs); both count tables
+    are exactly ``n_buckets`` rows and broadcast; the only full shuffle
+    is the final groupBy(id) over small ints. Bucket totals are longs —
+    at 100 TB pass a larger ``n_buckets`` to keep per-bucket counts
+    meaningful, not for overflow (2^63 tokens is out of reach).
+    """
+    def bigram_buckets(df: DataFrame, with_id: bool):
+        w = _words(text_col)
+        grams = F.when(
+            F.size(w) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        )
+        cols = [F.col(id_col)] if with_id else []
+        exploded = df.select(*cols, F.explode(grams).alias("_g"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.col("_g"), F.lit(seed))), 1, 15), 16, 10)
+            .cast("long")
+            % n_buckets
+        )
+        return exploded.select(*cols, bucket.alias("_b"))
+
+    raw_b = bigram_buckets(docs, with_id=True)
+    raw_counts = raw_b.groupBy("_b").agg(F.count("*").alias("_r"))
+    tgt_counts = bigram_buckets(target, with_id=False).groupBy("_b").agg(
+        F.count("*").alias("_t")
+    )
+    totals = raw_counts.agg(F.sum("_r")).first()[0] or 1
+    t_total = tgt_counts.agg(F.sum("_t")).first()[0] or 1
+
+    table = F.broadcast(
+        raw_counts.join(tgt_counts, "_b", "full_outer").select(
+            "_b",
+            F.coalesce("_r", F.lit(0)).alias("_r"),
+            F.coalesce("_t", F.lit(0)).alias("_t"),
+        )
+    )
+    per_doc = (
+        raw_b.join(table, "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce("_t", F.lit(0))).alias("target_mass"),
+            F.sum(F.coalesce("_r", F.lit(0))).alias("raw_mass"),
+        )
+    )
+    importance = (
+        F.col("target_mass").cast("double") / F.lit(float(t_total))
+        - F.col("raw_mass").cast("double") / F.lit(float(totals))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("target_mass").cast("long").alias("target_mass"),
+        F.col("raw_mass").cast("long").alias("raw_mass"),
+        importance.alias("importance"),
+    )

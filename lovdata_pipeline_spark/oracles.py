@@ -1529,3 +1529,121 @@ ORACLES["pack_emit_sequences"] = r"""
                  AS seq_text
         FROM sliced GROUP BY seq_id ORDER BY seq_id
 """
+
+# Gopher-rule quality gate (r5): every ratio replayed with the same
+# integer counts and identical IEEE division operand order as the Spark
+# column expressions.
+ORACLES["text_gopher_quality"] = r"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE string_split_regex(trim(text), '\s+') END AS words,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)), x -> x <> '') AS lines
+          FROM d),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                           / len(words) END AS mean_word_len,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                           / len(words) END AS frac_alpha_words,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '^[-*•·]'))) AS DOUBLE)
+                           / len(lines) END AS frac_bullet_lines,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
+                           / len(lines) END AS frac_ellipsis_lines,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines) END AS frac_dup_lines,
+                 CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                      AS BIGINT) AS n_stop_present
+          FROM w)
+        SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND frac_alpha_words >= 0.8
+                AND frac_bullet_lines <= 0.9
+                AND frac_ellipsis_lines <= 0.3
+                AND frac_dup_lines <= 0.3
+                AND n_stop_present >= 2) AS gopher_pass
+        FROM m ORDER BY doc_id
+"""
+
+# DSIR-style importance scoring (r5): hashed-bigram bucket counts for
+# raw and target corpora, per-doc mass sums, linear-difference score.
+ORACLES["importance_score_documents"] = r"""
+        WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        rg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])) AS g
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w FROM raw)),
+        tg AS (
+          SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])) AS g
+          FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM tgt)),
+        rb AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(g || 'dsir-v1'), 1, 15)) AS UBIGINT)
+                      % 4096 AS BIGINT) AS b
+          FROM rg),
+        tb AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(g || 'dsir-v1'), 1, 15)) AS UBIGINT)
+                      % 4096 AS BIGINT) AS b
+          FROM tg),
+        rc AS (SELECT b, count(*) AS r FROM rb GROUP BY b),
+        tc AS (SELECT b, count(*) AS t FROM tb GROUP BY b),
+        totals AS (SELECT (SELECT count(*) FROM rb) AS rt, (SELECT count(*) FROM tb) AS tt)
+        SELECT rb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(coalesce(tc.t, 0)) AS BIGINT) AS target_mass,
+               CAST(SUM(coalesce(rc.r, 0)) AS BIGINT) AS raw_mass,
+               CAST(SUM(coalesce(tc.t, 0)) AS DOUBLE) / (SELECT CAST(tt AS DOUBLE) FROM totals)
+                 - CAST(SUM(coalesce(rc.r, 0)) AS DOUBLE) / (SELECT CAST(rt AS DOUBLE) FROM totals)
+                 AS importance
+        FROM rb LEFT JOIN rc USING (b) LEFT JOIN tc USING (b)
+        GROUP BY rb.doc_id ORDER BY rb.doc_id
+"""
+
+# Deterministic global training shuffle (r5): rank by md5(key ‖ seed).
+ORACLES["training_order_documents"] = """
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1')
+               ) - 1 AS BIGINT) AS shuffle_rank
+        FROM documents ORDER BY doc_id
+"""
+
+# Fractional-epoch mixture materialization (r5): 2.5 epochs of src0-4
+# (2 whole copies + hash < 5000 for the half), 0.4 of the rest (hash <
+# 4000, no whole copy) — integer thresholds, engine-identical.
+ORACLES["epoch_mix_documents"] = """
+        WITH p AS (
+          SELECT doc_id, source,
+                 CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 2 ELSE 0 END
+                   AS n_whole,
+                 CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 5000 ELSE 4000 END
+                   AS th
+          FROM documents),
+        e AS (
+          SELECT doc_id, source,
+                 n_whole + CASE WHEN CAST(concat('0x',
+                     substr(md5(CAST(doc_id AS VARCHAR) || 'epoch-v1'), 1, 15))
+                     AS UBIGINT) % 10000 < th THEN 1 ELSE 0 END AS n_copies
+          FROM p)
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS epoch
+        FROM e WHERE n_copies > 0 ORDER BY doc_id, epoch
+"""

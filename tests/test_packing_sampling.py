@@ -359,3 +359,54 @@ def test_unigram_surprisal_orders_rarity(spark):
     rows = {r["doc_id"]: r for r in textstats.unigram_surprisal(docs).collect()}
     assert rows[100]["mean_surprisal"] > rows[101]["mean_surprisal"]
     assert rows[100]["n_tokens"] == 3
+
+
+def test_training_order_is_permutation_and_partition_independent(spark):
+    from lovdata_pipeline_spark.operators.packing import training_order
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    got = training_order(docs).collect()
+    n = docs.count()
+    ranks = sorted(r.shuffle_rank for r in got)
+    assert ranks == list(range(n))  # dense 0-based permutation
+    # deterministic: same seed → same assignment, any partitioning
+    again = {
+        r.doc_id: r.shuffle_rank
+        for r in training_order(docs.repartition(7)).collect()
+    }
+    assert {r.doc_id: r.shuffle_rank for r in got} == again
+    # a different seed decorrelates
+    other = {
+        r.doc_id: r.shuffle_rank
+        for r in training_order(docs, seed="other").collect()
+    }
+    assert other != again
+
+
+def test_epoch_mix_copy_counts(spark):
+    from lovdata_pipeline_spark.operators.sampling import epoch_mix, portable_rate_hash
+
+    rows = [(i, "books" if i % 2 == 0 else "logs") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = epoch_mix(df, {"books": 2.5, "logs": 0.3}, "source", "doc_id", seed="e1")
+    counts = {
+        (r.doc_id, r.source): r.cnt
+        for r in got.groupBy("doc_id", "source").agg(F.count("*").alias("cnt")).collect()
+    }
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", portable_rate_hash(F.col("doc_id"), "e1").alias("h")
+        ).collect()
+    }
+    for i, src in rows:
+        whole = 2 if src == "books" else 0
+        frac_th = 5000 if src == "books" else 3000
+        expect = whole + (1 if hashes[i] < frac_th else 0)
+        assert counts.get((i, src), 0) == expect
+    # epoch indices are dense per row
+    eps = got.filter(F.col("source") == "books").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("e")
+    )
+    for r in eps.collect():
+        assert r.e == list(range(len(r.e)))

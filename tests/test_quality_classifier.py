@@ -77,3 +77,49 @@ def test_stutter_scores_single_token_weight(spark):
     )
     r = {x.doc_id: x.quality_logit for x in hashed_linear_quality(df).collect()}
     assert r[1] == r[2] == _weight("dup") / 5000
+
+
+def test_gopher_quality_rules(spark):
+    from lovdata_pipeline_spark.operators.textstats import gopher_quality
+
+    good = "the quick brown fox jumps over that lazy dog with style and grace " * 5
+    bullets = "\n".join(f"- item {i}" for i in range(60))
+    dups = "\n".join(["same line of text here"] * 40 + ["the of and"] * 10)
+    rows = [
+        (0, good),        # passes every rule
+        (1, "short"),     # word-count floor
+        (2, bullets),     # bullet-line fraction
+        (3, dups),        # duplicate-line fraction
+        (4, None),        # NULL text: zeros, no crash
+        (5, ""),          # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].gopher_pass and got[1].n_words == 1
+    assert not got[2].gopher_pass and got[2].frac_bullet_lines == 1.0
+    assert not got[3].gopher_pass and got[3].frac_dup_lines > 0.3
+    for i in (4, 5):
+        assert got[i].n_words == 0 and not got[i].gopher_pass
+        assert got[i].mean_word_len == 0.0 and got[i].frac_dup_lines == 0.0
+    assert got[0].n_stop_present >= 2
+
+
+def test_hashed_importance_score_prefers_target_like_docs(spark):
+    from lovdata_pipeline_spark.operators.textstats import hashed_importance_score
+
+    target_phrase = "alpha beta gamma delta " * 10
+    noise = "zulu yankee xray whiskey " * 10
+    raw_rows = [(i, target_phrase if i < 5 else noise) for i in range(10)]
+    tgt_rows = [(100 + i, target_phrase) for i in range(5)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_importance_score(raw, tgt).collect()}
+    assert len(got) == 10
+    for i in range(5):
+        # target-like docs must outscore noise docs
+        assert got[i].importance > got[5 + i].importance
+        assert got[i].target_mass > 0
+    # docs with <2 words produce no features and are absent
+    tiny = spark.createDataFrame([(0, "one")], "doc_id long, text string")
+    assert hashed_importance_score(tiny, tgt).count() == 0
