@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_shared_spans",
     "dedup_embedding_cosine",
     "decontaminate_benchmark_overlap",
+    "exact_contamination_documents",
     "ann_cosine_topk",
     "ann_topk_pq",
     "ann_topk_ivfpq",

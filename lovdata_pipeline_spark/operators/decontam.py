@@ -201,3 +201,82 @@ def decontaminate_rowlocal(
     benchmark-is-small contract."""
     bench = F.array(*[F.lit(int(h)) for h in bench_set]).cast("array<bigint>")
     return docs.filter(~F.arrays_overlap(ngram_hash_array(text_col, n), bench))
+
+
+def _ws_normalized(text_col: str) -> Column:
+    """Whitespace-collapsed text (single spaces, trimmed) — the form in
+    which substring containment is well-defined across formatting."""
+    return F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+
+
+def exact_substring_contamination(
+    corpus: DataFrame,
+    needles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    needle_text_col: str = "text",
+    needle_id_col: str = "doc_id",
+    anchor_n: int = 5,
+) -> DataFrame:
+    """EXACT-substring contamination: (doc_id, needle_id, position) for
+    every corpus document whose whitespace-normalized text contains a
+    needle (benchmark prompt / answer string) verbatim — the strict
+    complement of the n-gram-overlap flags for cases where "shares
+    n-grams" is too loose (leaked eval answers, verbatim prompts).
+
+    Never a cartesian: containment of the full needle implies the
+    corpus doc also contains the needle's FIRST ``anchor_n``-word gram,
+    so candidates come from an equi-join of the corpus's scan-local
+    n-gram hashes (text never shuffles — same discipline as
+    ``ngram_overlap_flags``) against the needles' broadcast anchor
+    hashes; only candidate pairs fetch text for the exact
+    ``locate`` verification. Needles shorter than ``anchor_n`` words
+    take no part (documented contract — same ``n`` floor as the n-gram
+    family). Containment is WORD-ALIGNED (the match starts and ends at
+    token boundaries — both sides are space-padded before ``locate``, so
+    "bar foo" never matches inside "xbar foo"); alignment is also what
+    makes the anchor-gram candidate generation COMPLETE, since an
+    aligned match of the needle implies an aligned match of its first
+    gram. ``position`` is the 1-based character offset of the match in
+    the normalized corpus text.
+
+    At 100 TB: the gram fan-out carries 8-byte hashes; the needle side
+    is eval-set-sized (MBs) and broadcasts twice (anchors, then texts);
+    the verification join touches only flagged docs. A pathologically
+    common anchor (a needle starting with a stock phrase) widens the
+    candidate set but never the output — pick needles' distinctive
+    spans, or raise ``anchor_n``.
+    """
+    norm_needle = F.regexp_replace(F.trim(F.col(needle_text_col)), r"\s+", " ")
+    nw = F.split(F.trim(F.col(needle_text_col)), r"\s+")
+    bench = needles.select(
+        F.col(needle_id_col).alias("needle_id"),
+        norm_needle.alias("_needle"),
+        F.when(
+            F.size(nw) >= anchor_n,
+            F.xxhash64(F.array_join(F.slice(nw, 1, anchor_n), " ")),
+        ).alias("_anchor"),
+    ).filter(F.col("_anchor").isNotNull())
+
+    grams = _scan_local_ngram_hashes(corpus, text_col, id_col, anchor_n)
+    cands = (
+        grams.join(F.broadcast(bench.select("needle_id", "_anchor")),
+                   grams["shingle"] == F.col("_anchor"))
+        .select(id_col, "needle_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            corpus.select(F.col(id_col), _ws_normalized(text_col).alias("_hay")),
+            id_col,
+        )
+        .join(F.broadcast(bench.select("needle_id", "_needle")), "needle_id")
+        .withColumn(
+            "position",
+            F.expr("locate(concat(' ', _needle, ' '), concat(' ', _hay, ' '))").cast(
+                "long"
+            ),
+        )
+        .filter(F.col("position") > 0)
+    )
+    return verified.select(id_col, "needle_id", "position")

@@ -1647,3 +1647,23 @@ ORACLES["epoch_mix_documents"] = """
                CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS epoch
         FROM e WHERE n_copies > 0 ORDER BY doc_id, epoch
 """
+
+# Exact-substring contamination (r5): the oracle verifies containment
+# naively over all pairs (the needle side is k rows), space-padded so
+# the match is word-aligned exactly like the Spark locate.
+ORACLES["exact_contamination_documents"] = r"""
+        WITH c AS (
+          SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS hay
+          FROM documents),
+        s AS (
+          SELECT doc_id AS needle_id, array_to_string(w[3:10], ' ') AS needle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE doc_id % 53 = 0)
+          WHERE len(w) >= 10)
+        SELECT c.doc_id, s.needle_id,
+               CAST(strpos(' ' || c.hay || ' ', ' ' || s.needle || ' ') AS BIGINT)
+                 AS position
+        FROM c CROSS JOIN s
+        WHERE strpos(' ' || c.hay || ' ', ' ' || s.needle || ' ') > 0
+        ORDER BY c.doc_id, s.needle_id
+"""

@@ -884,6 +884,27 @@ def epoch_mix_documents(spark, sf_dir):
     )
 
 
+def exact_contamination_documents(spark, sf_dir):
+    """Exact-substring (word-aligned) contamination (new r5): needles
+    are 8-word snippets cut from every doc_id % 53 == 0 document (the
+    "leaked eval answer" shape — each needle is guaranteed at least its
+    own source hit). Candidates via broadcast anchor-gram equi-join —
+    never a cartesian; text moves only for candidate pairs."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    snips = (
+        docs.filter(F.col("doc_id") % 53 == 0)
+        .select(
+            "doc_id",
+            F.when(F.size(w) >= 10, F.array_join(F.slice(w, 3, 8), " ")).alias("text"),
+        )
+        .filter(F.col("text").isNotNull())
+    )
+    return decontam.exact_substring_contamination(docs, snips, anchor_n=5).orderBy(
+        "doc_id", "needle_id"
+    )
+
+
 def benchmark_contamination_report(spark, sf_dir):
     """Per-benchmark-doc contamination report (new r4): how many train
     docs and distinct n-grams compromise each eval document — the view
@@ -1582,6 +1603,7 @@ QUERIES = {
     "importance_score_documents": importance_score_documents,
     "training_order_documents": training_order_documents,
     "epoch_mix_documents": epoch_mix_documents,
+    "exact_contamination_documents": exact_contamination_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1596,10 +1618,10 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
-    "text_language_id": text_language_id,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "text_language_id": text_language_id,                # green r1+r2+r3+r4; demoted r5 for exact_contamination_documents (text-stats family: stopword_ratios twin in tail, fingerprints/winnowing/repetition/surprisal graded)
     "top3_orders_per_customer": top3_orders_per_customer,  # green r1+r2+r3+r4; demoted r5 for text_gopher_quality (rank-window family: events_sessionize stays graded, max_acctbal twin in tail)
     "q5_region_revenue": q5_region_revenue,              # green r1+r2+r3+r4; demoted r5 for importance_score_documents (multi-join agg twin q3_top_unshipped stays)
     "text_quality": text_quality,                        # green r1+r2+r3+r4; demoted r5 for training_order_documents (quality family: text_quality_classifier + text_gopher_quality graded)

@@ -128,3 +128,32 @@ def test_rowlocal_equals_join_form(spark, texts, n):
         ).collect()
     }
     assert via_local == via_join
+
+
+def test_exact_substring_contamination(spark):
+    from lovdata_pipeline_spark.operators.decontam import (
+        exact_substring_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "prefix words then alpha beta gamma delta epsilon more"),
+            (2, "xalpha beta gamma delta epsilon zeta"),  # misaligned: no hit
+            (3, "alpha  beta\tgamma   delta epsilon"),  # odd whitespace: hit
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    needles = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.needle_id): r.position
+        for r in exact_substring_contamination(corpus, needles).collect()
+    }
+    assert got == {(0, 100): 1, (1, 100): 19, (3, 100): 1}
+    # needles below the anchor floor take no part
+    short = spark.createDataFrame([(101, "alpha beta")], "doc_id long, text string")
+    assert exact_substring_contamination(corpus, short).count() == 0
