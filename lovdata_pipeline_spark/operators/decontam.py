@@ -280,3 +280,32 @@ def exact_substring_contamination(
         .filter(F.col("position") > 0)
     )
     return verified.select(id_col, "needle_id", "position")
+
+
+def exact_contamination_rowlocal(
+    docs: DataFrame, needles: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Row-local exact-substring decontamination: keep rows whose
+    whitespace-normalized text contains NONE of the needle strings
+    (word-aligned, same padded-locate rule as
+    ``exact_substring_contamination``) — a pure filter, no join, no
+    aggregation, no shuffle.
+
+    The STREAMING form: the needle list is collected once (eval sets
+    are MBs by contract — the same asymmetry as ``benchmark_ngram_set``)
+    and inlined as an array literal; each micro-batch row checks
+    scan-locally via ``exists``, composing with any trigger and
+    ``foreachBatch`` sink. Needles are whitespace-normalized before
+    inlining so formatting differences on either side never mask a hit.
+    """
+    import re as _re
+
+    normed = [_re.sub(r"\s+", " ", s.strip()) for s in needles if s and s.strip()]
+    arr = F.array(*[F.lit(" " + s + " ") for s in normed]).cast("array<string>")
+    # coalesce: NULL text contains nothing — without it the NULL
+    # propagates through concat/exists and the filter DROPS the row.
+    hay = F.concat(
+        F.lit(" "), F.coalesce(_ws_normalized(text_col), F.lit("")), F.lit(" ")
+    )
+    hit = F.exists(arr, lambda ndl: hay.contains(ndl))
+    return docs.filter(~hit)

@@ -157,3 +157,37 @@ def test_exact_substring_contamination(spark):
     # needles below the anchor floor take no part
     short = spark.createDataFrame([(101, "alpha beta")], "doc_id long, text string")
     assert exact_substring_contamination(corpus, short).count() == 0
+
+
+def test_exact_contamination_rowlocal_matches_join_form(spark):
+    from lovdata_pipeline_spark.operators.decontam import (
+        exact_contamination_rowlocal,
+        exact_substring_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "unrelated words entirely different content here"),
+            (2, "pre alpha  beta\tgamma delta epsilon post"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    needles_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    flagged = {
+        r.doc_id
+        for r in exact_substring_contamination(corpus, needles_df).collect()
+    }
+    survivors = {
+        r.doc_id
+        for r in exact_contamination_rowlocal(
+            corpus, ["alpha   beta gamma delta epsilon"]  # un-normalized input
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in corpus.collect()}
+    assert survivors == all_ids - flagged == {1, 3}
+    # empty needle list keeps everything
+    assert exact_contamination_rowlocal(corpus, ["", "   "]).count() == 4
