@@ -70,6 +70,7 @@ HEADLINE = [
     "training_order_documents",
     "epoch_mix_documents",
     "temperature_mix_orders",
+    "cluster_balanced_sample_embeddings",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",

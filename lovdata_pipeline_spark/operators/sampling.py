@@ -165,3 +165,53 @@ def epoch_mix(
         )
         .drop("_n_copies")
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    target_per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "",
+) -> DataFrame:
+    """DIVERSITY sampling over an embedding corpus: keep ≈
+    ``target_per_cluster`` vectors from every k-means cell, so dominant
+    content clusters stop drowning out rare ones (the SemDeDup /
+    cluster-balanced-selection shape of pretraining curation).
+
+    (id, cell): assignment is ``similarity.ivf_assign`` (JVM argmin);
+    per-cell keep rates become INTEGER thresholds
+    ``min(DENOM, DENOM·target // count_c)`` computed from a k-row count
+    aggregate, then the portable-hash filter keeps each vector
+    deterministically — the same decide-once-on-the-driver +
+    shuffle-free-filter shape as ``temperature_sample``, with clusters
+    as the strata. Exact per-cell quotas would need a per-cell rank
+    window (one task per hot cell — a skew cliff); the hash-rate form
+    is skew-immune and lands within sampling noise of the quota.
+
+    Two passes over the vectors (count, then filter) — deliberate:
+    caching the assignment at 100 TB costs more than re-running the
+    codegen argmin, and both passes are scan-local. Thresholds ride a
+    broadcast k-row table, so the plan stays O(1) nodes however many
+    clusters exist.
+    """
+    from lovdata_pipeline_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(id_col, "cell")
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    thresholds = [
+        (cell, min(DENOM, (DENOM * int(target_per_cluster)) // n))
+        for cell, n in sorted(counts.items())
+    ]
+    thr = F.broadcast(
+        vectors.sparkSession.createDataFrame(thresholds, "cell int, _thr int")
+    )
+    return (
+        assigned.join(thr, "cell")
+        .filter(portable_rate_hash(F.col(id_col), seed) < F.col("_thr"))
+        .select(id_col, "cell")
+    )

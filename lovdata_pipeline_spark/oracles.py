@@ -1667,3 +1667,17 @@ ORACLES["exact_contamination_documents"] = r"""
         WHERE strpos(' ' || c.hay || ' ', ' ' || s.needle || ' ') > 0
         ORDER BY c.doc_id, s.needle_id
 """
+
+# Cluster-balanced diversity sampling (r5): the IVF seeding/assignment
+# CTEs, k-row integer thresholds (floor division, engine-exact), and
+# the portable hash keep rule.
+ORACLES["cluster_balanced_sample_embeddings"] = f"""
+        WITH {_ivf_assigned_ctes(8)},
+        cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+        thr AS (SELECT cell, least(10000, (10000 * 30) // n) AS th FROM cnt)
+        SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell
+        FROM assigned a JOIN thr t USING (cell)
+        WHERE CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR) || 'diverse-v1'),
+                                       1, 15)) AS UBIGINT) % 10000 < t.th
+        ORDER BY a.vec_id
+"""

@@ -1477,6 +1477,23 @@ def embedding_cluster_assign(spark, sf_dir):
     )
 
 
+def cluster_balanced_sample_embeddings(spark, sf_dir):
+    """Cluster-balanced diversity sampling (new r5): ≈30 vectors kept
+    per k-means cell so dominant clusters stop drowning rare ones —
+    portable centroid seeding + JVM argmin assignment + integer
+    per-cell thresholds + the shuffle-free hash filter. The oracle
+    replays seeding, assignment, thresholds, and the keep decision."""
+    from lovdata_pipeline_spark.operators.sampling import cluster_balanced_sample
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
+    return (
+        cluster_balanced_sample(emb, centroids, target_per_cluster=30, seed="diverse-v1")
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
 def hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
     for the vec_id=0 query embedding (semantic) by reciprocal-rank
@@ -1583,7 +1600,6 @@ QUERIES = {
     "text_bm25_search": text_bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_unigram_surprisal": text_unigram_surprisal,
-    "embedding_cluster_assign": embedding_cluster_assign,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
@@ -1604,6 +1620,7 @@ QUERIES = {
     "training_order_documents": training_order_documents,
     "epoch_mix_documents": epoch_mix_documents,
     "exact_contamination_documents": exact_contamination_documents,
+    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1621,6 +1638,7 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 for cluster_balanced_sample_embeddings (a strict superset: same seeding+argmin CTEs plus thresholds)
     "text_language_id": text_language_id,                # green r1+r2+r3+r4; demoted r5 for exact_contamination_documents (text-stats family: stopword_ratios twin in tail, fingerprints/winnowing/repetition/surprisal graded)
     "top3_orders_per_customer": top3_orders_per_customer,  # green r1+r2+r3+r4; demoted r5 for text_gopher_quality (rank-window family: events_sessionize stays graded, max_acctbal twin in tail)
     "q5_region_revenue": q5_region_revenue,              # green r1+r2+r3+r4; demoted r5 for importance_score_documents (multi-join agg twin q3_top_unshipped stays)

@@ -410,3 +410,21 @@ def test_epoch_mix_copy_counts(spark):
     )
     for r in eps.collect():
         assert r.e == list(range(len(r.e)))
+
+
+def test_cluster_balanced_sample_caps_dominant_clusters(spark):
+    from lovdata_pipeline_spark.operators.sampling import cluster_balanced_sample
+    from lovdata_pipeline_spark.operators.similarity import deterministic_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = deterministic_centroids(emb, n_cells=4, portable=True)
+    kept = cluster_balanced_sample(emb, cents, target_per_cluster=5, seed="t")
+    per_cell = {r.cell: r.n for r in kept.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    total = emb.count()
+    assert sum(per_cell.values()) < total  # it actually samples
+    # hash-rate sampling: expected 5 per cell, allow generous noise
+    assert all(n <= 5 * 4 for n in per_cell.values())
+    # deterministic under re-run and partitioning
+    again = {r.vec_id for r in cluster_balanced_sample(
+        emb.repartition(7), cents, target_per_cluster=5, seed="t").collect()}
+    assert again == {r.vec_id for r in kept.collect()}
