@@ -75,6 +75,7 @@ HEADLINE = [
     "embed_documents_pipeline",
     "curation_pipeline",
     "pretraining_pipeline",
+    "curation_report_by_source",
 ]
 
 

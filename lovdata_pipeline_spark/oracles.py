@@ -1681,3 +1681,102 @@ ORACLES["cluster_balanced_sample_embeddings"] = f"""
                                        1, 15)) AS UBIGINT) % 10000 < t.th
         ORDER BY a.vec_id
 """
+
+# Per-source curation report (r5 capstone): gopher rules, quality-v1
+# keep (sign of the integer weight sum), fingerprint dups, and the
+# 3-gram contamination rule, each replayed with the exact expressions of
+# their standalone oracles, aggregated per source with integer counts.
+ORACLES["curation_report_by_source"] = rf"""
+        WITH t0 AS (
+          SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+        base AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+          FROM t0),
+        gw AS (
+          SELECT doc_id,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                      ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS words,
+                 list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                            x -> trim(x)), x -> x <> '') AS lines
+          FROM t0),
+        gm AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                           / len(words) END AS mwl,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                           / len(words) END AS fa,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '^[-*•·]'))) AS DOUBLE)
+                           / len(lines) END AS fb,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
+                           / len(lines) END AS fe,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines) END AS fd,
+                 CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                      AS BIGINT) AS ns
+          FROM gw),
+        gp AS (
+          SELECT doc_id,
+                 (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                  AND fa >= 0.8 AND fb <= 0.9 AND fe <= 0.3 AND fd <= 0.3 AND ns >= 2)
+                   AS gopher_pass
+          FROM gm),
+        qtok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+          FROM t0),
+        qk AS (
+          SELECT doc_id,
+                 SUM(CAST(CAST(concat('0x', substr(md5(w || 'quality-v1'), 1, 15))
+                               AS UBIGINT) % 10001 AS BIGINT) - 5000) > 0 AS keep
+          FROM qtok GROUP BY doc_id),
+        fp AS (
+          SELECT doc_id, md5({_NORMALIZED_TEXT}) AS f FROM t0),
+        dups AS (
+          SELECT doc_id,
+                 doc_id > min(doc_id) OVER (PARTITION BY f) AS is_dup
+          FROM fp),
+        tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM t0),
+        tsh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM tw),
+        bsh AS (
+          SELECT DISTINCT
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE doc_id % 97 = 0)),
+        cont AS (
+          SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle))
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gopher_pass,
+               CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_quality_pass,
+               CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact_dup,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated
+        FROM base b
+        JOIN gp g USING (doc_id)
+        LEFT JOIN qk q USING (doc_id)
+        JOIN dups d USING (doc_id)
+        LEFT JOIN cont c USING (doc_id)
+        GROUP BY b.source ORDER BY b.source
+"""

@@ -884,6 +884,62 @@ def epoch_mix_documents(spark, sf_dir):
     )
 
 
+def curation_report_by_source(spark, sf_dir):
+    """Per-source curation REPORT (new r5 capstone): the one-page view a
+    data lead reads before a training run — per source, the doc/token
+    inventory and how much each curation gate would cut: Gopher-rule
+    pass count, quality-classifier pass count, exact-dup count (docs
+    that are not their fingerprint group's survivor), and benchmark-
+    contamination count (3-gram rule vs the doc_id % 97 bench slice).
+
+    Composition of four already-graded operator families joined on
+    doc_id then aggregated by source — every measure an integer count,
+    so the report is bit-deterministic under any partitioning. Scale:
+    each branch is scan-local or broadcast except the fingerprint
+    groupBy (16-byte keys) and the final tiny groupBy(source)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    base = train.select(
+        "doc_id", "source", textstats.token_count_col("text").alias("n_tokens")
+    )
+    g = textstats.gopher_quality(train).select("doc_id", "gopher_pass")
+    q = textstats.hashed_linear_quality(train).select("doc_id", "keep")
+    fp = textstats.fingerprints(train)
+    dup_w = Window.partitionBy("fingerprint")
+    dup = fp.select(
+        "doc_id", (F.col("doc_id") > F.min("doc_id").over(dup_w)).alias("is_dup")
+    )
+    cont = decontam.ngram_overlap_flags(train, bench, n=3).select(
+        "doc_id", F.lit(True).alias("is_cont")
+    )
+    return (
+        base.join(g, "doc_id")
+        .join(q, "doc_id", "left")
+        .join(dup, "doc_id")
+        .join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gopher_pass"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_pass"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup"),
+            F.sum(F.when(F.col("is_cont"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
 def exact_contamination_documents(spark, sf_dir):
     """Exact-substring (word-aligned) contamination (new r5): needles
     are 8-word snippets cut from every doc_id % 53 == 0 document (the
@@ -1621,6 +1677,7 @@ QUERIES = {
     "epoch_mix_documents": epoch_mix_documents,
     "exact_contamination_documents": exact_contamination_documents,
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
+    "curation_report_by_source": curation_report_by_source,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1628,7 +1685,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "dedup_exact_groups": dedup_exact_groups,
-    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
@@ -1638,6 +1694,7 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; demoted r5 for curation_report_by_source (exact-key dedup family: dedup_exact_groups stays graded; tail alias dedup_fingerprint_groups)
     "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 for cluster_balanced_sample_embeddings (a strict superset: same seeding+argmin CTEs plus thresholds)
     "text_language_id": text_language_id,                # green r1+r2+r3+r4; demoted r5 for exact_contamination_documents (text-stats family: stopword_ratios twin in tail, fingerprints/winnowing/repetition/surprisal graded)
     "top3_orders_per_customer": top3_orders_per_customer,  # green r1+r2+r3+r4; demoted r5 for text_gopher_quality (rank-window family: events_sessionize stays graded, max_acctbal twin in tail)

@@ -144,3 +144,16 @@ def test_graded_envelope_stays_single_chunk():
         assert count_tokens(text) <= 500, "doc over max_tokens: oracle's 1-chunk proof void"
         assert text == text.strip(), "surrounding whitespace: content round-trip void"
         assert not any(c in text for c in "<>&"), "XML specials: envelope escape void"
+
+
+def test_curation_report_invariants(spark):
+    """Gates can only cut: every per-source pass/flag count is bounded
+    by n_docs, and the report covers exactly the train-side sources."""
+    from lovdata_pipeline_spark.queries import curation_report_by_source
+
+    rows = curation_report_by_source(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for c in ("n_gopher_pass", "n_quality_pass", "n_exact_dup", "n_contaminated"):
+            assert 0 <= r[c] <= r.n_docs, (r.source, c)
+        assert r.n_tokens >= r.n_docs  # every doc has >= 1 token in testdata
