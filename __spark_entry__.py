@@ -3,12 +3,16 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data extensions, as (spark, sf_dir) callables.
-``oracle_sql()``— DuckDB equivalents for EVERY query as of r4: the
+``oracle_sql()``— DuckDB equivalents for EVERY query as of r5: the
                   engine-specific sketch aggregates (agg_approx_stats)
                   emit a tolerance-band verdict whose oracle asserts the
                   bands, so even sketches hash-check as real pass/fail.
                   Includes the chunk/embed/enrich pipelines, both ANN
-                  scale paths, and the LLM-curation/retrieval operators.
+                  scale paths, and the LLM-curation/retrieval operators
+                  (r5 adds the sequence emitter, Gopher gate, DSIR
+                  scoring, training-order shuffle, epoch mixing,
+                  exact-substring decontam, cluster-balanced sampling,
+                  and the per-source curation report).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).

@@ -259,6 +259,45 @@ class TestStreaming:
         want = {r.doc_id for r in decontaminate(batch_docs, bench, n=3).collect()}
         assert got == want == {2, 4}
 
+    def test_streaming_exact_substring_decontamination(self, spark, tmp_path):
+        """The exact-substring row-local filter must also compose with
+        AvailableNow: survivors equal the batch join form's complement."""
+        import pandas as pd
+
+        from lovdata_pipeline_spark.operators.decontam import (
+            exact_contamination_rowlocal,
+        )
+
+        texts = {
+            1: "the secret benchmark answer is forty two exactly",
+            2: "completely unrelated text with other words",
+            3: "prefix the secret benchmark answer is forty two exactly suffix",
+        }
+        src = tmp_path / "docs_stream_exact"
+        src.mkdir()
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        ).to_parquet(src / "p0.parquet")
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        clean = exact_contamination_rowlocal(
+            stream, ["the secret benchmark answer is forty two exactly"]
+        )
+        q = (
+            clean.writeStream.format("memory")
+            .queryName("exact_decontam_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_exact"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id
+            for r in spark.sql("SELECT doc_id FROM exact_decontam_stream").collect()
+        }
+        assert got == {2}
+
     def test_interval_join_available_now(self, spark, tmp_path):
         import pandas as pd
 
