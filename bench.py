@@ -71,6 +71,7 @@ HEADLINE = [
     "epoch_mix_documents",
     "temperature_mix_orders",
     "cluster_balanced_sample_embeddings",
+    "hash_split_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",

@@ -215,3 +215,47 @@ def cluster_balanced_sample(
         .filter(portable_rate_hash(F.col(id_col), seed) < F.col("_thr"))
         .select(id_col, "cell")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split: adds a ``split`` column
+    assigning each row to one named slice with the given probabilities —
+    the dataset-split step every training run needs, with the properties
+    random splits lack at scale:
+
+      * append-stable: new rows never move old rows between splits
+        (the decision is a pure function of key ‖ seed);
+      * leak-proof by construction: one row, exactly one split —
+        boundaries are half-open integer ranges over the portable hash,
+        so no row can satisfy two slices even at threshold values;
+      * shuffle-free: a scan-local projection, no RNG state, no
+        repartition; the oracle replays every decision bit-for-bit.
+
+    ``weights`` maps split name → fraction; fractions are quantized to
+    INTEGER hash-range bounds (cumulative ``round(Σw·DENOM)``, same tie
+    discipline as ``stratified_sample``) in sorted-name order, with the
+    LAST slice absorbing the rounding remainder up to DENOM — Σw should
+    be ≈1; anything left unassigned falls into the final slice.
+    """
+    if not weights:
+        raise ValueError("hash_split needs at least one named slice")
+    bounds = []
+    acc = 0.0
+    names = sorted(weights)
+    for name in names:
+        acc += float(weights[name])
+        bounds.append((name, int(round(acc * DENOM))))
+    bounds[-1] = (bounds[-1][0], DENOM)  # last slice absorbs remainder
+    h = portable_rate_hash(F.col(key_col), seed)
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(h < hi, F.lit(name)).otherwise(expr)
+    # the when-chain tests ascending bounds: h < hi_1 → slice 1, else
+    # h < hi_2 → slice 2, ... else the last slice. Built in reverse so
+    # the FIRST matching (smallest) bound wins.
+    return df.withColumn("split", expr)

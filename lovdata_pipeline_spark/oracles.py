@@ -1780,3 +1780,19 @@ ORACLES["curation_report_by_source"] = rf"""
         LEFT JOIN cont c USING (doc_id)
         GROUP BY b.source ORDER BY b.source
 """
+
+# Deterministic train/val/test split (r5): cumulative integer bounds in
+# sorted-name order (test 0.1 -> 1000, train +0.8 -> 9000, val = rest),
+# half-open ranges over the portable hash.
+ORACLES["hash_split_documents"] = """
+        SELECT doc_id, source,
+               CASE WHEN h < 1000 THEN 'test'
+                    WHEN h < 9000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM (SELECT doc_id, source,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || 'split-v1'), 1, 15))
+                          AS UBIGINT) % 10000 AS h
+              FROM documents)
+        ORDER BY doc_id
+"""

@@ -940,6 +940,22 @@ def curation_report_by_source(spark, sf_dir):
     )
 
 
+def hash_split_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split (new r5): one scan,
+    one projection — the portable-hash range rule means the split is
+    append-stable and leak-proof (half-open integer ranges, one slice
+    per row by construction). The oracle replays every decision."""
+    from lovdata_pipeline_spark.operators.sampling import hash_split
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id", "source"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+        seed="split-v1",
+    ).orderBy("doc_id")
+
+
 def exact_contamination_documents(spark, sf_dir):
     """Exact-substring (word-aligned) contamination (new r5): needles
     are 8-word snippets cut from every doc_id % 53 == 0 document (the
@@ -1651,7 +1667,6 @@ QUERIES = {
     # --- new r3 LLM-curation / retrieval operators --------------------------
     "text_repetition": text_repetition,
     "pii_scan_documents": pii_scan_documents,
-    "stratified_sample_orders": stratified_sample_orders,
     "shard_pack_documents": shard_pack_documents,
     "text_bm25_search": text_bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1678,6 +1693,7 @@ QUERIES = {
     "exact_contamination_documents": exact_contamination_documents,
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
     "curation_report_by_source": curation_report_by_source,
+    "hash_split_documents": hash_split_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1694,6 +1710,7 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 for hash_split_documents (same portable-hash rule family: temperature_mix/epoch_mix/cluster_balanced/hash_split graded)
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; demoted r5 for curation_report_by_source (exact-key dedup family: dedup_exact_groups stays graded; tail alias dedup_fingerprint_groups)
     "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 for cluster_balanced_sample_embeddings (a strict superset: same seeding+argmin CTEs plus thresholds)
     "text_language_id": text_language_id,                # green r1+r2+r3+r4; demoted r5 for exact_contamination_documents (text-stats family: stopword_ratios twin in tail, fingerprints/winnowing/repetition/surprisal graded)

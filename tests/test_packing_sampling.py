@@ -428,3 +428,24 @@ def test_cluster_balanced_sample_caps_dominant_clusters(spark):
     again = {r.vec_id for r in cluster_balanced_sample(
         emb.repartition(7), cents, target_per_cluster=5, seed="t").collect()}
     assert again == {r.vec_id for r in kept.collect()}
+
+
+def test_hash_split_partitions_exhaustively_and_append_stable(spark):
+    from lovdata_pipeline_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = hash_split(df, w, "k", seed="s1")
+    counts = {r.split: r.n for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row exactly one slice
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] - 1600) < 200  # ~80%
+    # append-stable: the first 1000 rows keep their assignment
+    first = {r.k: r.split for r in hash_split(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), w, "k", seed="s1").collect()}
+    full = {r.k: r.split for r in got.collect()}
+    assert all(full[k] == v for k, v in first.items())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, {}, "k")
