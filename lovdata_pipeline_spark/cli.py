@@ -5,6 +5,9 @@ reference: cli.py:18-487), argparse-based.
   python -m lovdata_pipeline_spark.cli status   --state DIR
   python -m lovdata_pipeline_spark.cli validate --store DIR --state DIR
   python -m lovdata_pipeline_spark.cli migrate  --source-format parquet|jsonl --source DIR --target-format jsonl|parquet --target DIR
+  python -m lovdata_pipeline_spark.cli curate   --input PARQUET --output DIR [--benchmark PARQUET] [--mix RATES | --temperature A] [--seq-len N]
+  python -m lovdata_pipeline_spark.cli split    --input PARQUET --output DIR [--weights train=0.8,val=0.1,test=0.1] [--seed S]
+  python -m lovdata_pipeline_spark.cli report   --input PARQUET [--benchmark PARQUET]
 
 Exit codes mirror the reference: process exits 1 if any document failed
 (cli.py:156-158); validate exits 1 on inconsistency (cli.py:446-481).
@@ -294,6 +297,92 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Deterministic train/val/test split of a documents parquet: adds a
+    `split` column via the append-stable portable-hash range rule and
+    writes the result partitioned by split. Prints one JSON line of
+    per-split counts."""
+    import json as _json
+
+    from lovdata_pipeline_spark.operators.sampling import hash_split
+
+    spark = _spark("lg-split")
+    weights = {}
+    for part in args.weights.split(","):
+        name, _, frac = part.partition("=")
+        weights[name.strip()] = float(frac)
+    out = hash_split(spark.read.parquet(args.input), weights, args.id_col, args.seed)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    print(_json.dumps({"splits": counts, "output_path": args.output}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    """Per-source curation report over a documents parquet: doc/token
+    inventory plus what the Gopher gate, quality classifier, exact dedup
+    and (optional) benchmark decontamination would each cut. Prints one
+    JSON line per source."""
+    import json as _json
+
+    from pyspark.sql import Window as _W, functions as F
+
+    from lovdata_pipeline_spark.operators import decontam, textstats
+
+    spark = _spark("lg-report")
+    docs = spark.read.parquet(args.input)
+    id_col, text_col, strata_col = args.id_col, args.text_col, args.strata_col
+
+    base = docs.select(
+        id_col, strata_col, textstats.token_count_col(text_col).alias("n_tokens")
+    )
+    g = textstats.gopher_quality(docs, text_col, id_col).select(id_col, "gopher_pass")
+    q = textstats.hashed_linear_quality(docs, text_col, id_col).select(id_col, "keep")
+    fp = textstats.fingerprints(docs, text_col, id_col)
+    dup = fp.select(
+        id_col,
+        (
+            F.col(id_col) > F.min(id_col).over(_W.partitionBy("fingerprint"))
+        ).alias("is_dup"),
+    )
+    rep = (
+        base.join(g, id_col)
+        .join(q, id_col, "left")
+        .join(dup, id_col)
+    )
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        cont = decontam.ngram_overlap_flags(
+            docs, bench, n=args.ngram, text_col=text_col, id_col=id_col
+        ).select(id_col, F.lit(True).alias("is_cont"))
+        rep = rep.join(cont, id_col, "left")
+    else:
+        rep = rep.withColumn("is_cont", F.lit(False))
+    rows = (
+        rep.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("n_gopher_pass"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality_pass"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dup"),
+            F.sum(F.when(F.col("is_cont"), 1).otherwise(0)).alias("n_contaminated"),
+        )
+        .orderBy(strata_col)
+        .collect()
+    )
+    for r in rows:
+        print(_json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -369,6 +458,23 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--text-col", default="text")
     c.add_argument("--strata-col", default="source")
     c.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("split", help="deterministic train/val/test split")
+    sp.add_argument("--input", required=True, help="documents parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path (partitioned by split)")
+    sp.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
+    sp.add_argument("--seed", default="split-v1")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.set_defaults(func=cmd_split)
+
+    r = sub.add_parser("report", help="per-source curation report")
+    r.add_argument("--input", required=True, help="documents parquet path")
+    r.add_argument("--benchmark", default=None, help="eval-set parquet for contamination counts")
+    r.add_argument("--ngram", type=int, default=3)
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--text-col", default="text")
+    r.add_argument("--strata-col", default="source")
+    r.set_defaults(func=cmd_report)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

@@ -88,3 +88,40 @@ def test_curate_mix_and_temperature_exclusive(docs_parquet, tmp_path):
             ["curate", "--input", docs_parquet, "--output", str(tmp_path / "x"),
              "--mix", "web=1.0", "--temperature", "0.5"]
         )
+
+
+def test_split_end_to_end(spark, tmp_path, docs_parquet, capsys):
+    out = str(tmp_path / "split_out")
+    rc = main([
+        "split", "--input", docs_parquet, "--output", out,
+        "--weights", "train=0.5,val=0.25,test=0.25", "--seed", "s",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(payload["splits"].values()) == 6
+    got = spark.read.parquet(out)
+    assert set(got.columns) >= {"doc_id", "split"}
+    # append-stable: re-running assigns identically
+    out2 = str(tmp_path / "split_out2")
+    main(["split", "--input", docs_parquet, "--output", out2,
+          "--weights", "train=0.5,val=0.25,test=0.25", "--seed", "s"])
+    a = {r.doc_id: r.split for r in spark.read.parquet(out).collect()}
+    b = {r.doc_id: r.split for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+
+def test_report_end_to_end(spark, tmp_path, docs_parquet, bench_parquet, capsys):
+    rc = main([
+        "report", "--input", docs_parquet, "--benchmark", bench_parquet,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = {r["source"]: r for r in lines}
+    assert set(rows) == {"web", "books"}
+    assert rows["web"]["n_docs"] == 4
+    assert rows["web"]["n_exact_dup"] == 1      # doc 2 duplicates doc 1
+    assert rows["web"]["n_contaminated"] == 1   # doc 3 shares 3-gram with bench
+    assert rows["books"]["n_exact_dup"] == 0
+    for r in rows.values():
+        assert 0 <= r["n_gopher_pass"] <= r["n_docs"]
+        assert r["n_tokens"] > 0
