@@ -15,6 +15,8 @@ from lovdata_pipeline_spark.operators.packing import (
     sequence_manifest,
 )
 from lovdata_pipeline_spark.operators.sampling import (
+    epoch_mix,
+    portable_rate_hash,
     stratified_sample,
     temperature_sample,
     temperature_thresholds,
@@ -449,3 +451,62 @@ def test_hash_split_partitions_exhaustively_and_append_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(df, {}, "k")
+
+
+# ---- property tests: random tiny corpora exercise edges the curated
+# ---- testdata can't (empty docs, docs spanning many sequences, ties)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_words = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=9)
+_corpus = st.lists(_words.map(" ".join), min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, seq_len=st.sampled_from([1, 3, 5]))
+def test_emit_token_sequences_matches_driver_fold(spark, texts, seq_len):
+    """Against a pure-Python fold: concatenate all docs' tokens in
+    doc_id order, cut every seq_len — the emitter must reproduce every
+    sequence's text exactly."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.seq_id: r.seq_text
+        for r in emit_token_sequences(docs, seq_len=seq_len).collect()
+    }
+    stream = [w for _, t in rows for w in t.split()]
+    want = {
+        i: " ".join(stream[i * seq_len:(i + 1) * seq_len])
+        for i in range((len(stream) + seq_len - 1) // seq_len)
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    e_books=st.sampled_from([0.0, 0.5, 1.0, 2.25, 3.0]),
+    e_logs=st.sampled_from([0.0, 0.4, 1.5]),
+)
+def test_epoch_mix_expected_copy_counts(spark, n, e_books, e_logs):
+    """Every row's copy count equals floor(e) + [hash < frac(e)·DENOM],
+    derived independently here from the published rule."""
+    from lovdata_pipeline_spark.operators.sampling import DENOM
+
+    rows = [(i, "books" if i % 2 == 0 else "logs") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.doc_id: r.cnt
+        for r in epoch_mix(df, {"books": e_books, "logs": e_logs}, "source",
+                           "doc_id", seed="p")
+        .groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select("doc_id",
+                           portable_rate_hash(F.col("doc_id"), "p").alias("h")).collect()
+    }
+    for i, src in rows:
+        e = e_books if src == "books" else e_logs
+        expect = int(e) + (1 if hashes[i] < int(round((e % 1.0) * DENOM)) else 0)
+        assert got.get(i, 0) == expect
