@@ -60,6 +60,7 @@ HEADLINE = [
     "text_winnowing",
     "text_repetition",
     "text_unigram_surprisal",
+    "text_bigram_surprisal",
     "text_quality_classifier",
     "text_gopher_quality",
     "importance_score_documents",
@@ -72,6 +73,7 @@ HEADLINE = [
     "temperature_mix_orders",
     "cluster_balanced_sample_embeddings",
     "hash_split_documents",
+    "length_bucketed_batches_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",
     "curation_pipeline",

@@ -343,3 +343,42 @@ def training_order(
         keyed.withColumn("_one", F.lit(1)), id_col="_shuffle_key", token_col="_one"
     ).select("_shuffle_key", F.col("tok_start").alias("shuffle_rank"))
     return keyed.join(ranks, "_shuffle_key").drop("_shuffle_key")
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING for inference/embedding serving: rank
+    rows by (token count, id) and cut every ``batch_size`` rows —
+    consecutive batches hold similar-length inputs, which is what
+    minimizes padding waste in a batched transformer forward pass.
+
+    (id, n_tokens, rank, batch_id): ``rank`` is the dense 0-based
+    position in (n_tokens, id) order, ``batch_id = rank // batch_size``.
+    The global ordering reuses ``global_token_offsets``' two-phase
+    prefix sum with UNIT weights over a fixed-width sortable composite
+    key (zero-padded decimal ``n_tokens‖id`` — string order ≡ numeric
+    order), so there is no single-task global window; max padding waste
+    within a batch is bounded by the token-count spread of
+    ``batch_size`` rank-adjacent rows.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.format_string("%010d-%012d", F.col(token_col), F.col(id_col)).alias("_bkey"),
+    )
+    ranks = global_token_offsets(
+        keyed.withColumn("_one", F.lit(1)), id_col="_bkey", token_col="_one"
+    ).select("_bkey", F.col("tok_start").alias("rank"))
+    return (
+        keyed.join(ranks, "_bkey")
+        .select(
+            id_col,
+            token_col,
+            "rank",
+            F.floor(F.col("rank") / F.lit(batch_size)).cast("long").alias("batch_id"),
+        )
+    )

@@ -758,3 +758,59 @@ def hashed_importance_score(
         F.col("raw_mass").cast("long").alias("raw_mass"),
         importance.alias("importance"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Conditional-bigram LM surprisal with the corpus as its own model —
+    the step up from ``unigram_surprisal`` toward a real perplexity
+    filter: per-doc mean of −ln P(w₂|w₁) under add-one smoothing,
+    P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V), V = unigram vocabulary
+    size. Junk with improbable word TRANSITIONS (shuffled text scores
+    ~uniform-random here while passing unigram filters) surfaces high.
+
+    (id, n_bigrams, mean_surprisal): docs with fewer than 2 words have
+    no transitions and are absent (same contract as unigram's empty
+    docs). Determinism: per-bigram surprisals round to 9 dp and
+    accumulate in DECIMAL(18,9) — the unigram fixed-point discipline,
+    so shuffle-order double addition can't leak low bits.
+
+    Plan shape: one tokenize; bigram counts via hash aggregate on the
+    (w₁, w₂) pair; unigram counts reuse the same exploded frame; the
+    count joins are equi-joins on small string keys (AQE absorbs
+    stopword-pair skew); N/V ride a broadcast 1-row scalar.
+    """
+    w = _words(text_col)
+    grams = F.when(F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pairs = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    uni = docs.select(F.explode(w).alias("u")).groupBy("u").agg(
+        F.count("*").alias("c1")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vsize = uni.agg(F.count("*").alias("V"))
+    s = -F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("V"))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["u"])
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(s, 9).cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )

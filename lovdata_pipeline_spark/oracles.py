@@ -1796,3 +1796,48 @@ ORACLES["hash_split_documents"] = """
               FROM documents)
         ORDER BY doc_id
 """
+
+# Conditional-bigram surprisal (r5): bigram + unigram counts from one
+# tokenize, add-one smoothing, the unigram oracle's 9-dp DECIMAL
+# fixed-point accumulation.
+ORACLES["text_bigram_surprisal"] = r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents),
+        pairs0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS g
+          FROM tok),
+        pairs AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pairs0),
+        uni AS (SELECT unnest(w) AS u FROM tok),
+        uc AS (SELECT u, count(*) AS c1 FROM uni GROUP BY u),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+        vs AS (SELECT count(*) AS V FROM uc),
+        per AS (
+          SELECT p.doc_id,
+                 -ln((c12 + CAST(1.0 AS DOUBLE)) / (c1 + V)) AS s
+          FROM pairs p JOIN bc USING (w1, w2) JOIN uc ON p.w1 = uc.u CROSS JOIN vs)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_surprisal
+        FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Length-bucketed batching (r5): the naive global ROW_NUMBER the Spark
+# side deliberately avoids (two-phase prefix rank instead).
+ORACLES["length_bucketed_batches_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END
+                      AS INTEGER) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT)
+                 AS rank,
+               CAST((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 64
+                    AS BIGINT) AS batch_id
+        FROM t ORDER BY doc_id
+"""

@@ -956,6 +956,30 @@ def hash_split_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def text_bigram_surprisal(spark, sf_dir):
+    """Conditional-bigram LM surprisal (new r5): the corpus as its own
+    bigram model, mean -ln P(w2|w1) per doc under add-one smoothing —
+    catches improbable word TRANSITIONS that pass unigram filters. Same
+    9-dp DECIMAL fixed-point accumulation as the unigram query."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.bigram_surprisal(docs).orderBy("doc_id")
+
+
+def length_bucketed_batches_documents(spark, sf_dir):
+    """Length-bucketed inference batching (new r5): rank by (token
+    count, id) via the two-phase prefix-sum (unit weights over a
+    fixed-width sortable key — no single-task global window), cut every
+    64 rows; adjacent batches hold similar-length docs to minimize
+    padding waste."""
+    from lovdata_pipeline_spark.operators.packing import length_bucketed_batches
+
+    (docs,) = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", textstats.token_count_col("text").alias("n_tokens")
+    )
+    return length_bucketed_batches(with_tokens, batch_size=64).orderBy("doc_id")
+
+
 def exact_contamination_documents(spark, sf_dir):
     """Exact-substring (word-aligned) contamination (new r5): needles
     are 8-word snippets cut from every doc_id % 53 == 0 document (the
@@ -1667,10 +1691,8 @@ QUERIES = {
     # --- new r3 LLM-curation / retrieval operators --------------------------
     "text_repetition": text_repetition,
     "pii_scan_documents": pii_scan_documents,
-    "shard_pack_documents": shard_pack_documents,
     "text_bm25_search": text_bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
-    "text_unigram_surprisal": text_unigram_surprisal,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
@@ -1694,6 +1716,8 @@ QUERIES = {
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
     "curation_report_by_source": curation_report_by_source,
     "hash_split_documents": hash_split_documents,
+    "text_bigram_surprisal": text_bigram_surprisal,
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1710,6 +1734,8 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "text_unigram_surprisal": text_unigram_surprisal,    # green r3+r4; demoted r5 for text_bigram_surprisal (the strict family step-up: same tokenize/count/fixed-point shape)
+    "shard_pack_documents": shard_pack_documents,        # green r3+r4; demoted r5 for length_bucketed_batches_documents (packing family: pack_sequences/pack_emit/manifest graded; same shared prefix sum)
     "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 for hash_split_documents (same portable-hash rule family: temperature_mix/epoch_mix/cluster_balanced/hash_split graded)
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; demoted r5 for curation_report_by_source (exact-key dedup family: dedup_exact_groups stays graded; tail alias dedup_fingerprint_groups)
     "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 for cluster_balanced_sample_embeddings (a strict superset: same seeding+argmin CTEs plus thresholds)

@@ -510,3 +510,25 @@ def test_epoch_mix_expected_copy_counts(spark, n, e_books, e_logs):
         e = e_books if src == "books" else e_logs
         expect = int(e) + (1 if hashes[i] < int(round((e % 1.0) * DENOM)) else 0)
         assert got.get(i, 0) == expect
+
+
+def test_length_bucketed_batches_order_and_fill(spark):
+    from lovdata_pipeline_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, (i * 7) % 23 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = sorted(
+        ((r.rank, r.n_tokens, r.doc_id, r.batch_id)
+         for r in length_bucketed_batches(df, batch_size=8).collect())
+    )
+    assert [g[0] for g in got] == list(range(50))  # dense rank
+    # rank order IS (n_tokens, id) order
+    assert got == sorted(got, key=lambda g: (g[1], g[2]))
+    # batches are rank // 8 and full except the tail
+    assert all(g[3] == g[0] // 8 for g in got)
+    # partition-independence
+    again = sorted(
+        ((r.rank, r.n_tokens, r.doc_id, r.batch_id)
+         for r in length_bucketed_batches(df.repartition(7), batch_size=8).collect())
+    )
+    assert again == got

@@ -123,3 +123,22 @@ def test_hashed_importance_score_prefers_target_like_docs(spark):
     # docs with <2 words produce no features and are absent
     tiny = spark.createDataFrame([(0, "one")], "doc_id long, text string")
     assert hashed_importance_score(tiny, tgt).count() == 0
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    """Shuffled word order must score higher bigram surprisal than the
+    natural order it was built from, while a doc with <2 words is
+    absent — the transition-level signal unigram filters can't see."""
+    from lovdata_pipeline_spark.operators.textstats import bigram_surprisal
+
+    natural = "the cat sat on the mat and the dog sat on the rug " * 4
+    words = natural.split()
+    shuffled = " ".join(words[::2] + words[1::2])  # same unigrams, broken pairs
+    df = spark.createDataFrame(
+        [(0, natural), (1, shuffled), (2, "single")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert set(got) == {0, 1}  # <2-word doc absent
+    assert got[1].mean_surprisal > got[0].mean_surprisal
+    assert got[0].n_bigrams == len(words) - 1

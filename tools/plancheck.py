@@ -39,6 +39,8 @@ CROSS_JOIN_OK = {
     "text_bm25_search",
     "hybrid_search_rrf",
     "text_unigram_surprisal",
+    # bigram form: the same 1-row V scalar broadcast.
+    "text_bigram_surprisal",
     # pretraining_pipeline: the ingest stage broadcasts the same 1-row
     # max-id shift scalar as dedup_exact_groups (O(1) rows on one side).
     "pretraining_pipeline",
