@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_shared_spans",
     "dedup_embedding_cosine",
+    "semantic_dedup_pairs_embeddings",
     "decontaminate_benchmark_overlap",
     "exact_contamination_documents",
     "ann_cosine_topk",

@@ -1841,3 +1841,22 @@ ORACLES["length_bucketed_batches_documents"] = r"""
                     AS BIGINT) AS batch_id
         FROM t ORDER BY doc_id
 """
+
+# SemDeDup-style cluster-pruned near-dup pairs (r5): within-cell pairs
+# only (the method's explicit trade), cosine from the same sequential
+# fold as the other embedding oracles, unrounded threshold filter with
+# rounded output.
+ORACLES["semantic_dedup_pairs_embeddings"] = f"""
+        WITH {_ivf_assigned_ctes(8)}
+        SELECT CAST(a.cell AS INTEGER) AS cell,
+               a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.ev, b.ev) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.ev, b.ev) /
+              (sqrt(list_dot_product(a.ev, a.ev)) *
+               sqrt(list_dot_product(b.ev, b.ev))) >= 0.45
+        ORDER BY cell, doc_a, doc_b
+"""

@@ -1573,6 +1573,22 @@ def embedding_cluster_assign(spark, sf_dir):
     )
 
 
+def semantic_dedup_pairs_embeddings(spark, sf_dir):
+    """SemDeDup-style cluster-pruned near-dup search (new r5): within-
+    cell BLAS candidate matmul + sequential-fold exact verify; cross-
+    cluster pairs missed by design (the published method's O(Σ|cell|²)
+    trade). Same portable seeding as the IVF family, so the oracle
+    replays cells and cosines exactly."""
+    from lovdata_pipeline_spark.operators.dedup import semantic_dedup_pairs
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    centroids = similarity.deterministic_centroids(emb, n_cells=8, portable=True)
+    return (
+        semantic_dedup_pairs(emb, centroids, threshold=0.45)
+        .orderBy("cell", "doc_a", "doc_b")
+    )
+
+
 def cluster_balanced_sample_embeddings(spark, sf_dir):
     """Cluster-balanced diversity sampling (new r5): ≈30 vectors kept
     per k-means cell so dominant clusters stop drowning rare ones —
@@ -1718,6 +1734,7 @@ QUERIES = {
     "hash_split_documents": hash_split_documents,
     "text_bigram_surprisal": text_bigram_surprisal,
     "length_bucketed_batches_documents": length_bucketed_batches_documents,
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1729,11 +1746,11 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
+    "dedup_embedding_cosine": dedup_embedding_cosine,    # green r1+r2+r3+r4; demoted r5 for semantic_dedup_pairs_embeddings (same blocked-matmul + fold-verify path; complete-search twin dedup_embedding_cosine_blocked also in tail)
     "text_unigram_surprisal": text_unigram_surprisal,    # green r3+r4; demoted r5 for text_bigram_surprisal (the strict family step-up: same tokenize/count/fixed-point shape)
     "shard_pack_documents": shard_pack_documents,        # green r3+r4; demoted r5 for length_bucketed_batches_documents (packing family: pack_sequences/pack_emit/manifest graded; same shared prefix sum)
     "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 for hash_split_documents (same portable-hash rule family: temperature_mix/epoch_mix/cluster_balanced/hash_split graded)

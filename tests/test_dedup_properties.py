@@ -389,3 +389,34 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert len(rows) == n
     assert {r["component_id"] for r in rows} == {0}
     assert sum(r["is_survivor"] for r in rows) == 1
+
+
+def test_semantic_dedup_is_cluster_pruned_subset(spark):
+    """SemDeDup pairs must be exactly the full blocked search's pairs
+    restricted to same-cell membership — nothing extra, nothing missed
+    within a cell; zero vectors never crash the normalize."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.dedup import (
+        embedding_near_duplicates_blocked,
+        semantic_dedup_pairs,
+    )
+    from lovdata_pipeline_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = deterministic_centroids(emb, n_cells=4, portable=True)
+    sem = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.4).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_duplicates_blocked(emb, threshold=0.4, n_blocks=3).collect()
+    }
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+    want = {p: c for p, c in full.items() if cells[p[0]] == cells[p[1]]}
+    assert sem == want
+    assert set(sem) <= set(full)
