@@ -8,6 +8,7 @@ reference: cli.py:18-487), argparse-based.
   python -m lovdata_pipeline_spark.cli curate   --input PARQUET --output DIR [--benchmark PARQUET] [--mix RATES | --temperature A] [--seq-len N]
   python -m lovdata_pipeline_spark.cli split    --input PARQUET --output DIR [--weights train=0.8,val=0.1,test=0.1] [--seed S]
   python -m lovdata_pipeline_spark.cli report   --input PARQUET [--benchmark PARQUET]
+  python -m lovdata_pipeline_spark.cli pack     --input PARQUET --output DIR [--manifest DIR] [--seq-len N]
 
 Exit codes mirror the reference: process exits 1 if any document failed
 (cli.py:156-158); validate exits 1 on inconsistency (cli.py:446-481).
@@ -383,6 +384,54 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Materialize fixed-length training sequences from a documents
+    parquet (the sequence emitter): writes (seq_id, n_docs,
+    n_tokens_filled, seq_text) plus, optionally, the per-sequence
+    manifest. Prints one JSON line of sequence accounting."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+    from lovdata_pipeline_spark.operators.packing import (
+        emit_token_sequences,
+        release_offsets_caches,
+        sequence_manifest,
+    )
+
+    spark = _spark("lg-pack")
+    docs = spark.read.parquet(args.input)
+    seqs = emit_token_sequences(
+        docs, seq_len=args.seq_len, id_col=args.id_col, text_col=args.text_col
+    )
+    seqs.write.mode("overwrite").parquet(args.output)
+    if args.manifest:
+        counts = docs.select(
+            args.id_col,
+            textstats.token_count_col(args.text_col).alias("n_tokens"),
+        )
+        sequence_manifest(counts, seq_len=args.seq_len, id_col=args.id_col).write.mode(
+            "overwrite"
+        ).parquet(args.manifest)
+    release_offsets_caches()  # the writes above were the final actions
+    out = spark.read.parquet(args.output)
+    stats = out.agg(
+        F.count("*").alias("n"), F.sum("n_tokens_filled").alias("t")
+    ).first()
+    print(
+        _json.dumps(
+            {
+                "n_sequences": stats["n"],
+                "n_tokens": int(stats["t"] or 0),
+                "seq_len": args.seq_len,
+                "output_path": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -475,6 +524,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--text-col", default="text")
     r.add_argument("--strata-col", default="source")
     r.set_defaults(func=cmd_report)
+
+    pk = sub.add_parser("pack", help="materialize fixed-length training sequences")
+    pk.add_argument("--input", required=True, help="documents parquet path")
+    pk.add_argument("--output", required=True, help="packed sequences parquet path")
+    pk.add_argument("--manifest", default=None, help="optional manifest parquet path")
+    pk.add_argument("--seq-len", type=int, default=512)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.set_defaults(func=cmd_pack)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

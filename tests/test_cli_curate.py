@@ -125,3 +125,26 @@ def test_report_end_to_end(spark, tmp_path, docs_parquet, bench_parquet, capsys)
     for r in rows.values():
         assert 0 <= r["n_gopher_pass"] <= r["n_docs"]
         assert r["n_tokens"] > 0
+
+
+def test_pack_end_to_end(spark, tmp_path, docs_parquet, capsys):
+    out = str(tmp_path / "packed")
+    man = str(tmp_path / "manifest")
+    rc = main([
+        "pack", "--input", docs_parquet, "--output", out,
+        "--manifest", man, "--seq-len", "4",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    seqs = spark.read.parquet(out)
+    manifest = spark.read.parquet(man)
+    assert payload["n_sequences"] == seqs.count() == manifest.count()
+    rows = {r.seq_id: r for r in seqs.collect()}
+    mrows = {r.seq_id: r for r in manifest.collect()}
+    # emitter and manifest agree sequence-by-sequence
+    assert {k: (v.n_docs, v.n_tokens_filled) for k, v in rows.items()} == {
+        k: (v.n_docs, v.n_tokens_filled) for k, v in mrows.items()
+    }
+    # every interior sequence is exactly seq_len tokens of real text
+    interior = [v for k, v in rows.items() if k < max(rows)]
+    assert all(len(v.seq_text.split(" ")) == 4 for v in interior)
