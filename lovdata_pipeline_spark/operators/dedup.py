@@ -1050,9 +1050,14 @@ def semantic_dedup_pairs(
     cand = (
         assigned.groupBy("cell")
         .applyInPandas(find, schema=f"cell int, doc_a {id_type}, doc_b {id_type}")
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = _verify_cosine(vectors, cand.select("doc_a", "doc_b"), threshold, id_col, vec_col)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "cell", "doc_a", "doc_b", "cosine"
-    )
+    verified = _verify_cosine(vectors, cand, threshold, id_col, vec_col)
+    # recover `cell` from the scan-local argmin, NOT by re-joining cand:
+    # a second plan branch over the applyInPandas output would only
+    # avoid re-running the BLAS matmul if ReusedExchange happens to
+    # kick in (review finding). Both members share the cell by
+    # construction, so doc_a's assignment suffices.
+    cells = assigned.select(F.col(id_col).alias("doc_a"), "cell")
+    return verified.join(cells, "doc_a").select("cell", "doc_a", "doc_b", "cosine")

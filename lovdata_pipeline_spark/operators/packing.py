@@ -43,8 +43,12 @@ def release_offsets_caches() -> int:
     """Unpersist every offsets frame retained by ``global_token_offsets``
     and return how many were released. Safe to call repeatedly; only
     call once all actions on frames derived from packing operators have
-    run (a post-release action would recompute against a freshly drawn
-    range partitioning — values identical, work duplicated)."""
+    run. A post-release action on a derived frame is UNSAFE, not just
+    wasteful: recomputation re-draws the range partitioning while the
+    plan still joins the driver-baked offsets of the OLD partition
+    assignment, so tok_start would silently stop being a valid prefix
+    sum. Release means "this lineage is dead" — build a fresh operator
+    call for new work."""
     n = 0
     while _RETAINED:
         _RETAINED.pop().unpersist()
@@ -365,9 +369,21 @@ def length_bucketed_batches(
     within a batch is bounded by the token-count spread of
     ``batch_size`` rank-adjacent rows.
     """
+    numeric = {"int", "bigint", "smallint", "tinyint"}
+    for c in (token_col, id_col):
+        t = df.schema[c].dataType.simpleString()
+        if t not in numeric:
+            raise ValueError(
+                f"length_bucketed_batches needs integral {c!r} (got {t}): the "
+                "fixed-width sort key is zero-padded decimal, which is only "
+                "order-preserving for non-negative integers"
+            )
     keyed = df.select(
         F.col(id_col),
         F.col(token_col),
+        # order-preserving ONLY for 0 <= n_tokens < 10^10 and 0 <= id <
+        # 10^12 (validated integral above; negatives would reverse order
+        # as strings, widths beyond the padding would break it silently)
         F.format_string("%010d-%012d", F.col(token_col), F.col(id_col)).alias("_bkey"),
     )
     ranks = global_token_offsets(

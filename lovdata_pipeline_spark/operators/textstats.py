@@ -602,7 +602,6 @@ def gopher_quality(
         F.split(trimmed, r"\s+")
     )
     n_words = F.size(words)
-    safe_words = F.greatest(n_words, F.lit(1))
 
     char_sum = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -615,12 +614,15 @@ def gopher_quality(
         n_alpha.cast("double") / n_words
     )
 
+    # split on \r?\n so a CRLF corpus sheds the \r: Java's rlike `$`
+    # matches before a trailing \r while RE2's does not — leaving the
+    # \r in place would silently break oracle bit-parity (latent; the
+    # test corpora are LF-only).
     lines = F.filter(
-        F.transform(F.split(text, "\n", -1), lambda ln: F.trim(ln)),
+        F.transform(F.split(text, r"\r?\n", -1), lambda ln: F.trim(ln)),
         lambda ln: ln != "",
     )
     n_lines = F.size(lines)
-    safe_lines = F.greatest(n_lines, F.lit(1))
     n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike("^[-*•·]")))
     n_ellipsis = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
     n_dup = n_lines - F.size(F.array_distinct(lines))
@@ -650,9 +652,6 @@ def gopher_quality(
         & (frac_dup <= 0.3)
         & (n_stop >= 2)
     )
-    # safe_* exist only to keep the otherwise-branches total; the when()
-    # guards above make them unreachable at n == 0.
-    _ = (safe_words, safe_lines)
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -697,11 +696,14 @@ def hashed_importance_score(
     contrast dominate both).
 
     Scale shape: bigram→bucket hashing is scan-local (text never
-    shuffles; the fan-out carries (id, int) pairs); both count tables
-    are exactly ``n_buckets`` rows and broadcast; the only full shuffle
-    is the final groupBy(id) over small ints. Bucket totals are longs —
-    at 100 TB pass a larger ``n_buckets`` to keep per-bucket counts
-    meaningful, not for overflow (2^63 tokens is out of reach).
+    shuffles; the fan-out carries (id, int) pairs). EXACTLY two raw
+    scans and one target scan: each corpus's ≤ ``n_buckets``-row count
+    table is collected once, the totals fold on the driver, and the
+    merged table re-broadcasts via ``createDataFrame`` — so the final
+    per-doc job never re-runs the counting aggregates. The only full
+    shuffle is the final groupBy(id) over small ints. Bucket totals are
+    longs — at 100 TB pass a larger ``n_buckets`` to keep per-bucket
+    counts meaningful, not for overflow (2^63 tokens is out of reach).
     """
     def bigram_buckets(df: DataFrame, with_id: bool):
         w = _words(text_col)
@@ -724,18 +726,31 @@ def hashed_importance_score(
         return exploded.select(*cols, bucket.alias("_b"))
 
     raw_b = bigram_buckets(docs, with_id=True)
-    raw_counts = raw_b.groupBy("_b").agg(F.count("*").alias("_r"))
-    tgt_counts = bigram_buckets(target, with_id=False).groupBy("_b").agg(
-        F.count("*").alias("_t")
-    )
-    totals = raw_counts.agg(F.sum("_r")).first()[0] or 1
-    t_total = tgt_counts.agg(F.sum("_t")).first()[0] or 1
-
+    # ONE counting pass per corpus: both per-bucket count tables are at
+    # most n_buckets rows by construction, so collect them, derive the
+    # totals in Python, and re-broadcast via createDataFrame — the final
+    # job then reads only the second raw scan, never recomputing the
+    # aggregates (three-scans-hidden-as-two was a review finding).
+    raw_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in raw_b.groupBy("_b").agg(F.count("*").alias("_c")).collect()
+    }
+    tgt_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in bigram_buckets(target, with_id=False)
+        .groupBy("_b")
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    }
+    totals = sum(raw_counts.values()) or 1
+    t_total = sum(tgt_counts.values()) or 1
     table = F.broadcast(
-        raw_counts.join(tgt_counts, "_b", "full_outer").select(
-            "_b",
-            F.coalesce("_r", F.lit(0)).alias("_r"),
-            F.coalesce("_t", F.lit(0)).alias("_t"),
+        docs.sparkSession.createDataFrame(
+            [
+                (b, raw_counts.get(b, 0), tgt_counts.get(b, 0))
+                for b in sorted(set(raw_counts) | set(tgt_counts))
+            ],
+            "_b long, _r long, _t long",
         )
     )
     per_doc = (

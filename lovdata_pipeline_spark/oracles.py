@@ -1539,7 +1539,7 @@ ORACLES["text_gopher_quality"] = r"""
           SELECT doc_id,
                  CASE WHEN trim(text) = '' THEN []
                       ELSE string_split_regex(trim(text), '\s+') END AS words,
-                 list_filter(list_transform(string_split(text, chr(10)),
+                 list_filter(list_transform(string_split_regex(text, '\r?\n'),
                                             x -> trim(x)), x -> x <> '') AS lines
           FROM d),
         m AS (
@@ -1698,7 +1698,7 @@ ORACLES["curation_report_by_source"] = rf"""
           SELECT doc_id,
                  CASE WHEN trim(coalesce(text, '')) = '' THEN []
                       ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS words,
-                 list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                 list_filter(list_transform(string_split_regex(coalesce(text, ''), '\r?\n'),
                                             x -> trim(x)), x -> x <> '') AS lines
           FROM t0),
         gm AS (

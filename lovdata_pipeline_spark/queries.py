@@ -884,42 +884,42 @@ def epoch_mix_documents(spark, sf_dir):
     )
 
 
-def curation_report_by_source(spark, sf_dir):
-    """Per-source curation REPORT (new r5 capstone): the one-page view a
-    data lead reads before a training run — per source, the doc/token
-    inventory and how much each curation gate would cut: Gopher-rule
-    pass count, quality-classifier pass count, exact-dup count (docs
-    that are not their fingerprint group's survivor), and benchmark-
-    contamination count (3-gram rule vs the doc_id % 97 bench slice).
-
-    Composition of four already-graded operator families joined on
-    doc_id then aggregated by source — every measure an integer count,
-    so the report is bit-deterministic under any partitioning. Scale:
-    each branch is scan-local or broadcast except the fingerprint
-    groupBy (16-byte keys) and the final tiny groupBy(source)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-
-    base = train.select(
-        "doc_id", "source", textstats.token_count_col("text").alias("n_tokens")
+def build_curation_report(
+    docs, bench=None, id_col="doc_id", text_col="text", strata_col="source", n=3
+):
+    """Shared per-stratum curation-report builder — ONE definition for
+    the graded query and the `lg report` CLI (review finding: two
+    near-duplicate copies would silently diverge on the next rule
+    change). Per stratum: doc/token inventory, Gopher-rule and
+    quality-classifier pass counts, exact-dup count (non-survivors of
+    their fingerprint group), and — when ``bench`` is given — the
+    n-gram benchmark-contamination count. Every measure an integer
+    count, so the report is bit-deterministic under any partitioning.
+    Scale: each branch is scan-local or broadcast except the
+    fingerprint groupBy (16-byte keys) and the final tiny
+    groupBy(stratum)."""
+    base = docs.select(
+        id_col, strata_col, textstats.token_count_col(text_col).alias("n_tokens")
     )
-    g = textstats.gopher_quality(train).select("doc_id", "gopher_pass")
-    q = textstats.hashed_linear_quality(train).select("doc_id", "keep")
-    fp = textstats.fingerprints(train)
-    dup_w = Window.partitionBy("fingerprint")
+    g = textstats.gopher_quality(docs, text_col, id_col).select(id_col, "gopher_pass")
+    q = textstats.hashed_linear_quality(docs, text_col, id_col).select(id_col, "keep")
+    fp = textstats.fingerprints(docs, text_col, id_col)
     dup = fp.select(
-        "doc_id", (F.col("doc_id") > F.min("doc_id").over(dup_w)).alias("is_dup")
+        id_col,
+        (
+            F.col(id_col) > F.min(id_col).over(Window.partitionBy("fingerprint"))
+        ).alias("is_dup"),
     )
-    cont = decontam.ngram_overlap_flags(train, bench, n=3).select(
-        "doc_id", F.lit(True).alias("is_cont")
-    )
+    rep = base.join(g, id_col).join(q, id_col, "left").join(dup, id_col)
+    if bench is not None:
+        cont = decontam.ngram_overlap_flags(
+            docs, bench, n=n, text_col=text_col, id_col=id_col
+        ).select(id_col, F.lit(True).alias("is_cont"))
+        rep = rep.join(cont, id_col, "left")
+    else:
+        rep = rep.withColumn("is_cont", F.lit(False))
     return (
-        base.join(g, "doc_id")
-        .join(q, "doc_id", "left")
-        .join(dup, "doc_id")
-        .join(cont, "doc_id", "left")
-        .groupBy("source")
+        rep.groupBy(strata_col)
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -936,8 +936,21 @@ def curation_report_by_source(spark, sf_dir):
             .cast("long")
             .alias("n_contaminated"),
         )
-        .orderBy("source")
+        .orderBy(strata_col)
     )
+
+
+def curation_report_by_source(spark, sf_dir):
+    """Per-source curation REPORT (new r5 capstone): the one-page view a
+    data lead reads before a training run — per source, the doc/token
+    inventory and how much each curation gate would cut (Gopher rules,
+    quality classifier, exact dedup, 3-gram contamination vs the
+    doc_id % 97 bench slice). See ``build_curation_report`` for the
+    shared composition the CLI also drives."""
+    (docs,) = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return build_curation_report(train, bench, n=3)
 
 
 def hash_split_documents(spark, sf_dir):

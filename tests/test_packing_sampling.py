@@ -532,3 +532,13 @@ def test_length_bucketed_batches_order_and_fill(spark):
          for r in length_bucketed_batches(df.repartition(7), batch_size=8).collect())
     )
     assert again == got
+
+
+def test_length_bucketed_batches_rejects_non_integral_keys(spark):
+    from lovdata_pipeline_spark.operators.packing import length_bucketed_batches
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 3)], "doc_id string, n_tokens int")
+    with _pytest.raises(ValueError, match="integral"):
+        length_bucketed_batches(df, batch_size=8)

@@ -142,3 +142,18 @@ def test_bigram_surprisal_flags_shuffled_text(spark):
     assert set(got) == {0, 1}  # <2-word doc absent
     assert got[1].mean_surprisal > got[0].mean_surprisal
     assert got[0].n_bigrams == len(words) - 1
+
+
+def test_gopher_quality_crlf_lines(spark):
+    """CRLF documents shed the \\r at line split, so line metrics match
+    the LF form exactly (Java rlike `$` would otherwise diverge from the
+    oracle's RE2 on a trailing \\r)."""
+    from lovdata_pipeline_spark.operators.textstats import gopher_quality
+
+    lf = "keep going...\nplain line\n- bullet\n"
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame([(0, lf), (1, crlf)], "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality(df).collect()}
+    for col in ("frac_bullet_lines", "frac_ellipsis_lines", "frac_dup_lines"):
+        assert got[0][col] == got[1][col], col
+    assert got[0].frac_ellipsis_lines == 1 / 3
