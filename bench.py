@@ -66,6 +66,10 @@ HEADLINE = [
     "text_gopher_quality",
     "importance_score_documents",
     "text_bm25_search",
+    "tfidf_keywords_by_source",
+    "bpe_pair_stats",
+    "events_rolling_1h",
+    "knn_classify_embeddings",
     "shard_pack_documents",
     "pack_sequences_documents",
     "pack_emit_sequences",

@@ -453,3 +453,47 @@ def ann_topk_lsh(
     return cosine_topk(
         bucketed.filter(F.col("bucket").isin(sorted(probes))), query, k, id_col, vec_col
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote k-NN classification over an embedding corpus:
+    (query_id, predicted_label, n_votes). The label-transfer primitive a
+    curation pipeline uses to propagate a small set of human-labeled
+    quality/domain judgments onto the whole corpus (weak supervision).
+
+    Each query's k nearest corpus rows (cosine, via ``knn_join`` — the
+    query side broadcasts, scores round to 6 dp, ties break on corpus
+    id) vote with their label; majority wins, vote-count ties break on
+    the smaller label. Votes are integer counts, so the argmax is
+    exactly deterministic.
+
+    Plan shape: the expensive part is knn_join's broadcast scan; the
+    vote stage then handles only |queries|·k rows — the label join is a
+    corpus_id equi-join AQE turns into a broadcast (nn side is tiny),
+    and the majority window partitions by query. At scale, swap
+    knn_join for the LSH/IVF-bucketed variants and the vote stage is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k=k, query_id=query_id,
+                  corpus_id=corpus_id, vec_col=vec_col)
+    votes = (
+        nn.join(corpus.select(F.col(corpus_id), F.col(label_col)), corpus_id)
+        .groupBy(query_id, label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("n_votes").desc(), F.col(label_col))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(query_id), F.col(label_col).alias("predicted_label"), "n_votes")
+    )

@@ -829,3 +829,85 @@ def bigram_surprisal(
             ).alias("mean_surprisal"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per group (source/domain): the corpus-level
+    "what is this slice about" view a curation run uses to audit a
+    domain mix before training on it.
+
+    (group, term, tfidf, rk): tf = term occurrences within the group,
+    idf = ln(N_docs / df) with df = distinct docs containing the term,
+    rank by ``round(tf·idf, 6)`` desc then term asc — ranking on the
+    ROUNDED score keeps the cross-engine order deterministic (the BM25
+    discipline).
+
+    Plan shape: one tokenize+explode scan feeds BOTH aggregates (tf by
+    (group, term), df by term — each a map-side-combining hash
+    aggregate); the tf↔df join is term-keyed so the two shuffles
+    co-partition; N rides a broadcast 1-row scalar; the final top-k
+    window partitions by group, which is k·|groups| rows — tiny. Text
+    itself never shuffles, only (term, count) pairs.
+    """
+    toks = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.col(group_col), F.explode(_words(text_col)).alias("term"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(group_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner statistic of BPE
+    tokenizer training (the first merge iteration over a character-level
+    vocabulary). Returns the top-k (pair, n_occurrences) by count desc,
+    pair asc; integer counts, so the ranking is exactly deterministic.
+
+    Plan shape: tokenize → explode words → per-word adjacent character
+    pairs via ``transform(sequence(...))`` (pure codegen, no UDF) →
+    explode → one map-side-combining hash aggregate on the 2-char key →
+    global top-k (per-partition top-k + k-row driver merge via
+    TakeOrdered, no full sort). At 100 TB the only shuffle is
+    (pair, partial_count) — bounded by the pair vocabulary, not the
+    corpus. An actual BPE trainer loops this: count → merge best pair →
+    re-segment; each iteration is this same aggregate shape.
+    """
+    words = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(_words(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )

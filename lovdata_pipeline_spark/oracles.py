@@ -1860,3 +1860,97 @@ ORACLES["semantic_dedup_pairs_embeddings"] = f"""
                sqrt(list_dot_product(b.ev, b.ev))) >= 0.45
         ORDER BY cell, doc_a, doc_b
 """
+
+# Top-5 TF-IDF keywords per source (late r5): one tokenize CTE feeds the
+# per-source tf and per-term df aggregates; idf = ln(N/df) with N = all
+# docs; ranked on the ROUNDED score with term-asc ties (the BM25
+# ordering discipline — both engines rank the same 6-dp number).
+ORACLES["tfidf_keywords_by_source"] = r"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE trim(text) <> ''),
+        tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (
+          SELECT tf.source, tf.term,
+                 round(tf.tf * ln(n_docs / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        r AS (
+          SELECT source, term, tfidf,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+          FROM s)
+        SELECT source, term, tfidf, rk FROM r WHERE rk <= 5
+        ORDER BY source, rk
+"""
+
+# BPE pair statistics (late r5): per-word adjacent character pairs via
+# the same list_transform+unnest idiom as text_winnowing; integer counts
+# so the top-50 ordering is exactly deterministic.
+ORACLES["bpe_pair_stats"] = r"""
+        WITH w AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        p AS (
+          SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                   i -> substring(word, CAST(i AS INTEGER), 2))) AS pair
+          FROM w WHERE len(word) >= 2)
+        SELECT pair, count(*) AS n_occurrences
+        FROM p GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT 50
+"""
+
+# Rolling 1-hour RANGE frame (late r5): the Spark side orders the frame
+# on ts cast to epoch SECONDS (truncating), so the oracle floors
+# epoch_us the same way; DECIMAL(18,6) accumulation makes the windowed
+# sum exact under any intra-frame order; no division is emitted.
+ORACLES["events_rolling_1h"] = r"""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_us(ts) // 1000000 AS tsec,
+                 CAST(value AS DECIMAL(18,6)) AS v
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(round(SUM(v) OVER w, 6) AS DOUBLE) AS sum_1h,
+               COUNT(*) OVER w AS n_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+"""
+
+# Majority-vote k-NN classification (late r5): same cosine + 6-dp
+# rounding + corpus-id tie-break as knn_join_top3, k=10; votes are
+# integer counts so the per-query argmax (count desc, label asc) is
+# exactly deterministic.
+ORACLES["knn_classify_embeddings"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id % 97 = 0),
+        c AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id % 97 <> 0),
+        scored AS (
+          SELECT a.query_id, b.vec_id, b.label, round({_COSINE}, 6) AS score
+          FROM q a JOIN c b ON true),
+        ranked AS (
+          SELECT query_id, label,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+          FROM scored),
+        votes AS (
+          SELECT query_id, label, count(*) AS n_votes
+          FROM ranked WHERE rk <= 10 GROUP BY query_id, label),
+        win AS (
+          SELECT query_id, label AS predicted_label, n_votes,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+          FROM votes)
+        SELECT w.query_id, w.predicted_label, w.n_votes,
+               e.label AS true_label
+        FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+        WHERE vr = 1 ORDER BY query_id
+"""

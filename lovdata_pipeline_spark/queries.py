@@ -1663,6 +1663,72 @@ def pack_sequences_documents(spark, sf_dir):
     return pack_token_sequences(with_tokens, seq_len=512).orderBy("doc_id")
 
 
+def tfidf_keywords_by_source(spark, sf_dir):
+    """Top-5 TF-IDF keywords per source (new r5): the domain-audit view
+    of a corpus mix. One tokenize scan feeds both the per-source tf and
+    the per-term df aggregates; idf's N rides a 1-row broadcast scalar;
+    ranking is on the ROUNDED score (term-asc ties) so the cross-engine
+    order is deterministic — the BM25 discipline."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.tfidf_keywords(docs, group_col="source", k=5).orderBy(
+        "source", "rk"
+    )
+
+
+def bpe_pair_stats(spark, sf_dir):
+    """Adjacent-character-pair counts (new r5): the inner statistic of
+    BPE tokenizer training, as a pure-codegen explode + hash aggregate.
+    Top-50 pairs by (count desc, pair asc) — integer counts, exactly
+    deterministic. The shuffle carries (pair, partial_count), bounded by
+    the pair vocabulary, never the corpus."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(docs, k=50)
+
+
+def events_rolling_1h(spark, sf_dir):
+    """Per-user rolling 1-hour sum/count via a RANGE window frame (new
+    r5): rangeBetween on epoch seconds [-3600, 0] — the time-interval
+    frame class that rows-frames (running_sum, events_lag_gaps) cannot
+    express. DECIMAL(18,6) accumulation keeps the windowed sum exact
+    under any intra-frame order; sum and count are emitted separately
+    (no division, so no cross-engine rounding seam). Partitioned by
+    user_id — the same per-key window shape as sessionize, so the only
+    shuffle is the user_id hash partitioning."""
+    events = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(dec).over(w), 6).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    ).orderBy("event_id")
+
+
+def knn_classify_embeddings(spark, sf_dir):
+    """Majority-vote k-NN label transfer (new r5): every vec_id % 97 == 0
+    row is a held-out query classified by its 10 nearest neighbors among
+    the rest — the weak-supervision primitive for propagating a small
+    labeled set across a corpus. true_label joined back so the output is
+    accuracy-auditable. Integer votes → exactly deterministic argmax."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    held_out = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rest = emb.filter(F.col("vec_id") % 97 != 0)
+    pred = similarity.knn_classify(held_out, rest, k=10)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "predicted_label", "n_votes", "true_label"
+    ).orderBy("query_id")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1712,16 +1778,12 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "text_winnowing": text_winnowing,
     "multimodal_features": multimodal_features,
-    "multimodal_audio": multimodal_audio,
     # --- never-graded-before queries promoted in r3 -------------------------
-    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
     "agg_approx_stats": agg_approx_stats,
     # --- new r3 LLM-curation / retrieval operators --------------------------
-    "text_repetition": text_repetition,
     "pii_scan_documents": pii_scan_documents,
     "text_bm25_search": text_bm25_search,
-    "hybrid_search_rrf": hybrid_search_rrf,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
@@ -1748,6 +1810,17 @@ QUERIES = {
     "text_bigram_surprisal": text_bigram_surprisal,
     "length_bucketed_batches_documents": length_bucketed_batches_documents,
     "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,
+    # --- late-r5 operators (in-window at birth): tfidf/bpe/range-window/knn-
+    # --- classify; demoted in exchange (each with a graded family twin):
+    # --- multimodal_audio (green r2+r3+r4; twin multimodal_features stays),
+    # --- hybrid_search_rrf (green r3+r4; text_bm25_search stays),
+    # --- ann_topk_lsh_bucketed (green r3+r4; cosine/ivf/pq/ivfpq graded),
+    # --- text_repetition (green r3+r4; fingerprints/winnowing/surprisal
+    # --- graded) ------------------------------------------------------------
+    "tfidf_keywords_by_source": tfidf_keywords_by_source,
+    "bpe_pair_stats": bpe_pair_stats,
+    "events_rolling_1h": events_rolling_1h,
+    "knn_classify_embeddings": knn_classify_embeddings,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1762,6 +1835,10 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)
+    "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 for bpe_pair_stats (search family: text_bm25_search stays graded)
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,      # green r3+r4; demoted late-r5 for events_rolling_1h (ANN family: ann_cosine_topk/ivf/pq/ivfpq all graded)
+    "text_repetition": text_repetition,                  # green r3+r4; demoted late-r5 for knn_classify_embeddings (text-stats family: fingerprints/winnowing/surprisal graded)
     "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
     "dedup_embedding_cosine": dedup_embedding_cosine,    # green r1+r2+r3+r4; demoted r5 for semantic_dedup_pairs_embeddings (same blocked-matmul + fold-verify path; complete-search twin dedup_embedding_cosine_blocked also in tail)
     "text_unigram_surprisal": text_unigram_surprisal,    # green r3+r4; demoted r5 for text_bigram_surprisal (the strict family step-up: same tokenize/count/fixed-point shape)

@@ -44,6 +44,12 @@ CROSS_JOIN_OK = {
     # pretraining_pipeline: the ingest stage broadcasts the same 1-row
     # max-id shift scalar as dedup_exact_groups (O(1) rows on one side).
     "pretraining_pipeline",
+    # tfidf: the 1-row N (corpus doc count) scalar broadcast, the
+    # bm25/surprisal shape again.
+    "tfidf_keywords_by_source",
+    # knn classification routes through knn_join's broadcast-query
+    # crossJoin — identical to the whitelisted knn_join_top3.
+    "knn_classify_embeddings",
 }
 
 # queries whose scans must show a pushed filter
