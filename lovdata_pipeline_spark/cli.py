@@ -9,6 +9,7 @@ reference: cli.py:18-487), argparse-based.
   python -m lovdata_pipeline_spark.cli split    --input PARQUET --output DIR [--weights train=0.8,val=0.1,test=0.1] [--seed S]
   python -m lovdata_pipeline_spark.cli report   --input PARQUET [--benchmark PARQUET]
   python -m lovdata_pipeline_spark.cli pack     --input PARQUET --output DIR [--manifest DIR] [--seq-len N]
+  python -m lovdata_pipeline_spark.cli analyze  --input PARQUET [--output DIR] [--keywords K] [--pairs K]
 
 Exit codes mirror the reference: process exits 1 if any document failed
 (cli.py:156-158); validate exits 1 on inconsistency (cli.py:446-481).
@@ -401,6 +402,69 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Corpus diagnostics over a documents parquet: per-group TF-IDF
+    keywords, top BPE symbol pairs, detected-language distribution, and
+    a log2-bucketed token-length histogram. Thin wrapper over the SAME
+    textstats operators the graded queries use; optionally writes each
+    table under ``--output``, always prints one JSON summary line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+
+    spark = _spark("lg-analyze")
+    docs = spark.read.parquet(args.input)
+    kw = textstats.tfidf_keywords(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        group_col=args.group_col,
+        k=args.keywords,
+    )
+    pairs = textstats.bpe_pair_counts(docs, text_col=args.text_col, k=args.pairs)
+    langs = (
+        textstats.language_id(docs, args.text_col, args.id_col)
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # log2 length buckets: bucket b holds docs with 2^b <= n_tokens < 2^(b+1)
+    # (empty docs land in bucket -1) — the shape check for packing/batching.
+    hist = (
+        docs.select(textstats.token_count_col(args.text_col).alias("n_tokens"))
+        .select(
+            F.when(F.col("n_tokens") <= 0, F.lit(-1))
+            .otherwise(F.floor(F.log2("n_tokens")))
+            .cast("int")
+            .alias("log2_bucket")
+        )
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if args.output:
+        kw.write.mode("overwrite").parquet(f"{args.output}/keywords")
+        pairs.write.mode("overwrite").parquet(f"{args.output}/bpe_pairs")
+        langs.write.mode("overwrite").parquet(f"{args.output}/languages")
+        hist.write.mode("overwrite").parquet(f"{args.output}/length_histogram")
+    lang_rows = {r["detected_lang"]: r["n_docs"] for r in langs.collect()}
+    hist_rows = {int(r["log2_bucket"]): r["n_docs"] for r in sorted(
+        hist.collect(), key=lambda r: r["log2_bucket"])}
+    top_pairs = [[r["pair"], r["n_occurrences"]] for r in pairs.limit(5).collect()]
+    print(
+        _json.dumps(
+            {
+                "n_docs": docs.count(),
+                "n_keyword_groups": kw.select(args.group_col).distinct().count(),
+                "languages": lang_rows,
+                "length_histogram_log2": hist_rows,
+                "top_bpe_pairs": top_pairs,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -502,6 +566,16 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--text-col", default="text")
     pk.set_defaults(func=cmd_pack)
+
+    an = sub.add_parser("analyze", help="corpus diagnostics: keywords, BPE pairs, languages, length histogram")
+    an.add_argument("--input", required=True, help="documents parquet path")
+    an.add_argument("--output", default=None, help="optional directory for the diagnostic tables")
+    an.add_argument("--keywords", type=int, default=5, help="TF-IDF keywords per group")
+    an.add_argument("--pairs", type=int, default=50, help="top BPE pairs to keep")
+    an.add_argument("--id-col", default="doc_id")
+    an.add_argument("--text-col", default="text")
+    an.add_argument("--group-col", default="source")
+    an.set_defaults(func=cmd_analyze)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

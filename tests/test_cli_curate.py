@@ -148,3 +148,27 @@ def test_pack_end_to_end(spark, tmp_path, docs_parquet, capsys):
     # every interior sequence is exactly seq_len tokens of real text
     interior = [v for k, v in rows.items() if k < max(rows)]
     assert all(len(v.seq_text.split(" ")) == 4 for v in interior)
+
+
+def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
+    out = tmp_path / "diag"
+    rc = main(
+        ["analyze", "--input", docs_parquet, "--output", str(out), "--keywords", "3"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 6
+    assert summary["n_keyword_groups"] == 2  # web + books
+    assert sum(summary["languages"].values()) == 6
+    # every fixture doc has 5-6 tokens → single log2 bucket 2 (4..7 tokens)
+    assert summary["length_histogram_log2"] == {"2": 6}
+    assert len(summary["top_bpe_pairs"]) == 5
+    # written tables round-trip
+    kw = spark.read.parquet(str(out / "keywords"))
+    assert kw.filter("rk > 3").count() == 0
+    assert {r.source for r in kw.select("source").distinct().collect()} == {
+        "web",
+        "books",
+    }
+    langs = spark.read.parquet(str(out / "languages"))
+    assert langs.count() == len(summary["languages"])
