@@ -70,6 +70,7 @@ HEADLINE = [
     "bpe_pair_stats",
     "events_rolling_1h",
     "knn_classify_embeddings",
+    "quality_quota_by_source",
     "shard_pack_documents",
     "pack_sequences_documents",
     "pack_emit_sequences",

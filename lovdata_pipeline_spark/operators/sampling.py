@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: hash-space denominator: rates are granular to 0.01%.
 DENOM = 10_000
@@ -259,3 +259,45 @@ def hash_split(
     # h < hi_2 → slice 2, ... else the last slice. Built in reverse so
     # the FIRST matching (smallest) bound wins.
     return df.withColumn("split", expr)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact top-k rows per group — the per-domain quota cap (keep only
+    the k best documents of each source) — WITHOUT funnelling each
+    group through a single task.
+
+    The naive ``row_number() OVER (PARTITION BY group)`` sends every
+    row of a group to one task: with 20 sources and 100 TB that is 20
+    tasks doing all the work. Instead, phase 1 ranks within
+    (group, input-partition) — parallelism is P×|groups|, and at most
+    k·P rows per group survive; phase 2 ranks the survivors per group,
+    which is k·P rows — thousands, not billions. Output is exact and
+    partition-independent: any global top-k row is necessarily in its
+    partition's local top-k, and ties break on ``id_col``.
+
+    ``_pid`` deliberately uses ``spark_partition_id()``: phase 1's
+    grouping varies with physical partitioning, but the FINAL result
+    never does (pinned by the partition-independence test).
+    """
+    ordering = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    local_w = Window.partitionBy(group_col, "_pid").orderBy(*ordering)
+    survivors = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    glob_w = Window.partitionBy(group_col).orderBy(*ordering)
+    return survivors.withColumn("rk", F.row_number().over(glob_w)).filter(
+        F.col("rk") <= k
+    )

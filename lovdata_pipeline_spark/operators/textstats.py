@@ -106,13 +106,21 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return hits.select(F.col(id_col), detected.alias("detected_lang"))
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a composite score per document.
 
     Features (all ratios in [0,1]): word count, mean word length,
     punctuation density, digit density, uppercase density. Composite:
     1 - penalties, clipped to [0,1] — the standard shape of corpus
     quality filters (length + symbol-density heuristics).
+
+    ``keep_cols`` pass through the projection unchanged so consumers
+    grouping by e.g. source stay single-scan (no re-join on id).
     """
     text = F.col(text_col)
     n_chars = F.greatest(F.length(text), F.lit(1))
@@ -136,6 +144,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(words).alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),

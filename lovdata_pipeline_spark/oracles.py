@@ -1954,3 +1954,29 @@ ORACLES["knn_classify_embeddings"] = f"""
         FROM win w JOIN embeddings e ON e.vec_id = w.query_id
         WHERE vr = 1 ORDER BY query_id
 """
+
+# Per-domain quota cap (late r5): the text_quality composite ranked
+# per source. The rank is computed on the ROUNDED 6-dp quality with
+# doc_id-asc ties, matching the Spark side's two-phase exact top-k
+# (sampling.top_k_per_group) — the phases are a physical detail; the
+# logical result is this single window.
+ORACLES["quality_quota_by_source"] = f"""
+        WITH f AS (SELECT doc_id, source, {_QUALITY_EXPRS} FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 round(greatest(least(
+                   1.0
+                   - (CASE WHEN nw < 10 THEN 0.5 WHEN nw > 100000 THEN 0.5 ELSE 0.0 END)
+                   - least(punct / nc * 2, 0.3)
+                   - least(digits / nc * 2, 0.3)
+                   - least(uppers / nc, 0.2)
+                 , 1.0), 0.0), 6) AS quality
+          FROM f),
+        r AS (
+          SELECT doc_id, source, quality,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+          FROM q)
+        SELECT doc_id, source, quality, rk FROM r WHERE rk <= 5
+        ORDER BY source, rk
+"""

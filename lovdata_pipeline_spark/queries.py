@@ -1729,6 +1729,25 @@ def knn_classify_embeddings(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def quality_quota_by_source(spark, sf_dir):
+    """Per-domain quota cap (new r5): the k best documents of each
+    source by composite quality — the FineWeb-style "cap every domain"
+    selection. Routes through the two-phase exact top-k
+    (``sampling.top_k_per_group``): a local (group, partition) rank
+    prunes to ≤ k·P rows per group before the per-group rank, so no
+    single task ever sees a whole domain. Ranking is on the ROUNDED
+    quality (doc_id-asc ties) — deterministic cross-engine."""
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = textstats.quality_scores(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    return top_k_per_group(
+        scored, k=5, group_col="source", order_col="quality", id_col="doc_id"
+    ).orderBy("source", "rk")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1779,7 +1798,6 @@ QUERIES = {
     "text_winnowing": text_winnowing,
     "multimodal_features": multimodal_features,
     # --- never-graded-before queries promoted in r3 -------------------------
-    "ann_topk_ivf": ann_topk_ivf,
     "agg_approx_stats": agg_approx_stats,
     # --- new r3 LLM-curation / retrieval operators --------------------------
     "pii_scan_documents": pii_scan_documents,
@@ -1821,6 +1839,10 @@ QUERIES = {
     "bpe_pair_stats": bpe_pair_stats,
     "events_rolling_1h": events_rolling_1h,
     "knn_classify_embeddings": knn_classify_embeddings,
+    # quality_quota_by_source enters at birth; ann_topk_ivf (green r3+r4)
+    # demotes — its strict superset ann_topk_ivfpq stays graded, as do
+    # cosine/pq.
+    "quality_quota_by_source": quality_quota_by_source,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1835,6 +1857,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)
     "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 for bpe_pair_stats (search family: text_bm25_search stays graded)
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,      # green r3+r4; demoted late-r5 for events_rolling_1h (ANN family: ann_cosine_topk/ivf/pq/ivfpq all graded)

@@ -115,3 +115,28 @@ def test_knn_classify_majority_and_tiebreak(spark):
     )
     tied = similarity.knn_classify(q, tie_corpus, k=2).collect()[0]
     assert (tied.predicted_label, tied.n_votes) == (0, 1)
+
+
+def test_top_k_per_group_exact_and_partition_independent(spark):
+    """Two-phase top-k equals the naive single-window result on every
+    partitioning, including ties broken by id."""
+    from pyspark.sql import Window
+
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    rows = [(i, "g%d" % (i % 3), float((i * 7) % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    naive_w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+    naive = (
+        df.withColumn("rk", F.row_number().over(naive_w))
+        .filter(F.col("rk") <= 4)
+        .orderBy("g", "rk")
+        .collect()
+    )
+    for nparts in (1, 2, 13):
+        got = (
+            top_k_per_group(df.repartition(nparts), 4, "g", "score", "id")
+            .orderBy("g", "rk")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in naive]
