@@ -443,10 +443,19 @@ def cmd_analyze(args) -> int:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     if args.output:
+        # write once, summarize from the written files — each table's
+        # lineage rescans the corpus, so summarizing the DataFrames
+        # directly would double every scan
         kw.write.mode("overwrite").parquet(f"{args.output}/keywords")
         pairs.write.mode("overwrite").parquet(f"{args.output}/bpe_pairs")
         langs.write.mode("overwrite").parquet(f"{args.output}/languages")
         hist.write.mode("overwrite").parquet(f"{args.output}/length_histogram")
+        kw = spark.read.parquet(f"{args.output}/keywords")
+        pairs = spark.read.parquet(f"{args.output}/bpe_pairs").orderBy(
+            F.col("n_occurrences").desc(), "pair"
+        )
+        langs = spark.read.parquet(f"{args.output}/languages")
+        hist = spark.read.parquet(f"{args.output}/length_histogram")
     lang_rows = {r["detected_lang"]: r["n_docs"] for r in langs.collect()}
     hist_rows = {int(r["log2_bucket"]): r["n_docs"] for r in sorted(
         hist.collect(), key=lambda r: r["log2_bucket"])}
