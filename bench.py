@@ -71,6 +71,7 @@ HEADLINE = [
     "events_rolling_1h",
     "knn_classify_embeddings",
     "quality_quota_by_source",
+    "weighted_sample_documents",
     "shard_pack_documents",
     "pack_sequences_documents",
     "pack_emit_sequences",

@@ -301,3 +301,35 @@ def top_k_per_group(
     return survivors.withColumn("rk", F.row_number().over(glob_w)).filter(
         F.col("rk") <= k
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, fully
+    deterministic — the Efraimidis–Spirakis one-pass scheme: each row
+    draws u ∈ (0, 1] from the portable md5 hash of its key, scores
+    ln(u)/weight, and the k highest scores per group win. Higher-weight
+    rows divide their (negative) ln(u) by more, landing nearer zero —
+    exactly the E-S u^(1/w) order, taken in log space to stay inside
+    the repo's no-pow determinism rule.
+
+    No RNG state, no shuffle beyond the ranking itself: any engine
+    replays the identical sample (the oracle does), appends never flip
+    prior draws with the same seed, and a seed change decorrelates.
+    Routes through ``top_k_per_group`` so no single task processes a
+    whole group. Rows with weight ≤ 0 cannot be drawn and are excluded;
+    the rank is computed on the ROUNDED 6-dp score (id-asc ties) so
+    cross-engine ln ulps cannot reorder it.
+    """
+    h = portable_rate_hash(F.col(id_col), seed)
+    u = (h + F.lit(1.0)) / F.lit(float(DENOM + 1))
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "es_score", F.round(F.log(u) / F.col(weight_col), 6)
+    )
+    return top_k_per_group(scored, k, group_col, "es_score", id_col)

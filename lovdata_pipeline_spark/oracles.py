@@ -1980,3 +1980,36 @@ ORACLES["quality_quota_by_source"] = f"""
         SELECT doc_id, source, quality, rk FROM r WHERE rk <= 5
         ORDER BY source, rk
 """
+
+# Quality-weighted sampling without replacement (late r5): the
+# Efraimidis-Spirakis order replayed exactly — u from the same 15-hex
+# md5 hash as the stratified/mixing oracles (seed 'ws-v1'), score
+# ln(u)/weight rounded to 6 dp before ranking (the BM25 ordering
+# discipline), doc_id-asc ties. The Spark side's two-phase top-k is a
+# physical detail; the logical result is this single window.
+ORACLES["weighted_sample_documents"] = f"""
+        WITH f AS (SELECT doc_id, source, {_QUALITY_EXPRS} FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 round(greatest(least(
+                   1.0
+                   - (CASE WHEN nw < 10 THEN 0.5 WHEN nw > 100000 THEN 0.5 ELSE 0.0 END)
+                   - least(punct / nc * 2, 0.3)
+                   - least(digits / nc * 2, 0.3)
+                   - least(uppers / nc, 0.2)
+                 , 1.0), 0.0), 6) + 0.05 AS weight
+          FROM f),
+        s AS (
+          SELECT doc_id, source, weight,
+                 round(ln((CAST(concat('0x',
+                     substr(md5(CAST(doc_id AS VARCHAR) || 'ws-v1'), 1, 15))
+                   AS UBIGINT) % 10000 + 1.0) / 10001.0) / weight, 6) AS es_score
+          FROM q WHERE weight > 0),
+        r AS (
+          SELECT doc_id, source, weight, es_score,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY es_score DESC, doc_id) AS INTEGER) AS rk
+          FROM s)
+        SELECT doc_id, source, weight, es_score, rk FROM r WHERE rk <= 10
+        ORDER BY source, rk
+"""

@@ -1748,6 +1748,28 @@ def quality_quota_by_source(spark, sf_dir):
     ).orderBy("source", "rk")
 
 
+def weighted_sample_documents(spark, sf_dir):
+    """Quality-weighted sampling without replacement, 10 per source (new
+    r5): Efraimidis–Spirakis order via ln(u)/w on the portable hash —
+    better docs win proportionally more often, yet every draw is
+    deterministic, append-stable, and exactly replayable by the oracle.
+    Weight = quality + 0.05 (strictly positive; the additive floor keeps
+    zero-quality docs drawable, matching real curation which downweights
+    but rarely bans). Routes through the two-phase exact top-k."""
+    from lovdata_pipeline_spark.operators.sampling import weighted_sample_per_group
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = textstats.quality_scores(docs, keep_cols=("source",)).select(
+        "doc_id",
+        "source",
+        (F.col("quality") + F.lit(0.05)).alias("weight"),
+    )
+    return weighted_sample_per_group(
+        scored, k=10, group_col="source", weight_col="weight", id_col="doc_id",
+        seed="ws-v1",
+    ).orderBy("source", "rk")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1843,6 +1865,10 @@ QUERIES = {
     # demotes — its strict superset ann_topk_ivfpq stays graded, as do
     # cosine/pq.
     "quality_quota_by_source": quality_quota_by_source,
+    # weighted_sample_documents enters at birth; dedup_simhash (green
+    # r1+r2+r3+r4) demotes — the dedup family keeps exact/ngram/minhash/
+    # components/shared_spans/remove_spans graded.
+    "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1853,10 +1879,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
-    "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)
     "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 for bpe_pair_stats (search family: text_bm25_search stays graded)

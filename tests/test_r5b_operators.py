@@ -140,3 +140,33 @@ def test_top_k_per_group_exact_and_partition_independent(spark):
             .collect()
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in naive]
+
+
+def test_weighted_sample_per_group_bias_and_determinism(spark):
+    """Heavily-weighted rows win far more slots than light ones; the
+    draw is identical across partitionings and changes with the seed."""
+    from lovdata_pipeline_spark.operators.sampling import weighted_sample_per_group
+
+    # one group: 100 heavy rows (w=50) + 100 light rows (w=0.1)
+    rows = [(i, "g", 50.0 if i < 100 else 0.1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = weighted_sample_per_group(df, 20, "g", "w", "id", seed="s1").collect()
+    assert len(got) == 20
+    heavy = sum(1 for r in got if r.id < 100)
+    assert heavy >= 16  # 500× weight ratio ⇒ light rows rarely win
+    # determinism across partitionings
+    a = sorted(r.id for r in weighted_sample_per_group(
+        df.repartition(3), 20, "g", "w", "id", seed="s1").collect())
+    b = sorted(r.id for r in weighted_sample_per_group(
+        df.repartition(17), 20, "g", "w", "id", seed="s1").collect())
+    assert a == b == sorted(r.id for r in got)
+    # a different seed decorrelates the draw
+    c = sorted(r.id for r in weighted_sample_per_group(
+        df, 20, "g", "w", "id", seed="s2").collect())
+    assert c != a
+    # zero/negative weights are never drawn
+    df2 = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -1.0), (3, "g", 1.0)], "id long, g string, w double"
+    )
+    only = weighted_sample_per_group(df2, 3, "g", "w", "id").collect()
+    assert [r.id for r in only] == [3]
