@@ -12,7 +12,10 @@
                   (r5 adds the sequence emitter, Gopher gate, DSIR
                   scoring, training-order shuffle, epoch mixing,
                   exact-substring decontam, cluster-balanced sampling,
-                  and the per-source curation report).
+                  the per-source curation report, and — late r5 —
+                  TF-IDF keywords, BPE pair stats, the RANGE-frame
+                  rolling window, k-NN label transfer, the per-domain
+                  quota cap, and weighted sampling w/o replacement).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).

@@ -10,6 +10,7 @@ reference: cli.py:18-487), argparse-based.
   python -m lovdata_pipeline_spark.cli report   --input PARQUET [--benchmark PARQUET]
   python -m lovdata_pipeline_spark.cli pack     --input PARQUET --output DIR [--manifest DIR] [--seq-len N]
   python -m lovdata_pipeline_spark.cli analyze  --input PARQUET [--output DIR] [--keywords K] [--pairs K]
+  python -m lovdata_pipeline_spark.cli sample   --input PARQUET --output DIR [--mode quota|weighted] [--k N] [--weight-col COL] [--seed S]
 
 Exit codes mirror the reference: process exits 1 if any document failed
 (cli.py:156-158); validate exits 1 on inconsistency (cli.py:446-481).
@@ -474,6 +475,69 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Per-group document selection over a documents parquet: ``quota``
+    keeps the k best rows of each group by weight (exact top-k),
+    ``weighted`` draws k per group with probability proportional to
+    weight (Efraimidis–Spirakis, without replacement, deterministic by
+    seed). Default weight is the composite quality score computed on the
+    fly (+0.05 floor in weighted mode so zero-quality rows stay
+    drawable). Writes the kept rows, prints one JSON accounting line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+    from lovdata_pipeline_spark.operators.sampling import (
+        top_k_per_group,
+        weighted_sample_per_group,
+    )
+
+    spark = _spark("lg-sample")
+    docs = spark.read.parquet(args.input)
+    if args.weight_col:
+        scored, weight_col = docs, args.weight_col
+    else:
+        q = textstats.quality_scores(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            keep_cols=(args.group_col,),
+        ).select(args.id_col, args.group_col, "quality")
+        floor = F.lit(0.05) if args.mode == "weighted" else F.lit(0.0)
+        scored = q.withColumn("weight", F.col("quality") + floor)
+        weight_col = "weight"
+    if args.mode == "quota":
+        kept = top_k_per_group(
+            scored, args.k, args.group_col, weight_col, args.id_col
+        )
+    else:
+        kept = weighted_sample_per_group(
+            scored, args.k, args.group_col, weight_col, args.id_col, seed=args.seed
+        )
+    # selection carries only (id, group, weight[, score]); re-attach the
+    # full rows by id so the output is directly trainable-on
+    out = kept.select(args.id_col, "rk").join(docs, args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    per_group = {
+        r[0]: r[1]
+        for r in spark.read.parquet(args.output)
+        .groupBy(args.group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        _json.dumps(
+            {
+                "mode": args.mode,
+                "k": args.k,
+                "n_kept": sum(per_group.values()),
+                "per_group": dict(sorted(per_group.items())),
+                "output_path": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -585,6 +649,18 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--text-col", default="text")
     an.add_argument("--group-col", default="source")
     an.set_defaults(func=cmd_analyze)
+
+    sm = sub.add_parser("sample", help="per-group selection: quota top-k or weighted draw")
+    sm.add_argument("--input", required=True, help="documents parquet path")
+    sm.add_argument("--output", required=True, help="kept-rows parquet path")
+    sm.add_argument("--mode", choices=["quota", "weighted"], default="quota")
+    sm.add_argument("--k", type=int, default=100, help="rows kept per group")
+    sm.add_argument("--weight-col", default=None, help="existing weight column (default: computed quality)")
+    sm.add_argument("--seed", default="sample-v1", help="weighted-mode draw seed")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--text-col", default="text")
+    sm.add_argument("--group-col", default="source")
+    sm.set_defaults(func=cmd_sample)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

@@ -172,3 +172,33 @@ def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
     }
     langs = spark.read.parquet(str(out / "languages"))
     assert langs.count() == len(summary["languages"])
+
+
+def test_sample_quota_and_weighted(spark, tmp_path, docs_parquet, capsys):
+    out_q = tmp_path / "kept_quota"
+    rc = main(
+        ["sample", "--input", docs_parquet, "--output", str(out_q), "--k", "2"]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["mode"] == "quota" and s["n_kept"] == 4
+    assert s["per_group"] == {"books": 2, "web": 2}
+    kept = spark.read.parquet(str(out_q))
+    assert kept.count() == 4
+    assert {"doc_id", "rk", "text", "source"} <= set(kept.columns)
+
+    out_w = tmp_path / "kept_weighted"
+    rc = main(
+        ["sample", "--input", docs_parquet, "--output", str(out_w),
+         "--mode", "weighted", "--k", "1"]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["mode"] == "weighted" and s["per_group"] == {"books": 1, "web": 1}
+    # deterministic: same seed → same draw
+    out_w2 = tmp_path / "kept_weighted2"
+    main(["sample", "--input", docs_parquet, "--output", str(out_w2),
+          "--mode", "weighted", "--k", "1"])
+    a = sorted(r.doc_id for r in spark.read.parquet(str(out_w)).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(str(out_w2)).collect())
+    assert a == b
