@@ -320,8 +320,13 @@ def weighted_sample_per_group(
     the repo's no-pow determinism rule.
 
     No RNG state, no shuffle beyond the ranking itself: any engine
-    replays the identical sample (the oracle does), appends never flip
-    prior draws with the same seed, and a seed change decorrelates.
+    replays the identical sample (the oracle does), and a seed change
+    decorrelates. Append behavior is the honest top-k kind: each row's
+    SCORE is stable forever (hash of its key), so appending rows never
+    reshuffles the existing order — but a new high-scoring row can
+    displace the current rank-k winner, exactly as sampling-without-
+    replacement semantics require (unlike ``stratified_sample``'s
+    rate-based filter, whose per-row decisions are fully append-stable).
     Routes through ``top_k_per_group`` so no single task processes a
     whole group. Rows with weight ≤ 0 cannot be drawn and are excluded;
     the rank is computed on the ROUNDED 6-dp score (id-asc ties) so

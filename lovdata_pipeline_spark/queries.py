@@ -1752,7 +1752,9 @@ def weighted_sample_documents(spark, sf_dir):
     """Quality-weighted sampling without replacement, 10 per source (new
     r5): Efraimidis–Spirakis order via ln(u)/w on the portable hash —
     better docs win proportionally more often, yet every draw is
-    deterministic, append-stable, and exactly replayable by the oracle.
+    deterministic and exactly replayable by the oracle (scores are
+    append-stable; top-k membership shifts only at the rank-k tail when
+    rows are added — see the operator docstring).
     Weight = quality + 0.05 (strictly positive; the additive floor keeps
     zero-quality docs drawable, matching real curation which downweights
     but rarely bans). Routes through the two-phase exact top-k."""
