@@ -170,3 +170,29 @@ def test_weighted_sample_per_group_bias_and_determinism(spark):
     )
     only = weighted_sample_per_group(df2, 3, "g", "w", "id").collect()
     assert [r.id for r in only] == [3]
+
+
+def test_new_operators_empty_and_null_inputs(spark):
+    """Empty frames and NULL text degrade to empty results, not errors,
+    across the late-r5 family."""
+    from lovdata_pipeline_spark.operators.sampling import (
+        top_k_per_group,
+        weighted_sample_per_group,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert textstats.tfidf_keywords(empty).count() == 0
+    assert textstats.bpe_pair_counts(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None, "a"), (2, "  ", "a")], "doc_id long, text string, source string"
+    )
+    assert textstats.tfidf_keywords(nulls).count() == 0
+    assert textstats.bpe_pair_counts(nulls).count() == 0
+    empty_w = spark.createDataFrame([], "id long, g string, w double")
+    assert top_k_per_group(empty_w, 3, "g", "w", "id").count() == 0
+    assert weighted_sample_per_group(empty_w, 3, "g", "w", "id").count() == 0
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    empty_c = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    assert similarity.knn_classify(empty_q, empty_c).count() == 0
