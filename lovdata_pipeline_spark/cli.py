@@ -431,9 +431,15 @@ def cmd_analyze(args) -> int:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     # log2 length buckets: bucket b holds docs with 2^b <= n_tokens < 2^(b+1)
-    # (empty docs land in bucket -1) — the shape check for packing/batching.
+    # (empty AND NULL-text docs land in bucket -1 — token_count_col(NULL)
+    # is NULL under ANSI, which the <= 0 guard alone would pass through
+    # as a NULL bucket and crash the driver-side int() below; r5 ADVICE).
     hist = (
-        docs.select(textstats.token_count_col(args.text_col).alias("n_tokens"))
+        docs.select(
+            F.coalesce(
+                textstats.token_count_col(args.text_col), F.lit(0)
+            ).alias("n_tokens")
+        )
         .select(
             F.when(F.col("n_tokens") <= 0, F.lit(-1))
             .otherwise(F.floor(F.log2("n_tokens")))
@@ -514,8 +520,10 @@ def cmd_sample(args) -> int:
             scored, args.k, args.group_col, weight_col, args.id_col, seed=args.seed
         )
     # selection carries only (id, group, weight[, score]); re-attach the
-    # full rows by id so the output is directly trainable-on
-    out = kept.select(args.id_col, "rk").join(docs, args.id_col)
+    # full rows by id so the output is directly trainable-on. The
+    # selection's rk REPLACES any rk column the input parquet carried
+    # (r5 ADVICE: joining without the drop would emit two rk columns).
+    out = kept.select(args.id_col, "rk").join(docs.drop("rk"), args.id_col)
     out.write.mode("overwrite").parquet(args.output)
     per_group = {
         r[0]: r[1]

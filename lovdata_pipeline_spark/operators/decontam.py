@@ -104,6 +104,33 @@ def ngram_overlap_flags(
     )
 
 
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct ids of training documents sharing ≥ 1 word-n-gram with
+    the benchmark — the EXISTENCE form of the contamination check (the
+    ``min_overlaps=1`` fast path): a semi-join against the broadcast
+    benchmark gram set, skipping ``ngram_overlap_flags``' three-way
+    distinct aggregation (whose countDistinct Expand triples pre-shuffle
+    rows). Output is bounded by benchmark size × collision fan-out, so
+    downstream joins against it broadcast."""
+    tsh = _scan_local_ngram_hashes(train, text_col, id_col, n)
+    bset = (
+        _scan_local_ngram_hashes(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tsh.join(F.broadcast(bset), "shingle", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -123,17 +150,7 @@ def decontaminate(
     Same output by definition: "n_overlap ≥ 1" ⇔ "some shingle matched".
     """
     if min_overlaps <= 1:
-        tsh = _scan_local_ngram_hashes(train, text_col, id_col, n)
-        bset = (
-            _scan_local_ngram_hashes(benchmark, text_col, id_col, n)
-            .select("shingle")
-            .distinct()
-        )
-        flags = (
-            tsh.join(F.broadcast(bset), "shingle", "leftsemi")
-            .select(id_col)
-            .distinct()
-        )
+        flags = contaminated_ids(train, benchmark, n, text_col, id_col)
     else:
         flags = ngram_overlap_flags(
             train, benchmark, n, min_overlaps, text_col, id_col

@@ -25,15 +25,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 DENOM = 10_000
 
 
+def portable_hash60(key: Column, seed: str = "") -> Column:
+    """Full-resolution portable hash: first 15 md5 hex digits of
+    (key ‖ seed) as a long — 60 uniform bits, fits a long exactly.
+    String-hex based so external engines reproduce it bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 15), 16, 10
+    ).cast("long")
+
+
 def portable_rate_hash(key: Column, seed: str = "") -> Column:
-    """Uniform value in [0, DENOM) from the row key: first 15 md5 hex
-    digits (60 bits, fits a long exactly) mod DENOM. String-hex based so
-    external engines reproduce it bit-for-bit."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 15), 16, 10)
-        .cast("long")
-        % DENOM
-    )
+    """Uniform value in [0, DENOM) from the row key — the 60-bit portable
+    hash mod DENOM (rate decisions are granular to 0.01%, so 10k values
+    suffice; continuous draws use ``portable_hash60`` directly)."""
+    return portable_hash60(key, seed) % DENOM
 
 
 def stratified_sample(
@@ -263,7 +268,7 @@ def hash_split(
 
 def top_k_per_group(
     df: DataFrame,
-    k: int,
+    k,
     group_col: str,
     order_col: str,
     id_col: str,
@@ -282,25 +287,52 @@ def top_k_per_group(
     partition-independent: any global top-k row is necessarily in its
     partition's local top-k, and ties break on ``id_col``.
 
-    ``_pid`` deliberately uses ``spark_partition_id()``: phase 1's
+    ``k`` is either one global quota (int) or a per-group quota map
+    ``dict[group value → k]`` — the FineWeb-style "cap every domain, but
+    differently" selection. Dict quotas ride a broadcast |groups|-row
+    table through the same two phases (phase 1 prunes each group to its
+    OWN k·P); groups absent from the dict are excluded (quota 0).
+
+    Column contract: the output ``rk`` column REPLACES any ``rk`` the
+    input carried; internal helper columns are uniquely prefixed
+    (``_tkpg_``) so caller columns can't collide with them (r5 ADVICE).
+
+    ``_tkpg_pid`` deliberately uses ``spark_partition_id()``: phase 1's
     grouping varies with physical partitioning, but the FINAL result
     never does (pinned by the partition-independence test).
     """
+    reserved = {"_tkpg_pid", "_tkpg_lr", "_tkpg_k"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"top_k_per_group reserves columns {sorted(clash)}")
+    if isinstance(k, dict):
+        gtype = df.schema[group_col].dataType.simpleString()
+        kdf = F.broadcast(
+            df.sparkSession.createDataFrame(
+                sorted((g, int(q)) for g, q in k.items()),
+                f"{group_col} {gtype}, _tkpg_k int",
+            )
+        )
+        df = df.join(kdf, group_col)
+        k_col = F.col("_tkpg_k")
+    else:
+        k_col = F.lit(int(k))
     ordering = [
         F.col(order_col).desc() if descending else F.col(order_col).asc(),
         F.col(id_col).asc(),
     ]
-    local_w = Window.partitionBy(group_col, "_pid").orderBy(*ordering)
+    local_w = Window.partitionBy(group_col, "_tkpg_pid").orderBy(*ordering)
     survivors = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lr", F.row_number().over(local_w))
-        .filter(F.col("_lr") <= k)
-        .drop("_pid", "_lr")
+        df.withColumn("_tkpg_pid", F.spark_partition_id())
+        .withColumn("_tkpg_lr", F.row_number().over(local_w))
+        .filter(F.col("_tkpg_lr") <= k_col)
+        .drop("_tkpg_pid", "_tkpg_lr")
     )
     glob_w = Window.partitionBy(group_col).orderBy(*ordering)
-    return survivors.withColumn("rk", F.row_number().over(glob_w)).filter(
-        F.col("rk") <= k
+    out = survivors.withColumn("rk", F.row_number().over(glob_w)).filter(
+        F.col("rk") <= k_col
     )
+    return out.drop("_tkpg_k") if isinstance(k, dict) else out
 
 
 def weighted_sample_per_group(
@@ -331,9 +363,16 @@ def weighted_sample_per_group(
     whole group. Rows with weight ≤ 0 cannot be drawn and are excluded;
     the rank is computed on the ROUNDED 6-dp score (id-asc ties) so
     cross-engine ln ulps cannot reorder it.
+
+    u is drawn from the FULL 60-bit hash, (double(h) + 1) / 2^60 ∈
+    (0, 1] — not the rate hash's 10k-value quantization, whose u
+    collisions at equal weight would deterministically over-select low
+    ids in groups much larger than ~10k rows (r5 ADVICE). The operand
+    order (cast-to-double FIRST, then +1, then divide) is mirrored by
+    the oracle so every IEEE step is identical cross-engine.
     """
-    h = portable_rate_hash(F.col(id_col), seed)
-    u = (h + F.lit(1.0)) / F.lit(float(DENOM + 1))
+    h = portable_hash60(F.col(id_col), seed)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     scored = df.filter(F.col(weight_col) > 0).withColumn(
         "es_score", F.round(F.log(u) / F.col(weight_col), 6)
     )

@@ -473,7 +473,11 @@ def knn_classify(
     query side broadcasts, scores round to 6 dp, ties break on corpus
     id) vote with their label; majority wins, vote-count ties break on
     the smaller label. Votes are integer counts, so the argmax is
-    exactly deterministic.
+    exactly deterministic. NULL-labeled corpus rows are excluded from
+    voting (r5 ADVICE: Spark's asc ordering puts NULL FIRST where the
+    SQL oracle's puts it LAST, so a NULL winning a vote tie would
+    diverge cross-engine — and an unlabeled neighbor carries no signal
+    anyway).
 
     Plan shape: the expensive part is knn_join's broadcast scan; the
     vote stage then handles only |queries|·k rows — the label join is a
@@ -486,8 +490,11 @@ def knn_classify(
 
     nn = knn_join(queries, corpus, k=k, query_id=query_id,
                   corpus_id=corpus_id, vec_col=vec_col)
+    labeled = corpus.select(F.col(corpus_id), F.col(label_col)).filter(
+        F.col(label_col).isNotNull()
+    )
     votes = (
-        nn.join(corpus.select(F.col(corpus_id), F.col(label_col)), corpus_id)
+        nn.join(labeled, corpus_id)
         .groupBy(query_id, label_col)
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )

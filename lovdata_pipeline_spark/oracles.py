@@ -1982,11 +1982,13 @@ ORACLES["quality_quota_by_source"] = f"""
 """
 
 # Quality-weighted sampling without replacement (late r5): the
-# Efraimidis-Spirakis order replayed exactly — u from the same 15-hex
-# md5 hash as the stratified/mixing oracles (seed 'ws-v1'), score
-# ln(u)/weight rounded to 6 dp before ranking (the BM25 ordering
-# discipline), doc_id-asc ties. The Spark side's two-phase top-k is a
-# physical detail; the logical result is this single window.
+# Efraimidis-Spirakis order replayed exactly — u from the FULL 60-bit
+# 15-hex md5 hash (seed 'ws-v1'): (double(h) + 1) / 2^60, the identical
+# IEEE operand order as the Spark side (cast first, then +1, then
+# divide — r5 ADVICE raised the old 10k-value quantization's collision
+# bias); score ln(u)/weight rounded to 6 dp before ranking (the BM25
+# ordering discipline), doc_id-asc ties. The Spark side's two-phase
+# top-k is a physical detail; the logical result is this single window.
 ORACLES["weighted_sample_documents"] = f"""
         WITH f AS (SELECT doc_id, source, {_QUALITY_EXPRS} FROM documents),
         q AS (
@@ -2001,9 +2003,10 @@ ORACLES["weighted_sample_documents"] = f"""
           FROM f),
         s AS (
           SELECT doc_id, source, weight,
-                 round(ln((CAST(concat('0x',
+                 round(ln((CAST(CAST(concat('0x',
                      substr(md5(CAST(doc_id AS VARCHAR) || 'ws-v1'), 1, 15))
-                   AS UBIGINT) % 10000 + 1.0) / 10001.0) / weight, 6) AS es_score
+                   AS UBIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                   / weight, 6) AS es_score
           FROM q WHERE weight > 0),
         r AS (
           SELECT doc_id, source, weight, es_score,

@@ -895,27 +895,37 @@ def build_curation_report(
     their fingerprint group), and — when ``bench`` is given — the
     n-gram benchmark-contamination count. Every measure an integer
     count, so the report is bit-deterministic under any partitioning.
-    Scale: each branch is scan-local or broadcast except the
-    fingerprint groupBy (16-byte keys) and the final tiny
-    groupBy(stratum)."""
-    base = docs.select(
-        id_col, strata_col, textstats.token_count_col(text_col).alias("n_tokens")
+
+    Scale shape (r5 VERDICT #2 — the old form re-read the corpus five
+    times and re-joined on doc_id): token count, the Gopher gate, the
+    quality-classifier keep, and the fingerprint are all scan-local
+    column expressions over the SAME row, so ONE projection computes
+    them all — no joins. Only two things genuinely need more than the
+    scan: the dup flag (one window over the 16-byte fingerprint — a
+    shuffle of the narrow flag rows, never a re-read) and the
+    contamination flag (the one broadcast semi-join, whose gram
+    explode is the second and last corpus scan — shuffling gram
+    arrays through the fingerprint window instead would move ~the
+    text's volume, so the extra scan is the cheaper shape). Total: 2
+    corpus scans, 1 window shuffle, 1 broadcast join, 1 tiny
+    groupBy(stratum); plancheck pins the scan count."""
+    flags = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        textstats.token_count_col(text_col).alias("n_tokens"),
+        textstats.gopher_pass_col(text_col).alias("gopher_pass"),
+        textstats.quality_keep_col(text_col).alias("keep"),
+        F.md5(textstats._normalized(text_col)).alias("fingerprint"),
     )
-    g = textstats.gopher_quality(docs, text_col, id_col).select(id_col, "gopher_pass")
-    q = textstats.hashed_linear_quality(docs, text_col, id_col).select(id_col, "keep")
-    fp = textstats.fingerprints(docs, text_col, id_col)
-    dup = fp.select(
-        id_col,
-        (
-            F.col(id_col) > F.min(id_col).over(Window.partitionBy("fingerprint"))
-        ).alias("is_dup"),
-    )
-    rep = base.join(g, id_col).join(q, id_col, "left").join(dup, id_col)
+    rep = flags.withColumn(
+        "is_dup",
+        F.col(id_col) > F.min(id_col).over(Window.partitionBy("fingerprint")),
+    ).drop("fingerprint")
     if bench is not None:
-        cont = decontam.ngram_overlap_flags(
+        cont = decontam.contaminated_ids(
             docs, bench, n=n, text_col=text_col, id_col=id_col
         ).select(id_col, F.lit(True).alias("is_cont"))
-        rep = rep.join(cont, id_col, "left")
+        rep = rep.join(F.broadcast(cont), id_col, "left")
     else:
         rep = rep.withColumn("is_cont", F.lit(False))
     return (
@@ -1829,16 +1839,26 @@ QUERIES = {
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
-    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,
     "decontaminate_clean_set": decontaminate_clean_set,
     "text_quality_classifier": text_quality_classifier,
     "pack_sequences_documents": pack_sequences_documents,
-    "ann_topk_pq": ann_topk_pq,
     "pretraining_pipeline": pretraining_pipeline,
     "benchmark_contamination_report": benchmark_contamination_report,
-    "temperature_mix_orders": temperature_mix_orders,
     "ann_topk_ivfpq": ann_topk_ivfpq,
-    "sequence_manifest_documents": sequence_manifest_documents,
+    # --- r6 attestation refresh (r5 VERDICT "What's missing #3" / Next #3):
+    # --- these four were last driver-graded in r1; cycle them back through
+    # --- the window so no entry's only attestation goes stale. Demoted in
+    # --- exchange (each r4-born, green r4+r5, with family twins still
+    # --- graded): decontaminate_benchmark_overlap (clean_set + both
+    # --- contamination reports stay), temperature_mix_orders (epoch_mix /
+    # --- hash_split / cluster_balanced / weighted_sample keep the
+    # --- portable-hash sampling family graded), sequence_manifest_documents
+    # --- (strict superset pack_emit_sequences stays), ann_topk_pq (strict
+    # --- superset ann_topk_ivfpq + cosine stay). ------------------------
+    "running_sum": running_sum,
+    "cube_status_priority": cube_status_priority,
+    "set_ops_nations": set_ops_nations,
+    "full_outer_order_presence": full_outer_order_presence,
     # --- new r5 operators (in-window at birth) ------------------------------
     "pack_emit_sequences": pack_emit_sequences,
     "text_gopher_quality": text_gopher_quality,
@@ -1928,8 +1948,8 @@ QUERIES = {
     "percentile_order_totals": percentile_order_totals,  # green r1+r2
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
-    "running_sum": running_sum,                          # green r1
-    "cube_status_priority": cube_status_priority,        # green r1
-    "set_ops_nations": set_ops_nations,                  # green r1
-    "full_outer_order_presence": full_outer_order_presence,  # green r1
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 for the attestation refresh (clean_set + contamination reports stay graded)
+    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 for the attestation refresh (portable-hash sampling family stays graded)
+    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 for the attestation refresh (strict superset pack_emit_sequences stays graded)
+    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 for the attestation refresh (strict superset ann_topk_ivfpq stays graded)
 }

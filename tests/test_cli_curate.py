@@ -174,6 +174,23 @@ def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
     assert langs.count() == len(summary["languages"])
 
 
+def test_analyze_null_text(spark, tmp_path, capsys):
+    """NULL-text docs land in histogram bucket -1 instead of crashing the
+    driver-side int(None) (r5 ADVICE: token_count_col(NULL) is NULL under
+    ANSI, which the <= 0 guard alone passed through)."""
+    p = tmp_path / "docs_nulls"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "web"), (2, None, "web"), (3, "", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(p))
+    rc = main(["analyze", "--input", str(p)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 3
+    # doc 1 → bucket 2 (4 tokens); NULL and empty text → bucket -1
+    assert summary["length_histogram_log2"] == {"-1": 2, "2": 1}
+
+
 def test_sample_quota_and_weighted(spark, tmp_path, docs_parquet, capsys):
     out_q = tmp_path / "kept_quota"
     rc = main(
