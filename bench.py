@@ -165,19 +165,25 @@ def main() -> None:
     pipeline_docs_per_sec = round(processed_box[-1] / timings["pipeline_e2e"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "pipeline_docs_per_sec": pipeline_docs_per_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "pipeline_docs_per_sec": pipeline_docs_per_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # Also persist the full per-query dump locally (r5 VERDICT #5): the
+    # driver's tail capture keeps only the compact last line, which made
+    # round-over-round per-query comparison require a solo re-bench.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
     # Compact second line: r4's full dump exceeded the driver's tail capture
     # (BENCH_r04.json recorded "parsed": null). The driver takes the last
     # parseable JSON line, so keep this one short and headline-only.

@@ -958,7 +958,11 @@ def curation_report_by_source(spark, sf_dir):
     doc_id % 97 bench slice). See ``build_curation_report`` for the
     shared composition the CLI also drives."""
     (docs,) = load(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 97 != 0)
+    # The single-file test corpus arrives as one scan task, which
+    # serializes the flags projection's per-token md5 loop (the quality
+    # keep aggregate); spread locally — a corpus-scale table is already
+    # many-partitioned, so this is a no-op at 100 TB.
+    train = spread_if_narrow(docs.filter(F.col("doc_id") % 97 != 0))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return build_curation_report(train, bench, n=3)
 

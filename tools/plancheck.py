@@ -74,6 +74,15 @@ EXPECT_PRUNED = {
 # join-bearing queries that should be all-broadcast at small SF
 EXPECT_BROADCAST = {"q3_top_unshipped", "q5_region_revenue", "anti_join_changed"}
 
+# scan-count budgets: r5 VERDICT #2 flagged the curation report for 5×
+# read amplification (5 corpus scans + 3 id-joins). The fixed shape is
+# ONE flags projection + ONE gram explode over the train corpus, plus
+# the benchmark slice — which only reads documents.parquet here because
+# the synthetic query derives its benchmark from the same table; a real
+# eval set is its own input (the ≤2-corpus-scan form is pinned by
+# tests/test_r6_operators.py::test_curation_report_single_scan_plan).
+EXPECT_MAX_FILESCANS = {"curation_report_by_source": ("documents.parquet", 3)}
+
 
 def audit(spark, sf_dir: str) -> list[str]:
     problems: list[str] = []
@@ -96,6 +105,15 @@ def audit(spark, sf_dir: str) -> list[str]:
                 problems.append(f"{name}: dim join fell back to sort-merge at test SF")
             if "BroadcastHashJoin" not in plan:
                 problems.append(f"{name}: expected a broadcast hash join")
+        if name in EXPECT_MAX_FILESCANS:
+            table, budget = EXPECT_MAX_FILESCANS[name]
+            n_scans = sum(
+                table in s for s in re.findall(r"FileScan parquet[^\n]*", plan)
+            )
+            if n_scans > budget:
+                problems.append(
+                    f"{name}: {n_scans} scans of {table} (budget {budget})"
+                )
         print(f"audited {name}")
     return problems
 
