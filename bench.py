@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_shared_spans",
     "dedup_embedding_cosine",
     "semantic_dedup_pairs_embeddings",
+    "paragraph_dedup_documents",
+    "boilerplate_strip_documents",
+    "hard_negatives_embeddings",
     "decontaminate_benchmark_overlap",
     "exact_contamination_documents",
     "ann_cosine_topk",

@@ -481,6 +481,62 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Text-level cleanup over a documents parquet: strip per-group
+    boilerplate lines (frequency rule), then deduplicate paragraphs
+    across documents (global first-occurrence survives) — the
+    crawl-chrome + copy-paste cleanup pass that runs BEFORE document-
+    level dedup/quality gates. Writes the rewritten corpus, prints one
+    JSON accounting line. Thin wrapper over the same operators the
+    graded queries drive."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+    from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
+
+    spark = _spark("lg-clean")
+    docs = spark.read.parquet(args.input)
+    out = docs.select(args.id_col, args.group_col, args.text_col)
+    if not args.no_boilerplate:
+        out = textstats.strip_boilerplate_lines(
+            out,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            group_col=args.group_col,
+            min_frac=args.boilerplate_min_frac,
+        ).select(args.id_col, args.group_col, "n_stripped", args.text_col)
+    if not args.no_paragraph_dedup:
+        # dedup rewrites (id, text); the narrow metadata columns ride back
+        # on an id join (the text itself still never shuffles). The sep
+        # arrives shell-escaped ('\n' = backslash-n) — decode it to the
+        # literal separator the operator expects.
+        sep = args.paragraph_sep.encode().decode("unicode_escape")
+        meta = out.drop(args.text_col)
+        deduped = remove_duplicate_paragraphs(
+            out.select(args.id_col, args.text_col),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            sep=sep,
+        ).select(args.id_col, "n_dropped", args.text_col)
+        out = meta.join(deduped, args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    agg = [F.count(F.lit(1)).alias("n_docs")]
+    if "n_dropped" in written.columns:
+        agg.append(F.sum("n_dropped").alias("paragraphs_dropped"))
+    if "n_stripped" in written.columns:
+        agg.append(F.sum("n_stripped").alias("lines_stripped"))
+    row = written.agg(*agg).first().asDict()
+    print(
+        _json.dumps(
+            {**{k: int(v or 0) for k, v in row.items()}, "output_path": args.output}
+        )
+    )
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Per-group document selection over a documents parquet: ``quota``
     keeps the k best rows of each group by weight (exact top-k),
@@ -657,6 +713,19 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--text-col", default="text")
     an.add_argument("--group-col", default="source")
     an.set_defaults(func=cmd_analyze)
+
+    cl = sub.add_parser("clean", help="strip boilerplate lines + dedup paragraphs across docs")
+    cl.add_argument("--input", required=True, help="documents parquet path")
+    cl.add_argument("--output", required=True, help="cleaned corpus parquet path")
+    cl.add_argument("--no-boilerplate", action="store_true", help="skip boilerplate line stripping")
+    cl.add_argument("--no-paragraph-dedup", action="store_true", help="skip cross-doc paragraph dedup")
+    cl.add_argument("--boilerplate-min-frac", type=float, default=0.5,
+                    help="line is boilerplate if present in >= this fraction of the group's docs")
+    cl.add_argument("--paragraph-sep", default="\n\n", help="paragraph separator (regex for split, literal for re-join)")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--group-col", default="source")
+    cl.set_defaults(func=cmd_clean)
 
     sm = sub.add_parser("sample", help="per-group selection: quota top-k or weighted draw")
     sm.add_argument("--input", required=True, help="documents parquet path")

@@ -994,6 +994,82 @@ def embedding_near_duplicates_blocked(
     return _verify_cosine(vectors, cand, threshold, id_col, vec_col)
 
 
+def _reassemble_without(parts: F.Column, drop_pos: F.Column, sep: str) -> F.Column:
+    """Rebuild a ``sep``-joined text from its parts array, skipping the
+    0-based positions listed in ``drop_pos`` (NULL → keep everything).
+    Pure codegen (filter-with-index + array_join) — the caller attaches
+    the small drop-position arrays by id join, so the TEXT itself never
+    shuffles; the rewrite happens back inside the scan projection."""
+    kept = F.filter(parts, lambda p, i: ~F.array_contains(drop_pos, i))
+    return F.when(drop_pos.isNull(), F.array_join(parts, sep)).otherwise(
+        F.array_join(kept, sep)
+    )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup with text reassembly — the
+    C4/CCNet granularity between whole-document dedup (this module's
+    hash groups) and substring spans (``remove_duplicated_spans``): a
+    paragraph occurring in several documents survives only at its
+    globally FIRST occurrence (min (doc, position)); every other copy
+    is spliced out of its document.
+
+    (id, n_paras, n_dropped, text): the rewritten text with survivors
+    re-joined by ``sep`` in original order. Whitespace-only paragraphs
+    are never treated as duplicates (they'd all collapse to one global
+    survivor) and are always kept.
+
+    Scale shape: the explode ships only (id, pos, 16-byte md5) — the
+    paragraph TEXT never leaves its scan. Winner selection is one hash
+    aggregate (min(struct(id, pos)) per hash, no window); only hashes
+    with count > 1 join back, so the drop set is proportional to
+    duplicate mass, not corpus size. Drop positions return to each
+    document as a small int array via an id equi-join, and the splice
+    itself is a scan-local filter-with-index + array_join. ``sep`` is a
+    LITERAL separator (regex-escaped for the split, used verbatim for
+    the re-join), so the split↔join round-trip is always exact.
+    """
+    import re
+
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    paras = docs.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "_p")
+    ).filter(F.trim(F.col("_p")) != "").select(
+        id_col, "pos", F.md5(F.col("_p")).alias("_h")
+    )
+    winners = (
+        paras.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_w"
+            ),
+        )
+        .filter(F.col("_n") > 1)
+        .select("_h", F.col("_w.d").alias("_wd"), F.col("_w.p").alias("_wp"))
+    )
+    drops = (
+        paras.join(winners, "_h")
+        .filter(~((F.col(id_col) == F.col("_wd")) & (F.col("pos") == F.col("_wp"))))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_drop_pos"))
+    )
+    return (
+        docs.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(parts).alias("n_paras"),
+            F.coalesce(F.size("_drop_pos"), F.lit(0)).alias("n_dropped"),
+            _reassemble_without(parts, F.col("_drop_pos"), sep).alias(text_col),
+        )
+    )
+
+
 def _cell_blocked_members(
     assigned: DataFrame,
     cell_counts: dict[int, int],

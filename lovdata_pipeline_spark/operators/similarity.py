@@ -455,6 +455,72 @@ def ann_topk_lsh(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning data prep:
+    for every labeled anchor, the k most-similar corpus rows carrying a
+    DIFFERENT label — (query_id, vec_id, label, score, rk). These are
+    the pairs a contrastive loss learns the most from (high similarity,
+    wrong class); the easy negatives a random sampler drafts teach it
+    nothing.
+
+    Cosine scores round to 6 dp before ranking (corpus-id ties) — the
+    knn_join discipline, so the selection is exactly deterministic and
+    oracle-replayable. NULL-labeled rows on either side are excluded
+    (an unlabeled row can be neither anchor nor negative); zero-norm
+    vectors likewise (cosine undefined).
+
+    Plan shape: the anchor side broadcasts (labeled anchor sets are
+    small by nature — they come from human annotation); the label
+    filter prunes scan-side BEFORE any ranking, and the top-k routes
+    through ``sampling.top_k_per_group`` so no single task ranks one
+    anchor's full score list. At corpus scale, pre-bucket both sides
+    with ``hyperplane_lsh_bucket`` and add the bucket to the join key —
+    the mining stage is unchanged.
+    """
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    q = (
+        queries.select(
+            F.col(query_id),
+            _as_double(F.col(vec_col)).alias("qv"),
+            F.col(label_col).alias("_q_label"),
+        )
+        .filter(F.col("_q_label").isNotNull())
+        .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"), F.col(label_col)
+        )
+        .filter(F.col(label_col).isNotNull())
+        .withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(label_col) != F.col("_q_label"))
+        .select(
+            query_id,
+            corpus_id,
+            label_col,
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("score"),
+        )
+    )
+    return top_k_per_group(scored, k, query_id, "score", corpus_id)
+
+
 def knn_classify(
     queries: DataFrame,
     corpus: DataFrame,

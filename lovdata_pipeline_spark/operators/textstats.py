@@ -961,6 +961,72 @@ def tfidf_keywords(
     return top_k_per_group(scored, k, group_col, "tfidf", "term")
 
 
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Boilerplate removal — the "same header/footer on every page of a
+    crawl" cleanup step: a (trimmed, non-empty) LINE occurring in at
+    least ``min_frac`` of a group's documents is boilerplate for that
+    group and is stripped from every document in it.
+
+    (id, group, n_lines, n_stripped, text): the rewritten text with
+    surviving lines re-joined by newline in original order. Differs
+    from ``dedup.remove_duplicate_paragraphs`` in the RULE, not the
+    mechanics: frequency-threshold-per-group (all copies go, including
+    the first) vs global-first-occurrence-survives.
+
+    Scale shape: the explode ships (id, group, pos, 16-byte md5) — line
+    text never leaves its scan. Per-group doc totals are a k-row
+    aggregate; the boilerplate set (count ≥ ceil(min_frac · total)) is
+    proportional to boilerplate mass and broadcasts; drop positions
+    come back by id equi-join and the splice is the same scan-local
+    filter-with-index as paragraph dedup. Threshold quantization is an
+    integer ceil fixed on the driver — no float compare replays
+    differently cross-engine.
+    """
+    import math
+
+    from lovdata_pipeline_spark.operators.dedup import _reassemble_without
+
+    parts = F.split(F.col(text_col), r"\r?\n", -1)
+    lines = docs.select(
+        F.col(id_col), F.col(group_col), F.posexplode(parts).alias("pos", "_l")
+    ).filter(F.trim(F.col("_l")) != "").select(
+        id_col, group_col, "pos", F.md5(F.trim(F.col("_l"))).alias("_h")
+    )
+    totals = {
+        r[0]: int(r[1])
+        for r in docs.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+    }
+    thr = F.lit(0)
+    for g, n in sorted(totals.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(
+            F.col(group_col) == g, F.lit(int(math.ceil(min_frac * n)))
+        ).otherwise(thr)
+    boiler = (
+        lines.groupBy(group_col, "_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= thr)
+        .select(group_col, "_h")
+    )
+    drops = (
+        lines.join(F.broadcast(boiler), [group_col, "_h"], "leftsemi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_drop_pos"))
+    )
+    return docs.join(drops, id_col, "left").select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(parts).alias("n_lines"),
+        F.coalesce(F.size("_drop_pos"), F.lit(0)).alias("n_stripped"),
+        _reassemble_without(parts, F.col("_drop_pos"), "\n").alias(text_col),
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Adjacent-symbol pair frequencies — the inner statistic of BPE
     tokenizer training (the first merge iteration over a character-level

@@ -2016,3 +2016,117 @@ ORACLES["weighted_sample_documents"] = f"""
         SELECT doc_id, source, weight, es_score, rk FROM r WHERE rk <= 10
         ORDER BY source, rk
 """
+
+# Cross-document paragraph dedup (r6): the same planted 3-paragraph
+# construction, global first-(doc,pos)-survives rule via a window (the
+# Spark side's min(struct) hash aggregate is a physical detail), and
+# the identical filter-by-position splice before hashing.
+ORACLES["paragraph_dedup_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' '), '')
+                   || chr(10) || chr(10) ||
+                 'shared boilerplate block ' || CAST(doc_id % 7 AS VARCHAR)
+                   || chr(10) || chr(10) ||
+                 coalesce(array_to_string(string_split_regex(trim(text), '\s+')[9:16], ' '), '')
+                   AS text
+          FROM documents),
+        sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps, text FROM t),
+        p AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ps)),
+                                       i -> {'pos': i - 1, 'para': ps[i]})) AS e
+          FROM sp),
+        q AS (
+          SELECT doc_id, e.pos AS pos, md5(e.para) AS h
+          FROM p WHERE trim(e.para) <> ''),
+        r AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS n,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM q),
+        d AS (
+          SELECT doc_id, list_sort(list(pos)) AS drop_pos
+          FROM r WHERE n > 1 AND rn > 1 GROUP BY doc_id)
+        SELECT sp.doc_id,
+               CAST(len(ps) AS BIGINT) AS n_paras,
+               CAST(coalesce(len(drop_pos), 0) AS BIGINT) AS n_dropped,
+               md5(CASE WHEN drop_pos IS NULL THEN text
+                   ELSE coalesce(array_to_string(
+                          list_transform(
+                            list_filter(generate_series(1, len(ps)),
+                                        i -> NOT list_contains(drop_pos, i - 1)),
+                            i -> ps[i]),
+                          chr(10)||chr(10)), '') END) AS cleaned_hash
+        FROM sp LEFT JOIN d USING (doc_id)
+        ORDER BY doc_id
+"""
+
+# Per-source boilerplate stripping (r6): frequency rule — a trimmed
+# non-empty line in ≥ ceil(0.5·|source|) distinct docs of its source is
+# cut everywhere; identical planted header/middle/footer construction
+# and position splice.
+ORACLES["boilerplate_strip_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 'header ' || source || chr(10) ||
+                 coalesce(array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' '), '')
+                   || chr(10) ||
+                 'footer ' || source AS text
+          FROM documents),
+        sp AS (SELECT doc_id, source, string_split_regex(text, '\r?\n') AS ls, text
+               FROM t),
+        l AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(ls)),
+                                       i -> {'pos': i - 1, 'ln': ls[i]})) AS e
+          FROM sp),
+        q AS (
+          SELECT doc_id, source, e.pos AS pos, md5(trim(e.ln)) AS h
+          FROM l WHERE trim(e.ln) <> ''),
+        thr AS (
+          SELECT source, CAST(ceil(0.5 * count(*)) AS BIGINT) AS t
+          FROM documents GROUP BY source),
+        b AS (
+          SELECT q.source, q.h
+          FROM q JOIN thr USING (source)
+          GROUP BY q.source, q.h, thr.t
+          HAVING count(DISTINCT q.doc_id) >= t),
+        d AS (
+          SELECT doc_id, list_sort(list(pos)) AS drop_pos
+          FROM q JOIN b USING (source, h) GROUP BY doc_id)
+        SELECT sp.doc_id, sp.source,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(coalesce(len(drop_pos), 0) AS BIGINT) AS n_stripped,
+               md5(CASE WHEN drop_pos IS NULL THEN text
+                   ELSE coalesce(array_to_string(
+                          list_transform(
+                            list_filter(generate_series(1, len(ls)),
+                                        i -> NOT list_contains(drop_pos, i - 1)),
+                            i -> ls[i]),
+                          chr(10)), '') END) AS cleaned_hash
+        FROM sp LEFT JOIN d USING (doc_id)
+        ORDER BY doc_id
+"""
+
+# Hard-negative mining (r6): same cosine + 6-dp rounding + corpus-id
+# tie-break as the knn oracles, restricted to different-label pairs;
+# the Spark side's two-phase top-k is a physical detail.
+ORACLES["hard_negatives_embeddings"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding, label FROM embeddings
+          WHERE vec_id % 101 = 0 AND label IS NOT NULL),
+        c AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id % 101 <> 0 AND label IS NOT NULL),
+        scored AS (
+          SELECT a.query_id, b.vec_id, b.label, round({_COSINE}, 6) AS score
+          FROM q a JOIN c b ON a.label <> b.label),
+        r AS (
+          SELECT query_id, vec_id, label, score,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+          FROM scored)
+        SELECT query_id, vec_id, label, score, rk FROM r WHERE rk <= 5
+        ORDER BY query_id, rk
+"""

@@ -1786,6 +1786,80 @@ def weighted_sample_documents(spark, sf_dir):
     ).orderBy("source", "rk")
 
 
+def paragraph_dedup_documents(spark, sf_dir):
+    """Cross-document paragraph dedup with text reassembly (new r6): the
+    C4/CCNet granularity between whole-doc dedup and substring spans —
+    a paragraph survives only at its globally first (doc, pos)
+    occurrence. The single-line synthetic corpus has no paragraph
+    structure, so the query BUILDS it deterministically (the
+    dedup_exact_groups planting pattern, mirrored in the oracle): each
+    doc becomes [own 8-word prefix] ‖ [one of 7 shared blocks keyed by
+    doc_id % 7] ‖ [own words 9–16] — the shared block must vanish from
+    every doc except the 7 residue-class minima. Paragraph text never
+    shuffles (16-byte hashes + positions only); the splice is
+    scan-local."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    text3 = F.concat_ws(
+        "\n\n",
+        F.array_join(F.slice(w, 1, 8), " "),
+        F.concat(F.lit("shared boilerplate block "), (F.col("doc_id") % 7).cast("string")),
+        F.array_join(F.slice(w, 9, 8), " "),
+    )
+    prepared = docs.select("doc_id", text3.alias("text"))
+    out = dedup.remove_duplicate_paragraphs(prepared)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5("text").alias("cleaned_hash"),
+    ).orderBy("doc_id")
+
+
+def boilerplate_strip_documents(spark, sf_dir):
+    """Per-source boilerplate line stripping (new r6): a line occurring
+    in ≥ 50% of a source's documents is crawl chrome and is cut from
+    every document of that source — the frequency-rule sibling of
+    paragraph dedup (all copies go, not all-but-first). Structure is
+    planted deterministically (mirrored in the oracle): every doc gets
+    a per-source header line, its own 12-word middle, and a per-source
+    footer — header and footer must be stripped from every row, the
+    middle kept. Line text never shuffles; the boilerplate set
+    broadcasts."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    text3 = F.concat_ws(
+        "\n",
+        F.concat(F.lit("header "), F.col("source")),
+        F.array_join(F.slice(w, 1, 12), " "),
+        F.concat(F.lit("footer "), F.col("source")),
+    )
+    prepared = docs.select("doc_id", "source", text3.alias("text"))
+    out = textstats.strip_boilerplate_lines(prepared, min_frac=0.5)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_stripped").cast("long").alias("n_stripped"),
+        F.md5("text").alias("cleaned_hash"),
+    ).orderBy("doc_id")
+
+
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining (new r6): for each labeled anchor
+    (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
+    DIFFERENT label — the contrastive-training pair-selection step.
+    Scores round to 6 dp before ranking (corpus-id ties) and the top-k
+    routes through the two-phase per-group rank, so the mined set is
+    exactly deterministic and skew-immune."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") % 101 != 0)
+    return similarity.hard_negatives(anchors, corpus, k=5).orderBy("query_id", "rk")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1838,13 +1912,22 @@ QUERIES = {
     # --- never-graded-before queries promoted in r3 -------------------------
     "agg_approx_stats": agg_approx_stats,
     # --- new r3 LLM-curation / retrieval operators --------------------------
-    "pii_scan_documents": pii_scan_documents,
     "text_bm25_search": text_bm25_search,
+    # --- new r6 operators (in-window at birth, per the attestation rule).
+    # --- Demoted in exchange, each multiply-attested with graded family
+    # --- twins: pii_scan_documents (green r3+r4+r5; the PII gate fires
+    # --- inside the graded pretraining_pipeline), decontaminate_clean_set
+    # --- (green r4+r5; the decontam cut runs inside pretraining_pipeline
+    # --- and the flag side stays graded via benchmark_contamination_report
+    # --- + exact_contamination_documents), text_quality_classifier (green
+    # --- r4+r5; the keep flag is graded inside curation_report_by_source
+    # --- and the logit inside pretraining_pipeline). ------------------------
+    "paragraph_dedup_documents": paragraph_dedup_documents,
+    "boilerplate_strip_documents": boilerplate_strip_documents,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
-    "decontaminate_clean_set": decontaminate_clean_set,
-    "text_quality_classifier": text_quality_classifier,
     "pack_sequences_documents": pack_sequences_documents,
     "pretraining_pipeline": pretraining_pipeline,
     "benchmark_contamination_report": benchmark_contamination_report,
@@ -1952,6 +2035,9 @@ QUERIES = {
     "percentile_order_totals": percentile_order_totals,  # green r1+r2
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
+    "pii_scan_documents": pii_scan_documents,            # green r3+r4+r5; demoted r6 for paragraph_dedup_documents (PII gate fires inside graded pretraining_pipeline)
+    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 for boilerplate_strip_documents (decontam cut inside pretraining_pipeline; flag side graded ×2)
+    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 for hard_negatives_embeddings (keep flag graded in curation_report; logit in pretraining_pipeline)
     "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 for the attestation refresh (clean_set + contamination reports stay graded)
     "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 for the attestation refresh (portable-hash sampling family stays graded)
     "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 for the attestation refresh (strict superset pack_emit_sequences stays graded)

@@ -174,6 +174,38 @@ def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
     assert langs.count() == len(summary["languages"])
 
 
+def test_clean_end_to_end(spark, tmp_path, capsys):
+    """`lg clean`: per-source boilerplate lines vanish everywhere, shared
+    paragraphs survive only at their first (doc, pos) occurrence, and
+    the accounting line reports both cuts."""
+    p = tmp_path / "dirty"
+    # HEADER is in 3/5 docs (>= ceil(0.5*5) = 3 → boilerplate, all copies
+    # cut); SHARED PARA is in only 2/5 (below the threshold → survives the
+    # strip, then paragraph dedup keeps just the doc-1 copy)
+    rows = [
+        (1, "HEADER\nfirst body\nSHARED PARA", "web"),
+        (2, "HEADER\nsecond body", "web"),
+        (3, "HEADER\nthird body", "web"),
+        (4, "fourth body\nSHARED PARA", "web"),
+        (5, "fifth body", "web"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(str(p))
+    out = tmp_path / "cleaned"
+    rc = main(
+        ["clean", "--input", str(p), "--output", str(out), "--paragraph-sep", r"\n"]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_docs"] == 5 and s["lines_stripped"] == 3
+    assert s["paragraphs_dropped"] == 1
+    got = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    assert got[1] == "first body\nSHARED PARA"
+    assert got[2] == "second body"
+    assert got[3] == "third body"
+    assert got[4] == "fourth body"
+    assert got[5] == "fifth body"
+
+
 def test_analyze_null_text(spark, tmp_path, capsys):
     """NULL-text docs land in histogram bucket -1 instead of crashing the
     driver-side int(None) (r5 ADVICE: token_count_col(NULL) is NULL under

@@ -224,6 +224,79 @@ def test_dsir_log_score_matches_hand_computation(spark):
         textstats.hashed_importance_score(raw, tgt, score="nope")
 
 
+def test_remove_duplicate_paragraphs(spark):
+    """Global first-(doc,pos) occurrence survives; whitespace-only
+    paragraphs are never deduped; reassembly preserves order; and the
+    result is partition-independent."""
+    from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nSHARED\n\nunique two"),
+            (2, "SHARED\n\nother text"),
+            (3, "third doc\n\n \n\nSHARED"),
+            (4, " \n\n "),  # only whitespace paragraphs — all kept
+        ],
+        "doc_id long, text string",
+    )
+    for nparts in (1, 3):
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_paragraphs(docs.repartition(nparts)).collect()
+        }
+        assert (got[1].n_dropped, got[1].text) == (0, "unique one\n\nSHARED\n\nunique two")
+        assert (got[2].n_dropped, got[2].text) == (1, "other text")
+        assert (got[3].n_dropped, got[3].text) == (1, "third doc\n\n ")
+        assert (got[4].n_dropped, got[4].text) == (0, " \n\n ")
+        assert got[3].n_paras == 3
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines in ≥ min_frac of a group's docs vanish from EVERY doc of
+    that group (including the first); thresholds are per group."""
+    from lovdata_pipeline_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nbody one\nFOOTER", "web"),
+            (2, "HEADER\nbody two", "web"),
+            (3, "body three\nFOOTER", "web"),
+            (4, "HEADER\nbooks body", "books"),  # HEADER is unique in 'books'
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in strip_boilerplate_lines(docs, min_frac=0.6).collect()}
+    # web: 3 docs, ceil(0.6*3)=2 — HEADER (2 docs) and FOOTER (2 docs) go
+    assert (got[1].n_stripped, got[1].text) == (2, "body one")
+    assert (got[2].n_stripped, got[2].text) == (1, "body two")
+    assert (got[3].n_stripped, got[3].text) == (1, "body three")
+    # books: 1 doc, ceil(0.6*1)=1 — every line is "boilerplate" at frac 1.0;
+    # that is the documented rule, so the single doc empties
+    assert got[4].n_stripped == 2 and got[4].text == ""
+
+
+def test_hard_negatives(spark):
+    """Same-label and NULL-label corpus rows never mine as negatives;
+    ranking is by cosine desc with corpus-id ties."""
+    from lovdata_pipeline_spark.operators.similarity import hard_negatives
+
+    anchors = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "query_id long, embedding array<double>, label int"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),      # same label: excluded however close
+            (11, [0.9, 0.1], 1),      # hard negative (closest wrong-label)
+            (12, [0.0, 1.0], 1),      # easy negative
+            (13, [1.0, 0.01], None),  # unlabeled: excluded
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = hard_negatives(anchors, corpus, k=2).orderBy("rk").collect()
+    assert [(r.vec_id, r.rk) for r in got] == [(11, 1), (12, 2)]
+    assert all(r.label == 1 for r in got)
+
+
 def test_curation_report_single_scan_plan(spark):
     """The report builder scans the corpus at most twice (r5 VERDICT #2):
     one flags projection + one gram explode for the decontam semi-join;

@@ -50,6 +50,9 @@ CROSS_JOIN_OK = {
     # knn classification routes through knn_join's broadcast-query
     # crossJoin — identical to the whitelisted knn_join_top3.
     "knn_classify_embeddings",
+    # hard-negative mining broadcasts the (small, human-labeled) anchor
+    # side — the knn_join shape with a label filter.
+    "hard_negatives_embeddings",
 }
 
 # queries whose scans must show a pushed filter
