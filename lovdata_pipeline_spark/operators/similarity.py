@@ -84,11 +84,14 @@ def knn_join(
     """For every query row, its k nearest corpus rows by cosine:
     (query_id, vec_id, score, rank).
 
-    Broadcast the (small) query side; rank per query with a window.
-    At scale, pre-bucket both sides with hyperplane_lsh_bucket and add
+    Broadcast the (small) query side; the per-query top-k routes
+    through ``sampling.top_k_per_group`` (r6 — a plain per-query rank
+    window would funnel each query's FULL score list, |corpus| rows,
+    through one task; the two-phase rank prunes to ≤ k·P first). At
+    scale, pre-bucket both sides with hyperplane_lsh_bucket and add
     the bucket to the join key.
     """
-    from pyspark.sql import Window
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
     # zero-norm rows on either side are excluded: cosine is undefined and
     # the division would crash under ANSI mode (Spark 4 default)
@@ -109,8 +112,9 @@ def knn_join(
             "score"
         ),
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return top_k_per_group(scored, k, query_id, "score", corpus_id).withColumnRenamed(
+        "rk", "rank"
+    )
 
 
 def hyperplane_lsh_bucket(
