@@ -1743,7 +1743,7 @@ ORACLES["curation_report_by_source"] = rf"""
                                AS UBIGINT) % 10001 AS BIGINT) - 5000) > 0 AS keep
           FROM qtok GROUP BY doc_id),
         fp AS (
-          SELECT doc_id, md5({_NORMALIZED_TEXT}) AS f FROM t0),
+          SELECT doc_id, md5(coalesce({_NORMALIZED_TEXT}, '')) AS f FROM t0),
         dups AS (
           SELECT doc_id,
                  doc_id > min(doc_id) OVER (PARTITION BY f) AS is_dup

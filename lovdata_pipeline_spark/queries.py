@@ -901,13 +901,20 @@ def build_curation_report(
     quality-classifier keep, and the fingerprint are all scan-local
     column expressions over the SAME row, so ONE projection computes
     them all — no joins. Only two things genuinely need more than the
-    scan: the dup flag (one window over the 16-byte fingerprint — a
-    shuffle of the narrow flag rows, never a re-read) and the
-    contamination flag (the one broadcast semi-join, whose gram
-    explode is the second and last corpus scan — shuffling gram
-    arrays through the fingerprint window instead would move ~the
-    text's volume, so the extra scan is the cheaper shape). Total: 2
-    corpus scans, 1 window shuffle, 1 broadcast join, 1 tiny
+    scan: the contamination flag (the one broadcast semi-join, whose
+    gram explode is the second and last corpus scan — shuffling gram
+    arrays instead would move ~the text's volume, so the extra scan is
+    the cheaper shape) and the dup count — which never materializes a
+    per-row is_dup at all: the report only needs COUNTS, so rows
+    pre-aggregate per (fingerprint, stratum) cell (map-side combining —
+    a mega-dup cluster collapses inside its scan tasks, where a
+    row-level partitionBy(fingerprint) window would funnel it through
+    one task), the global min-id comes from a window over the
+    PRE-AGGREGATED cells (≤ |strata| rows per fingerprint — bounded,
+    and no second plan branch re-running the flags pipeline), and
+    n_exact_dup(stratum) = Σ cell counts − #cells holding their
+    fingerprint's min doc. Total: 2 corpus scans, 1 narrow
+    pre-aggregated shuffle + bounded window, 1 broadcast join, 1 tiny
     groupBy(stratum); plancheck pins the scan count."""
     flags = docs.select(
         F.col(id_col),
@@ -915,36 +922,52 @@ def build_curation_report(
         textstats.token_count_col(text_col).alias("n_tokens"),
         textstats.gopher_pass_col(text_col).alias("gopher_pass"),
         textstats.quality_keep_col(text_col).alias("keep"),
-        F.md5(textstats._normalized(text_col)).alias("fingerprint"),
+        # coalesce: a NULL-text doc would get a NULL fingerprint and the
+        # equi-join below would drop its report row (the pretraining
+        # pipeline's NULL-fp bug class); '' groups it with empty-text
+        # docs, mirrored in the oracle.
+        F.md5(F.coalesce(textstats._normalized(text_col), F.lit(""))).alias(
+            "fingerprint"
+        ),
     )
-    rep = flags.withColumn(
-        "is_dup",
-        F.col(id_col) > F.min(id_col).over(Window.partitionBy("fingerprint")),
-    ).drop("fingerprint")
     if bench is not None:
         cont = decontam.contaminated_ids(
             docs, bench, n=n, text_col=text_col, id_col=id_col
         ).select(id_col, F.lit(True).alias("is_cont"))
-        rep = rep.join(F.broadcast(cont), id_col, "left")
+        flags = flags.join(F.broadcast(cont), id_col, "left")
     else:
-        rep = rep.withColumn("is_cont", F.lit(False))
+        flags = flags.withColumn("is_cont", F.lit(False))
+    cell = flags.groupBy("fingerprint", strata_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_tokens").alias("_t"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("_g"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("_q"),
+        F.sum(F.when(F.col("is_cont"), 1).otherwise(0)).alias("_c"),
+        F.min(id_col).alias("_min_id"),
+    )
+    # min over the fingerprint's cells via a WINDOW on the pre-aggregated
+    # rows: partitions are ≤ |strata| rows by construction (skew-free),
+    # and unlike a groupBy+self-join it adds no second plan branch — the
+    # expensive flags pipeline stays single-scan (Spark does not reuse
+    # the shared exchange across join branches; measured 2× recompute).
+    fp_w = Window.partitionBy("fingerprint")
     return (
-        rep.groupBy(strata_col)
+        cell.withColumn("_fp_min", F.min("_min_id").over(fp_w))
+        .groupBy(strata_col)
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_gopher_pass"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_quality_pass"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.sum("_g").cast("long").alias("n_gopher_pass"),
+            F.sum("_q").cast("long").alias("n_quality_pass"),
+            (
+                F.sum("_n")
+                - F.sum(
+                    F.when(F.col("_min_id") == F.col("_fp_min"), 1).otherwise(0)
+                )
+            )
             .cast("long")
             .alias("n_exact_dup"),
-            F.sum(F.when(F.col("is_cont"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_contaminated"),
+            F.sum("_c").cast("long").alias("n_contaminated"),
         )
         .orderBy(strata_col)
     )
