@@ -3,19 +3,21 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data extensions, as (spark, sf_dir) callables.
-``oracle_sql()``— DuckDB equivalents for EVERY query as of r5: the
+``oracle_sql()``— DuckDB equivalents for EVERY query as of r6: the
                   engine-specific sketch aggregates (agg_approx_stats)
                   emit a tolerance-band verdict whose oracle asserts the
                   bands, so even sketches hash-check as real pass/fail.
                   Includes the chunk/embed/enrich pipelines, both ANN
                   scale paths, and the LLM-curation/retrieval operators
-                  (r5 adds the sequence emitter, Gopher gate, DSIR
+                  (r5 added the sequence emitter, Gopher gate, DSIR
                   scoring, training-order shuffle, epoch mixing,
                   exact-substring decontam, cluster-balanced sampling,
-                  the per-source curation report, and — late r5 —
-                  TF-IDF keywords, BPE pair stats, the RANGE-frame
-                  rolling window, k-NN label transfer, the per-domain
-                  quota cap, and weighted sampling w/o replacement).
+                  the per-source curation report, TF-IDF keywords, BPE
+                  pair stats, the RANGE-frame rolling window, k-NN label
+                  transfer, the per-domain quota cap, and weighted
+                  sampling w/o replacement; r6 adds cross-document
+                  paragraph dedup with text reassembly, per-source
+                  boilerplate line stripping, and hard-negative mining).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).
