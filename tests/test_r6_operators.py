@@ -251,6 +251,47 @@ def test_remove_duplicate_paragraphs(spark):
         assert got[3].n_paras == 3
 
 
+def test_paragraph_dedup_identity_and_conservation(spark):
+    """A corpus with no cross-document duplicate paragraphs round-trips
+    byte-identically (split↔join exactness), and on a duplicated corpus
+    total survivors == distinct non-empty paragraphs."""
+    from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
+
+    unique = spark.createDataFrame(
+        [(i, f"alpha {i}\n\nbeta {i}\n\n\n\ngamma {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    got = remove_duplicate_paragraphs(unique).collect()
+    assert all(r.n_dropped == 0 for r in got)
+    orig = {r.doc_id: r.text for r in unique.collect()}
+    assert {r.doc_id: r.text for r in got} == orig  # exact round-trip
+    # conservation: every distinct paragraph survives exactly once
+    dup = spark.createDataFrame(
+        [(i, f"own {i}\n\ncommon A\n\ncommon B") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_paragraphs(dup).collect()
+    survivors = sum(r.n_paras - r.n_dropped for r in out)
+    assert survivors == 10 + 2  # 10 own + one copy each of common A/B
+
+
+def test_strip_boilerplate_identity_above_threshold(spark):
+    """min_frac above any line's document frequency strips nothing and
+    round-trips the text exactly."""
+    from lovdata_pipeline_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "HEADER\nbody one", "web"), (2, "HEADER\nbody two", "web"),
+         (3, "solo", "web")],
+        "doc_id long, text string, source string",
+    )
+    got = strip_boilerplate_lines(docs, min_frac=0.9).collect()  # ceil(.9*3)=3 > 2
+    assert all(r.n_stripped == 0 for r in got)
+    assert {r.doc_id: r.text for r in got} == {
+        r.doc_id: r.text for r in docs.collect()
+    }
+
+
 def test_strip_boilerplate_lines(spark):
     """Lines in ≥ min_frac of a group's docs vanish from EVERY doc of
     that group (including the first); thresholds are per group."""
