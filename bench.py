@@ -83,6 +83,8 @@ HEADLINE = [
     "temperature_mix_orders",
     "cluster_balanced_sample_embeddings",
     "hash_split_documents",
+    "mixture_plan_by_source",
+    "token_length_band_documents",
     "length_bucketed_batches_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",

@@ -2109,6 +2109,45 @@ ORACLES["boilerplate_strip_documents"] = r"""
         ORDER BY doc_id
 """
 
+# Mixture planning (r6): per-source inventories from one tokenize
+# aggregate; shares are unrounded IEEE divisions of exact integers
+# (identical operand order both engines), epochs_uniform divides by the
+# exact BIGINT product k·n_tokens.
+ORACLES["mixture_plan_by_source"] = r"""
+        WITH per AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END)
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS total, count(*) AS k FROM per)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS natural_share,
+               CAST(total AS DOUBLE) / (k * n_tokens) AS epochs_uniform
+        FROM per CROSS JOIN tot
+        ORDER BY source
+"""
+
+# Percentile length-band filter (r6): DuckDB quantile_cont interpolates
+# identically to Spark's exact percentile (the percentile_order_totals
+# parity); integer token counts compare against the double bounds the
+# same way in both engines.
+ORACLES["token_length_band_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                     quantile_cont(n_tokens, 0.95) AS hi FROM t)
+        SELECT doc_id, source, n_tokens
+        FROM t CROSS JOIN b
+        WHERE n_tokens >= lo AND n_tokens <= hi
+        ORDER BY doc_id
+"""
+
 # Hard-negative mining (r6): same cosine + 6-dp rounding + corpus-id
 # tie-break as the knn oracles, restricted to different-label pairs;
 # the Spark side's two-phase top-k is a physical detail.

@@ -1868,6 +1868,78 @@ def boilerplate_strip_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def mixture_plan_by_source(spark, sf_dir):
+    """Mixture PLANNING (new r6): the calculation every pretraining mix
+    design starts from — per source, the doc/token inventory, its
+    natural share of the corpus, and the epoch multiplier that would
+    equalize it to a uniform target mix (epochs_uniform =
+    total/(k·tokens_s); feed these into ``epoch_mix`` to materialize).
+    One corpus scan: per-source totals are a map-side-combining hash
+    aggregate, and the corpus-wide total/k fold over the ≤|sources|
+    pre-aggregated rows in an unpartitioned window — bounded input, no
+    second scan, no driver collect. Shares are single IEEE divisions of
+    exact integers (emitted unrounded — the hashed_linear_quality
+    discipline; exact rationals are bit-identical cross-engine where
+    round() is not)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", textstats.token_count_col("text").alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        per.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("_total"),
+            F.count(F.lit(1)).over(w).alias("_k"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("_total")).alias(
+                "natural_share"
+            ),
+            (
+                F.col("_total").cast("double") / (F.col("_k") * F.col("n_tokens"))
+            ).alias("epochs_uniform"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_length_band_documents(spark, sf_dir):
+    """Percentile length-band filter (new r6): keep documents whose
+    token count lies within the corpus's [p5, p95] — the standard
+    outlier-length cut (truncated fragments below, concatenation junk
+    above). The band is a 1-row exact-percentile aggregate broadcast
+    against the scan (the scalar-subquery shape); interpolated
+    percentiles match DuckDB's quantile_cont exactly (the
+    percentile_order_totals parity). At 100 TB swap the exact
+    percentile for percentile_approx — same plan shape, sketch-based
+    (the agg_approx_stats tolerance discipline)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", textstats.token_count_col("text").cast("long").alias("n_tokens")
+    )
+    bounds = t.agg(F.expr("percentile(n_tokens, array(0.05, 0.95))").alias("_b"))
+    return (
+        t.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("n_tokens") >= F.col("_b")[0])
+            & (F.col("n_tokens") <= F.col("_b")[1])
+        )
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -1929,8 +2001,6 @@ QUERIES = {
     "embed_documents_pipeline": embed_documents_pipeline,
     "enrich_documents_pipeline": enrich_documents_pipeline,
     "curation_pipeline": curation_pipeline,
-    "text_fingerprints": text_fingerprints,
-    "text_winnowing": text_winnowing,
     "multimodal_features": multimodal_features,
     # --- never-graded-before queries promoted in r3 -------------------------
     "agg_approx_stats": agg_approx_stats,
@@ -1948,6 +2018,14 @@ QUERIES = {
     "paragraph_dedup_documents": paragraph_dedup_documents,
     "boilerplate_strip_documents": boilerplate_strip_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    # --- late-r6 additions, same at-birth rule. Demoted in exchange:
+    # --- text_fingerprints (green r1–r5; the fingerprint expression is
+    # --- graded inside curation_report_by_source's cell aggregation and
+    # --- dedup_exact_groups; vocab twin in tail) and text_winnowing
+    # --- (green r3+r4+r5; the winnowing primitive is graded inside
+    # --- dedup_shared_spans AND dedup_remove_spans). --------------------
+    "mixture_plan_by_source": mixture_plan_by_source,
+    "token_length_band_documents": token_length_band_documents,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
@@ -2058,6 +2136,8 @@ QUERIES = {
     "percentile_order_totals": percentile_order_totals,  # green r1+r2
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
+    "text_fingerprints": text_fingerprints,              # green r1–r5; demoted late-r6 for mixture_plan_by_source (fingerprint expression graded inside curation_report_by_source + dedup_exact_groups; vocab twin in tail)
+    "text_winnowing": text_winnowing,                    # green r3+r4+r5; demoted late-r6 for token_length_band_documents (winnowing primitive graded inside dedup_shared_spans + dedup_remove_spans)
     "pii_scan_documents": pii_scan_documents,            # green r3+r4+r5; demoted r6 for paragraph_dedup_documents (PII gate fires inside graded pretraining_pipeline)
     "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 for boilerplate_strip_documents (decontam cut inside pretraining_pipeline; flag side graded ×2)
     "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 for hard_negatives_embeddings (keep flag graded in curation_report; logit in pretraining_pipeline)

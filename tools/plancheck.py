@@ -53,6 +53,9 @@ CROSS_JOIN_OK = {
     # hard-negative mining broadcasts the (small, human-labeled) anchor
     # side — the knn_join shape with a label filter.
     "hard_negatives_embeddings",
+    # length-band filter broadcasts the 1-row percentile-bounds
+    # aggregate — the scalar-subquery shape again.
+    "token_length_band_documents",
 }
 
 # queries whose scans must show a pushed filter
