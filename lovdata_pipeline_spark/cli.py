@@ -537,6 +537,49 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Mixture planning over a documents parquet: per group, the token
+    inventory, natural corpus share, and the epoch multiplier that
+    equalizes it to a uniform mix — the numbers a data lead feeds into
+    ``lg curate --mix`` / ``epoch_mix``. One JSON line per group."""
+    import json as _json
+
+    from pyspark.sql import Window, functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+
+    spark = _spark("lg-plan")
+    docs = spark.read.parquet(args.input)
+    per = (
+        docs.select(args.group_col, textstats.token_count_col(args.text_col).alias("_t"))
+        .groupBy(args.group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    rows = (
+        per.select(
+            args.group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6)
+            .alias("natural_share"),
+            F.round(
+                F.sum("n_tokens").over(w).cast("double")
+                / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
+                6,
+            ).alias("epochs_uniform"),
+        )
+        .orderBy(args.group_col)
+        .collect()
+    )
+    for r in rows:
+        print(_json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Per-group document selection over a documents parquet: ``quota``
     keeps the k best rows of each group by weight (exact top-k),
@@ -713,6 +756,12 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--text-col", default="text")
     an.add_argument("--group-col", default="source")
     an.set_defaults(func=cmd_analyze)
+
+    pl = sub.add_parser("plan", help="per-group mixture plan: tokens, shares, uniform-mix epochs")
+    pl.add_argument("--input", required=True, help="documents parquet path")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--group-col", default="source")
+    pl.set_defaults(func=cmd_plan)
 
     cl = sub.add_parser("clean", help="strip boilerplate lines + dedup paragraphs across docs")
     cl.add_argument("--input", required=True, help="documents parquet path")

@@ -174,6 +174,23 @@ def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
     assert langs.count() == len(summary["languages"])
 
 
+def test_plan_end_to_end(spark, docs_parquet, capsys):
+    """`lg plan`: one JSON line per group with inventory, share and the
+    uniform-mix epoch multiplier."""
+    rc = main(["plan", "--input", docs_parquet])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_g = {r["source"]: r for r in lines}
+    assert set(by_g) == {"web", "books"}
+    assert by_g["web"]["n_docs"] == 4 and by_g["books"]["n_docs"] == 2
+    total = sum(r["n_tokens"] for r in lines)
+    for r in lines:
+        assert r["natural_share"] == pytest.approx(r["n_tokens"] / total, abs=1e-6)
+        assert r["epochs_uniform"] == pytest.approx(
+            total / (2 * r["n_tokens"]), abs=1e-6
+        )
+
+
 def test_clean_end_to_end(spark, tmp_path, capsys):
     """`lg clean`: per-source boilerplate lines vanish everywhere, shared
     paragraphs survive only at their first (doc, pos) occurrence, and

@@ -275,6 +275,23 @@ def test_paragraph_dedup_identity_and_conservation(spark):
     assert survivors == 10 + 2  # 10 own + one copy each of common A/B
 
 
+def test_paragraph_dedup_idempotent(spark):
+    """Running paragraph dedup on its own output is the identity — the
+    first pass removed every cross-document duplicate."""
+    from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "own 1\n\ncommon"), (2, "own 2\n\ncommon"), (3, "common\n\nown 3")],
+        "doc_id long, text string",
+    )
+    once = remove_duplicate_paragraphs(docs).select("doc_id", "text")
+    twice = remove_duplicate_paragraphs(once).collect()
+    assert all(r.n_dropped == 0 for r in twice)
+    assert {r.doc_id: r.text for r in twice} == {
+        r.doc_id: r.text for r in once.collect()
+    }
+
+
 def test_strip_boilerplate_identity_above_threshold(spark):
     """min_frac above any line's document frequency strips nothing and
     round-trips the text exactly."""
