@@ -43,15 +43,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct text. Window over the hash —
-    a single shuffle on the hash key; skew-safe because identical texts
-    hash together by construction."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Keep one row (min id) per distinct text.
+
+    Min-per-hash aggregate joined back on (hash, id) — NOT a window over
+    the hash (r6: a window puts every copy of a mega-duplicated text,
+    full text column included, in ONE task; the hash aggregate collapses
+    the cluster map-side and the (hash, id) equi-join only re-touches
+    survivor rows — the pretraining pipeline's keep-selection shape)."""
+    fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["_fp", id_col]).drop("_fp")
 
 
 # --------------------------------------------------------------------------
