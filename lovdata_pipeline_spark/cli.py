@@ -611,8 +611,16 @@ def cmd_sample(args) -> int:
         scored = q.withColumn("weight", F.col("quality") + floor)
         weight_col = "weight"
     if args.mode == "quota":
+        # --quotas 'web=100,books=50' overrides the global --k with a
+        # per-group cap (groups not listed are excluded — quota 0)
+        k = args.k
+        if args.quotas:
+            k = {}
+            for part in args.quotas.split(","):
+                name, _, val = part.partition("=")
+                k[name.strip()] = int(val)
         kept = top_k_per_group(
-            scored, args.k, args.group_col, weight_col, args.id_col
+            scored, k, args.group_col, weight_col, args.id_col
         )
     else:
         kept = weighted_sample_per_group(
@@ -781,6 +789,8 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--output", required=True, help="kept-rows parquet path")
     sm.add_argument("--mode", choices=["quota", "weighted"], default="quota")
     sm.add_argument("--k", type=int, default=100, help="rows kept per group")
+    sm.add_argument("--quotas", default=None,
+                    help="quota mode: per-group caps 'web=100,books=50' (overrides --k; unlisted groups excluded)")
     sm.add_argument("--weight-col", default=None, help="existing weight column (default: computed quality)")
     sm.add_argument("--seed", default="sample-v1", help="weighted-mode draw seed")
     sm.add_argument("--id-col", default="doc_id")

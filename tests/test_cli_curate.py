@@ -253,6 +253,15 @@ def test_sample_quota_and_weighted(spark, tmp_path, docs_parquet, capsys):
     assert kept.count() == 4
     assert {"doc_id", "rk", "text", "source"} <= set(kept.columns)
 
+    out_pq = tmp_path / "kept_per_group"
+    rc = main(
+        ["sample", "--input", docs_parquet, "--output", str(out_pq),
+         "--quotas", "web=3,books=1"]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["per_group"] == {"books": 1, "web": 3}
+
     out_w = tmp_path / "kept_weighted"
     rc = main(
         ["sample", "--input", docs_parquet, "--output", str(out_w),
