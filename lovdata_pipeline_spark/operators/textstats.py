@@ -985,8 +985,10 @@ def strip_boilerplate_lines(
     proportional to boilerplate mass and broadcasts; drop positions
     come back by id equi-join and the splice is the same scan-local
     filter-with-index as paragraph dedup. Threshold quantization is an
-    integer ceil fixed on the driver — no float compare replays
-    differently cross-engine.
+    integer ``max(2, ceil(min_frac · |group|))`` fixed on the driver —
+    no float compare replays differently cross-engine, and the floor of
+    2 means a line unique to one document is NEVER boilerplate (without
+    it, a 1-2 doc group at min_frac 0.5 would strip every line).
     """
     import math
 
@@ -1005,7 +1007,7 @@ def strip_boilerplate_lines(
     thr = F.lit(0)
     for g, n in sorted(totals.items(), key=lambda kv: str(kv[0])):
         thr = F.when(
-            F.col(group_col) == g, F.lit(int(math.ceil(min_frac * n)))
+            F.col(group_col) == g, F.lit(max(2, int(math.ceil(min_frac * n))))
         ).otherwise(thr)
     boiler = (
         lines.groupBy(group_col, "_h")

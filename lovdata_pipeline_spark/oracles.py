@@ -2085,7 +2085,7 @@ ORACLES["boilerplate_strip_documents"] = r"""
           SELECT doc_id, source, e.pos AS pos, md5(trim(e.ln)) AS h
           FROM l WHERE trim(e.ln) <> ''),
         thr AS (
-          SELECT source, CAST(ceil(0.5 * count(*)) AS BIGINT) AS t
+          SELECT source, greatest(2, CAST(ceil(0.5 * count(*)) AS BIGINT)) AS t
           FROM documents GROUP BY source),
         b AS (
           SELECT q.source, q.h

@@ -328,9 +328,33 @@ def test_strip_boilerplate_lines(spark):
     assert (got[1].n_stripped, got[1].text) == (2, "body one")
     assert (got[2].n_stripped, got[2].text) == (1, "body two")
     assert (got[3].n_stripped, got[3].text) == (1, "body three")
-    # books: 1 doc, ceil(0.6*1)=1 — every line is "boilerplate" at frac 1.0;
-    # that is the documented rule, so the single doc empties
-    assert got[4].n_stripped == 2 and got[4].text == ""
+    # books: 1 doc — the threshold floor of 2 means a line unique to one
+    # document is never boilerplate; the single doc is untouched
+    assert got[4].n_stripped == 0 and got[4].text == "HEADER\nbooks body"
+
+
+def test_r6_operators_empty_and_null_inputs(spark):
+    """Empty frames and NULL text degrade to empty/NULL-preserving
+    results — never errors — across the r6 family."""
+    from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
+    from lovdata_pipeline_spark.operators.similarity import hard_negatives
+    from lovdata_pipeline_spark.operators.textstats import strip_boilerplate_lines
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert remove_duplicate_paragraphs(empty).count() == 0
+    assert strip_boilerplate_lines(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None, "a"), (2, "x\n\ny", "a")], "doc_id long, text string, source string"
+    )
+    pd_rows = {r.doc_id: r for r in remove_duplicate_paragraphs(nulls).collect()}
+    assert pd_rows[1].n_dropped == 0 and pd_rows[1].text is None  # row kept
+    assert pd_rows[2].text == "x\n\ny"
+    bp_rows = {r.doc_id: r for r in strip_boilerplate_lines(nulls).collect()}
+    assert bp_rows[1].n_stripped == 0 and bp_rows[1].text is None
+    assert bp_rows[2].text == "x\n\ny"  # unique lines, 2-doc floor
+    eq = spark.createDataFrame([], "query_id long, embedding array<double>, label int")
+    ec = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    assert hard_negatives(eq, ec).count() == 0
 
 
 def test_hard_negatives(spark):
