@@ -85,6 +85,7 @@ HEADLINE = [
     "hash_split_documents",
     "mixture_plan_by_source",
     "token_length_band_documents",
+    "vocab_drift_by_source",
     "length_bucketed_batches_documents",
     "chunk_documents_pipeline",
     "embed_documents_pipeline",

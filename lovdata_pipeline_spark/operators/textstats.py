@@ -961,6 +961,77 @@ def tfidf_keywords(
     return top_k_per_group(scored, k, group_col, "tfidf", "term")
 
 
+def vocab_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 2048,
+    seed: str = "drift-v1",
+) -> DataFrame:
+    """Corpus-drift monitor: per group, the KL divergence between the
+    group's hashed-unigram distribution and the WHOLE corpus's —
+    (group, n_tokens, kl_vs_corpus). High KL flags a source whose
+    vocabulary departs from the mix (a crawl gone off-domain, a
+    language shift, injected spam); the per-source check a data lead
+    runs per ingest batch.
+
+    Add-one smoothing over the ``n_buckets`` hash buckets (the DSIR
+    feature hashing), summed over ALL buckets including zero-count
+    ones, so the measure is a true smoothed KL. Determinism: each
+    bucket term rounds to 12 dp and accumulates in DECIMAL(28,12) —
+    the surprisal fixed-point discipline, so shuffle order and
+    cross-engine ln ulps can't move the result.
+
+    Scale shape: token→bucket hashing is scan-local (text never
+    shuffles; only (group, int) pairs); the count frame is bounded by
+    |groups| × n_buckets — PARAMETERS, not corpus size — so it caches
+    legitimately and feeds the totals, the per-bucket sums, and the
+    full group×bucket grid (a bounded crossJoin) without re-scanning
+    the corpus. NULL-group rows drop from the output in both engines
+    (equi-join NULL semantics).
+    """
+    spark = docs.sparkSession
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("_w"), F.lit(seed))), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    counts = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(group_col), F.explode(_words(text_col)).alias("_w"))
+        .select(group_col, bucket.alias("_b"))
+        .groupBy(group_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .cache()
+    )
+    counts.count()  # pin the bounded frame; one corpus scan total
+    ts = counts.groupBy(group_col).agg(F.sum("_c").alias("_t"))
+    gb = counts.groupBy("_b").agg(F.sum("_c").alias("_g"))
+    tot = counts.agg(F.sum("_c").alias("_ctot"))
+    grid = ts.select(group_col, "_t").crossJoin(
+        F.broadcast(spark.range(n_buckets).select(F.col("id").alias("_b")))
+    )
+    p = (F.coalesce("_c", F.lit(0)) + 1).cast("double") / (
+        F.col("_t") + F.lit(n_buckets)
+    ).cast("double")
+    q = (F.coalesce("_g", F.lit(0)) + 1).cast("double") / (
+        F.col("_ctot") + F.lit(n_buckets)
+    ).cast("double")
+    term = F.round(p * F.log(p / q), 12)
+    return (
+        grid.join(counts, [group_col, "_b"], "left")
+        .join(F.broadcast(gb), "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(group_col)
+        .agg(
+            F.min("_t").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("kl_vs_corpus"),
+        )
+    )
+
+
 def strip_boilerplate_lines(
     docs: DataFrame,
     text_col: str = "text",

@@ -2148,6 +2148,55 @@ ORACLES["token_length_band_documents"] = r"""
         ORDER BY doc_id
 """
 
+# Per-source vocabulary drift (late r6): identical planted drift, the
+# DSIR bucket hashing on unigrams, add-one smoothing over all 2048
+# buckets, per-bucket terms rounded to 12 dp and accumulated in
+# DECIMAL(28,12) — operand order mirrors the Spark expressions exactly.
+ORACLES["vocab_drift_by_source"] = r"""
+        WITH t0 AS (
+          SELECT source,
+                 CASE WHEN source = 'src7'
+                      THEN text || ' ' || repeat('drifta driftb driftc driftd ', 40)
+                      ELSE text END AS text
+          FROM documents),
+        tok AS (
+          SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM t0 WHERE trim(text) <> ''),
+        cb AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5(w || 'drift-v1'), 1, 15))
+                           AS UBIGINT) % 256 AS BIGINT) AS b,
+                 count(*) AS c
+          FROM tok GROUP BY source, b),
+        ts AS (SELECT source, SUM(c) AS t FROM cb GROUP BY source),
+        gb AS (SELECT b, SUM(c) AS g FROM cb GROUP BY b),
+        tot AS (SELECT SUM(c) AS T FROM cb),
+        grid AS (
+          SELECT ts.source, ts.t, gs.b
+          FROM ts CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gs),
+        terms AS (
+          SELECT grid.source, grid.t,
+                 round(
+                   (CAST(coalesce(cb.c, 0) + 1 AS DOUBLE)
+                    / CAST(grid.t + 256 AS DOUBLE))
+                   * ln(
+                       (CAST(coalesce(cb.c, 0) + 1 AS DOUBLE)
+                        / CAST(grid.t + 256 AS DOUBLE))
+                       / (CAST(coalesce(gb.g, 0) + 1 AS DOUBLE)
+                          / CAST(tot.T + 256 AS DOUBLE))),
+                   12) AS term
+          FROM grid
+          LEFT JOIN cb ON grid.source = cb.source AND grid.b = cb.b
+          LEFT JOIN gb ON grid.b = gb.b
+          CROSS JOIN tot)
+        SELECT source,
+               CAST(min(t) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+                 AS kl_vs_corpus
+        FROM terms GROUP BY source ORDER BY source
+"""
+
 # Hard-negative mining (r6): same cosine + 6-dp rounding + corpus-id
 # tie-break as the knn oracles, restricted to different-label pairs;
 # the Spark side's two-phase top-k is a physical detail.

@@ -1940,6 +1940,41 @@ def token_length_band_documents(spark, sf_dir):
     )
 
 
+def vocab_drift_by_source(spark, sf_dir):
+    """Per-source vocabulary-drift monitor (late r6): smoothed KL of
+    each source's hashed-unigram distribution against the whole corpus.
+    The query plants real drift — src7's documents gain a repeated
+    off-vocabulary block comparable to their own length (mirrored in
+    the oracle) — and src7 must surface with roughly 2× the KL of any
+    other source at sf0.01. n_buckets=256 keeps per-source token mass
+    well above the bucket count, so the smoothing term stays small
+    relative to real distributional distance (at 2048 buckets the
+    sparse-sample smoothing noise alone measured ≈ 1.0 KL per source
+    and drowned the plant); the operator-level detector contract is
+    pinned by pytest on a dense synthetic corpus. One corpus scan; the count frame is
+    bounded by |sources| × n_buckets (parameters, not data)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    # 40 repetitions ≈ 160 drift tokens per doc — comparable to the doc
+    # length, so src7's distribution genuinely moves (5 appended tokens
+    # measured BELOW the ~1.0 inter-source baseline KL of the synthetic
+    # corpus — a vacuous plant).
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("source") == "src7",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.repeat(F.lit("drifta driftb driftc driftd "), 40),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.vocab_drift(planted, n_buckets=256).orderBy("source")
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -2026,8 +2061,11 @@ QUERIES = {
     # --- dedup_shared_spans AND dedup_remove_spans). --------------------
     "mixture_plan_by_source": mixture_plan_by_source,
     "token_length_band_documents": token_length_band_documents,
+    # vocab_drift_by_source enters at birth; dedup_shared_spans (green
+    # r4+r5) demotes — its strict superset dedup_remove_spans (which
+    # composes shared_span_pairs internally) stays graded.
+    "vocab_drift_by_source": vocab_drift_by_source,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
-    "dedup_shared_spans": dedup_shared_spans,
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
     "pretraining_pipeline": pretraining_pipeline,
@@ -2136,6 +2174,7 @@ QUERIES = {
     "percentile_order_totals": percentile_order_totals,  # green r1+r2
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
+    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 for vocab_drift_by_source (strict superset dedup_remove_spans, which composes shared_span_pairs, stays graded)
     "text_fingerprints": text_fingerprints,              # green r1–r5; demoted late-r6 for mixture_plan_by_source (fingerprint expression graded inside curation_report_by_source + dedup_exact_groups; vocab twin in tail)
     "text_winnowing": text_winnowing,                    # green r3+r4+r5; demoted late-r6 for token_length_band_documents (winnowing primitive graded inside dedup_shared_spans + dedup_remove_spans)
     "pii_scan_documents": pii_scan_documents,            # green r3+r4+r5; demoted r6 for paragraph_dedup_documents (PII gate fires inside graded pretraining_pipeline)

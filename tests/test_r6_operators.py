@@ -357,6 +357,26 @@ def test_r6_operators_empty_and_null_inputs(spark):
     assert hard_negatives(eq, ec).count() == 0
 
 
+def test_vocab_drift_detects_planted_shift(spark):
+    """A group with off-vocabulary tokens scores a KL far above groups
+    sharing the common vocabulary; empty corpora yield empty results."""
+    from lovdata_pipeline_spark.operators.textstats import vocab_drift
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, common, "a") for i in range(10)]
+    rows += [(100 + i, common, "b") for i in range(10)]
+    rows += [(200 + i, "qqq www eee rrr ttt yyy uuu iii", "c") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in vocab_drift(docs, n_buckets=64).collect()}
+    assert set(got) == {"a", "b", "c"}
+    # a/b carry nonzero KL too (the corpus-side distribution includes
+    # c's tokens), but the drifted group must stand well clear
+    assert got["c"].kl_vs_corpus > 2 * max(got["a"].kl_vs_corpus, got["b"].kl_vs_corpus)
+    assert got["a"].n_tokens == 80
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert vocab_drift(empty).count() == 0
+
+
 def test_hard_negatives(spark):
     """Same-label and NULL-label corpus rows never mine as negatives;
     ranking is by cosine desc with corpus-id ties."""

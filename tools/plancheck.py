@@ -56,6 +56,10 @@ CROSS_JOIN_OK = {
     # length-band filter broadcasts the 1-row percentile-bounds
     # aggregate — the scalar-subquery shape again.
     "token_length_band_documents",
+    # vocab drift crosses the |sources|-row totals with the broadcast
+    # n_buckets range (a bounded parameters-sized grid) and the 1-row
+    # corpus total.
+    "vocab_drift_by_source",
 }
 
 # queries whose scans must show a pushed filter
