@@ -405,8 +405,9 @@ def cmd_pack(args) -> int:
 
 def cmd_analyze(args) -> int:
     """Corpus diagnostics over a documents parquet: per-group TF-IDF
-    keywords, top BPE symbol pairs, detected-language distribution, and
-    a log2-bucketed token-length histogram. Thin wrapper over the SAME
+    keywords, top BPE symbol pairs, detected-language distribution, a
+    log2-bucketed token-length histogram, and the per-group vocabulary
+    drift (smoothed KL vs the corpus). Thin wrapper over the SAME
     textstats operators the graded queries use; optionally writes each
     table under ``--output``, always prints one JSON summary line."""
     import json as _json
@@ -425,6 +426,9 @@ def cmd_analyze(args) -> int:
         k=args.keywords,
     )
     pairs = textstats.bpe_pair_counts(docs, text_col=args.text_col, k=args.pairs)
+    drift = textstats.vocab_drift(
+        docs, text_col=args.text_col, group_col=args.group_col
+    )
     langs = (
         textstats.language_id(docs, args.text_col, args.id_col)
         .groupBy("detected_lang")
@@ -457,12 +461,17 @@ def cmd_analyze(args) -> int:
         pairs.write.mode("overwrite").parquet(f"{args.output}/bpe_pairs")
         langs.write.mode("overwrite").parquet(f"{args.output}/languages")
         hist.write.mode("overwrite").parquet(f"{args.output}/length_histogram")
+        drift.write.mode("overwrite").parquet(f"{args.output}/vocab_drift")
         kw = spark.read.parquet(f"{args.output}/keywords")
         pairs = spark.read.parquet(f"{args.output}/bpe_pairs").orderBy(
             F.col("n_occurrences").desc(), "pair"
         )
         langs = spark.read.parquet(f"{args.output}/languages")
         hist = spark.read.parquet(f"{args.output}/length_histogram")
+        drift = spark.read.parquet(f"{args.output}/vocab_drift")
+    drift_rows = {
+        r[args.group_col]: r["kl_vs_corpus"] for r in drift.collect()
+    }
     lang_rows = {r["detected_lang"]: r["n_docs"] for r in langs.collect()}
     hist_rows = {int(r["log2_bucket"]): r["n_docs"] for r in sorted(
         hist.collect(), key=lambda r: r["log2_bucket"])}
@@ -475,6 +484,7 @@ def cmd_analyze(args) -> int:
                 "languages": lang_rows,
                 "length_histogram_log2": hist_rows,
                 "top_bpe_pairs": top_pairs,
+                "vocab_drift_kl": drift_rows,
             }
         )
     )

@@ -163,6 +163,8 @@ def test_analyze_end_to_end(spark, tmp_path, docs_parquet, capsys):
     # every fixture doc has 5-6 tokens → single log2 bucket 2 (4..7 tokens)
     assert summary["length_histogram_log2"] == {"2": 6}
     assert len(summary["top_bpe_pairs"]) == 5
+    assert set(summary["vocab_drift_kl"]) == {"web", "books"}
+    assert all(v >= 0 for v in summary["vocab_drift_kl"].values())
     # written tables round-trip
     kw = spark.read.parquet(str(out / "keywords"))
     assert kw.filter("rk > 3").count() == 0
