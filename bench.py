@@ -63,6 +63,7 @@ HEADLINE = [
     "text_fingerprints",
     "text_winnowing",
     "text_repetition",
+    "text_repetition_signals",
     "text_unigram_surprisal",
     "text_bigram_surprisal",
     "text_quality_classifier",

@@ -1131,3 +1131,166 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", k: int = 50) -> Dat
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(k)
     )
+
+
+def gopher_repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1 — the
+    *repetition* half the r5 ``gopher_quality`` gate does not cover,
+    and the published-thresholds complement to the lighter
+    ``repetition_signals`` above): per document,
+
+      * ``frac_dup_paras``        — fraction of paragraphs that are
+        repeats of an earlier one ((n − n_distinct) / n);
+      * ``frac_chars_dup_lines``  — fraction of line characters inside
+        lines occurring ≥ 2× (all copies count, as published);
+      * ``frac_chars_dup_paras``  — same over blank-line-separated
+        paragraphs;
+      * ``frac_chars_top_{2,3,4}gram`` — characters of the most frequent
+        word n-gram (count × gram length, space-separated) over the
+        normalized document length (``length(concat_ws(' ', words))``),
+        capped at 1.0 (overlapping occurrences can push the raw product
+        past the document length — e.g. "a b a b a b"'s top 4-gram);
+      * ``repetition_pass``       — the published thresholds: dup-para
+        frac ≤ 0.30, dup-para chars ≤ 0.20, dup-line chars ≤ 0.20,
+        top-2/3/4-gram chars ≤ 0.20 / 0.18 / 0.16.
+
+    (The paper's dup-5..10-gram char fractions use *span-union*
+    counting — overlapping duplicated grams count each character once —
+    which is an interval-merge per document, not an aggregate; they are
+    deliberately out of scope here.)
+
+    Scale shape: ONE corpus scan. Lines, paragraphs, and all three gram
+    sizes flow through a single ``explode`` as ``(kind, hash60, chars)``
+    structs — item TEXT never shuffles, only an 8-byte md5-derived hash
+    and an int length. A per-doc sentinel struct (kind −1) carries the
+    normalized char total through the same stream, so every document —
+    including empty/NULL text — survives to the output with NO join
+    back to the corpus. Two hash aggregates (both map-side combinable:
+    (doc, kind, hash) → counts, then (doc, kind) → the five integer
+    sums) and a kind-pivot finish it. Group sizes are bounded by
+    document length, never corpus size. All arithmetic is integer until
+    six final single IEEE divisions, replayed operand-for-operand by
+    the DuckDB oracle — bit-stable cross-engine. Ties for "most
+    frequent gram" resolve to the larger char mass (lexicographic
+    struct max on (count, mass) in both engines).
+    """
+    seed = "rep-v1"
+
+    def h60(c: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(c, F.lit(seed))), 1, 15), 16, 10
+        ).cast("long")
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(text)
+    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    lines = F.filter(
+        F.transform(F.split(text, r"\r?\n", -1), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(text, r"\n\s*\n", -1), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def item(kind: int, s: Column) -> Column:
+        return F.struct(
+            F.lit(kind).cast("int").alias("kind"),
+            h60(s).alias("h"),
+            F.length(s).cast("long").alias("chars"),
+        )
+
+    def gram_items(k: int) -> Column:
+        n = F.size(words) - F.lit(k - 1)
+        return F.when(
+            n < 1, F.array().cast("array<struct<kind:int,h:bigint,chars:bigint>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: item(k, F.concat_ws(" ", F.slice(words, i, k))),
+            )
+        )
+
+    sentinel = F.struct(
+        F.lit(-1).cast("int").alias("kind"),
+        F.lit(0).cast("long").alias("h"),
+        F.length(F.concat_ws(" ", words)).cast("long").alias("chars"),
+    )
+    items = F.concat(
+        F.array(sentinel),
+        F.transform(lines, lambda x: item(0, x)),
+        F.transform(paras, lambda x: item(1, x)),
+        gram_items(2),
+        gram_items(3),
+        gram_items(4),
+    )
+
+    exploded = docs.select(
+        F.col(id_col), F.explode(items).alias("it")
+    ).select(id_col, "it.kind", "it.h", "it.chars")
+    per_item = exploded.groupBy(id_col, "kind", "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("chars").alias("chars")
+    )
+    mass = F.col("cnt") * F.col("chars")
+    per_kind = per_item.groupBy(id_col, "kind").agg(
+        F.sum("cnt").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(mass).alias("tot_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(F.lit(0))).alias(
+            "dup_chars"
+        ),
+        F.max(F.struct(F.col("cnt").alias("cnt"), mass.alias("mass")))
+        .getField("mass")
+        .alias("top_mass"),
+    )
+
+    def of_kind(kind: int, col: str) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("kind") == kind, F.col(col))), F.lit(0)
+        ).cast("long")
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    pivoted = per_kind.groupBy(id_col).agg(
+        of_kind(-1, "tot_chars").alias("_nc"),
+        of_kind(1, "n_items").alias("_np"),
+        of_kind(1, "n_distinct").alias("_ndp"),
+        of_kind(0, "tot_chars").alias("_lc"),
+        of_kind(0, "dup_chars").alias("_ldc"),
+        of_kind(1, "tot_chars").alias("_pc"),
+        of_kind(1, "dup_chars").alias("_pdc"),
+        of_kind(2, "top_mass").alias("_t2"),
+        of_kind(3, "top_mass").alias("_t3"),
+        of_kind(4, "top_mass").alias("_t4"),
+    )
+    out = pivoted.select(
+        id_col,
+        ratio(F.col("_np") - F.col("_ndp"), F.col("_np")).alias("frac_dup_paras"),
+        ratio(F.col("_ldc"), F.col("_lc")).alias("frac_chars_dup_lines"),
+        ratio(F.col("_pdc"), F.col("_pc")).alias("frac_chars_dup_paras"),
+        F.least(ratio(F.col("_t2"), F.col("_nc")), F.lit(1.0)).alias(
+            "frac_chars_top_2gram"
+        ),
+        F.least(ratio(F.col("_t3"), F.col("_nc")), F.lit(1.0)).alias(
+            "frac_chars_top_3gram"
+        ),
+        F.least(ratio(F.col("_t4"), F.col("_nc")), F.lit(1.0)).alias(
+            "frac_chars_top_4gram"
+        ),
+    )
+    return out.withColumn(
+        "repetition_pass",
+        (F.col("frac_dup_paras") <= 0.30)
+        & (F.col("frac_chars_dup_paras") <= 0.20)
+        & (F.col("frac_chars_dup_lines") <= 0.20)
+        & (F.col("frac_chars_top_2gram") <= 0.20)
+        & (F.col("frac_chars_top_3gram") <= 0.18)
+        & (F.col("frac_chars_top_4gram") <= 0.16),
+    )

@@ -2218,3 +2218,116 @@ ORACLES["hard_negatives_embeddings"] = f"""
         SELECT query_id, vec_id, label, score, rk FROM r WHERE rk <= 5
         ORDER BY query_id, rk
 """
+
+# Gopher repetition signals (r6): the single-explode (kind, hash, chars)
+# stream replayed as UNION ALL branches; same md5-derived 60-bit item
+# hash, same integer sums, same struct-max tie-break (count, then char
+# mass), same final division operand order as the Spark columns.
+ORACLES["text_repetition_signals"] = r"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        base AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE string_split_regex(trim(text), '\s+') END AS words,
+                 list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                            x -> trim(x)), x -> x <> '') AS lines,
+                 list_filter(list_transform(string_split_regex(text, '\n\s*\n'),
+                                            x -> trim(x)), x -> x <> '') AS paras
+          FROM d),
+        items AS (
+          SELECT doc_id, -1 AS kind, CAST(0 AS BIGINT) AS h,
+                 CAST(len(array_to_string(words, ' ')) AS BIGINT) AS chars
+          FROM base
+          UNION ALL
+          SELECT doc_id, 0,
+                 CAST(CAST(concat('0x', substr(md5(it || 'rep-v1'), 1, 15))
+                      AS UBIGINT) AS BIGINT),
+                 CAST(len(it) AS BIGINT)
+          FROM (SELECT doc_id, unnest(lines) AS it FROM base)
+          UNION ALL
+          SELECT doc_id, 1,
+                 CAST(CAST(concat('0x', substr(md5(it || 'rep-v1'), 1, 15))
+                      AS UBIGINT) AS BIGINT),
+                 CAST(len(it) AS BIGINT)
+          FROM (SELECT doc_id, unnest(paras) AS it FROM base)
+          UNION ALL
+          SELECT doc_id, 2,
+                 CAST(CAST(concat('0x', substr(md5(it || 'rep-v1'), 1, 15))
+                      AS UBIGINT) AS BIGINT),
+                 CAST(len(it) AS BIGINT)
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(words) - 1),
+                              i -> array_to_string(words[i:i+1], ' '))) AS it
+                FROM base)
+          UNION ALL
+          SELECT doc_id, 3,
+                 CAST(CAST(concat('0x', substr(md5(it || 'rep-v1'), 1, 15))
+                      AS UBIGINT) AS BIGINT),
+                 CAST(len(it) AS BIGINT)
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(words) - 2),
+                              i -> array_to_string(words[i:i+2], ' '))) AS it
+                FROM base)
+          UNION ALL
+          SELECT doc_id, 4,
+                 CAST(CAST(concat('0x', substr(md5(it || 'rep-v1'), 1, 15))
+                      AS UBIGINT) AS BIGINT),
+                 CAST(len(it) AS BIGINT)
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(words) - 3),
+                              i -> array_to_string(words[i:i+3], ' '))) AS it
+                FROM base)),
+        g1 AS (
+          SELECT doc_id, kind, h, count(*) AS cnt, max(chars) AS chars
+          FROM items GROUP BY doc_id, kind, h),
+        g2 AS (
+          SELECT doc_id, kind,
+                 SUM(cnt) AS n_items,
+                 COUNT(*) AS n_distinct,
+                 SUM(cnt * chars) AS tot_chars,
+                 SUM(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS dup_chars,
+                 (max(struct_pack(cnt := cnt, mass := cnt * chars))).mass AS top_mass
+          FROM g1 GROUP BY doc_id, kind),
+        p AS (
+          SELECT doc_id,
+                 coalesce(MAX(CASE WHEN kind = -1 THEN tot_chars END), 0) AS nc,
+                 coalesce(MAX(CASE WHEN kind = 1 THEN n_items END), 0) AS np,
+                 coalesce(MAX(CASE WHEN kind = 1 THEN n_distinct END), 0) AS ndp,
+                 coalesce(MAX(CASE WHEN kind = 0 THEN tot_chars END), 0) AS lc,
+                 coalesce(MAX(CASE WHEN kind = 0 THEN dup_chars END), 0) AS ldc,
+                 coalesce(MAX(CASE WHEN kind = 1 THEN tot_chars END), 0) AS pc,
+                 coalesce(MAX(CASE WHEN kind = 1 THEN dup_chars END), 0) AS pdc,
+                 coalesce(MAX(CASE WHEN kind = 2 THEN top_mass END), 0) AS t2,
+                 coalesce(MAX(CASE WHEN kind = 3 THEN top_mass END), 0) AS t3,
+                 coalesce(MAX(CASE WHEN kind = 4 THEN top_mass END), 0) AS t4
+          FROM g2 GROUP BY doc_id),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN np = 0 THEN 0.0
+                      ELSE CAST(np - ndp AS DOUBLE) / CAST(np AS DOUBLE)
+                 END AS frac_dup_paras,
+                 CASE WHEN lc = 0 THEN 0.0
+                      ELSE CAST(ldc AS DOUBLE) / CAST(lc AS DOUBLE)
+                 END AS frac_chars_dup_lines,
+                 CASE WHEN pc = 0 THEN 0.0
+                      ELSE CAST(pdc AS DOUBLE) / CAST(pc AS DOUBLE)
+                 END AS frac_chars_dup_paras,
+                 least(CASE WHEN nc = 0 THEN 0.0
+                            ELSE CAST(t2 AS DOUBLE) / CAST(nc AS DOUBLE)
+                       END, 1.0) AS frac_chars_top_2gram,
+                 least(CASE WHEN nc = 0 THEN 0.0
+                            ELSE CAST(t3 AS DOUBLE) / CAST(nc AS DOUBLE)
+                       END, 1.0) AS frac_chars_top_3gram,
+                 least(CASE WHEN nc = 0 THEN 0.0
+                            ELSE CAST(t4 AS DOUBLE) / CAST(nc AS DOUBLE)
+                       END, 1.0) AS frac_chars_top_4gram
+          FROM p)
+        SELECT *,
+               (frac_dup_paras <= 0.30
+                AND frac_chars_dup_paras <= 0.20
+                AND frac_chars_dup_lines <= 0.20
+                AND frac_chars_top_2gram <= 0.20
+                AND frac_chars_top_3gram <= 0.18
+                AND frac_chars_top_4gram <= 0.16) AS repetition_pass
+        FROM f ORDER BY doc_id
+"""

@@ -1975,6 +1975,19 @@ def vocab_drift_by_source(spark, sf_dir):
     return textstats.vocab_drift(planted, n_buckets=256).orderBy("source")
 
 
+def text_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (late r6): dup-paragraph fraction,
+    duplicated line/paragraph char mass, top 2/3/4-gram char fractions,
+    and the published pass verdict, per document. ONE corpus scan —
+    lines, paragraphs, and all three gram sizes ride a single explode
+    as (kind, hash60, chars) structs with a per-doc sentinel, so item
+    text never shuffles and no join back to the corpus is needed; two
+    map-side-combinable hash aggregates finish it (reference has no
+    counterpart; Rae et al. 2021 Table A1 is the spec)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.gopher_repetition_signals(docs).orderBy("doc_id")
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -2065,6 +2078,11 @@ QUERIES = {
     # r4+r5) demotes — its strict superset dedup_remove_spans (which
     # composes shared_span_pairs internally) stays graded.
     "vocab_drift_by_source": vocab_drift_by_source,
+    # text_repetition_signals enters at birth; dedup_ngram_jaccard (green
+    # r1–r5, five attestations) demotes — the dedup family keeps exact/
+    # minhash/components/span dedup graded, and minhash-LSH's verify stage
+    # exercises the same exact-jaccard expression on every candidate pair.
+    "text_repetition_signals": text_repetition_signals,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2124,12 +2142,12 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "dedup_exact_groups": dedup_exact_groups,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

@@ -424,3 +424,50 @@ def test_curation_report_single_scan_plan(spark):
     rows = {r.source: r for r in rep.collect()}
     assert rows["s0"].n_docs == 15 and rows["s1"].n_docs == 15
     assert rows["s0"].n_contaminated + rows["s1"].n_contaminated == 1
+
+
+class TestGopherRepetitionSignals:
+    """Pins for gopher_repetition_signals (late r6): hand-computed
+    fractions, NULL/empty text, the 1.0 cap, and partition independence
+    of the single-explode plan."""
+
+    def _run(self, spark, rows, parts=None):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        if parts is not None:
+            docs = docs.repartition(parts)
+        out = textstats.gopher_repetition_signals(docs)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_hand_computed_doc(self, spark):
+        # lines: hello, world, hello, P1, P1  (tot 19 chars, dup 14)
+        # paras: "hello\nworld\nhello"(17), "P1"(2), "P1"(2) → dup 4/21,
+        # count-dup 1/3
+        got = self._run(spark, [(1, "hello\nworld\nhello\n\nP1\n\nP1")])[1]
+        assert got["frac_chars_dup_lines"] == pytest.approx(14 / 19)
+        assert got["frac_chars_dup_paras"] == pytest.approx(4 / 21)
+        assert got["frac_dup_paras"] == pytest.approx(1 / 3)
+        assert not got["repetition_pass"]
+
+    def test_top_gram_fraction_and_cap(self, spark):
+        # "a b a b a b": top 2-gram 'a b' ×3 → mass 9 over 11 chars;
+        # top 4-gram 'a b a b' ×2 → mass 14 > 11 chars → capped at 1.0
+        got = self._run(spark, [(1, "a b a b a b")])[1]
+        assert got["frac_chars_top_2gram"] == pytest.approx(9 / 11)
+        assert got["frac_chars_top_4gram"] == 1.0
+
+    def test_null_and_empty_text_rows_survive_with_zeros(self, spark):
+        got = self._run(spark, [(1, None), (2, "   "), (3, "x y z")])
+        assert set(got) == {1, 2, 3}
+        for d in (1, 2):
+            assert got[d]["frac_chars_top_2gram"] == 0.0
+            assert got[d]["frac_dup_paras"] == 0.0
+            assert got[d]["repetition_pass"]
+
+    def test_partition_independent(self, spark):
+        rows = [
+            (i, f"alpha beta alpha beta line{i % 3}\n\nrepeat me\n\nrepeat me")
+            for i in range(24)
+        ]
+        a = self._run(spark, rows, parts=1)
+        b = self._run(spark, rows, parts=13)
+        assert a == b
