@@ -66,6 +66,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_unigram_surprisal",
     "text_bigram_surprisal",
+    "perplexity_buckets_by_source",
     "text_quality_classifier",
     "text_gopher_quality",
     "importance_score_documents",

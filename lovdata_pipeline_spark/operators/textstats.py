@@ -1294,3 +1294,60 @@ def gopher_repetition_signals(
         & (F.col("frac_chars_top_3gram") <= 0.18)
         & (F.col("frac_chars_top_4gram") <= 0.16),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity split (Wenzek et al. 2020): per source,
+    documents partition into ``head`` / ``middle`` / ``tail`` thirds by
+    their LM score — here the corpus-as-own-model ``bigram_surprisal``
+    (low surprisal = fluent = head, the slice CCNet keeps).
+
+    Cuts are DISCRETE tercile values — the ceil(n/3)-th and
+    ceil(2n/3)-th smallest scores per group, pure integer indexing into
+    the sorted score list — never interpolated percentiles: value-based
+    cuts make the split leak-proof (equal scores always land in the
+    same bucket) and avoid the cross-engine last-ulp hazard of
+    ``(1−f)·a + f·b`` interpolation entirely. Documents with < 2 words
+    have no bigram score and are not bucketed (CCNet likewise drops
+    unscorable fragments).
+
+    Scale shape: the surprisal score is the graded
+    ``text_bigram_surprisal`` machinery (hash aggregates + equi-joins
+    on short string keys); the group re-attach is an id equi-join
+    against a two-column pruned scan; the cut table is |groups| rows
+    and broadcasts; bucket assignment is scan-local. The
+    ``sort_array(collect_list(...))`` cut aggregate holds one group's
+    scores in one buffer — at 100 TB swap it for ``percentile_approx``
+    (a mergeable sketch, same k-row cut-table plan; the
+    agg_approx_stats tolerance discipline) — the operator's join/
+    broadcast shape is unchanged.
+    """
+    scored = bigram_surprisal(docs, text_col, id_col)
+    with_grp = docs.select(id_col, group_col).join(scored, id_col)
+    cuts = (
+        with_grp.groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("mean_surprisal")).alias("_ss"))
+        .select(
+            group_col,
+            F.element_at(
+                "_ss", F.floor((F.size("_ss") + 2) / 3).cast("int")
+            ).alias("_c1"),
+            F.element_at(
+                "_ss", F.floor((F.size("_ss") * 2 + 2) / 3).cast("int")
+            ).alias("_c2"),
+        )
+    )
+    return with_grp.join(F.broadcast(cuts), group_col).select(
+        id_col,
+        group_col,
+        "mean_surprisal",
+        F.when(F.col("mean_surprisal") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("mean_surprisal") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

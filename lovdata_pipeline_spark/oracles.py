@@ -2331,3 +2331,46 @@ ORACLES["text_repetition_signals"] = r"""
                 AND frac_chars_top_4gram <= 0.16) AS repetition_pass
         FROM f ORDER BY doc_id
 """
+
+# CCNet perplexity buckets (r6): the bigram-surprisal CTE verbatim, then
+# discrete tercile cuts by integer indexing into the sorted per-source
+# score list — the same ceil(n/3)/ceil(2n/3) positions, no interpolation.
+ORACLES["perplexity_buckets_by_source"] = r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents),
+        pairs0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS g
+          FROM tok),
+        pairs AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pairs0),
+        uni AS (SELECT unnest(w) AS u FROM tok),
+        uc AS (SELECT u, count(*) AS c1 FROM uni GROUP BY u),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+        vs AS (SELECT count(*) AS V FROM uc),
+        per AS (
+          SELECT p.doc_id,
+                 -ln((c12 + CAST(1.0 AS DOUBLE)) / (c1 + V)) AS s
+          FROM pairs p JOIN bc USING (w1, w2) JOIN uc ON p.w1 = uc.u CROSS JOIN vs),
+        scored AS (
+          SELECT doc_id,
+                 round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                       / count(*), 6) AS mean_surprisal
+          FROM per GROUP BY doc_id),
+        wg AS (
+          SELECT d.doc_id, d.source, scored.mean_surprisal
+          FROM documents d JOIN scored ON d.doc_id = scored.doc_id),
+        cuts AS (
+          SELECT source,
+                 ss[(len(ss) + 2) // 3] AS c1,
+                 ss[(len(ss) * 2 + 2) // 3] AS c2
+          FROM (SELECT source, list_sort(list(mean_surprisal)) AS ss
+                FROM wg GROUP BY source))
+        SELECT wg.doc_id, wg.source, wg.mean_surprisal,
+               CASE WHEN wg.mean_surprisal <= cuts.c1 THEN 'head'
+                    WHEN wg.mean_surprisal <= cuts.c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM wg JOIN cuts USING (source)
+        ORDER BY doc_id
+"""

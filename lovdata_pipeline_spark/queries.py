@@ -1988,6 +1988,19 @@ def text_repetition_signals(spark, sf_dir):
     return textstats.gopher_repetition_signals(docs).orderBy("doc_id")
 
 
+def perplexity_buckets_by_source(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (late r6): per source,
+    documents bucket into thirds by bigram-surprisal score. Cuts are
+    DISCRETE tercile values (integer indexing into the sorted per-group
+    score list — no float interpolation, leak-proof on score ties);
+    the cut table is |sources| rows broadcast against a scan-local
+    bucket assignment. At 100 TB the cut aggregate swaps to
+    percentile_approx with the same plan shape (Wenzek et al. 2020 is
+    the spec; reference has no counterpart)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.perplexity_buckets(docs).orderBy("doc_id")
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -2083,6 +2096,11 @@ QUERIES = {
     # minhash/components/span dedup graded, and minhash-LSH's verify stage
     # exercises the same exact-jaccard expression on every candidate pair.
     "text_repetition_signals": text_repetition_signals,
+    # perplexity_buckets_by_source enters at birth; events_sessionize
+    # (green r1–r5, five attestations) demotes — events_rolling_1h keeps
+    # the identical per-user-key window shape graded, and sessionization
+    # semantics stay pinned by the streaming session-window tests.
+    "perplexity_buckets_by_source": perplexity_buckets_by_source,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2139,7 +2157,6 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "anti_join_changed": anti_join_changed,
-    "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2148,6 +2165,7 @@ QUERIES = {
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
+    "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

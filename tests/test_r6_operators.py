@@ -471,3 +471,45 @@ class TestGopherRepetitionSignals:
         a = self._run(spark, rows, parts=1)
         b = self._run(spark, rows, parts=13)
         assert a == b
+
+
+class TestPerplexityBuckets:
+    """Pins for perplexity_buckets (late r6): tercile sizes, tie
+    leak-proofness, unscorable-doc exclusion, partition independence."""
+
+    def test_tercile_sizes_and_exclusion(self, spark):
+        # doc i mixes common bigrams ("aa bb") with i copies of doc-unique
+        # rare ones — mean surprisal strictly increases with i, so the
+        # value cuts land between distinct scores and terciles are 3/3/3
+        rows = [
+            (i, "aa bb " * (9 - i) + " ".join(f"r{i}x{j} r{i}y{j}" for j in range(i)), "s0")
+            for i in range(9)
+        ]
+        rows += [(100, "solo", "s0")]  # 1 word → no bigram → unbucketed
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.perplexity_buckets(docs)
+        got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+        assert 100 not in got and len(got) == 9
+        from collections import Counter
+        assert sorted(Counter(got.values()).values()) == [3, 3, 3]
+
+    def test_equal_scores_share_a_bucket(self, spark):
+        # five identical docs + one outlier: value-based cuts must put
+        # ALL identical scores in the same bucket (leak-proof), never a
+        # rank split across the tercile boundary
+        rows = [(i, "same same text here", "s0") for i in range(5)]
+        rows += [(9, "zz qq rr ww", "s0")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.perplexity_buckets(docs).collect()
+        buckets = {r.doc_id: r.ppl_bucket for r in out}
+        assert len({buckets[i] for i in range(5)}) == 1
+
+    def test_partition_independent(self, spark):
+        rows = [
+            (i, f"w{i % 7} common word {'x' * (i % 3 + 1)} tail", f"s{i % 2}")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = {(r.doc_id, r.ppl_bucket) for r in textstats.perplexity_buckets(docs.repartition(1)).collect()}
+        b = {(r.doc_id, r.ppl_bucket) for r in textstats.perplexity_buckets(docs.repartition(11)).collect()}
+        assert a == b

@@ -41,6 +41,9 @@ CROSS_JOIN_OK = {
     "text_unigram_surprisal",
     # bigram form: the same 1-row V scalar broadcast.
     "text_bigram_surprisal",
+    # perplexity buckets compose bigram_surprisal — the same 1-row V
+    # scalar broadcast (the tercile cut table itself equi-joins).
+    "perplexity_buckets_by_source",
     # pretraining_pipeline: the ingest stage broadcasts the same 1-row
     # max-id shift scalar as dedup_exact_groups (O(1) rows on one side).
     "pretraining_pipeline",
