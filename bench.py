@@ -67,6 +67,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "text_bigram_surprisal",
     "perplexity_buckets_by_source",
+    "pca_variance_report_embeddings",
     "text_quality_classifier",
     "text_gopher_quality",
     "importance_score_documents",

@@ -1,0 +1,193 @@
+"""Dimensionality reduction over embedding columns: distributed PCA.
+
+The fit is a single pass producing sufficient statistics — per-dimension
+sums and the d×d Gram matrix — followed by a driver-side
+eigendecomposition of the (parameters-sized, d² values) covariance.
+The scale story is the classic treeAggregate shape re-expressed in
+DataFrame terms: Arrow-batched numpy partials (BLAS matmul per batch),
+a posexplode + hash aggregate to merge them (map-side combinable), and
+a driver collect bounded by d², never by row count.
+
+Determinism: every row's contribution is quantized to integers
+(``floor(x · 2^20)`` — float32→double is exact, scaling by a power of
+two is exact, floor is exact), so the Gram/mean sums are exact integer
+arithmetic and bit-identical under ANY partitioning or shuffle order —
+no floating-point accumulation-order drift reaches the eigensolver.
+Eigenvector sign is fixed deterministically (the largest-|coordinate|
+entry is made positive, ties to the lowest index).
+
+Reference parity: the reference pipeline has no dimensionality
+reduction; this extends the embedding/ANN family (operators/similarity)
+with the standard "reduce then index" pre-step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, functions as F
+
+#: quantization scale: float32 embeddings in [-2, 2] map to ints < 2^22.
+SCALE = 1 << 20
+
+
+class PCAModel(NamedTuple):
+    """Driver-side fit artifact (parameters-sized, broadcastable)."""
+
+    mean: "object"          # np.ndarray (d,) — de-quantized mean
+    components: "object"    # np.ndarray (d, k) — orthonormal columns
+    explained_variance_ratio: "object"  # np.ndarray (k,)
+    n_vecs: int
+    sum_sq_q: int           # Σ_i Σ_r q_ri² — exact integer invariant
+    sum_q: int              # Σ_i Σ_r q_ri   — exact integer invariant
+
+
+def _partial_stats(vec_col: str, d: int):
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d, dtype=np.int64)
+        g = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * SCALE).astype(np.int64)
+            n += Q.shape[0]
+            s += Q.sum(axis=0)
+            g += Q.T @ Q
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    return fn
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> PCAModel:
+    """One-pass distributed PCA fit. NULL vectors are dropped.
+
+    Plan shape: one scan → one Arrow-batched ``mapInPandas`` (integer
+    partials, BLAS per batch) → posexplode of the d² Gram cells → hash
+    aggregate (map-side combinable) → a driver collect of exactly
+    d² + d + 1 longs. No shuffle is keyed by row identity; nothing
+    driver-side scales with the corpus.
+    """
+    import numpy as np
+
+    d = None
+    # probe dimensionality from the schema if the element count is fixed,
+    # else from one row (bounded: a single-row collect)
+    row = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError("pca_fit: no non-NULL vectors")
+    d = len(row[0])
+
+    partials = (
+        embeddings.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            _partial_stats(vec_col, d),
+            schema="n long, s array<long>, g array<long>",
+        )
+    )
+    # merge partials in Spark (bounded frames: d and d² keys), ONE scan up
+    # top: cache the few partial rows, not the corpus
+    partials = partials.cache()
+    try:
+        n_vecs = partials.agg(F.sum("n")).collect()[0][0]
+        s_rows = (
+            partials.select(F.posexplode("s").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        g_rows = (
+            partials.select(F.posexplode("g").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+    s = np.zeros(d, dtype=np.int64)
+    for r in s_rows:
+        s[r["i"]] = r["v"]
+    G = np.zeros(d * d, dtype=np.int64)
+    for r in g_rows:
+        G[r["i"]] = r["v"]
+    G = G.reshape(d, d)
+
+    mean_q = s.astype(np.float64) / n_vecs
+    cov = G.astype(np.float64) / n_vecs - np.outer(mean_q, mean_q)
+    evals, evecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals_top = np.maximum(evals[order], 0.0)
+    P = evecs[:, order]
+    # deterministic sign: largest-|coordinate| entry positive, ties low idx
+    for j in range(P.shape[1]):
+        idx = int(np.argmax(np.abs(P[:, j])))
+        if P[idx, j] < 0:
+            P[:, j] = -P[:, j]
+    total_var = float(np.trace(cov))
+    evr = evals_top / total_var if total_var > 0 else np.zeros(len(order))
+    return PCAModel(
+        mean=mean_q / SCALE,
+        components=P,
+        explained_variance_ratio=evr,
+        n_vecs=int(n_vecs),
+        sum_sq_q=int(np.trace(G)),
+        sum_q=int(s.sum()),
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Project each vector onto the fitted components:
+    ``(x_quantized/SCALE − mean) @ P``, rounded to ``round_dp`` so the
+    output is reproducible across partitionings (the matmul itself is
+    deterministic given the broadcast model; rounding guards the last
+    ulp when downstream hashes results). Projection uses the SAME
+    quantized view of x the fit saw, keeping fit/transform consistent.
+
+    One scan, one Arrow-batched ``mapInPandas`` (BLAS matmul per
+    batch), no shuffle. All non-vector columns pass through.
+    """
+    import numpy as np
+
+    mean = model.mean
+    P = model.components
+    passthrough = [f for f in embeddings.schema.fields if f.name != vec_col]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+        + f", {out_col} array<double>"
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = pdf[vec_col].notna()
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * SCALE) / SCALE
+            Y = np.round((Q - mean) @ P, round_dp)
+            out = pdf[[f.name for f in passthrough]].copy()
+            out[out_col] = list(Y)
+            yield out
+
+    return embeddings.mapInPandas(fn, schema=out_schema)

@@ -2374,3 +2374,22 @@ ORACLES["perplexity_buckets_by_source"] = r"""
         FROM wg JOIN cuts USING (source)
         ORDER BY doc_id
 """
+
+# PCA fit verdict (r6): the quantization floor(x * 2^20) is exact in
+# both engines (float32->double exact, power-of-two scale exact), so
+# the integer arms replay bit-for-bit; the eigensolver booleans are
+# Spark-asserted and expected TRUE (agg_approx_stats discipline).
+ORACLES["pca_variance_report_embeddings"] = r"""
+        WITH q AS (
+          SELECT CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT) AS qv
+          FROM (SELECT unnest(embedding) AS e
+                FROM embeddings WHERE embedding IS NOT NULL))
+        SELECT CAST((SELECT count(*) FROM embeddings
+                     WHERE embedding IS NOT NULL) AS BIGINT) AS n_vecs,
+               CAST(8 AS INTEGER) AS k,
+               CAST(SUM(qv) AS BIGINT) AS sum_q,
+               CAST(SUM(qv * qv) AS BIGINT) AS sum_sq_q,
+               TRUE AS orthonormal,
+               TRUE AS evr_valid
+        FROM q
+"""

@@ -2001,6 +2001,42 @@ def perplexity_buckets_by_source(spark, sf_dir):
     return textstats.perplexity_buckets(docs).orderBy("doc_id")
 
 
+def pca_variance_report_embeddings(spark, sf_dir):
+    """Distributed PCA fit verdict (late r6): one quantized-Gram pass
+    (exact integer sufficient statistics — bit-identical under any
+    partitioning), driver eigh over the d² covariance, one verdict row.
+    The data-exact arms (n_vecs, quantized sum / sum-of-squares) are
+    recomputed verbatim by the oracle; the eigensolver outputs —
+    orthonormality, explained-variance-ratio validity — are
+    Spark-asserted booleans the oracle expects TRUE (the
+    agg_approx_stats discipline for engine-specific numerics).
+    Driver state is d²+d+1 longs — parameters, never rows."""
+    import numpy as np
+
+    from lovdata_pipeline_spark.operators import reduction
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    m = reduction.pca_fit(emb, k=8)
+    evr = np.asarray(m.explained_variance_ratio)
+    orth = bool(
+        np.allclose(
+            m.components.T @ m.components, np.eye(m.components.shape[1]),
+            atol=1e-9,
+        )
+    )
+    evr_valid = bool(
+        (evr >= 0).all()
+        and (evr <= 1).all()
+        and (np.diff(evr) <= 1e-12).all()
+        and evr.sum() <= 1 + 1e-9
+    )
+    return spark.createDataFrame(
+        [(m.n_vecs, 8, m.sum_q, m.sum_sq_q, orth, evr_valid)],
+        "n_vecs long, k int, sum_q long, sum_sq_q long, "
+        "orthonormal boolean, evr_valid boolean",
+    )
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -2101,6 +2137,11 @@ QUERIES = {
     # the identical per-user-key window shape graded, and sessionization
     # semantics stay pinned by the streaming session-window tests.
     "perplexity_buckets_by_source": perplexity_buckets_by_source,
+    # pca_variance_report_embeddings enters at birth; ann_cosine_topk
+    # (green r1–r5, five attestations) demotes — the ANN family keeps
+    # ivfpq graded, and the exact-cosine expression stays graded inside
+    # knn_classify, hard_negatives, and semantic-dedup verification.
+    "pca_variance_report_embeddings": pca_variance_report_embeddings,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2161,11 +2202,11 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
-    "ann_cosine_topk": ann_cosine_topk,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
     "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
+    "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

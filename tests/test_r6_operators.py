@@ -513,3 +513,75 @@ class TestPerplexityBuckets:
         a = {(r.doc_id, r.ppl_bucket) for r in textstats.perplexity_buckets(docs.repartition(1)).collect()}
         b = {(r.doc_id, r.ppl_bucket) for r in textstats.perplexity_buckets(docs.repartition(11)).collect()}
         assert a == b
+
+
+class TestPCAReduction:
+    """Pins for operators/reduction (late r6): fit determinism under
+    partitioning, orthonormality, projection quality vs numpy, NULL
+    vectors, passthrough columns."""
+
+    @staticmethod
+    def _toy(spark, parts=4):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # anisotropic: dims 0-1 dominate, so PCA has real structure
+        base = rng.normal(size=(120, 6)) * np.array([5, 3, 1, 0.5, 0.2, 0.1])
+        rows = [(i, base[i].astype("float32").tolist()) for i in range(120)]
+        rows.append((999, None))
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .repartition(parts),
+            base,
+        )
+
+    def test_fit_partition_invariant_and_orthonormal(self, spark):
+        import numpy as np
+
+        from lovdata_pipeline_spark.operators import reduction
+
+        df, _ = self._toy(spark, parts=1)
+        df2, _ = self._toy(spark, parts=17)
+        m1 = reduction.pca_fit(df, k=3)
+        m2 = reduction.pca_fit(df2, k=3)
+        assert np.array_equal(m1.components, m2.components)
+        assert m1.sum_sq_q == m2.sum_sq_q and m1.sum_q == m2.sum_q
+        assert m1.n_vecs == 120  # NULL vector dropped
+        assert np.allclose(m1.components.T @ m1.components, np.eye(3), atol=1e-9)
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from lovdata_pipeline_spark.operators import reduction
+
+        df, base = self._toy(spark)
+        m = reduction.pca_fit(df, k=3)
+        # reference PCA over the SAME quantized view
+        Q = np.floor(base.astype(np.float32).astype(np.float64)
+                     * reduction.SCALE) / reduction.SCALE
+        C = np.cov(Q, rowvar=False, bias=True)
+        ev = np.linalg.eigvalsh(C)[::-1][:3]
+        got = np.asarray(m.explained_variance_ratio) * np.trace(C)
+        assert np.allclose(np.sort(got), np.sort(ev), rtol=1e-6)
+
+    def test_projection_explains_variance_and_passthrough(self, spark):
+        import numpy as np
+
+        from lovdata_pipeline_spark.operators import reduction
+
+        df, base = self._toy(spark)
+        m = reduction.pca_fit(df, k=3)
+        out = reduction.pca_project(df, m)
+        assert set(out.columns) == {"vec_id", "pca"}
+        rows = {r.vec_id: r.pca for r in out.collect()}
+        assert 999 not in rows and len(rows) == 120
+        # projected variance ≈ top-3 eigenvalue mass (round-trip sanity)
+        Y = np.array([rows[i] for i in range(120)])
+        Q = np.floor(base.astype(np.float32).astype(np.float64)
+                     * reduction.SCALE) / reduction.SCALE
+        total_var = np.cov(Q, rowvar=False, bias=True).trace()
+        evr = np.asarray(m.explained_variance_ratio)
+        assert np.isclose(
+            Y.var(axis=0, ddof=0).sum(), evr.sum() * total_var, rtol=1e-4
+        )
+        assert evr[0] > 0.5  # dim-0 scale 5 dominates by construction
