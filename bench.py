@@ -68,6 +68,7 @@ HEADLINE = [
     "text_bigram_surprisal",
     "perplexity_buckets_by_source",
     "pca_variance_report_embeddings",
+    "ann_pca_rerank_recall_embeddings",
     "text_quality_classifier",
     "text_gopher_quality",
     "importance_score_documents",

@@ -191,3 +191,79 @@ def pca_project(
             yield out
 
     return embeddings.mapInPandas(fn, schema=out_schema)
+
+
+def pca_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    model: PCAModel,
+    k: int = 10,
+    pool: int = 100,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage "reduce then rerank" retrieval: candidates come from
+    the PCA space (negative squared Euclidean distance, top ``pool``
+    per query), the final top-``k`` from exact cosine over those
+    candidates only — the standard pattern for spending full-precision
+    compute on ``pool``/|corpus| of the data. Returns
+    (query_id, vec_id, score, rank) like ``similarity.knn_join``.
+
+    Scale shape: stage 1 broadcasts the (small) projected query side
+    against one projected corpus scan; its per-query top-pool routes
+    through the two-phase ``top_k_per_group`` (no full score list in
+    one task). Stage 2 touches |queries|·pool rows: an equi-join back
+    to the corpus vectors, a broadcast of the query vectors, and the
+    same two-phase top-k. Distances/scores round to 6 dp (row-local
+    sequential array folds — deterministic), ties break on id — the
+    whole operator is reproducible under any partitioning.
+    """
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+    from lovdata_pipeline_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    qp = pca_project(
+        queries.select(query_id, vec_col), model, vec_col=vec_col, out_col="_qp"
+    )
+    cp = pca_project(
+        corpus.select(corpus_id, vec_col), model, vec_col=vec_col, out_col="_cp"
+    )
+    neg_dist = -F.aggregate(
+        F.zip_with("_qp", "_cp", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .select(query_id, corpus_id, F.round(neg_dist, 6).alias("_nd"))
+    )
+    cand = top_k_per_group(scored, pool, query_id, "_nd", corpus_id).select(
+        query_id, corpus_id
+    )
+    cand_vec = cand.join(
+        corpus.select(corpus_id, _as_double(F.col(vec_col)).alias("_cv")),
+        corpus_id,
+    ).withColumn("_cn", _norm(F.col("_cv"))).filter(F.col("_cn") > 0)
+    with_q = cand_vec.join(
+        F.broadcast(
+            queries.select(query_id, _as_double(F.col(vec_col)).alias("_qv"))
+            .withColumn("_qn", _norm(F.col("_qv")))
+            .filter(F.col("_qn") > 0)
+        ),
+        query_id,
+    )
+    rescored = with_q.select(
+        query_id,
+        corpus_id,
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("score"),
+    )
+    return top_k_per_group(rescored, k, query_id, "score", corpus_id).withColumnRenamed(
+        "rk", "rank"
+    )

@@ -2393,3 +2393,15 @@ ORACLES["pca_variance_report_embeddings"] = r"""
                TRUE AS evr_valid
         FROM q
 """
+
+# PCA + exact-cosine rerank recall verdict (r6): the query-id set and
+# the per-query result count are exact SQL arms; the recall boolean is
+# Spark-asserted (expected TRUE — agg_approx_stats discipline).
+ORACLES["ann_pca_rerank_recall_embeddings"] = r"""
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_results,
+               TRUE AS recall_ok
+        FROM embeddings
+        WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
+        ORDER BY query_id
+"""

@@ -2037,6 +2037,45 @@ def pca_variance_report_embeddings(spark, sf_dir):
     )
 
 
+def ann_pca_rerank_recall_embeddings(spark, sf_dir):
+    """Two-stage "reduce then rerank" retrieval verdict (late r6):
+    PCA-32 candidates (top-100 per query by reduced-space distance) +
+    exact-cosine rerank, graded as per-query recall@10 against the
+    exact full-space top-10. Measured mean recall 0.94 / min 0.8 at
+    sf0.01; the verdict pins recall ≥ 0.5 per query (25× the 0.02
+    random-draw baseline). The query-id set and result count are the
+    oracle's data-exact arms; the recall verdict is Spark-asserted
+    (eigenvectors aren't SQL-expressible — the agg_approx_stats
+    discipline). Deterministic end-to-end: quantized-integer fit,
+    6-dp rounded scores, id tie-breaks."""
+    from lovdata_pipeline_spark.operators import reduction
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    m = reduction.pca_fit(emb, k=32)
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = reduction.pca_rerank_topk(queries, emb, m, k=10, pool=100)
+    exact = similarity.knn_join(queries, emb, k=10)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("n_hits", F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def hard_negatives_embeddings(spark, sf_dir):
     """Hard-negative mining (new r6): for each labeled anchor
     (vec_id % 101 == 0), the 5 most-similar corpus vectors with a
@@ -2142,6 +2181,11 @@ QUERIES = {
     # ivfpq graded, and the exact-cosine expression stays graded inside
     # knn_classify, hard_negatives, and semantic-dedup verification.
     "pca_variance_report_embeddings": pca_variance_report_embeddings,
+    # ann_pca_rerank_recall_embeddings enters at birth; dedup_exact_groups
+    # (green r1–r5, five attestations) demotes — the exact-fingerprint
+    # grouping stays graded inside curation_report_by_source's dup counts,
+    # pretraining_pipeline's dedup stage, and paragraph_dedup_documents.
+    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2199,7 +2243,6 @@ QUERIES = {
     "q3_top_unshipped": q3_top_unshipped,
     "anti_join_changed": anti_join_changed,
     "events_asof_join": events_asof_join,
-    "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
@@ -2207,6 +2250,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
     "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
     "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)
+    "dedup_exact_groups": dedup_exact_groups,            # green r1–r5; demoted r6 for ann_pca_rerank_recall_embeddings (exact-fingerprint grouping graded inside curation_report/pretraining_pipeline/paragraph_dedup)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

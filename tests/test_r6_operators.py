@@ -585,3 +585,27 @@ class TestPCAReduction:
             Y.var(axis=0, ddof=0).sum(), evr.sum() * total_var, rtol=1e-4
         )
         assert evr[0] > 0.5  # dim-0 scale 5 dominates by construction
+
+
+def test_pca_rerank_with_full_pool_equals_exact_knn(spark):
+    """pca_rerank_topk degenerates to exact knn_join when the candidate
+    pool covers the whole corpus — stage 1 then prunes nothing and stage
+    2 IS the exact cosine top-k (same scores, ranks, tie-breaks)."""
+    import numpy as np
+
+    from lovdata_pipeline_spark.operators import reduction, similarity
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, (rng.normal(size=6) * [4, 2, 1, 0.3, 0.2, 0.1]).astype("float32").tolist())
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = reduction.pca_fit(corpus, k=3)
+    queries = corpus.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, reduction.pca_rerank_topk(
+        queries, corpus, m, k=5, pool=80).collect()))
+    want = sorted(map(tuple, similarity.knn_join(queries, corpus, k=5).collect()))
+    assert got == want

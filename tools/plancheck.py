@@ -44,6 +44,9 @@ CROSS_JOIN_OK = {
     # perplexity buckets compose bigram_surprisal — the same 1-row V
     # scalar broadcast (the tercile cut table itself equi-joins).
     "perplexity_buckets_by_source",
+    # PCA rerank broadcasts the (small) query side in both stages — the
+    # whitelisted knn_join shape.
+    "ann_pca_rerank_recall_embeddings",
     # pretraining_pipeline: the ingest stage broadcasts the same 1-row
     # max-id shift scalar as dedup_exact_groups (O(1) rows on one side).
     "pretraining_pipeline",
