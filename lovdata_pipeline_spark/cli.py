@@ -590,6 +590,41 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_reduce(args) -> int:
+    """Dimensionality reduction over an embeddings parquet: fit the
+    distributed PCA (quantized-Gram one-pass), write the projected
+    vectors to ``--output`` (all non-vector columns pass through, the
+    reduced vector lands in ``--out-col``), and print one JSON summary
+    line with the explained-variance profile. The standard pre-step
+    before building an ANN index or running semantic dedup at scale."""
+    import json as _json
+
+    from lovdata_pipeline_spark.operators import reduction
+
+    spark = _spark("lg-reduce")
+    emb = spark.read.parquet(args.input)
+    model = reduction.pca_fit(emb, k=args.k, vec_col=args.vec_col)
+    projected = reduction.pca_project(
+        emb, model, vec_col=args.vec_col, out_col=args.out_col
+    )
+    projected.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    evr = [round(float(v), 6) for v in model.explained_variance_ratio]
+    print(
+        _json.dumps(
+            {
+                "n_vecs": model.n_vecs,
+                "n_projected": n_out,
+                "k": args.k,
+                "explained_variance_ratio": evr,
+                "explained_total": round(float(sum(evr)), 6),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Per-group document selection over a documents parquet: ``quota``
     keeps the k best rows of each group by weight (exact top-k),
@@ -780,6 +815,14 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--text-col", default="text")
     pl.add_argument("--group-col", default="source")
     pl.set_defaults(func=cmd_plan)
+
+    rd = sub.add_parser("reduce", help="PCA-project an embeddings parquet (fit + transform)")
+    rd.add_argument("--input", required=True, help="embeddings parquet path")
+    rd.add_argument("--output", required=True, help="projected parquet path")
+    rd.add_argument("--k", type=int, default=8, help="components to keep")
+    rd.add_argument("--vec-col", default="embedding")
+    rd.add_argument("--out-col", default="pca")
+    rd.set_defaults(func=cmd_reduce)
 
     cl = sub.add_parser("clean", help="strip boilerplate lines + dedup paragraphs across docs")
     cl.add_argument("--input", required=True, help="documents parquet path")

@@ -279,3 +279,25 @@ def test_sample_quota_and_weighted(spark, tmp_path, docs_parquet, capsys):
     a = sorted(r.doc_id for r in spark.read.parquet(str(out_w)).collect())
     b = sorted(r.doc_id for r in spark.read.parquet(str(out_w2)).collect())
     assert a == b
+
+
+def test_reduce_end_to_end(spark, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 6)) * np.array([5, 3, 1, 0.3, 0.2, 0.1])
+    rows = [(i, base[i].astype("float32").tolist(), i % 3) for i in range(50)]
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(src))
+    out = tmp_path / "reduced"
+    rc = main(["reduce", "--input", str(src), "--output", str(out), "--k", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_vecs"] == 50 and summary["n_projected"] == 50
+    assert summary["k"] == 2 and 0 < summary["explained_total"] <= 1
+    proj = spark.read.parquet(str(out))
+    assert set(proj.columns) == {"vec_id", "label", "pca"}
+    first = proj.filter("vec_id = 0").first()
+    assert len(first["pca"]) == 2

@@ -342,3 +342,52 @@ class TestStreaming:
         q.awaitTermination(120)
         rows = spark.sql("SELECT user_id, click_id FROM ij ORDER BY user_id").collect()
         assert [(r.user_id, r.click_id) for r in rows] == [(1, 100)]
+
+
+class TestStreamingQualityGate:
+    def test_streaming_gopher_gate_equals_batch(self, spark, tmp_path):
+        """The Gopher gate is a pure scan-local column expression, so it
+        composes with a document stream exactly like the row-local
+        decontamination filters: AvailableNow survivors equal the batch
+        gate's survivors (r6 — the streaming face of the quality
+        family)."""
+        import pandas as pd
+
+        from lovdata_pipeline_spark.operators.textstats import (
+            gopher_pass_col,
+            gopher_quality,
+        )
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and keeps going "
+        ) * 5  # 60 words, has stopwords, sane lengths
+        texts = {
+            1: good,
+            2: "short junk",                      # fails word-count rule
+            3: good + " " + good,                 # still passes
+            4: "- bullet\n- bullet\n- bullet",    # bullets + too short
+        }
+        src = tmp_path / "docs_q_stream"
+        src.mkdir()
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        ).to_parquet(src / "p0.parquet")
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        gated = stream.filter(gopher_pass_col("text"))
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("gopher_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_gq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM gopher_stream").collect()}
+        batch = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        want = {
+            r.doc_id
+            for r in gopher_quality(batch).filter("gopher_pass").collect()
+        }
+        assert got == want == {1, 3}
