@@ -75,6 +75,7 @@ HEADLINE = [
     "text_bm25_search",
     "tfidf_keywords_by_source",
     "bpe_pair_stats",
+    "bpe_learned_merges",
     "events_rolling_1h",
     "knn_classify_embeddings",
     "quality_quota_by_source",

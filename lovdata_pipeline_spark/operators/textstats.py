@@ -1196,42 +1196,68 @@ def gopher_repetition_signals(
         F.transform(F.split(text, r"\n\s*\n", -1), lambda x: F.trim(x)),
         lambda x: x != "",
     )
+    # materialize the token array behind a projection boundary BEFORE the
+    # gram lambdas reference it — without this, CollapseProject inlines
+    # the split into every lambda call and each gram re-tokenizes the
+    # document (measured 16× slower at sf0.1, the winnowing lesson)
+    base = docs.select(
+        F.col(id_col),
+        words.alias("_w"),
+        lines.alias("_lines"),
+        paras.alias("_paras"),
+    )
 
-    def item(kind: int, s: Column) -> Column:
-        return F.struct(
-            F.lit(kind).cast("int").alias("kind"),
-            h60(s).alias("h"),
-            F.length(s).cast("long").alias("chars"),
-        )
-
-    def gram_items(k: int) -> Column:
-        n = F.size(words) - F.lit(k - 1)
-        return F.when(
-            n < 1, F.array().cast("array<struct<kind:int,h:bigint,chars:bigint>>")
-        ).otherwise(
+    def gram_strings(k: int) -> Column:
+        n = F.size(F.col("_w")) - F.lit(k - 1)
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: item(k, F.concat_ws(" ", F.slice(words, i, k))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)),
             )
         )
 
+    def tagged(kind: int, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda s: F.struct(
+                F.lit(kind).cast("int").alias("kind"), s.alias("g")
+            ),
+        )
+
+    # the sentinel's g is NULL; its chars cell carries the per-doc
+    # normalized length via the _nc column instead
     sentinel = F.struct(
         F.lit(-1).cast("int").alias("kind"),
-        F.lit(0).cast("long").alias("h"),
-        F.length(F.concat_ws(" ", words)).cast("long").alias("chars"),
+        F.lit(None).cast("string").alias("g"),
     )
     items = F.concat(
         F.array(sentinel),
-        F.transform(lines, lambda x: item(0, x)),
-        F.transform(paras, lambda x: item(1, x)),
-        gram_items(2),
-        gram_items(3),
-        gram_items(4),
+        tagged(0, F.col("_lines")),
+        tagged(1, F.col("_paras")),
+        tagged(2, gram_strings(2)),
+        tagged(3, gram_strings(3)),
+        tagged(4, gram_strings(4)),
     )
-
-    exploded = docs.select(
-        F.col(id_col), F.explode(items).alias("it")
-    ).select(id_col, "it.kind", "it.h", "it.chars")
+    # hash + length AFTER the explode: plain codegen projections over the
+    # flat frame, never interpreted per-element lambdas; item text dies
+    # here — only (id, kind, hash, chars) reaches the shuffle
+    exploded = (
+        base.select(
+            F.col(id_col),
+            F.length(F.concat_ws(" ", F.col("_w"))).cast("long").alias("_nc"),
+            F.explode(items).alias("it"),
+        )
+        .select(
+            id_col,
+            F.col("it.kind").alias("kind"),
+            F.when(F.col("it.kind") == -1, F.lit(0).cast("long"))
+            .otherwise(h60(F.col("it.g")))
+            .alias("h"),
+            F.when(F.col("it.kind") == -1, F.col("_nc"))
+            .otherwise(F.length(F.col("it.g")).cast("long"))
+            .alias("chars"),
+        )
+    )
     per_item = exploded.groupBy(id_col, "kind", "h").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("chars").alias("chars")
     )
@@ -1351,3 +1377,101 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+#: symbol-stream separator for the BPE trainer: each symbol is encoded
+#: ``\x1f sym \x1f`` so merge application is ONE literal string replace
+#: whose left-to-right non-overlapping semantics are identical in Spark
+#: and DuckDB — the oracle replays training bit-for-bit.
+_BPE_SEP = chr(31)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    learn the top ``n_merges`` merges over the corpus, returning
+    (rank, left, right, merged, n_occurrences) — the merge table a
+    tokenizer ships.
+
+    The working frame is the DISTINCT-WORD vocabulary with counts — one
+    corpus scan total; every training iteration runs on the vocabulary
+    frame (bounded by |vocab|, not corpus size), exactly like the
+    published trainers. Symbol sequences are encoded as
+    ``\\x1f sym \\x1f`` concatenations so applying a merge is a single
+    codegen ``replace`` (left-to-right, non-overlapping — the BPE scan
+    order; Spark and DuckDB implement identical semantics, so the
+    graded oracle replays training exactly). The per-iteration best
+    pair is a hash aggregate + 1-row TakeOrdered (count desc, pair
+    asc ties); each iteration persists the vocab frame and releases the
+    previous one, so lineage stays one replace deep.
+
+    Stops early when the best pair's count drops below ``min_count``.
+    Words containing the separator byte are excluded (both engines).
+    Caveat: symbols are Java-regex ``(.)`` units — astral-plane
+    codepoints (outside the BMP) would split into surrogate halves.
+    """
+    spark = docs.sparkSession
+    S = _BPE_SEP
+    wc = (
+        docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.explode(_words(text_col)).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").contains(S))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    frame = wc.select(
+        F.expr(f"regexp_replace(word, '(.)', '{S}$1{S}')").alias("s"), "cnt"
+    ).persist()
+    frame.count()
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            syms = F.split(F.expr(f"trim(BOTH '{S}' FROM s)"), S + S)
+            n = F.size(syms)
+            pair_structs = F.when(
+                n < 2, F.array().cast("array<struct<a:string,b:string>>")
+            ).otherwise(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(1))),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            )
+            best = (
+                frame.select(F.explode(pair_structs).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["n"] < min_count:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["n"])
+            merges.append((rank, a, b, a + b, cnt))
+            nxt = frame.select(
+                F.expr(
+                    f"replace(s, '{S}' || {_sql_str(a)} || '{S}{S}' || "
+                    f"{_sql_str(b)} || '{S}', "
+                    f"'{S}' || {_sql_str(a)} || {_sql_str(b)} || '{S}')"
+                ).alias("s"),
+                "cnt",
+            ).persist()
+            nxt.count()
+            frame.unpersist()
+            frame = nxt
+    finally:
+        frame.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, n_occurrences long",
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (single-quote escaped) for expr() splicing."""
+    return "'" + s.replace("'", "''") + "'"

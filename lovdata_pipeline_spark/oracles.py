@@ -2405,3 +2405,61 @@ ORACLES["ann_pca_rerank_recall_embeddings"] = r"""
         WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
         ORDER BY query_id
 """
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """BPE training replayed EXACTLY in SQL (r6): merge application is a
+    literal string replace over \\x1f-delimited symbol streams — Spark
+    and DuckDB implement identical left-to-right non-overlapping
+    replace semantics, so a fixed chain of (pairs → best → replace)
+    CTEs reproduces training bit-for-bit. Generated programmatically:
+    one CTE triple per merge rank."""
+    sep = "chr(31)"
+    ctes = [
+        r"""wc AS (
+          SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents WHERE trim(coalesce(text, '')) <> '')
+          WHERE w <> '' AND NOT contains(w, chr(31))
+          GROUP BY w)""",
+        rf"""s0 AS (
+          SELECT regexp_replace(word, '(.)', {sep} || '\1' || {sep}, 'g') AS s,
+                 cnt
+          FROM wc)""",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+          SELECT g.a AS a, g.b AS b, cnt FROM (
+            SELECT unnest(list_transform(
+                     generate_series(1, greatest(len(sy) - 1, 0)),
+                     i -> {{'a': sy[i], 'b': sy[i+1]}})) AS g, cnt
+            FROM (SELECT string_split(trim(s, {sep}), {sep} || {sep}) AS sy,
+                         cnt
+                  FROM {prev})))"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+          SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM p{r} GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+          SELECT replace(s, {sep} || a || {sep} || {sep} || b || {sep},
+                         {sep} || a || b || {sep}) AS s, cnt
+          FROM {prev}, b{r})"""
+        )
+    unions = "\n          UNION ALL ".join(
+        f"""SELECT CAST({r} AS INTEGER) AS rank, a AS "left", b AS "right",
+                 a || b AS merged, n AS n_occurrences FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "        WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT * FROM ({unions})\n        ORDER BY rank"
+    )
+
+
+ORACLES["bpe_learned_merges"] = _bpe_train_oracle(8)

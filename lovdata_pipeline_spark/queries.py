@@ -2001,6 +2001,20 @@ def perplexity_buckets_by_source(spark, sf_dir):
     return textstats.perplexity_buckets(docs).orderBy("doc_id")
 
 
+def bpe_learned_merges(spark, sf_dir):
+    """BPE tokenizer training (late r6): the top-8 learned merges over
+    the documents corpus — rank, pair, merged symbol, occurrence count.
+    Training runs on the distinct-word vocabulary frame (one corpus
+    scan total; every iteration is vocabulary-bounded); merge
+    application is a literal string replace over \\x1f-delimited symbol
+    streams, whose left-to-right non-overlapping semantics are
+    IDENTICAL in Spark and DuckDB — the oracle replays all 8 training
+    iterations bit-for-bit (generated CTE chain), making tokenizer
+    training itself hash-graded."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.bpe_train(docs, n_merges=8).orderBy("rank")
+
+
 def pca_variance_report_embeddings(spark, sf_dir):
     """Distributed PCA fit verdict (late r6): one quantized-Gram pass
     (exact integer sufficient statistics — bit-identical under any
@@ -2186,6 +2200,11 @@ QUERIES = {
     # grouping stays graded inside curation_report_by_source's dup counts,
     # pretraining_pipeline's dedup stage, and paragraph_dedup_documents.
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
+    # bpe_learned_merges enters at birth; anti_join_changed (green r1–r5,
+    # five attestations) demotes — the anti-join shape stays graded inside
+    # curation_pipeline's and pretraining_pipeline's decontamination cuts,
+    # and incremental semantics stay pinned by tests/test_incremental.py.
+    "bpe_learned_merges": bpe_learned_merges,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2241,7 +2260,6 @@ QUERIES = {
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
-    "anti_join_changed": anti_join_changed,
     "events_asof_join": events_asof_join,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
@@ -2251,6 +2269,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
     "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)
     "dedup_exact_groups": dedup_exact_groups,            # green r1–r5; demoted r6 for ann_pca_rerank_recall_embeddings (exact-fingerprint grouping graded inside curation_report/pretraining_pipeline/paragraph_dedup)
+    "anti_join_changed": anti_join_changed,              # green r1–r5; demoted r6 for bpe_learned_merges (anti-join shape graded inside both capstone pipelines' decontamination cuts; incremental pinned by tests)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

@@ -609,3 +609,49 @@ def test_pca_rerank_with_full_pool_equals_exact_knn(spark):
         queries, corpus, m, k=5, pool=80).collect()))
     want = sorted(map(tuple, similarity.knn_join(queries, corpus, k=5).collect()))
     assert got == want
+
+
+class TestBPETrain:
+    """Pins for bpe_train (late r6): the Sennrich walk-through corpus,
+    determinism under partitioning, min_count early stop, separator
+    exclusion."""
+
+    CORPUS = (
+        "low low low low low lower lower "
+        "newest newest newest newest newest newest widest widest widest"
+    )
+
+    def test_sennrich_walkthrough(self, spark):
+        docs = spark.createDataFrame([(1, self.CORPUS)], "doc_id long, text string")
+        got = [
+            (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+            for r in textstats.bpe_train(docs, n_merges=4).orderBy("rank").collect()
+        ]
+        # es(9 from newest+widest), est(9), lo(7 from low+lower), low(7)
+        assert got == [
+            (1, "e", "s", "es", 9),
+            (2, "es", "t", "est", 9),
+            (3, "l", "o", "lo", 7),
+            (4, "lo", "w", "low", 7),
+        ]
+
+    def test_partition_invariant(self, spark):
+        rows = [(i, self.CORPUS if i % 2 else "aa bb aa bb cc aa") for i in range(12)]
+        a = spark.createDataFrame(rows, "doc_id long, text string")
+        got1 = [tuple(r) for r in textstats.bpe_train(a.repartition(1), n_merges=5).orderBy("rank").collect()]
+        got2 = [tuple(r) for r in textstats.bpe_train(a.repartition(7), n_merges=5).orderBy("rank").collect()]
+        assert got1 == got2 and len(got1) == 5
+
+    def test_min_count_stops_early(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab cd")], "doc_id long, text string"
+        )  # every pair occurs once
+        assert textstats.bpe_train(docs, n_merges=5, min_count=2).count() == 0
+
+    def test_separator_words_excluded(self, spark):
+        bad = "x" + chr(31) + "y"
+        docs = spark.createDataFrame(
+            [(1, f"{bad} {bad} {bad} aa aa aa")], "doc_id long, text string"
+        )
+        got = textstats.bpe_train(docs, n_merges=1).collect()
+        assert [(r.left, r.right) for r in got] == [("a", "a")]
