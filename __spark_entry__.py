@@ -17,7 +17,12 @@
                   transfer, the per-domain quota cap, and weighted
                   sampling w/o replacement; r6 adds cross-document
                   paragraph dedup with text reassembly, per-source
-                  boilerplate line stripping, and hard-negative mining).
+                  boilerplate line stripping, hard-negative mining,
+                  mixture planning, the percentile length band, the
+                  vocabulary-drift monitor, Gopher repetition filters,
+                  CCNet perplexity buckets, distributed PCA +
+                  reduce-then-rerank retrieval, and hash-graded BPE
+                  tokenizer training).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).

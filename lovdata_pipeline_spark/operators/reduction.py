@@ -161,7 +161,8 @@ def pca_project(
     quantized view of x the fit saw, keeping fit/transform consistent.
 
     One scan, one Arrow-batched ``mapInPandas`` (BLAS matmul per
-    batch), no shuffle. All non-vector columns pass through.
+    batch), no shuffle. All non-vector columns pass through; NULL
+    vectors are dropped (matching ``pca_fit``).
     """
     import numpy as np
 

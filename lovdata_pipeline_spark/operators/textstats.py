@@ -1473,5 +1473,9 @@ def bpe_train(
 
 
 def _sql_str(s: str) -> str:
-    """SQL string literal (single-quote escaped) for expr() splicing."""
-    return "'" + s.replace("'", "''") + "'"
+    """Spark-SQL string literal for expr() splicing: quotes double, and
+    backslashes double too — Spark's parser treats ``\\`` in
+    single-quoted literals as an escape (unlike standard SQL), so a
+    corpus symbol containing a backslash would otherwise corrupt the
+    replace pattern."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"

@@ -655,3 +655,19 @@ class TestBPETrain:
         )
         got = textstats.bpe_train(docs, n_merges=1).collect()
         assert [(r.left, r.right) for r in got] == [("a", "a")]
+
+    def test_backslash_and_quote_symbols_safe(self, spark):
+        # symbols reach replace() through expr() literals — backslashes
+        # and quotes must survive the splice (Spark treats \ in
+        # single-quoted SQL literals as an escape)
+        w = "a\\b'c"
+        docs = spark.createDataFrame(
+            [(1, f"{w} {w} {w}")], "doc_id long, text string"
+        )
+        got = [
+            (r.left, r.right, r.n_occurrences)
+            for r in textstats.bpe_train(docs, n_merges=2).orderBy("rank").collect()
+        ]
+        # all 4 pairs tie at count 3; ASCII tie-break: ' (0x27) < \ (0x5C)
+        # < a — so ("'", "c") merges first, then ("\", "b")
+        assert got == [("'", "c", 3), ("\\", "b", 3)]
