@@ -76,6 +76,7 @@ HEADLINE = [
     "tfidf_keywords_by_source",
     "bpe_pair_stats",
     "bpe_learned_merges",
+    "bpe_token_counts",
     "events_rolling_1h",
     "knn_classify_embeddings",
     "quality_quota_by_source",

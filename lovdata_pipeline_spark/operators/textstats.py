@@ -1479,3 +1479,72 @@ def _sql_str(s: str) -> str:
     corpus symbol containing a backslash would otherwise corrupt the
     replace pattern."""
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table: (id, n_words, n_bpe_tokens) —
+    the corpus re-tokenized under the trained vocabulary, the number a
+    data lead actually budgets training on. ``merges`` is an ordered
+    list of (left, right) pairs (e.g. ``[(r.left, r.right) for r in
+    bpe_train(...).collect()]`` — parameters-sized).
+
+    Same machinery as training: segmentation runs on the DISTINCT-WORD
+    frame (one corpus scan for the vocabulary, each merge one codegen
+    string replace), then per-word symbol counts re-attach by an
+    equi-join on the word (AQE absorbs stopword skew — the surprisal
+    join shape) and aggregate per document. Documents with no words
+    (empty/NULL text) emit 0. Words containing the separator byte count
+    their whitespace token but are not segmented (excluded from the
+    vocab frame, NULL-joined → fall back to 1 symbol per word).
+    """
+    S = _BPE_SEP
+    words_frame = (
+        docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        words_frame.select("word")
+        .filter(~F.col("word").contains(S))
+        .distinct()
+    )
+    # build the nested replace expression textually (pure codegen chain)
+    expr = f"regexp_replace(word, '(.)', '{S}$1{S}')"
+    for a, b in merges:
+        expr = (
+            f"replace({expr}, '{S}' || {_sql_str(a)} || '{S}{S}' || "
+            f"{_sql_str(b)} || '{S}', "
+            f"'{S}' || {_sql_str(a)} || {_sql_str(b)} || '{S}')"
+        )
+    seg = vocab.select(
+        "word",
+        F.size(F.split(F.expr(f"trim(BOTH '{S}' FROM ({expr}))"), S + S)).alias(
+            "_nsym"
+        ),
+    )
+    per_doc = (
+        words_frame.join(seg, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce("_nsym", F.lit(1))).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

@@ -2407,13 +2407,14 @@ ORACLES["ann_pca_rerank_recall_embeddings"] = r"""
 """
 
 
-def _bpe_train_oracle(n_merges: int = 8) -> str:
-    """BPE training replayed EXACTLY in SQL (r6): merge application is a
-    literal string replace over \\x1f-delimited symbol streams — Spark
-    and DuckDB implement identical left-to-right non-overlapping
-    replace semantics, so a fixed chain of (pairs → best → replace)
-    CTEs reproduces training bit-for-bit. Generated programmatically:
-    one CTE triple per merge rank."""
+def _bpe_chain_ctes(n_merges: int = 8) -> list:
+    """The BPE training CTE chain (r6): merge application is a literal
+    string replace over \\x1f-delimited symbol streams — Spark and
+    DuckDB implement identical left-to-right non-overlapping replace
+    semantics, so a fixed chain of (pairs → best → replace) CTEs
+    reproduces training bit-for-bit. Generated programmatically: one
+    CTE triple per merge rank. The word rides the chain so the apply
+    oracle can read the final segmentation per word."""
     sep = "chr(31)"
     ctes = [
         r"""wc AS (
@@ -2423,7 +2424,8 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
           WHERE w <> '' AND NOT contains(w, chr(31))
           GROUP BY w)""",
         rf"""s0 AS (
-          SELECT regexp_replace(word, '(.)', {sep} || '\1' || {sep}, 'g') AS s,
+          SELECT word,
+                 regexp_replace(word, '(.)', {sep} || '\1' || {sep}, 'g') AS s,
                  cnt
           FROM wc)""",
     ]
@@ -2446,10 +2448,15 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
         )
         ctes.append(
             f"""s{r} AS (
-          SELECT replace(s, {sep} || a || {sep} || {sep} || b || {sep},
+          SELECT word,
+                 replace(s, {sep} || a || {sep} || {sep} || b || {sep},
                          {sep} || a || b || {sep}) AS s, cnt
           FROM {prev}, b{r})"""
         )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
     unions = "\n          UNION ALL ".join(
         f"""SELECT CAST({r} AS INTEGER) AS rank, a AS "left", b AS "right",
                  a || b AS merged, n AS n_occurrences FROM b{r}"""
@@ -2457,9 +2464,43 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
     )
     return (
         "        WITH "
-        + ",\n        ".join(ctes)
+        + ",\n        ".join(_bpe_chain_ctes(n_merges))
         + f"\n        SELECT * FROM ({unions})\n        ORDER BY rank"
     )
 
 
+def _bpe_apply_oracle(n_merges: int = 8) -> str:
+    """Train-then-apply (r6): the same chain, then per-word symbol
+    counts re-attached to documents by word; unsegmentable words
+    (separator byte) fall back to 1 symbol; empty/NULL-text docs emit
+    0 — operand-for-operand the Spark bpe_apply plan."""
+    sep = "chr(31)"
+    tail = rf"""seg AS (
+          SELECT word,
+                 len(string_split(trim(s, {sep}), {sep} || {sep})) AS nsym
+          FROM s{n_merges}),
+        tok AS (
+          SELECT doc_id, w AS word
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents WHERE trim(coalesce(text, '')) <> '')
+          WHERE w <> ''),
+        per AS (
+          SELECT doc_id, count(*) AS n_words,
+                 CAST(SUM(coalesce(nsym, 1)) AS BIGINT) AS n_bpe
+          FROM tok LEFT JOIN seg USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id"""
+    return (
+        "        WITH "
+        + ",\n        ".join(_bpe_chain_ctes(n_merges))
+        + ",\n        "
+        + tail
+    )
+
+
 ORACLES["bpe_learned_merges"] = _bpe_train_oracle(8)
+ORACLES["bpe_token_counts"] = _bpe_apply_oracle(8)

@@ -2015,6 +2015,21 @@ def bpe_learned_merges(spark, sf_dir):
     return textstats.bpe_train(docs, n_merges=8).orderBy("rank")
 
 
+def bpe_token_counts(spark, sf_dir):
+    """Train-then-apply BPE (late r6): learn 8 merges, re-tokenize the
+    corpus under them, and report (doc_id, n_words, n_bpe_tokens) —
+    the token budget under the learned vocabulary. Segmentation runs on
+    the distinct-word frame (vocabulary-bounded), counts re-attach by a
+    word equi-join (AQE absorbs stopword skew); the oracle replays the
+    full train+apply chain bit-for-bit."""
+    (docs,) = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in textstats.bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    return textstats.bpe_apply(docs, merges).orderBy("doc_id")
+
+
 def pca_variance_report_embeddings(spark, sf_dir):
     """Distributed PCA fit verdict (late r6): one quantized-Gram pass
     (exact integer sufficient statistics — bit-identical under any
@@ -2205,6 +2220,11 @@ QUERIES = {
     # curation_pipeline's and pretraining_pipeline's decontamination cuts,
     # and incremental semantics stay pinned by tests/test_incremental.py.
     "bpe_learned_merges": bpe_learned_merges,
+    # bpe_token_counts enters at birth; q1_pricing_summary (green r2–r5,
+    # four attestations) demotes — the decimal-aggregate discipline stays
+    # graded via q3_top_unshipped's revenue sum, and q1/q5 remain under
+    # local diffcheck every round.
+    "bpe_token_counts": bpe_token_counts,
     # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
     "pack_sequences_documents": pack_sequences_documents,
@@ -2258,7 +2278,6 @@ QUERIES = {
     # components/shared_spans/remove_spans graded.
     "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
-    "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "events_asof_join": events_asof_join,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2270,6 +2289,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)
     "dedup_exact_groups": dedup_exact_groups,            # green r1–r5; demoted r6 for ann_pca_rerank_recall_embeddings (exact-fingerprint grouping graded inside curation_report/pretraining_pipeline/paragraph_dedup)
     "anti_join_changed": anti_join_changed,              # green r1–r5; demoted r6 for bpe_learned_merges (anti-join shape graded inside both capstone pipelines' decontamination cuts; incremental pinned by tests)
+    "q1_pricing_summary": q1_pricing_summary,            # green r2–r5; demoted r6 for bpe_token_counts (decimal-agg discipline stays graded via q3's revenue sum; q1/q5 diffchecked every round)
     "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
     "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)

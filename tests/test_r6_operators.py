@@ -671,3 +671,25 @@ class TestBPETrain:
         # all 4 pairs tie at count 3; ASCII tie-break: ' (0x27) < \ (0x5C)
         # < a — so ("'", "c") merges first, then ("\", "b")
         assert got == [("'", "c", 3), ("\\", "b", 3)]
+
+    def test_apply_counts_and_fallbacks(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "low low lower"),
+                (2, None),
+                (3, "   "),
+                (4, "x" + chr(31) + "y solo"),  # unsegmentable word → 1 each
+            ],
+            "doc_id long, text string",
+        )
+        merges = [("l", "o"), ("lo", "w")]
+        got = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in textstats.bpe_apply(docs, merges).collect()
+        }
+        # low → [low] (1 sym); lower → [low, e, r] (3 syms)
+        assert got[1] == (3, 5)
+        assert got[2] == (0, 0) and got[3] == (0, 0)
+        # sep word counts as 1 token; "solo" = s,o,lo after the (l,o)
+        # merge = 3 symbols
+        assert got[4] == (2, 4)
