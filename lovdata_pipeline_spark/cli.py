@@ -625,6 +625,52 @@ def cmd_reduce(args) -> int:
     return 0
 
 
+def cmd_tokenizer(args) -> int:
+    """BPE tokenizer training over a documents parquet: learn
+    ``--merges`` merges, optionally write the merge table to
+    ``--output`` (parquet), and print one JSON line with the merges
+    and the corpus token budget before/after (whitespace words vs
+    BPE symbols under the learned vocabulary)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+
+    spark = _spark("lg-tokenizer")
+    docs = spark.read.parquet(args.input)
+    merges_df = textstats.bpe_train(
+        docs, n_merges=args.merges, text_col=args.text_col,
+        min_count=args.min_count,
+    )
+    merges_rows = merges_df.orderBy("rank").collect()
+    if args.output:
+        merges_df.write.mode("overwrite").parquet(args.output)
+    merges = [(r["left"], r["right"]) for r in merges_rows]
+    totals = (
+        textstats.bpe_apply(docs, merges, text_col=args.text_col)
+        .agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("b")
+        )
+        .first()
+    )
+    print(
+        _json.dumps(
+            {
+                "n_merges": len(merges_rows),
+                "merges": [
+                    [r["left"], r["right"], r["n_occurrences"]]
+                    for r in merges_rows
+                ],
+                "corpus_whitespace_tokens": int(totals["w"] or 0),
+                "corpus_bpe_tokens": int(totals["b"] or 0),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Per-group document selection over a documents parquet: ``quota``
     keeps the k best rows of each group by weight (exact top-k),
@@ -815,6 +861,14 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--text-col", default="text")
     pl.add_argument("--group-col", default="source")
     pl.set_defaults(func=cmd_plan)
+
+    tk = sub.add_parser("tokenizer", help="train a BPE merge table over a documents parquet")
+    tk.add_argument("--input", required=True, help="documents parquet path")
+    tk.add_argument("--output", help="optional merge-table parquet path")
+    tk.add_argument("--merges", type=int, default=16)
+    tk.add_argument("--min-count", type=int, default=2)
+    tk.add_argument("--text-col", default="text")
+    tk.set_defaults(func=cmd_tokenizer)
 
     rd = sub.add_parser("reduce", help="PCA-project an embeddings parquet (fit + transform)")
     rd.add_argument("--input", required=True, help="embeddings parquet path")

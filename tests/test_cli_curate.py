@@ -301,3 +301,27 @@ def test_reduce_end_to_end(spark, tmp_path, capsys):
     assert set(proj.columns) == {"vec_id", "label", "pca"}
     first = proj.filter("vec_id = 0").first()
     assert len(first["pca"]) == 2
+
+
+def test_tokenizer_end_to_end(spark, tmp_path, capsys):
+    src = tmp_path / "tokdocs"
+    corpus = (
+        "low low low low low lower lower "
+        "newest newest newest newest newest newest widest widest widest"
+    )
+    spark.createDataFrame(
+        [(1, corpus, "web")], "doc_id long, text string, source string"
+    ).write.parquet(str(src))
+    out = tmp_path / "merges"
+    rc = main([
+        "tokenizer", "--input", str(src), "--output", str(out), "--merges", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_merges"] == 4
+    assert summary["merges"][0] == ["e", "s", 9]
+    assert summary["corpus_whitespace_tokens"] == 16
+    # 16 words × avg symbol count after 4 merges < raw char count
+    assert summary["corpus_bpe_tokens"] < sum(len(w) for w in corpus.split())
+    merges = spark.read.parquet(str(out))
+    assert merges.count() == 4
