@@ -488,6 +488,8 @@ def cmd_analyze(args) -> int:
             }
         )
     )
+    # the drift collect above was the final action on the pinned frame
+    textstats.release_textstats_caches()
     return 0
 
 

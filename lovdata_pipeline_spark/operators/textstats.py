@@ -27,6 +27,25 @@ def _words(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+# Cached frames retained by vocab_drift (bounded counts) and
+# perplexity_buckets (narrow per-doc score frame). Release is a caller
+# decision — the packing-cache discipline: call release_textstats_caches()
+# after the FINAL action on anything derived from these operators.
+_RETAINED: list[DataFrame] = []
+
+
+def release_textstats_caches() -> int:
+    """Unpersist every frame retained by textstats operators and return
+    how many were released. Safe to call repeatedly; only call once all
+    actions on derived frames have run (recomputation after release is
+    correct here — the frames are deterministic — just wasteful)."""
+    n = 0
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+        n += 1
+    return n
+
+
 def token_count_col(text_col: str = "text") -> Column:
     """Whitespace token count as a pure column expression — composable
     into single-scan pipelines (no join needed to attach it)."""
@@ -872,10 +891,14 @@ def bigram_surprisal(
     accumulate in DECIMAL(18,9) — the unigram fixed-point discipline,
     so shuffle-order double addition can't leak low bits.
 
-    Plan shape: one tokenize; bigram counts via hash aggregate on the
-    (w₁, w₂) pair; unigram counts reuse the same exploded frame; the
-    count joins are equi-joins on small string keys (AQE absorbs
-    stopword-pair skew); N/V ride a broadcast 1-row scalar.
+    Plan shape: bigram counts via hash aggregate on the (w₁, w₂) pair;
+    the count joins are equi-joins on small string keys (AQE absorbs
+    stopword-pair skew); N/V ride a broadcast 1-row scalar. The
+    tokenize is a scan-local projection that Catalyst evaluates PER
+    BRANCH (pairs / unigram counts / V — pruned column scans, no extra
+    shuffles); callers composing this repeatedly should pin the result
+    frame, as ``perplexity_buckets`` does, rather than the text-bearing
+    intermediates.
     """
     w = _words(text_col)
     grams = F.when(F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
@@ -1005,6 +1028,7 @@ def vocab_drift(
         .cache()
     )
     counts.count()  # pin the bounded frame; one corpus scan total
+    _RETAINED.append(counts)
     ts = counts.groupBy(group_col).agg(F.sum("_c").alias("_t"))
     gb = counts.groupBy("_b").agg(F.sum("_c").alias("_g"))
     tot = counts.agg(F.sum("_c").alias("_ctot"))
@@ -1354,7 +1378,17 @@ def perplexity_buckets(
     broadcast shape is unchanged.
     """
     scored = bigram_surprisal(docs, text_col, id_col)
-    with_grp = docs.select(id_col, group_col).join(scored, id_col)
+    # materialize the per-doc score frame ONCE: it feeds both the cut
+    # aggregate and the final assignment, and its lineage is the whole
+    # surprisal DAG (4 corpus-scan branches) — unpinned, Spark evaluates
+    # that DAG twice (10 scans measured). This is the narrowest possible
+    # representation of the first pass (id, group, one 6-dp double); at
+    # 100 TB it is the frame you'd WRITE between the two passes.
+    with_grp = (
+        docs.select(id_col, group_col).join(scored, id_col).persist()
+    )
+    with_grp.count()
+    _RETAINED.append(with_grp)
     cuts = (
         with_grp.groupBy(group_col)
         .agg(F.sort_array(F.collect_list("mean_surprisal")).alias("_ss"))

@@ -693,3 +693,29 @@ class TestBPETrain:
         # sep word counts as 1 token; "solo" = s,o,lo after the (l,o)
         # merge = 3 symbols
         assert got[4] == (2, 4)
+
+
+def test_perplexity_buckets_pins_score_frame(spark):
+    """The per-doc score frame persists once (r6 plan audit: unpinned,
+    the 4-branch surprisal DAG evaluated twice — 10 corpus scans); both
+    downstream uses must hit the cache, and release frees it."""
+    import re
+
+    from lovdata_pipeline_spark.operators.textstats import (
+        release_textstats_caches,
+    )
+
+    release_textstats_caches()
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common word tail{i % 3}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.mode("overwrite").parquet("/tmp/r6_ppl_docs")
+    docs_p = spark.read.parquet("/tmp/r6_ppl_docs")
+    out = textstats.perplexity_buckets(docs_p)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+    top = plan.split("InMemoryRelation")[0]
+    assert len(re.findall(r"r6_ppl_docs", top)) == 0
+    assert out.count() == 20
+    assert release_textstats_caches() >= 1
