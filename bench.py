@@ -136,7 +136,18 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             # drop caches created inside query fns (shingle sets etc.) so
-            # reps don't accumulate executor memory pressure
+            # reps don't accumulate executor memory pressure; the module
+            # release calls also empty the retained-frame lists, which
+            # clearCache alone leaves growing (r6 review)
+            from lovdata_pipeline_spark.operators.packing import (
+                release_offsets_caches,
+            )
+            from lovdata_pipeline_spark.operators.textstats import (
+                release_textstats_caches,
+            )
+
+            release_offsets_caches()
+            release_textstats_caches()
             spark.catalog.clearCache()
             return elapsed
 

@@ -522,9 +522,21 @@ def cmd_clean(args) -> int:
     if not args.no_paragraph_dedup:
         # dedup rewrites (id, text); the narrow metadata columns ride back
         # on an id join (the text itself still never shuffles). The sep
-        # arrives shell-escaped ('\n' = backslash-n) — decode it to the
-        # literal separator the operator expects.
-        sep = args.paragraph_sep.encode().decode("unicode_escape")
+        # arrives shell-escaped ('\n' = backslash-n) — decode ONLY the
+        # common escapes: a bytes round-trip through unicode_escape
+        # mojibakes any non-ASCII separator (UTF-8 bytes re-read as
+        # latin-1, r6 review).
+        sep = (
+            args.paragraph_sep.replace("\\r", "\r")
+            .replace("\\n", "\n")
+            .replace("\\t", "\t")
+        )
+        if not args.no_boilerplate:
+            # both branches below (meta + the dedup rewrite) read the
+            # stripped frame — unpinned, the whole strip pipeline
+            # (explode + countDistinct + join + splice) evaluates twice
+            out = out.persist()
+            out.count()
         meta = out.drop(args.text_col)
         deduped = remove_duplicate_paragraphs(
             out.select(args.id_col, args.text_col),
@@ -534,6 +546,7 @@ def cmd_clean(args) -> int:
         ).select(args.id_col, "n_dropped", args.text_col)
         out = meta.join(deduped, args.id_col)
     out.write.mode("overwrite").parquet(args.output)
+    spark.catalog.clearCache()  # release the pinned stripped frame
     written = spark.read.parquet(args.output)
     agg = [F.count(F.lit(1)).alias("n_docs")]
     if "n_dropped" in written.columns:
@@ -576,13 +589,25 @@ def cmd_plan(args) -> int:
             args.group_col,
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6)
+            # zero guards mirror the graded query (r6 review): NULL for
+            # degenerate cells instead of an ANSI DIVIDE_BY_ZERO crash
+            F.when(F.sum("n_tokens").over(w) == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w),
+                    6,
+                )
+            )
             .alias("natural_share"),
-            F.round(
-                F.sum("n_tokens").over(w).cast("double")
-                / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
-                6,
-            ).alias("epochs_uniform"),
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.sum("n_tokens").over(w).cast("double")
+                    / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
+                    6,
+                )
+            )
+            .alias("epochs_uniform"),
         )
         .orderBy(args.group_col)
         .collect()
@@ -887,7 +912,7 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--no-paragraph-dedup", action="store_true", help="skip cross-doc paragraph dedup")
     cl.add_argument("--boilerplate-min-frac", type=float, default=0.5,
                     help="line is boilerplate if present in >= this fraction of the group's docs")
-    cl.add_argument("--paragraph-sep", default="\n\n", help="paragraph separator (regex for split, literal for re-join)")
+    cl.add_argument("--paragraph-sep", default="\n\n", help=r"literal paragraph separator (\n, \r, \t escapes decoded; matched literally, not as a regex)")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--group-col", default="source")

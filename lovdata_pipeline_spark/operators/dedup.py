@@ -49,8 +49,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     the hash (r6: a window puts every copy of a mega-duplicated text,
     full text column included, in ONE task; the hash aggregate collapses
     the cluster map-side and the (hash, id) equi-join only re-touches
-    survivor rows — the pretraining pipeline's keep-selection shape)."""
-    fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
+    survivor rows — the pretraining pipeline's keep-selection shape).
+
+    NULL texts fingerprint to a sentinel (not NULL): md5(NULL) is NULL
+    and the null-rejecting equi-join would silently DROP every NULL-text
+    row, where the window form this replaced kept their min-id survivor
+    — all NULL texts form one dedup group, distinct from the empty
+    string's md5 (r6 review)."""
+    fp = docs.withColumn(
+        "_fp", F.coalesce(F.md5(F.col(text_col)), F.lit("<null-text>"))
+    )
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, ["_fp", id_col]).drop("_fp")
 

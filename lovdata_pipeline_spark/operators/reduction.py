@@ -169,9 +169,9 @@ def pca_project(
     mean = model.mean
     P = model.components
     passthrough = [f for f in embeddings.schema.fields if f.name != vec_col]
-    out_schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
-        + f", {out_col} array<double>"
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
+        + [f"{out_col} array<double>"]
     )
 
     def fn(batches):

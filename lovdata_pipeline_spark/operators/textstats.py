@@ -1020,7 +1020,13 @@ def vocab_drift(
         % n_buckets
     )
     counts = (
-        docs.filter(F.trim(F.col(text_col)) != "")
+        # NULL-group rows drop HERE, not implicitly: without the filter,
+        # the grid's NULL-group row never equi-joins its own counts and
+        # the output would carry a fabricated uniform-distribution KL
+        # for the NULL source (r6 review)
+        docs.filter(
+            (F.trim(F.col(text_col)) != "") & F.col(group_col).isNotNull()
+        )
         .select(F.col(group_col), F.explode(_words(text_col)).alias("_w"))
         .select(group_col, bucket.alias("_b"))
         .groupBy(group_col, "_b")
@@ -1075,18 +1081,21 @@ def strip_boilerplate_lines(
     the first) vs global-first-occurrence-survives.
 
     Scale shape: the explode ships (id, group, pos, 16-byte md5) — line
-    text never leaves its scan. Per-group doc totals are a k-row
-    aggregate; the boilerplate set (count ≥ ceil(min_frac · total)) is
+    text never leaves its scan. The threshold ``greatest(2,
+    ceil(min_frac · |group|))`` is a |groups|-row BROADCAST table built
+    in-plan (r6 review: the first cut collected the counts and chained
+    per-group ``F.when`` cases — O(|groups|) expression depth, a plan
+    that dies at per-domain cardinality; the same IEEE
+    multiply-then-ceil runs in both engines, so cross-engine parity
+    holds without driver-fixed integers). The boilerplate set is
     proportional to boilerplate mass and broadcasts; drop positions
     come back by id equi-join and the splice is the same scan-local
-    filter-with-index as paragraph dedup. Threshold quantization is an
-    integer ``max(2, ceil(min_frac · |group|))`` fixed on the driver —
-    no float compare replays differently cross-engine, and the floor of
-    2 means a line unique to one document is NEVER boilerplate (without
-    it, a 1-2 doc group at min_frac 0.5 would strip every line).
+    filter-with-index as paragraph dedup. The floor of 2 means a line
+    unique to one document is NEVER boilerplate (without it, a 1-2 doc
+    group at min_frac 0.5 would strip every line). NULL-group documents
+    join no threshold row and are never stripped (the old fallback
+    threshold of 0 stripped EVERY line of a NULL group).
     """
-    import math
-
     from lovdata_pipeline_spark.operators.dedup import _reassemble_without
 
     parts = F.split(F.col(text_col), r"\r?\n", -1)
@@ -1095,19 +1104,18 @@ def strip_boilerplate_lines(
     ).filter(F.trim(F.col("_l")) != "").select(
         id_col, group_col, "pos", F.md5(F.trim(F.col("_l"))).alias("_h")
     )
-    totals = {
-        r[0]: int(r[1])
-        for r in docs.groupBy(group_col).agg(F.count(F.lit(1))).collect()
-    }
-    thr = F.lit(0)
-    for g, n in sorted(totals.items(), key=lambda kv: str(kv[0])):
-        thr = F.when(
-            F.col(group_col) == g, F.lit(max(2, int(math.ceil(min_frac * n))))
-        ).otherwise(thr)
+    thr_tbl = docs.groupBy(group_col).agg(
+        F.greatest(
+            F.lit(2), F.ceil(F.lit(min_frac) * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("_thr")
+    )
     boiler = (
         lines.groupBy(group_col, "_h")
         .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= thr)
+        .join(F.broadcast(thr_tbl), group_col)
+        .filter(F.col("_nd") >= F.col("_thr"))
         .select(group_col, "_h")
     )
     drops = (

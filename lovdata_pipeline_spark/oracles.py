@@ -2123,8 +2123,11 @@ ORACLES["mixture_plan_by_source"] = r"""
           FROM documents GROUP BY source),
         tot AS (SELECT SUM(n_tokens) AS total, count(*) AS k FROM per)
         SELECT source, n_docs, n_tokens,
-               CAST(n_tokens AS DOUBLE) / total AS natural_share,
-               CAST(total AS DOUBLE) / (k * n_tokens) AS epochs_uniform
+               CASE WHEN total = 0 THEN NULL
+                    ELSE CAST(n_tokens AS DOUBLE) / total END AS natural_share,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE CAST(total AS DOUBLE) / (k * n_tokens)
+               END AS epochs_uniform
         FROM per CROSS JOIN tot
         ORDER BY source
 """
@@ -2162,7 +2165,7 @@ ORACLES["vocab_drift_by_source"] = r"""
         tok AS (
           SELECT source,
                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-          FROM t0 WHERE trim(text) <> ''),
+          FROM t0 WHERE trim(text) <> '' AND source IS NOT NULL),
         cb AS (
           SELECT source,
                  CAST(CAST(concat('0x', substr(md5(w || 'drift-v1'), 1, 15))

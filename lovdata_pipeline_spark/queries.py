@@ -1903,12 +1903,17 @@ def mixture_plan_by_source(spark, sf_dir):
             "source",
             "n_docs",
             "n_tokens",
-            (F.col("n_tokens").cast("double") / F.col("_total")).alias(
-                "natural_share"
-            ),
-            (
+            # zero guards (r6 review): a group of all-empty docs has
+            # n_tokens 0 and would raise DIVIDE_BY_ZERO under Spark 4's
+            # ANSI default; report NULL for the degenerate cell instead
+            F.when(F.col("_total") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_tokens").cast("double") / F.col("_total"))
+            .alias("natural_share"),
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.col("_total").cast("double") / (F.col("_k") * F.col("n_tokens"))
-            ).alias("epochs_uniform"),
+            )
+            .alias("epochs_uniform"),
         )
         .orderBy("source")
     )

