@@ -1010,8 +1010,9 @@ def vocab_drift(
     |groups| × n_buckets — PARAMETERS, not corpus size — so it caches
     legitimately and feeds the totals, the per-bucket sums, and the
     full group×bucket grid (a bounded crossJoin) without re-scanning
-    the corpus. NULL-group rows drop from the output in both engines
-    (equi-join NULL semantics).
+    the corpus. NULL-group rows are filtered out explicitly before
+    counting (r6 review: relying on equi-join NULL semantics left a
+    fabricated all-zero-counts row for the NULL group).
     """
     spark = docs.sparkSession
     bucket = (
