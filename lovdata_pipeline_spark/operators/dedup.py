@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from lovdata_pipeline_spark.operators.textstats import _nonempty
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -74,7 +76,7 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     Pure SQL-expressible: split on whitespace, slide a window with
     ``transform`` over indices, ``explode``. Stays in codegen.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = _nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))
     n_sh = F.size(words) - F.lit(n - 1)
     # Guard: sequence(0, -k) would count downward; short docs get no shingles.
     shingles = F.when(
@@ -138,7 +140,7 @@ def hashed_word_shingles(
     """
     words = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+        F.posexplode(_nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("pos", "w"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", i).over(w) for i in range(1, n)]
@@ -445,7 +447,7 @@ def simhash(
     bits = PORTABLE_BITS if portable else 63  # bit 63 is xxhash64's sign bit
     tok = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(_nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
     )
     if df_cap is not None:
         n_docs = docs.count()

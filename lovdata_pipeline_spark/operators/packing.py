@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from lovdata_pipeline_spark.operators.textstats import _nonempty
+
 # Cached offsets frames retained by global_token_offsets. The cache is
 # load-bearing while a derived frame may still be acted on (see the
 # function docstring), so release is a caller decision: call
@@ -281,7 +283,7 @@ def emit_token_sequences(
     toks = df.select(
         F.col(id_col),
         F.when(trimmed == "", F.array().cast("array<string>"))
-        .otherwise(F.split(trimmed, r"\s+"))
+        .otherwise(_nonempty(F.split(trimmed, r"\s+")))
         .alias("_toks"),
     ).withColumn("n_tokens", F.size("_toks"))
 

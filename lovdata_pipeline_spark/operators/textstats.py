@@ -23,8 +23,19 @@ STOPWORDS = {
 }
 
 
+def _nonempty(arr: Column) -> Column:
+    """Drop boundary empties from a whitespace split: Spark's ``trim``
+    strips SPACES only and ``split`` keeps leading/trailing empty
+    strings, so a ``\\n``-terminated document (i.e. nearly every real
+    file) would otherwise grow a phantom '' token — +1 in every token
+    count, a '' unigram in every vocabulary, a phantom n-gram (r6
+    whitespace-edge audit; DuckDB behaves identically, so every oracle
+    applies the matching ``list_filter``)."""
+    return F.filter(arr, lambda w: w != "")
+
+
 def _words(text_col: str) -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return _nonempty(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
 
 
 # Cached frames retained by vocab_drift (bounded counts) and
@@ -50,7 +61,9 @@ def token_count_col(text_col: str = "text") -> Column:
     """Whitespace token count as a pure column expression — composable
     into single-scan pipelines (no join needed to attach it)."""
     trimmed = F.trim(F.col(text_col))
-    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(_nonempty(F.split(trimmed, r"\s+")))
+    )
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -143,7 +156,7 @@ def quality_scores(
     """
     text = F.col(text_col)
     n_chars = F.greatest(F.length(text), F.lit(1))
-    words = F.split(F.trim(text), r"\s+")
+    words = _nonempty(F.split(F.trim(text), r"\s+"))
     n_words = F.greatest(F.size(words), F.lit(1))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
@@ -389,7 +402,7 @@ def repetition_signals(
 
     trimmed = F.trim(F.lower(F.col(text_col)))
     words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        _nonempty(F.split(trimmed, r"\s+"))
     )
     base = docs.select(
         F.col(id_col),
@@ -398,7 +411,7 @@ def repetition_signals(
     )
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(trimmed, r"\s+")).alias("pos", "w"),
+        F.posexplode(_nonempty(F.split(trimmed, r"\s+"))).alias("pos", "w"),
     )
     w_win = Window.partitionBy(id_col).orderBy("pos")
     bigrams = (
@@ -445,7 +458,7 @@ def unigram_surprisal(
     """
     tok = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(_nonempty(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("w"),
     )
     vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
     stats = vocab.agg(F.sum("c").alias("N"), F.count("*").alias("V"))
@@ -565,13 +578,20 @@ def hashed_linear_quality(
     document map-side — the only shuffle carries one (id, sum, count)
     row per document. Text never moves.
     """
-    # coalesce: a NULL text must yield a scored row (one empty token),
-    # not silently vanish through explode(NULL) — at corpus scale silent
-    # row loss in a quality stage is a data bug, not a convenience.
+    # explode_outer: a NULL/empty text must yield a scored row (zero
+    # tokens, logit 0, score 0.5), not silently vanish — at corpus scale
+    # silent row loss in a quality stage is a data bug, not a
+    # convenience. (r6 whitespace audit: the old form hashed a phantom
+    # '' token instead, giving empty docs an arbitrary nonzero logit.)
     tok = docs.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        F.explode_outer(
+            _nonempty(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                )
+            )
         ).alias("w"),
     )
     weight = (
@@ -582,9 +602,12 @@ def hashed_linear_quality(
         - 5000
     )
     agg = tok.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"), F.sum(weight).alias("w_sum")
+        F.count("w").alias("n_tokens"),
+        F.coalesce(F.sum(weight), F.lit(0)).alias("w_sum"),
     )
-    logit = F.col("w_sum") / (F.col("n_tokens") * F.lit(5000))
+    logit = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("w_sum") / (F.col("n_tokens") * F.lit(5000))
+    )
     return agg.select(
         F.col(id_col),
         F.col("n_tokens"),
@@ -609,7 +632,7 @@ def _gopher_exprs(text_col: str) -> dict[str, Column]:
     text = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.trim(text)
     words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        _nonempty(F.split(trimmed, r"\s+"))
     )
     n_words = F.size(words)
 
@@ -689,8 +712,8 @@ def quality_keep_col(text_col: str = "text", seed: str = "quality-v1") -> Column
     logit). The per-token weight sum runs as a JVM ``aggregate`` over
     the same token array the explode form iterates — identical result,
     zero shuffle — for single-scan pipelines that only need the flag."""
-    words = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    words = _nonempty(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     )
     w_sum = F.aggregate(
         words,
@@ -1219,7 +1242,7 @@ def gopher_repetition_signals(
     text = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.trim(text)
     words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        _nonempty(F.split(trimmed, r"\s+"))
     )
     lines = F.filter(
         F.transform(F.split(text, r"\r?\n", -1), lambda x: F.trim(x)),

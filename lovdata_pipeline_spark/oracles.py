@@ -33,7 +33,7 @@ assignment, and probe selection exactly.
 # pair-emitting oracles AND the connected-components oracle share one
 # definition.
 _SHINGLE_BODY = """words AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -76,8 +76,8 @@ _NORMALIZED_TEXT = (
 
 _QUALITY_EXPRS = """
   greatest(length(text), 1) AS nc,
-  string_split_regex(trim(text), '\\s+') AS w,
-  greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nw,
+  list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '') AS w,
+  greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '')), 1) AS nw,
   length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS punct,
   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
@@ -182,7 +182,7 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '')) AS tok FROM documents
 ),
 h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
 votes AS (
@@ -591,7 +591,7 @@ ORACLES: dict[str, str] = {
         losers AS (SELECT DISTINCT doc_b FROM ({_SHINGLE_CTE}))
         SELECT d.doc_id, lang.detected_lang,
                CAST(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '')) END AS INTEGER) AS n_tokens
         FROM documents d
         JOIN lang USING (doc_id)
         WHERE detected_lang = 'en'
@@ -631,13 +631,13 @@ ORACLES: dict[str, str] = {
     "text_token_counts": """
         SELECT doc_id,
                CAST(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '')) END AS INTEGER) AS n_tokens,
                CAST(length(text) AS INTEGER) AS n_chars
         FROM documents ORDER BY doc_id
     """,
     "text_stopword_ratios": f"""
         WITH h AS (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), sw -> sw <> '')) AS n,
 {_SW_HITS}
         FROM documents)
         SELECT doc_id,
@@ -708,7 +708,7 @@ ORACLES: dict[str, str] = {
         WITH w AS (
           SELECT doc_id,
                  CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+                      ELSE list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') END AS ws
           FROM documents),
         base AS (
           SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws
@@ -784,7 +784,7 @@ ORACLES: dict[str, str] = {
         WITH t AS (
           SELECT doc_id,
                  CAST(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                           ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END AS INTEGER)
                    AS n_tokens
           FROM documents)
         SELECT doc_id, n_tokens,
@@ -928,7 +928,7 @@ ORACLES["embedding_cluster_assign"] = f"""
 # the Spark side, so shuffle-order float addition can't diverge.
 ORACLES["text_unigram_surprisal"] = r"""
         WITH tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS w
           FROM documents),
         vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
         stats AS (SELECT SUM(c) AS N, count(*) AS V FROM vocab),
@@ -973,7 +973,7 @@ ORACLES["dedup_components"] = f"""
 # BM25 pipeline as reusable CTEs (through the fixed-order score sum) so the
 # standalone ranking query and the hybrid-fusion query share one definition.
 _BM25_CTES = r"""tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS w
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         corpus AS (
@@ -1144,7 +1144,7 @@ ORACLES["hybrid_search_rrf"] = f"""
 # identically in both engines.
 #: n-gram + bench/train-slice CTEs shared by the flag and report oracles
 _DECONTAM_BASE = r"""words AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w FROM documents),
         dsh AS (
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
@@ -1193,7 +1193,7 @@ ORACLES["decontaminate_clean_set"] = f"""
 ORACLES["text_quality_classifier"] = r"""
         WITH tok AS (
           SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+                 unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '')) AS w
           FROM documents),
         wt AS (
           SELECT doc_id,
@@ -1202,14 +1202,26 @@ ORACLES["text_quality_classifier"] = r"""
           FROM tok),
         agg AS (
           SELECT doc_id, count(*) AS n_tokens, SUM(wgt) AS w_sum
-          FROM wt GROUP BY doc_id)
-        SELECT doc_id, n_tokens,
-               w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000) AS quality_logit,
-               round(CAST(1.0 AS DOUBLE)
-                     / (1 + exp(-4.0 * (w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)))),
-                     6) AS quality_score,
-               (w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)) > 0 AS keep
-        FROM agg ORDER BY doc_id
+          FROM wt GROUP BY doc_id),
+        -- empty/NULL-text docs have no token rows but must still score
+        -- (n_tokens 0, logit 0, score 0.5) — the no-row-loss contract,
+        -- mirrored from Spark's explode_outer (r6 whitespace audit)
+        alldocs AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 coalesce(agg.w_sum, 0) AS w_sum
+          FROM documents d LEFT JOIN agg USING (doc_id)),
+        lg AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE w_sum * CAST(1.0 AS DOUBLE) / (n_tokens * 5000)
+                 END AS quality_logit
+          FROM alldocs)
+        SELECT doc_id, n_tokens, quality_logit,
+               round(CAST(1.0 AS DOUBLE) / (1 + exp(-4.0 * quality_logit)), 6)
+                 AS quality_score,
+               quality_logit > 0 AS keep
+        FROM lg ORDER BY doc_id
 """
 
 # Fixed-length token-sequence packing (r4): same token count and global
@@ -1219,7 +1231,7 @@ ORACLES["pack_sequences_documents"] = r"""
         WITH t AS (
           SELECT doc_id,
                  CAST(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                           ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END AS INTEGER)
                    AS n_tokens
           FROM documents),
         o AS (
@@ -1327,12 +1339,12 @@ ORACLES["pretraining_pipeline"] = rf"""
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM surv)),
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w FROM surv)),
         b_sh AS (
           SELECT DISTINCT
                  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
-          FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+          FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w
                 FROM documents WHERE doc_id % 97 = 0)),
         contaminated AS (
           SELECT DISTINCT t.doc_id FROM tr_sh t JOIN b_sh b USING (shingle)),
@@ -1344,7 +1356,7 @@ ORACLES["pretraining_pipeline"] = rf"""
                      AS UBIGINT) % 10000
                 < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 10000 ELSE 4000 END),
         tok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+          SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '')) AS w
           FROM mixed),
         stats AS (
           SELECT doc_id, count(*) AS n_tokens,
@@ -1469,7 +1481,7 @@ ORACLES["sequence_manifest_documents"] = r"""
         WITH t AS (
           SELECT doc_id,
                  CAST(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER)
+                           ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END AS INTEGER)
                    AS n_tokens
           FROM documents),
         o AS (
@@ -1500,7 +1512,7 @@ ORACLES["pack_emit_sequences"] = r"""
         WITH t AS (
           SELECT doc_id,
                  CASE WHEN trim(coalesce(text, '')) = '' THEN []
-                      ELSE string_split_regex(trim(text), '\s+') END AS w
+                      ELSE list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') END AS w
           FROM documents),
         c AS (
           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
@@ -1538,7 +1550,7 @@ ORACLES["text_gopher_quality"] = r"""
         w AS (
           SELECT doc_id,
                  CASE WHEN trim(text) = '' THEN []
-                      ELSE string_split_regex(trim(text), '\s+') END AS words,
+                      ELSE list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') END AS words,
                  list_filter(list_transform(string_split_regex(text, '\r?\n'),
                                             x -> trim(x)), x -> x <> '') AS lines
           FROM d),
@@ -1589,11 +1601,11 @@ ORACLES["importance_score_documents"] = r"""
                  unnest(list_transform(generate_series(1, len(w) - 1),
                                        i -> w[i] || ' ' || w[i+1])) AS g
           FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\s+') AS w FROM raw)),
+                       list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w FROM raw)),
         tg AS (
           SELECT unnest(list_transform(generate_series(1, len(w) - 1),
                                        i -> w[i] || ' ' || w[i+1])) AS g
-          FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM tgt)),
+          FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w FROM tgt)),
         rb AS (
           SELECT doc_id,
                  CAST(CAST(concat('0x', substr(md5(g || 'dsir-v1'), 1, 15)) AS UBIGINT)
@@ -1657,7 +1669,7 @@ ORACLES["exact_contamination_documents"] = r"""
           FROM documents),
         s AS (
           SELECT doc_id AS needle_id, array_to_string(w[3:10], ' ') AS needle
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w
                 FROM documents WHERE doc_id % 53 = 0)
           WHERE len(w) >= 10)
         SELECT c.doc_id, s.needle_id,
@@ -1692,12 +1704,12 @@ ORACLES["curation_report_by_source"] = rf"""
         base AS (
           SELECT doc_id, source,
                  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END AS n_tokens
           FROM t0),
         gw AS (
           SELECT doc_id,
                  CASE WHEN trim(coalesce(text, '')) = '' THEN []
-                      ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS words,
+                      ELSE list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), sw -> sw <> '') END AS words,
                  list_filter(list_transform(string_split_regex(coalesce(text, ''), '\r?\n'),
                                             x -> trim(x)), x -> x <> '') AS lines
           FROM t0),
@@ -1735,7 +1747,7 @@ ORACLES["curation_report_by_source"] = rf"""
           FROM gm),
         qtok AS (
           SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+                 unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '')) AS w
           FROM t0),
         qk AS (
           SELECT doc_id,
@@ -1748,7 +1760,7 @@ ORACLES["curation_report_by_source"] = rf"""
           SELECT doc_id,
                  doc_id > min(doc_id) OVER (PARTITION BY f) AS is_dup
           FROM fp),
-        tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM t0),
+        tw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w FROM t0),
         tsh AS (
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
@@ -1758,7 +1770,7 @@ ORACLES["curation_report_by_source"] = rf"""
           SELECT DISTINCT
                  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
-          FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+          FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w
                 FROM documents WHERE doc_id % 97 = 0)),
         cont AS (
           SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle))
@@ -1802,7 +1814,7 @@ ORACLES["hash_split_documents"] = """
 # fixed-point accumulation.
 ORACLES["text_bigram_surprisal"] = r"""
         WITH tok AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w
           FROM documents),
         pairs0 AS (
           SELECT doc_id,
@@ -1831,7 +1843,7 @@ ORACLES["length_bucketed_batches_documents"] = r"""
         WITH t AS (
           SELECT doc_id,
                  CAST(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END
+                           ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END
                       AS INTEGER) AS n_tokens
           FROM documents)
         SELECT doc_id, n_tokens,
@@ -1868,7 +1880,7 @@ ORACLES["semantic_dedup_pairs_embeddings"] = f"""
 ORACLES["tfidf_keywords_by_source"] = r"""
         WITH tok AS (
           SELECT doc_id, source,
-                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS term
           FROM documents WHERE trim(text) <> ''),
         tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
@@ -1891,7 +1903,7 @@ ORACLES["tfidf_keywords_by_source"] = r"""
 # so the top-50 ordering is exactly deterministic.
 ORACLES["bpe_pair_stats"] = r"""
         WITH w AS (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS word
           FROM documents WHERE trim(text) <> ''),
         p AS (
           SELECT unnest(list_transform(generate_series(1, len(word) - 1),
@@ -2118,7 +2130,7 @@ ORACLES["mixture_plan_by_source"] = r"""
           SELECT source,
                  count(*) AS n_docs,
                  CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END)
+                          ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END)
                       AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         tot AS (SELECT SUM(n_tokens) AS total, count(*) AS k FROM per)
@@ -2140,7 +2152,7 @@ ORACLES["token_length_band_documents"] = r"""
         WITH t AS (
           SELECT doc_id, source,
                  CAST(CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '')) END
                       AS BIGINT) AS n_tokens
           FROM documents),
         b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
@@ -2164,7 +2176,7 @@ ORACLES["vocab_drift_by_source"] = r"""
           FROM documents),
         tok AS (
           SELECT source,
-                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS w
           FROM t0 WHERE trim(text) <> '' AND source IS NOT NULL),
         cb AS (
           SELECT source,
@@ -2231,7 +2243,7 @@ ORACLES["text_repetition_signals"] = r"""
         base AS (
           SELECT doc_id,
                  CASE WHEN trim(text) = '' THEN []
-                      ELSE string_split_regex(trim(text), '\s+') END AS words,
+                      ELSE list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') END AS words,
                  list_filter(list_transform(string_split_regex(text, '\r?\n'),
                                             x -> trim(x)), x -> x <> '') AS lines,
                  list_filter(list_transform(string_split_regex(text, '\n\s*\n'),
@@ -2340,7 +2352,7 @@ ORACLES["text_repetition_signals"] = r"""
 # score list — the same ceil(n/3)/ceil(2n/3) positions, no interpolation.
 ORACLES["perplexity_buckets_by_source"] = r"""
         WITH tok AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w
           FROM documents),
         pairs0 AS (
           SELECT doc_id,
@@ -2422,7 +2434,7 @@ def _bpe_chain_ctes(n_merges: int = 8) -> list:
     ctes = [
         r"""wc AS (
           SELECT w AS word, count(*) AS cnt
-          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS w
                 FROM documents WHERE trim(coalesce(text, '')) <> '')
           WHERE w <> '' AND NOT contains(w, chr(31))
           GROUP BY w)""",
@@ -2485,7 +2497,7 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
         tok AS (
           SELECT doc_id, w AS word
           FROM (SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                       unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '')) AS w
                 FROM documents WHERE trim(coalesce(text, '')) <> '')
           WHERE w <> ''),
         per AS (

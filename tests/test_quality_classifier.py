@@ -50,15 +50,18 @@ def test_matches_python_replica(spark):
 
 
 def test_null_text_scores_instead_of_vanishing(spark):
-    """A NULL text row must still produce a scored row (one empty token
-    — same as empty string), never silently drop from the output."""
+    """A NULL text row must still produce a scored row, never silently
+    drop from the output. Since the r6 whitespace audit removed phantom
+    '' tokens, empty/NULL docs score the NEUTRAL point (0 tokens, logit
+    0, sigmoid 0.5, keep False) instead of an arbitrary ''-hash weight."""
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "real words")], "doc_id long, text string"
     )
     got = {r.doc_id: r for r in hashed_linear_quality(df).collect()}
     assert set(got) == {1, 2, 3}
-    assert got[1].n_tokens == got[2].n_tokens == 1
-    assert got[1].quality_logit == got[2].quality_logit == _weight("") / 5000
+    assert got[1].n_tokens == got[2].n_tokens == 0
+    assert got[1].quality_logit == got[2].quality_logit == 0.0
+    assert got[1].quality_score == 0.5 and got[1].keep is False
 
 
 def test_partition_independent(spark):

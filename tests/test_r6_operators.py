@@ -793,3 +793,131 @@ class TestR6ReviewFixes:
         m = reduction.pca_fit(vecs, k=1)
         out = reduction.pca_project(vecs, m)
         assert out.columns == ["pca"] and out.count() == 3
+
+
+def _ref_bpe_train(word_counts, n_merges, min_count=2):
+    """Pure-python reference BPE trainer (Sennrich alg. 1): dict-based,
+    independent of the Spark/SQL string-replace machinery."""
+    syms = {w: tuple(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Randomized cross-implementation pin: the distributed string-
+    replace trainer equals a dict-based reference on 20 random corpora
+    (words from a small alphabet so merges chain several levels deep)."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 30))
+        ]
+        text = " ".join(words)
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        want, ref_syms = _ref_bpe_train(wc, n_merges=6, min_count=2)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = [
+            tuple(r)
+            for r in textstats.bpe_train(docs, n_merges=6).orderBy("rank").collect()
+        ]
+        assert got == want, f"seed {seed}: {got} != {want}"
+        # and apply agrees with the reference segmentation lengths
+        apply_got = textstats.bpe_apply(
+            docs, [(a, b) for _, a, b, _, _ in want]
+        ).first()
+        assert apply_got.n_bpe_tokens == sum(len(ref_syms[w]) for w in words)
+
+
+def test_gopher_repetition_matches_pure_python(spark):
+    """Randomized cross-implementation pin for the repetition signals:
+    fractions recomputed naively in python on random multi-line docs."""
+    import random
+
+    def ref(text):
+        words = text.split()
+        nc = len(" ".join(words))
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        import re as _re
+
+        paras = [p.strip() for p in _re.split(r"\n\s*\n", text) if p.strip()]
+
+        def dup_chars(items):
+            from collections import Counter
+
+            c = Counter(items)
+            tot = sum(len(i) * n for i, n in c.items())
+            dup = sum(len(i) * n for i, n in c.items() if n >= 2)
+            return (dup / tot) if tot else 0.0
+
+        def top_gram(k):
+            from collections import Counter
+
+            grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+            if not grams or nc == 0:
+                return 0.0
+            g, n = max(Counter(grams).items(), key=lambda kv: (kv[1], len(kv[0]) * kv[1]))
+            best = max(
+                (cnt, len(gr) * cnt) for gr, cnt in Counter(grams).items()
+            )
+            return min(best[1] / nc, 1.0)
+
+        from collections import Counter
+
+        pc = Counter(paras)
+        fdp = (len(paras) - len(pc)) / len(paras) if paras else 0.0
+        return {
+            "frac_dup_paras": fdp,
+            "frac_chars_dup_lines": dup_chars(lines),
+            "frac_chars_dup_paras": dup_chars(paras),
+            "frac_chars_top_2gram": top_gram(2),
+            "frac_chars_top_3gram": top_gram(3),
+            "frac_chars_top_4gram": top_gram(4),
+        }
+
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(15):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            lines.append(
+                " ".join(rng.choice(["aa", "bb", "cc", "dd"]) for _ in range(rng.randint(1, 6)))
+            )
+            if rng.random() < 0.3:
+                lines.append("")  # paragraph break
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in textstats.gopher_repetition_signals(docs).collect()}
+    for i, text in rows:
+        want = ref(text)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v), (i, k, got[i][k], v, text)
