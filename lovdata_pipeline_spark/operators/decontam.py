@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from lovdata_pipeline_spark.operators.textstats import _nonempty
+from lovdata_pipeline_spark.operators.textstats import _clean_split
 
 
 def ngram_hash_array(text_col: str, n: int) -> Column:
@@ -42,7 +42,7 @@ def ngram_hash_array(text_col: str, n: int) -> Column:
     document has fewer than n words (Spark's sequence walks backwards for
     start > stop), so short documents are guarded to an empty array.
     """
-    w = _nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = _clean_split(F.col(text_col))
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -267,7 +267,7 @@ def exact_substring_contamination(
     spans, or raise ``anchor_n``.
     """
     norm_needle = F.regexp_replace(F.trim(F.col(needle_text_col)), r"\s+", " ")
-    nw = _nonempty(F.split(F.trim(F.col(needle_text_col)), r"\s+"))
+    nw = _clean_split(F.col(needle_text_col))
     bench = needles.select(
         F.col(needle_id_col).alias("needle_id"),
         norm_needle.alias("_needle"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lovdata_pipeline_spark.operators.textstats import _nonempty
+from lovdata_pipeline_spark.operators.textstats import _clean_split
 
 # --------------------------------------------------------------------------
 # exact
@@ -76,7 +76,7 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     Pure SQL-expressible: split on whitespace, slide a window with
     ``transform`` over indices, ``explode``. Stays in codegen.
     """
-    words = _nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = _clean_split(F.col(text_col))
     n_sh = F.size(words) - F.lit(n - 1)
     # Guard: sequence(0, -k) would count downward; short docs get no shingles.
     shingles = F.when(
@@ -140,7 +140,7 @@ def hashed_word_shingles(
     """
     words = docs.select(
         F.col(id_col),
-        F.posexplode(_nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("pos", "w"),
+        F.posexplode(_clean_split(F.col(text_col))).alias("pos", "w"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", i).over(w) for i in range(1, n)]
@@ -447,7 +447,7 @@ def simhash(
     bits = PORTABLE_BITS if portable else 63  # bit 63 is xxhash64's sign bit
     tok = docs.select(
         F.col(id_col),
-        F.explode(_nonempty(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+        F.explode(_clean_split(F.col(text_col))).alias("tok"),
     )
     if df_cap is not None:
         n_docs = docs.count()

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lovdata_pipeline_spark.operators.textstats import _nonempty
+from lovdata_pipeline_spark.operators.textstats import _clean_split
 
 # Cached offsets frames retained by global_token_offsets. The cache is
 # load-bearing while a derived frame may still be acted on (see the
@@ -282,9 +282,7 @@ def emit_token_sequences(
     trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     toks = df.select(
         F.col(id_col),
-        F.when(trimmed == "", F.array().cast("array<string>"))
-        .otherwise(_nonempty(F.split(trimmed, r"\s+")))
-        .alias("_toks"),
+        _clean_split(trimmed).alias("_toks"),
     ).withColumn("n_tokens", F.size("_toks"))
 
     off = global_token_offsets(toks, id_col, "n_tokens", num_partitions)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lovdata_pipeline_spark.operators.textstats import _nonempty
+from lovdata_pipeline_spark.operators.textstats import _clean_split
 
 
 def bm25_topk(
@@ -52,7 +52,7 @@ def bm25_topk(
     # shows ReusedExchange — the tokenize+aggregate executes once.
     tok = docs.select(
         F.col(id_col),
-        F.explode(_nonempty(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("w"),
+        F.explode(_clean_split(F.lower(F.col(text_col)))).alias("w"),
     )
     per_doc = tok.groupBy(id_col).agg(
         F.count("*").alias("dl"),

@@ -30,12 +30,36 @@ def _nonempty(arr: Column) -> Column:
     file) would otherwise grow a phantom '' token — +1 in every token
     count, a '' unigram in every vocabulary, a phantom n-gram (r6
     whitespace-edge audit; DuckDB behaves identically, so every oracle
-    applies the matching ``list_filter``)."""
+    applies the matching ``list_filter``). Prefer ``_clean_split`` in
+    hot paths — this higher-order form evaluates interpreted."""
     return F.filter(arr, lambda w: w != "")
 
 
+#: the Java-regex ``\s`` set — btrim with this set strips real
+#: whitespace from both ends at plain-scan cost (no regex engine)
+_WS_SET = " \t\n\r\f"
+
+
+def _clean_split(c: Column) -> Column:
+    """``_nonempty(F.split(F.trim(c), r"\\s+"))`` with identical results
+    but ALL-CODEGEN, regex-free boundary handling: ``btrim`` over the
+    ``\\s`` char set strips real whitespace from both ends (Spark's
+    bare ``trim`` strips spaces ONLY — the root of the phantom-token
+    wart), then a guarded split. No higher-order filter (interpreted)
+    and no boundary regexp_replace (regex engine per reference) — both
+    measurably slowed the capstone pipelines, since CollapseProject
+    inlines this expression into every reference of the token array.
+    Interior empties can't occur with a ``\\s+`` delimiter; boundary
+    empties can't occur on a boundary-stripped string; whitespace-only/
+    empty input yields []."""
+    t = F.btrim(c, F.lit(_WS_SET))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def _words(text_col: str) -> Column:
-    return _nonempty(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    return _clean_split(F.lower(F.col(text_col)))
 
 
 # Cached frames retained by vocab_drift (bounded counts) and
@@ -60,10 +84,7 @@ def release_textstats_caches() -> int:
 def token_count_col(text_col: str = "text") -> Column:
     """Whitespace token count as a pure column expression — composable
     into single-scan pipelines (no join needed to attach it)."""
-    trimmed = F.trim(F.col(text_col))
-    return F.when(trimmed == "", 0).otherwise(
-        F.size(_nonempty(F.split(trimmed, r"\s+")))
-    )
+    return F.size(_clean_split(F.col(text_col)))
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -156,7 +177,7 @@ def quality_scores(
     """
     text = F.col(text_col)
     n_chars = F.greatest(F.length(text), F.lit(1))
-    words = _nonempty(F.split(F.trim(text), r"\s+"))
+    words = _clean_split(text)
     n_words = F.greatest(F.size(words), F.lit(1))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
@@ -401,9 +422,7 @@ def repetition_signals(
     from pyspark.sql import Window
 
     trimmed = F.trim(F.lower(F.col(text_col)))
-    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        _nonempty(F.split(trimmed, r"\s+"))
-    )
+    words = _clean_split(trimmed)
     base = docs.select(
         F.col(id_col),
         F.size(words).alias("n_words"),
@@ -411,7 +430,7 @@ def repetition_signals(
     )
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(_nonempty(F.split(trimmed, r"\s+"))).alias("pos", "w"),
+        F.posexplode(_clean_split(trimmed)).alias("pos", "w"),
     )
     w_win = Window.partitionBy(id_col).orderBy("pos")
     bigrams = (
@@ -458,7 +477,7 @@ def unigram_surprisal(
     """
     tok = docs.select(
         F.col(id_col),
-        F.explode(_nonempty(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("w"),
+        F.explode(_clean_split(F.lower(F.col(text_col)))).alias("w"),
     )
     vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
     stats = vocab.agg(F.sum("c").alias("N"), F.count("*").alias("V"))
@@ -586,12 +605,7 @@ def hashed_linear_quality(
     tok = docs.select(
         F.col(id_col),
         F.explode_outer(
-            _nonempty(
-                F.split(
-                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                    r"\s+",
-                )
-            )
+            _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         ).alias("w"),
     )
     weight = (
@@ -631,9 +645,7 @@ def _gopher_exprs(text_col: str) -> dict[str, Column]:
     diverge on a rule change."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.trim(text)
-    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        _nonempty(F.split(trimmed, r"\s+"))
-    )
+    words = _clean_split(trimmed)
     n_words = F.size(words)
 
     char_sum = F.aggregate(
@@ -712,9 +724,7 @@ def quality_keep_col(text_col: str = "text", seed: str = "quality-v1") -> Column
     logit). The per-token weight sum runs as a JVM ``aggregate`` over
     the same token array the explode form iterates — identical result,
     zero shuffle — for single-scan pipelines that only need the flag."""
-    words = _nonempty(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    )
+    words = _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     w_sum = F.aggregate(
         words,
         F.lit(0).cast("long"),
@@ -1241,9 +1251,7 @@ def gopher_repetition_signals(
 
     text = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.trim(text)
-    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        _nonempty(F.split(trimmed, r"\s+"))
-    )
+    words = _clean_split(trimmed)
     lines = F.filter(
         F.transform(F.split(text, r"\r?\n", -1), lambda x: F.trim(x)),
         lambda x: x != "",

@@ -164,3 +164,56 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _token_counts_update(timeout_minutes: int):
+    """Per-token state machine for streaming_token_counts, exposed for
+    direct unit testing (same discipline as _totals_update)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"token": [key[0]], "n_occurrences": [n]})
+
+    return update
+
+
+def streaming_token_counts(
+    docs: DataFrame, text_col: str = "text", timeout_minutes: int = 60
+) -> DataFrame:
+    """Streaming vocabulary counter — the heavy-hitters face of the
+    batch token aggregates: per token, a running occurrence count over
+    a DOCUMENT stream (tokenize is the scan-local `_clean_split` the
+    batch operators share (codegen `_clean_split`), so phantom '' tokens never enter the state
+    store). Downstream consumers filter ``n_occurrences >= k`` for the
+    heavy-hitter set, or join the counts as a streaming stopword/
+    boilerplate-vocabulary signal.
+
+    State is one (count) tuple per ACTIVE token; inactivity timeout
+    removes cold tokens, so state is bounded by the live vocabulary,
+    not the stream's history — the applyInPandasWithState analog of
+    the space-saving sketch's eviction. Same ProcessingTimeTimeout
+    drain-and-stop note as running_user_totals.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lovdata_pipeline_spark.operators.textstats import _clean_split
+
+    tok = docs.select(
+        F.explode(_clean_split(F.lower(F.col(text_col)))).alias("token")
+    )
+    return tok.groupBy("token").applyInPandasWithState(
+        _token_counts_update(timeout_minutes),
+        outputStructType="token string, n_occurrences long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

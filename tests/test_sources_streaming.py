@@ -391,3 +391,83 @@ class TestStreamingQualityGate:
             for r in gopher_quality(batch).filter("gopher_pass").collect()
         }
         assert got == want == {1, 3}
+
+
+class TestStreamingTokenCounts:
+    def test_available_now_equals_batch_counts(self, spark, tmp_path):
+        """The stateful vocabulary counter's final update per token must
+        equal the batch explode+count over the same files — and the ''
+        phantom token must not appear (shared _clean_split tokenize)."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from lovdata_pipeline_spark.streaming.windows import (
+            streaming_token_counts,
+        )
+
+        src = tmp_path / "docs_tok_stream"
+        src.mkdir()
+        texts = {1: "aa bb aa\n", 2: "bb cc\n", 3: "aa\n"}
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        ).to_parquet(src / "p0.parquet")
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        counts = streaming_token_counts(stream, timeout_minutes=60)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tok_stream")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tok"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT token, max(n_occurrences) AS n FROM tok_stream GROUP BY token"
+        ).collect()
+        got = {r.token: r.n for r in rows}
+        assert got == {"aa": 3, "bb": 2, "cc": 1}
+        assert "" not in got
+
+    def test_state_machine_timeout_removes(self):
+        """Direct unit drive of the update fn: counts accumulate across
+        batches; the timeout branch drops state without emitting."""
+        import pandas as pd
+
+        from lovdata_pipeline_spark.streaming.windows import (
+            _token_counts_update,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self.hasTimedOut = False
+                self._v = None
+                self.removed = False
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+                self.exists = True
+
+            def setTimeoutDuration(self, ms):
+                self.timeout_ms = ms
+
+            def remove(self):
+                self.removed = True
+                self.exists = False
+
+        fn = _token_counts_update(30)
+        st = FakeState()
+        out = list(fn(("aa",), [pd.DataFrame({"token": ["aa"] * 3})], st))
+        assert st.get == (3,) and out[0]["n_occurrences"].iloc[0] == 3
+        out = list(fn(("aa",), [pd.DataFrame({"token": ["aa"] * 2})], st))
+        assert st.get == (5,) and out[0]["n_occurrences"].iloc[0] == 5
+        assert st.timeout_ms == 30 * 60 * 1000
+        st.hasTimedOut = True
+        assert list(fn(("aa",), [], st)) == [] and st.removed
