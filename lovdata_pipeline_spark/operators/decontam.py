@@ -328,3 +328,158 @@ def exact_contamination_rowlocal(
     )
     hit = F.exists(arr, lambda ndl: hay.contains(ndl))
     return docs.filter(~hit)
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    needles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    needle_text_col: str = "text",
+    needle_id_col: str = "doc_id",
+    anchor_n: int = 5,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Span-level decontamination SURGERY: cut every word-aligned
+    occurrence of every needle (benchmark prompt / leaked answer) out of
+    the corpus text, keeping the rest of the document — the
+    removal-not-rejection form frontier pipelines actually apply when a
+    long document embeds a short eval snippet (dropping the whole doc
+    wastes the other 99%; cf. ``decontaminate`` for the drop form and
+    ``dedup.remove_duplicated_spans`` for the dup-span analog).
+
+    Returns one row per corpus document: (id, n_needles_hit,
+    n_tokens_removed, clean_hash) — the count of DISTINCT needle texts
+    matched, tokens excised, and md5 of the whitespace-normalized
+    surgered text (surgery is defined in normalized token space, so
+    untouched documents hash their normalized text; NULL text hashes
+    ''). ``keep_text=True`` adds the ``clean_text`` column itself.
+
+    Exactness: matches are computed as the UNION of covered token
+    positions over all needles against the ORIGINAL token array — one
+    needle's removal can never create or destroy another's match, chains
+    of consecutive occurrences are fully excised (a sequential
+    string-``replace`` fold misses every second occurrence of a chain
+    because adjacent matches share their boundary space), and
+    overlapping needles compose by position-set union. Matching is
+    word-aligned string equality on the token slice — no hash-collision
+    caveat. Needles shorter than ``anchor_n`` words take no part (same
+    floor as ``exact_substring_contamination``); duplicate needle texts
+    collapse to one entry.
+
+    Plan shape at 100 TB (same discipline as
+    ``exact_substring_contamination``): candidate (doc, needle) pairs
+    come from the scan-local anchor-gram hash equi-join against the
+    broadcast needle anchors — lossless pruning, since an aligned match
+    of the full needle implies an aligned match of its first
+    ``anchor_n``-gram — so the quadratic token-position scan runs ONLY
+    on flagged documents (contamination is rare by construction), text
+    never shuffles except flagged rows joining their needle lists, and
+    untouched documents pass through a left join as a pure scan-local
+    projection.
+    """
+    nw = _clean_split(F.col(needle_text_col))
+    bench = needles.select(
+        F.col(needle_id_col).alias("needle_id"),
+        F.array_join(nw, " ").alias("_needle"),
+        F.size(nw).alias("_nlen"),
+        F.when(
+            F.size(nw) >= anchor_n,
+            F.xxhash64(F.array_join(F.slice(nw, 1, anchor_n), " ")),
+        ).alias("_anchor"),
+    ).filter(F.col("_anchor").isNotNull())
+
+    grams = _scan_local_ngram_hashes(corpus, text_col, id_col, anchor_n)
+    cands = (
+        grams.join(
+            F.broadcast(bench.select("needle_id", "_anchor")),
+            grams["shingle"] == F.col("_anchor"),
+        )
+        .select(id_col, "needle_id")
+        .distinct()
+    )
+    # one array of distinct (nlen, needle) structs per flagged doc;
+    # array_sort pins the (irrelevant-to-semantics) fold order so plans
+    # are byte-stable across partitionings
+    per_doc = (
+        cands.join(
+            F.broadcast(bench.select("needle_id", "_needle", "_nlen")), "needle_id"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        F.col("_nlen").alias("nlen"), F.col("_needle").alias("needle")
+                    )
+                )
+            ).alias("_ndls")
+        )
+    )
+
+    flagged = per_doc.join(
+        corpus.select(F.col(id_col), F.col(text_col).alias("_text")), id_col
+    )
+    words = _clean_split(F.col("_text"))
+    nwords = F.size(words)
+    # per needle: all aligned match start positions in the ORIGINAL array
+    hits = F.transform(
+        F.col("_ndls"),
+        lambda ndl: F.struct(
+            ndl["nlen"].alias("nlen"),
+            F.filter(
+                F.when(
+                    nwords >= ndl["nlen"],
+                    F.sequence(F.lit(1), nwords - ndl["nlen"] + 1),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda p: F.array_join(F.slice(words, p, ndl["nlen"]), " ")
+                == ndl["needle"],
+            ).alias("starts"),
+        ),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_hits"),
+                lambda h: F.flatten(
+                    F.transform(
+                        h["starts"], lambda p: F.sequence(p, p + h["nlen"] - 1)
+                    )
+                ),
+            )
+        )
+    )
+    kept_idx = F.filter(
+        F.when(nwords >= 1, F.sequence(F.lit(1), nwords)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: ~F.array_contains(F.col("_covered"), i),
+    )
+    surg = (
+        flagged.withColumn("_hits", hits)
+        .withColumn("_covered", covered)
+        .select(
+            F.col(id_col),
+            F.size(
+                F.filter(F.col("_hits"), lambda h: F.size(h["starts"]) > 0)
+            ).alias("n_needles_hit"),
+            F.size("_covered").alias("n_tokens_removed"),
+            F.array_join(
+                F.transform(kept_idx, lambda i: F.element_at(words, i)), " "
+            ).alias("_clean"),
+        )
+    )
+
+    out = (
+        corpus.select(F.col(id_col), _ws_normalized(text_col).alias("_norm"))
+        .join(surg, id_col, "left")
+    )
+    cols = [
+        F.col(id_col),
+        F.coalesce("n_needles_hit", F.lit(0)).alias("n_needles_hit"),
+        F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        F.md5(F.coalesce("_clean", "_norm", F.lit(""))).alias("clean_hash"),
+    ]
+    if keep_text:
+        cols.append(F.coalesce("_clean", "_norm", F.lit("")).alias("clean_text"))
+    return out.select(*cols)

@@ -416,6 +416,117 @@ def ivf_pq_topk(
     )
 
 
+def sq8_minmax(
+    vectors: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Scalar-quantization fit: per-dimension (min, max) over the corpus.
+
+    One scan, 2·dims aggregate expressions with map-side partials; only
+    2·dims doubles reach the driver. min/max SELECT existing values —
+    no floating accumulation — so the fit is bit-exact in any engine
+    and append-monotone (new data can only widen the range), unlike a
+    mean/σ fit whose float sum is order-dependent.
+    """
+    v = _as_double(F.col(vec_col))
+    row = vectors.agg(
+        *[F.min(F.element_at(v, i + 1)).alias(f"_mn{i}") for i in range(dims)],
+        *[F.max(F.element_at(v, i + 1)).alias(f"_mx{i}") for i in range(dims)],
+    ).first()
+    return (
+        [row[f"_mn{i}"] for i in range(dims)],
+        [row[f"_mx{i}"] for i in range(dims)],
+    )
+
+
+def _sq8_codes(vec: Column, mins: list[float], maxs: list[float]) -> Column:
+    """array<int> of uint8 codes for one row: round((x−mn)/(mx−mn)·255)
+    via floor(·+0.5) — half-up in BOTH engines (plain ``round`` is
+    half-up in Spark but half-even in DuckDB, a one-code divergence on
+    exact .5 scale points). Constant dimensions (mx == mn) encode 0."""
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    mx = F.array(*[F.lit(float(x)) for x in maxs])
+    idx = F.sequence(F.lit(1), F.lit(len(mins)))
+    return F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at(mx, i) == F.element_at(mn, i), F.lit(0).cast("bigint")
+        )
+        .otherwise(
+            F.least(
+                F.lit(255).cast("bigint"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.floor(
+                        (F.element_at(vec, i) - F.element_at(mn, i))
+                        / (F.element_at(mx, i) - F.element_at(mn, i))
+                        * F.lit(255.0)
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int> of 0–255) — the 4×-compressed storage form
+    (one byte per dimension on disk; int is Spark's narrowest array
+    element for the codegen path). Scalar quantization is the cheap
+    compression tier below PQ (``pq_encode``, 32×): no codebooks to fit
+    or ship, encode/decode are pure per-element affine maps, and recall
+    loss is typically negligible at 8 bits — the right default when
+    memory, not distance-computation throughput, is the constraint."""
+    v = _as_double(F.col(vec_col))
+    return vectors.select(F.col(id_col), _sq8_codes(v, mins, maxs).alias("codes"))
+
+
+def sq8_adc_topk(
+    vectors: DataFrame,
+    query: list[float],
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over scalar-quantized codes: (id, adc_score).
+
+    The corpus side is scored purely from its uint8 codes — score =
+    dot(query, dequantization) with dequant_i = mn_i + code_i·(mx_i −
+    mn_i)/255 — while the query stays full-precision (same asymmetry
+    argument as ``pq_adc_topk``). The encode → dequant round trip runs
+    inside one scan projection; the fold order of the dot matches the
+    oracle's ``list_dot_product`` sequential order. At scale the codes
+    column is what's stored (``sq8_encode``), making the scan 4× lighter
+    than full-precision brute force with the same plan shape: projection
+    + TakeOrderedAndProject, no shuffle, no driver materialization
+    beyond k rows."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    mx = F.array(*[F.lit(float(x)) for x in maxs])
+    v = _as_double(F.col(vec_col))
+    codes = _sq8_codes(v, mins, maxs)
+    recon = F.transform(
+        codes,
+        lambda c, j: F.element_at(mn, j + 1)
+        + c * (F.element_at(mx, j + 1) - F.element_at(mn, j + 1)) / F.lit(255.0),
+    )
+    return (
+        vectors.select(F.col(id_col), F.round(_dot(q, recon), 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     query: list[float],

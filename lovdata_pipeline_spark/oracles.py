@@ -1301,6 +1301,35 @@ def _ann_pq_sql(m: int = 8, k_sub: int = 16, dims: int = 64, k: int = 10) -> str
 
 ORACLES["ann_topk_pq"] = _ann_pq_sql()
 
+# SQ8 scalar-quantized ADC top-k (r6): per-dimension min/max fit (exact
+# — min/max select existing doubles, no accumulation), floor(+0.5)
+# half-up encode with [0,255] clamp, affine dequant, full-precision
+# query dot via list_dot_product (same sequential-fold parity contract
+# as the PQ oracle). Constant dimensions (mx = mn) reconstruct mn.
+ORACLES["ann_topk_sq8"] = r"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        dim AS (SELECT unnest(generate_series(1, 64)) AS i),
+        mm AS (SELECT i, min(ev[i]) AS mn, max(ev[i]) AS mx
+               FROM e CROSS JOIN dim GROUP BY i),
+        mma AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                FROM mm),
+        q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
+        recon AS (
+          SELECT e.vec_id,
+                 list_transform(generate_series(1, 64), i ->
+                   CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                        ELSE mns[i]
+                             + least(255, greatest(0,
+                                 floor((ev[i] - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5)))
+                               * (mxs[i] - mns[i]) / 255.0 END
+                 ) AS rv
+          FROM e CROSS JOIN mma)
+        SELECT r.vec_id AS vec_id, round(list_dot_product(q.qe, r.rv), 6) AS adc_score
+        FROM recon r CROSS JOIN q
+        ORDER BY adc_score DESC, vec_id
+        LIMIT 10
+"""
+
 # Pretraining-data curation capstone (r4): PII gate → decontamination →
 # exact fingerprint dedup → stratified domain mix → quality annotate →
 # 512-token sequence packing, each stage the exact SQL replica of its
@@ -1678,6 +1707,52 @@ ORACLES["exact_contamination_documents"] = r"""
         FROM c CROSS JOIN s
         WHERE strpos(' ' || c.hay || ' ', ' ' || s.needle || ' ') > 0
         ORDER BY c.doc_id, s.needle_id
+"""
+
+# Span-level decontamination surgery (r6): replay the union-of-covered-
+# token-positions semantics — per needle, every aligned match start
+# (slice-equality over the filtered word list), expanded to covered
+# positions, unioned per doc; the clean text splices the uncovered
+# positions back together. The word-aligned strpos prune mirrors the
+# operator's lossless anchor-gram candidate pruning.
+ORACLES["decontam_remove_spans"] = r"""
+        WITH nd0 AS (
+          SELECT list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w
+          FROM documents WHERE doc_id % 53 = 0),
+        nd AS (
+          SELECT DISTINCT array_to_string(w[3:10], ' ') AS needle, 8 AS nlen
+          FROM nd0 WHERE len(w) >= 10),
+        c AS (
+          SELECT doc_id,
+                 regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS hay,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') END AS words
+          FROM documents),
+        hit AS (
+          SELECT c.doc_id, n.needle, n.nlen, c.words
+          FROM c JOIN nd n ON strpos(' ' || c.hay || ' ', ' ' || n.needle || ' ') > 0),
+        st AS (
+          SELECT doc_id, needle,
+                 flatten(list_transform(
+                   list_filter(generate_series(1, len(words) - nlen + 1),
+                               p -> array_to_string(words[p:p+nlen-1], ' ') = needle),
+                   p -> generate_series(p, p + nlen - 1))) AS covp
+          FROM hit),
+        cov AS (
+          SELECT doc_id,
+                 count(DISTINCT needle) AS n_hit,
+                 list_distinct(flatten(list(covp))) AS cov
+          FROM st GROUP BY doc_id)
+        SELECT c.doc_id,
+               CAST(coalesce(v.n_hit, 0) AS INTEGER) AS n_needles_hit,
+               CAST(coalesce(len(v.cov), 0) AS INTEGER) AS n_tokens_removed,
+               md5(CASE WHEN v.doc_id IS NULL THEN c.hay
+                        ELSE array_to_string(list_transform(
+                               list_filter(generate_series(1, len(c.words)),
+                                           i -> NOT list_contains(v.cov, i)),
+                               i -> c.words[i]), ' ') END) AS clean_hash
+        FROM c LEFT JOIN cov v USING (doc_id)
+        ORDER BY c.doc_id
 """
 
 # Cluster-balanced diversity sampling (r5): the IVF seeding/assignment

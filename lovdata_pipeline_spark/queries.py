@@ -1051,6 +1051,29 @@ def exact_contamination_documents(spark, sf_dir):
     )
 
 
+def decontam_remove_spans(spark, sf_dir):
+    """Span-level decontamination surgery (new r6): same 8-word needle
+    fixture as ``exact_contamination_documents``, but instead of
+    reporting hits, every word-aligned occurrence is EXCISED from the
+    corpus text — the removal-not-rejection form. One row per corpus
+    doc: distinct needles matched, tokens removed, md5 of the surgered
+    (whitespace-normalized) text. The quadratic position scan runs only
+    on anchor-flagged docs; untouched docs pass through a left join."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = textstats._clean_split(F.col("text"))
+    snips = (
+        docs.filter(F.col("doc_id") % 53 == 0)
+        .select(
+            "doc_id",
+            F.when(F.size(w) >= 10, F.array_join(F.slice(w, 3, 8), " ")).alias("text"),
+        )
+        .filter(F.col("text").isNotNull())
+    )
+    return decontam.remove_contaminated_spans(docs, snips, anchor_n=5).orderBy(
+        "doc_id"
+    )
+
+
 def benchmark_contamination_report(spark, sf_dir):
     """Per-benchmark-doc contamination report (new r4): how many train
     docs and distinct n-grams compromise each eval document — the view
@@ -1274,6 +1297,19 @@ def ann_topk_pq(spark, sf_dir):
     # many-partitioned and needs no explicit repartition.
     scored = spread_if_narrow(emb)
     return similarity.pq_adc_topk(scored, query, books, k=10)
+
+
+def ann_topk_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ADC top-k (new r6): the 4x memory tier
+    below PQ — per-dimension min/max fit (exact, no float accumulation),
+    one-byte affine codes, corpus scored from codes against a
+    full-precision query. floor(+0.5) rounding keeps encode half-up in
+    both engines."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    mins, maxs = similarity.sq8_minmax(emb, dims=64)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    scored = spread_if_narrow(emb)
+    return similarity.sq8_adc_topk(scored, query, mins, maxs, k=10)
 
 
 def ann_topk_ivfpq(spark, sf_dir):
@@ -2236,6 +2272,12 @@ QUERIES = {
     "pretraining_pipeline": pretraining_pipeline,
     "benchmark_contamination_report": benchmark_contamination_report,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    # --- new late-r6 operators (in-window at birth, per the attestation
+    # --- rule). Demoted in exchange, each with five attestations and
+    # --- family twins: events_asof_join and dedup_minhash_lsh (comments
+    # --- on their tail entries). decontam_remove_spans' window slot is
+    # --- next to its flag-side sibling exact_contamination_documents.
+    "ann_topk_sq8": ann_topk_sq8,
     # --- r6 attestation refresh (r5 VERDICT "What's missing #3" / Next #3):
     # --- these four were last driver-graded in r1; cycle them back through
     # --- the window so no entry's only attestation goes stale. Demoted in
@@ -2257,6 +2299,7 @@ QUERIES = {
     "training_order_documents": training_order_documents,
     "epoch_mix_documents": epoch_mix_documents,
     "exact_contamination_documents": exact_contamination_documents,
+    "decontam_remove_spans": decontam_remove_spans,
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
     "curation_report_by_source": curation_report_by_source,
     "hash_split_documents": hash_split_documents,
@@ -2284,11 +2327,11 @@ QUERIES = {
     "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q3_top_unshipped": q3_top_unshipped,
-    "events_asof_join": events_asof_join,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "events_asof_join": events_asof_join,                # green r1–r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h; asof/range twins under diffcheck)
+    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1–r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans' anchor join; ngram_jaccard twin in tail)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
     "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
     "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)

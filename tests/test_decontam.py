@@ -191,3 +191,86 @@ def test_exact_contamination_rowlocal_matches_join_form(spark):
     assert survivors == all_ids - flagged == {1, 3}
     # empty needle list keeps everything
     assert exact_contamination_rowlocal(corpus, ["", "   "]).count() == 4
+
+
+class TestRemoveContaminatedSpans:
+    def _run(self, spark, rows, needles, **kw):
+        from lovdata_pipeline_spark.operators.decontam import (
+            remove_contaminated_spans,
+        )
+
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ndl = spark.createDataFrame(needles, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in remove_contaminated_spans(
+                corpus, ndl, keep_text=True, **kw
+            ).collect()
+        }
+
+    def test_surgery_union_semantics(self, spark):
+        """Chains of consecutive occurrences are fully excised, the
+        whole-doc match empties the doc, overlapping needles compose by
+        position union, and untouched/NULL/short docs pass through."""
+        got = self._run(
+            spark,
+            [
+                (1, "x a b c d e a b c d e y"),  # consecutive chain
+                (2, "a b c d e"),  # doc == needle
+                (3, "clean document with no leak here at all"),
+                (4, None),
+                (5, "tiny"),
+                (6, "  p q   a b c d e  r   "),  # messy whitespace
+                (7, "a b c d e f g h"),  # two needles overlap on d..e
+            ],
+            [(100, "a b c d e"), (101, "d e f g h"), (102, "a b")],
+        )
+        assert (got[1].n_needles_hit, got[1].n_tokens_removed, got[1].clean_text) == (1, 10, "x y")
+        assert (got[2].n_tokens_removed, got[2].clean_text) == (5, "")
+        assert (got[3].n_needles_hit, got[3].clean_text) == (0, "clean document with no leak here at all")
+        assert (got[4].n_needles_hit, got[4].clean_text) == (0, "")
+        assert got[5].clean_text == "tiny"
+        assert got[6].clean_text == "p q r"
+        # union of needle 100 (pos 1-5) and 101 (pos 4-8) covers all 8
+        assert (got[7].n_needles_hit, got[7].n_tokens_removed, got[7].clean_text) == (2, 8, "")
+
+    def test_clean_hash_matches_normalized_text(self, spark):
+        import hashlib
+
+        got = self._run(
+            spark,
+            [(1, " spaced   out  doc "), (2, "a b c d e tail words")],
+            [(100, "a b c d e")],
+        )
+        assert got[1].clean_hash == hashlib.md5(b"spaced out doc").hexdigest()
+        assert got[2].clean_hash == hashlib.md5(b"tail words").hexdigest()
+
+    def test_partition_independence(self, spark):
+        """Same result under different input partitionings (the surgery
+        is scan-local; only the candidate join shuffles)."""
+        from lovdata_pipeline_spark.operators.decontam import (
+            remove_contaminated_spans,
+        )
+
+        rows = [
+            (i, f"w{i} a b c d e suffix{i} a b c d e")
+            for i in range(40)
+        ] + [(99, None)]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ndl = spark.createDataFrame(
+            [(100, "a b c d e")], "doc_id long, text string"
+        )
+        a = sorted(
+            map(tuple, remove_contaminated_spans(corpus, ndl).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                remove_contaminated_spans(
+                    corpus.repartition(13), ndl.repartition(3)
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 41
+        n_removed = {t[0]: t[2] for t in a}
+        assert all(n_removed[i] == 10 for i in range(40))
