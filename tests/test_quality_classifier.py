@@ -160,3 +160,49 @@ def test_gopher_quality_crlf_lines(spark):
     for col in ("frac_bullet_lines", "frac_ellipsis_lines", "frac_dup_lines"):
         assert got[0][col] == got[1][col], col
     assert got[0].frac_ellipsis_lines == 1 / 3
+
+
+class TestCompressionSignals:
+    def test_matches_zlib_replica_and_gate(self, spark):
+        import zlib
+
+        from lovdata_pipeline_spark.operators.textstats import (
+            compression_signals,
+        )
+
+        rows = [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            # varied-vocabulary long doc (hash-derived words): zlib ratio
+            # ~0.57, solidly inside the keep band — templated/repeated
+            # prose would (correctly) gate out as boilerplate
+            (2, " ".join(
+                __import__("hashlib").md5(str(i).encode()).hexdigest()[: 3 + i % 8]
+                for i in range(300)
+            )),
+            (3, ""),
+            (4, None),
+            (5, "æøå ünïcode — multibyte œ∑´®†"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in compression_signals(docs).collect()}
+        for did, text in rows:
+            raw = (text or "").encode("utf-8")
+            want_b, want_c = len(raw), len(zlib.compress(raw, 6))
+            assert (got[did].n_bytes, got[did].n_compressed) == (want_b, want_c), did
+            want_ratio = 0.0 if want_b == 0 else want_c / want_b
+            assert abs(got[did].compression_ratio - want_ratio) < 1e-12
+            assert got[did].comp_keep == (0.30 <= want_ratio <= 0.95)
+        # the repetitive doc must gate OUT low, empty/NULL out at 0
+        assert not got[3].comp_keep and not got[4].comp_keep
+        assert got[2].comp_keep  # normal prose stays
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.textstats import (
+            compression_signals,
+        )
+
+        rows = [(i, f"document {i} body " * (i % 7 + 1)) for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, compression_signals(docs).collect()))
+        b = sorted(map(tuple, compression_signals(docs.repartition(13)).collect()))
+        assert a == b and len(a) == 60
