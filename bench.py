@@ -54,8 +54,10 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "decontaminate_benchmark_overlap",
     "exact_contamination_documents",
+    "decontam_remove_spans",
     "ann_cosine_topk",
     "ann_topk_pq",
+    "ann_topk_sq8",
     "ann_topk_ivfpq",
     "knn_join_top3",
     "text_language_id",

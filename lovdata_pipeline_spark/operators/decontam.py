@@ -417,9 +417,17 @@ def remove_contaminated_spans(
         )
     )
 
-    flagged = per_doc.join(
-        corpus.select(F.col(id_col), F.col(text_col).alias("_text")), id_col
-    )
+    # ONE corpus text scan: left-join the (rare) per-doc needle lists
+    # onto the corpus and branch every surgery expression on "_ndls IS
+    # NULL" — CaseWhen evaluates lazily per row, so untouched documents
+    # pay only the normalization regex, never the token-position
+    # machinery, and no second corpus scan + re-join is needed for them
+    # (the first cut of this operator re-scanned the corpus for a _norm
+    # column and joined it back: 3 corpus scans where 2 suffice).
+    joined = corpus.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).join(per_doc, id_col, "left")
+    untouched = F.col("_ndls").isNull()
     words = _clean_split(F.col("_text"))
     nwords = F.size(words)
     # per needle: all aligned match start positions in the ORIGINAL array
@@ -455,31 +463,21 @@ def remove_contaminated_spans(
         ),
         lambda i: ~F.array_contains(F.col("_covered"), i),
     )
-    surg = (
-        flagged.withColumn("_hits", hits)
-        .withColumn("_covered", covered)
-        .select(
-            F.col(id_col),
-            F.size(
-                F.filter(F.col("_hits"), lambda h: F.size(h["starts"]) > 0)
-            ).alias("n_needles_hit"),
-            F.size("_covered").alias("n_tokens_removed"),
-            F.array_join(
-                F.transform(kept_idx, lambda i: F.element_at(words, i)), " "
-            ).alias("_clean"),
-        )
+    norm = F.coalesce(_ws_normalized("_text"), F.lit(""))
+    clean = F.when(untouched, norm).otherwise(
+        F.array_join(F.transform(kept_idx, lambda i: F.element_at(words, i)), " ")
     )
-
-    out = (
-        corpus.select(F.col(id_col), _ws_normalized(text_col).alias("_norm"))
-        .join(surg, id_col, "left")
-    )
+    out = joined.withColumn("_hits", hits).withColumn("_covered", covered)
     cols = [
         F.col(id_col),
-        F.coalesce("n_needles_hit", F.lit(0)).alias("n_needles_hit"),
-        F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
-        F.md5(F.coalesce("_clean", "_norm", F.lit(""))).alias("clean_hash"),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(F.filter(F.col("_hits"), lambda h: F.size(h["starts"]) > 0)))
+        .alias("n_needles_hit"),
+        F.when(untouched, F.lit(0)).otherwise(F.size("_covered")).alias(
+            "n_tokens_removed"
+        ),
+        F.md5(clean).alias("clean_hash"),
     ]
     if keep_text:
-        cols.append(F.coalesce("_clean", "_norm", F.lit("")).alias("clean_text"))
+        cols.append(clean.alias("clean_text"))
     return out.select(*cols)
