@@ -496,8 +496,10 @@ def cmd_analyze(args) -> int:
 def cmd_clean(args) -> int:
     """Text-level cleanup over a documents parquet: strip per-group
     boilerplate lines (frequency rule), then deduplicate paragraphs
-    across documents (global first-occurrence survives) — the
-    crawl-chrome + copy-paste cleanup pass that runs BEFORE document-
+    across documents (global first-occurrence survives), then — when
+    ``--needles`` is given — excise benchmark needle occurrences
+    (span-level decontamination surgery) — the crawl-chrome +
+    copy-paste + eval-leak cleanup pass that runs BEFORE document-
     level dedup/quality gates. Writes the rewritten corpus, prints one
     JSON accounting line. Thin wrapper over the same operators the
     graded queries drive."""
@@ -506,6 +508,7 @@ def cmd_clean(args) -> int:
     from pyspark.sql import functions as F
 
     from lovdata_pipeline_spark.operators import textstats
+    from lovdata_pipeline_spark.operators.decontam import remove_contaminated_spans
     from lovdata_pipeline_spark.operators.dedup import remove_duplicate_paragraphs
 
     spark = _spark("lg-clean")
@@ -545,6 +548,27 @@ def cmd_clean(args) -> int:
             sep=sep,
         ).select(args.id_col, "n_dropped", args.text_col)
         out = meta.join(deduped, args.id_col)
+    if args.needles:
+        # the surgery rewrite fans out twice (meta + surgery input) —
+        # pin unless `out` is still the bare input scan
+        if not (args.no_boilerplate and args.no_paragraph_dedup):
+            out = out.persist()
+            out.count()
+        surg = remove_contaminated_spans(
+            out.select(args.id_col, args.text_col),
+            spark.read.parquet(args.needles),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            needle_text_col=args.needle_text_col,
+            anchor_n=args.anchor_n,
+            keep_text=True,
+        ).select(
+            args.id_col,
+            "n_needles_hit",
+            "n_tokens_removed",
+            F.col("clean_text").alias(args.text_col),
+        )
+        out = out.drop(args.text_col).join(surg, args.id_col)
     out.write.mode("overwrite").parquet(args.output)
     spark.catalog.clearCache()  # release the pinned stripped frame
     written = spark.read.parquet(args.output)
@@ -553,6 +577,11 @@ def cmd_clean(args) -> int:
         agg.append(F.sum("n_dropped").alias("paragraphs_dropped"))
     if "n_stripped" in written.columns:
         agg.append(F.sum("n_stripped").alias("lines_stripped"))
+    if "n_tokens_removed" in written.columns:
+        agg.append(F.sum("n_tokens_removed").alias("tokens_excised"))
+        agg.append(
+            F.sum((F.col("n_needles_hit") > 0).cast("long")).alias("docs_contaminated")
+        )
     row = written.agg(*agg).first().asDict()
     print(
         _json.dumps(
@@ -913,6 +942,11 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--boilerplate-min-frac", type=float, default=0.5,
                     help="line is boilerplate if present in >= this fraction of the group's docs")
     cl.add_argument("--paragraph-sep", default="\n\n", help=r"literal paragraph separator (\n, \r, \t escapes decoded; matched literally, not as a regex)")
+    cl.add_argument("--needles", default=None,
+                    help="benchmark/needle parquet: excise every word-aligned occurrence of each needle text (span-level decontamination surgery; surgered output text is whitespace-normalized — newlines become single spaces)")
+    cl.add_argument("--needle-text-col", default="text", help="text column in the needles parquet")
+    cl.add_argument("--anchor-n", type=int, default=5,
+                    help="anchor-gram width for surgery candidate pruning (needles shorter than this take no part)")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--group-col", default="source")

@@ -325,3 +325,70 @@ def test_tokenizer_end_to_end(spark, tmp_path, capsys):
     assert summary["corpus_bpe_tokens"] < sum(len(w) for w in corpus.split())
     merges = spark.read.parquet(str(out))
     assert merges.count() == 4
+
+
+def test_clean_with_needle_surgery(spark, tmp_path, capsys):
+    """`lg clean --needles`: benchmark needle occurrences are excised
+    from the surviving text (span surgery, not doc drop), accounting
+    reports tokens_excised/docs_contaminated, and the other cleanup
+    stages still compose."""
+    p = tmp_path / "dirty_s"
+    rows = [
+        (1, "intro words then the secret eval answer string here", "web"),
+        (2, "normal document with ordinary content only", "web"),
+        (3, "the secret eval answer string here and more trailing text", "web"),
+        (4, "the secret eval answer string here", "web"),  # whole doc = leak
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(str(p))
+    ndl = tmp_path / "needles"
+    spark.createDataFrame(
+        [(100, "the secret eval answer string here")], "doc_id long, text string"
+    ).write.parquet(str(ndl))
+    out = tmp_path / "surgered"
+    rc = main(
+        [
+            "clean", "--input", str(p), "--output", str(out),
+            "--no-boilerplate", "--no-paragraph-dedup",
+            "--needles", str(ndl),
+        ]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_docs"] == 4
+    assert s["docs_contaminated"] == 3 and s["tokens_excised"] == 18
+    got = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert got[1].text == "intro words then"
+    assert got[2].text == "normal document with ordinary content only"
+    assert got[3].text == "and more trailing text"
+    assert got[4].text == ""
+    assert got[4].n_needles_hit == 1 and got[2].n_needles_hit == 0
+
+
+def test_clean_surgery_composes_with_strip(spark, tmp_path, capsys):
+    """Surgery after boilerplate strip: the pinned intermediate frame
+    feeds both the metadata branch and the surgery input without
+    re-evaluation errors, and both accounting fields appear."""
+    p = tmp_path / "dirty_s2"
+    rows = [
+        (1, "HEADER\nthe secret eval answer string here body one", "web"),
+        (2, "HEADER\nbody two", "web"),
+        (3, "HEADER\nbody three", "web"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(str(p))
+    ndl = tmp_path / "needles2"
+    spark.createDataFrame(
+        [(100, "the secret eval answer string here")], "doc_id long, text string"
+    ).write.parquet(str(ndl))
+    out = tmp_path / "surgered2"
+    rc = main(
+        [
+            "clean", "--input", str(p), "--output", str(out),
+            "--no-paragraph-dedup", "--needles", str(ndl),
+        ]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["lines_stripped"] == 3
+    assert s["docs_contaminated"] == 1 and s["tokens_excised"] == 6
+    got = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    assert got[1] == "body one" and got[2] == "body two" and got[3] == "body three"
