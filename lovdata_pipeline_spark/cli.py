@@ -681,6 +681,47 @@ def cmd_reduce(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    """Scalar (SQ8) quantization over an embeddings parquet: fit the
+    per-dimension min/max (one scan, exact), write (id, codes) —
+    one byte of information per dimension, the 4× storage/memory tier
+    below PQ — plus the fit parameters as ``_sq8_params.json`` inside
+    the output directory (the ``_`` prefix keeps parquet readers from
+    listing it). Print one JSON summary line. Decode is the affine map
+    mn + code·(mx − mn)/255 with the stored arrays."""
+    import json as _json
+    import os as _os
+
+    from lovdata_pipeline_spark.operators import similarity
+
+    spark = _spark("lg-quantize")
+    emb = spark.read.parquet(args.input)
+    first = emb.select(args.vec_col).first()
+    if first is None or first[0] is None:
+        print(_json.dumps({"error": "no vectors found", "input": args.input}))
+        return 1
+    dims = len(first[0])
+    mins, maxs = similarity.sq8_minmax(emb, dims, vec_col=args.vec_col)
+    codes = similarity.sq8_encode(
+        emb, mins, maxs, id_col=args.id_col, vec_col=args.vec_col
+    )
+    codes.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    with open(_os.path.join(args.output, "_sq8_params.json"), "w") as fh:
+        _json.dump({"dims": dims, "mins": mins, "maxs": maxs}, fh)
+    print(
+        _json.dumps(
+            {
+                "n_vecs": n_out,
+                "dims": dims,
+                "bytes_per_vec": dims,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_tokenizer(args) -> int:
     """BPE tokenizer training over a documents parquet: learn
     ``--merges`` merges, optionally write the merge table to
@@ -933,6 +974,13 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--vec-col", default="embedding")
     rd.add_argument("--out-col", default="pca")
     rd.set_defaults(func=cmd_reduce)
+
+    qz = sub.add_parser("quantize", help="SQ8-quantize an embeddings parquet (4x compression codes + fit params)")
+    qz.add_argument("--input", required=True, help="embeddings parquet path")
+    qz.add_argument("--output", required=True, help="codes parquet path (fit params land in _sq8_params.json inside)")
+    qz.add_argument("--id-col", default="vec_id")
+    qz.add_argument("--vec-col", default="embedding")
+    qz.set_defaults(func=cmd_quantize)
 
     cl = sub.add_parser("clean", help="strip boilerplate lines + dedup paragraphs across docs")
     cl.add_argument("--input", required=True, help="documents parquet path")

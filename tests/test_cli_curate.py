@@ -392,3 +392,30 @@ def test_clean_surgery_composes_with_strip(spark, tmp_path, capsys):
     assert s["docs_contaminated"] == 1 and s["tokens_excised"] == 6
     got = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
     assert got[1] == "body one" and got[2] == "body two" and got[3] == "body three"
+
+
+def test_quantize_round_trip(spark, tmp_path, capsys):
+    """`lg quantize`: codes parquet + _sq8_params.json land; the affine
+    decode reconstructs every vector within half a quantization step per
+    dimension, and the params file is invisible to parquet readers."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(30)]
+    p = tmp_path / "emb"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(str(p))
+    out = tmp_path / "codes"
+    rc = main(["quantize", "--input", str(p), "--output", str(out)])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_vecs"] == 30 and s["dims"] == 6 and s["bytes_per_vec"] == 6
+    params = json.loads((out / "_sq8_params.json").read_text())
+    mins, maxs = params["mins"], params["maxs"]
+    codes = {r.vec_id: list(r.codes) for r in spark.read.parquet(str(out)).collect()}
+    assert len(codes) == 30  # params file didn't break the parquet read
+    orig = dict(rows)
+    for vid, cs in codes.items():
+        for i, c in enumerate(cs):
+            assert 0 <= c <= 255
+            dec = mins[i] + c * (maxs[i] - mins[i]) / 255.0
+            assert abs(dec - orig[vid][i]) <= (maxs[i] - mins[i]) / 255.0 / 2 + 1e-12
