@@ -100,6 +100,7 @@ HEADLINE = [
     "curation_pipeline",
     "pretraining_pipeline",
     "curation_report_by_source",
+    "validate_documents_expectations",
 ]
 
 

@@ -47,3 +47,57 @@ def validate(state_ids: DataFrame, store_ids: DataFrame) -> ValidationResult:
         in_state_not_store=sorted(r.doc_id for r in report if r.problem == "missing_in_store"),
         in_store_not_state=sorted(r.doc_id for r in report if r.problem == "missing_in_state"),
     )
+
+
+def expectations_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-expectation stats — the Deequ-style ingest gate a
+    100-TB pipeline runs before anything downstream trusts a table:
+    one row per checked column with (col_name, n_rows, n_nulls,
+    null_frac, n_distinct, unique_nonnull). ``unique_nonnull`` is the
+    primary-key contract (no NULLs and fully distinct); callers assert
+    on it for id columns and on ``null_frac`` budgets for the rest.
+
+    Plan shape: ONE aggregate over one scan (count + per-column null
+    sums + per-column countDistinct), then the single result row
+    unpivots to per-column rows inside the plan (explode of a struct
+    array — no driver round trip). The multi-countDistinct Expand
+    multiplies pre-shuffle rows by |cols|: fine for the handful of
+    contract columns this gate is for; audit EVERY column of a wide
+    table with approx_count_distinct instead (one HLL sketch per
+    column, no Expand — not hash-graded because HLL estimates are not
+    cross-engine-stable).
+
+    null_frac is the UNROUNDED ratio of two exact integers —
+    bit-identical in every IEEE engine (same discipline as
+    ``ngram_overlap_flags.overlap_frac``).
+    """
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        # coalesce: sum over an EMPTY table is NULL, which would cascade
+        # into NULL null_frac / unique_nonnull for the degenerate input
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"_nulls_{c}"
+            )
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                (F.col(f"_nulls_{c}") / F.greatest(F.col("_rows"), F.lit(1))).alias(
+                    "null_frac"
+                ),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                (
+                    (F.col(f"_nulls_{c}") == 0)
+                    & (F.col(f"_dist_{c}") == F.col("_rows"))
+                ).alias("unique_nonnull"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("s")).select("s.*")

@@ -1755,6 +1755,37 @@ ORACLES["decontam_remove_spans"] = r"""
         ORDER BY c.doc_id
 """
 
+# Data-expectations gate (r6): per-column nulls / exact distincts /
+# PK-contract flag, unpivoted with UNION ALL. null_frac stays the
+# unrounded exact-integer ratio; count(DISTINCT col) ignores NULLs in
+# both engines, so unique_nonnull is the same conjunction.
+ORACLES["validate_documents_expectations"] = r"""
+        WITH s AS (
+          SELECT count(*) AS n,
+                 coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS nn_doc_id,
+                 count(DISTINCT doc_id) AS nd_doc_id,
+                 coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS nn_lang,
+                 count(DISTINCT lang) AS nd_lang,
+                 coalesce(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS nn_source,
+                 count(DISTINCT source) AS nd_source,
+                 coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS nn_text,
+                 count(DISTINCT text) AS nd_text
+          FROM documents)
+        SELECT col_name, n AS n_rows, CAST(nn AS BIGINT) AS n_nulls,
+               CAST(nn AS DOUBLE) / greatest(n, 1) AS null_frac,
+               nd AS n_distinct,
+               (nn = 0 AND nd = n) AS unique_nonnull
+        FROM (
+          SELECT 'doc_id' AS col_name, n, nn_doc_id AS nn, nd_doc_id AS nd FROM s
+          UNION ALL
+          SELECT 'lang', n, nn_lang, nd_lang FROM s
+          UNION ALL
+          SELECT 'source', n, nn_source, nd_source FROM s
+          UNION ALL
+          SELECT 'text', n, nn_text, nd_text FROM s)
+        ORDER BY col_name
+"""
+
 # Cluster-balanced diversity sampling (r5): the IVF seeding/assignment
 # CTEs, k-row integer thresholds (floor division, engine-exact), and
 # the portable hash keep rule.

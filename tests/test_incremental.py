@@ -232,3 +232,38 @@ class TestBucketFileDiscipline:
         assert store.count() == before - n_doc2
         assert store.chunks_for_document("doc1").count() > 0
         assert store.chunks_for_document("doc2").count() == 0
+
+
+class TestExpectationsReport:
+    def test_nulls_dups_and_pk_contract(self, spark):
+        from lovdata_pipeline_spark.operators.validation import (
+            expectations_report,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", "x"),
+                (2, None, "x"),
+                (3, "b", None),
+                (4, "a", "x"),  # dup in v, dup in w
+                (5, None, "y"),
+            ],
+            "pk long, v string, w string",
+        )
+        got = {r.col_name: r for r in expectations_report(df, ["pk", "v", "w"]).collect()}
+        assert (got["pk"].n_rows, got["pk"].n_nulls, got["pk"].n_distinct) == (5, 0, 5)
+        assert got["pk"].unique_nonnull and got["pk"].null_frac == 0.0
+        assert (got["v"].n_nulls, got["v"].n_distinct) == (2, 2)
+        assert not got["v"].unique_nonnull and got["v"].null_frac == 0.4
+        assert (got["w"].n_nulls, got["w"].n_distinct) == (1, 2)
+        assert not got["w"].unique_nonnull
+
+    def test_empty_table_no_divide_by_zero(self, spark):
+        from lovdata_pipeline_spark.operators.validation import (
+            expectations_report,
+        )
+
+        df = spark.createDataFrame([], "pk long, v string")
+        got = {r.col_name: r for r in expectations_report(df, ["pk", "v"]).collect()}
+        assert got["pk"].n_rows == 0 and got["pk"].null_frac == 0.0
+        assert got["pk"].unique_nonnull  # vacuously unique
