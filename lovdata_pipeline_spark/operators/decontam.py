@@ -427,7 +427,16 @@ def remove_contaminated_spans(
     joined = corpus.select(
         F.col(id_col), F.col(text_col).alias("_text")
     ).join(per_doc, id_col, "left")
-    untouched = F.col("_ndls").isNull()
+    return _apply_surgery(joined, id_col, F.col("_ndls").isNull(), keep_text)
+
+
+def _apply_surgery(
+    frame: DataFrame, id_col: str, untouched: Column, keep_text: bool
+) -> DataFrame:
+    """Shared splice stage of the surgery forms: ``frame`` carries
+    ``_text`` and ``_ndls`` (array<struct<nlen,needle>>); every
+    expression branches on ``untouched`` (CaseWhen is lazy per row, so
+    rows it selects pay only the normalization regex)."""
     words = _clean_split(F.col("_text"))
     nwords = F.size(words)
     # per needle: all aligned match start positions in the ORIGINAL array
@@ -467,7 +476,7 @@ def remove_contaminated_spans(
     clean = F.when(untouched, norm).otherwise(
         F.array_join(F.transform(kept_idx, lambda i: F.element_at(words, i)), " ")
     )
-    out = joined.withColumn("_hits", hits).withColumn("_covered", covered)
+    out = frame.withColumn("_hits", hits).withColumn("_covered", covered)
     cols = [
         F.col(id_col),
         F.when(untouched, F.lit(0))
@@ -481,3 +490,51 @@ def remove_contaminated_spans(
     if keep_text:
         cols.append(clean.alias("clean_text"))
     return out.select(*cols)
+
+
+def remove_contaminated_spans_rowlocal(
+    docs: DataFrame,
+    needles: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
+    """Row-local surgery form of ``remove_contaminated_spans``: the
+    needle list is collected once (eval sets are MBs by contract, same
+    asymmetry as ``benchmark_ngram_set``) and inlined as a struct-array
+    literal, so the operator is a PURE PROJECTION — no join, no
+    aggregation, no shuffle — and composes with any streaming trigger,
+    checkpoint, and ``foreachBatch`` sink.
+
+    Semantics match the join form exactly (union of covered token
+    positions over all needles against the original token array;
+    word-aligned; duplicate needle texts collapse), with one documented
+    difference: there is no anchor-width floor — every non-empty needle
+    takes part. A cheap padded-``contains`` prefilter plays the anchor
+    join's role: rows containing NO needle skip the token-position
+    machinery entirely (the same lazy-branch discipline as the batch
+    form), so the per-row cost is |needles| string scans for clean rows
+    and the position scan only on hits.
+    """
+    import re as _re
+
+    normed = sorted(
+        {_re.sub(r"\s+", " ", s.strip()) for s in needles if s and s.strip()}
+    )
+    ndls = F.array(
+        *[
+            F.struct(
+                F.lit(len(s.split(" "))).alias("nlen"), F.lit(s).alias("needle")
+            )
+            for s in normed
+        ]
+    ).cast("array<struct<nlen:int,needle:string>>")
+    hay = F.concat(
+        F.lit(" "), F.coalesce(_ws_normalized("_text"), F.lit("")), F.lit(" ")
+    )
+    padded = F.array(*[F.lit(" " + s + " ") for s in normed]).cast("array<string>")
+    untouched = ~F.exists(padded, lambda ndl: hay.contains(ndl))
+    frame = docs.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).withColumn("_ndls", ndls)
+    return _apply_surgery(frame, id_col, untouched, keep_text)

@@ -274,3 +274,92 @@ class TestRemoveContaminatedSpans:
         assert a == b and len(a) == 41
         n_removed = {t[0]: t[2] for t in a}
         assert all(n_removed[i] == 10 for i in range(40))
+
+
+class TestRemoveContaminatedSpansRowlocal:
+    def test_matches_join_form(self, spark):
+        """For needles at/above the join form's anchor floor, the pure
+        projection form produces identical rows (including hashes)."""
+        from lovdata_pipeline_spark.operators.decontam import (
+            remove_contaminated_spans,
+            remove_contaminated_spans_rowlocal,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "x a b c d e a b c d e y"),
+                (2, "a b c d e"),
+                (3, "clean document with no leak here at all"),
+                (4, None),
+                (5, "a b c d e f g h"),
+            ],
+            "doc_id long, text string",
+        )
+        ndl_rows = [(100, "a b c d e"), (101, "d e f g h")]
+        ndl_df = spark.createDataFrame(ndl_rows, "doc_id long, text string")
+        via_join = sorted(
+            map(tuple, remove_contaminated_spans(corpus, ndl_df, keep_text=True).collect())
+        )
+        via_local = sorted(
+            map(
+                tuple,
+                remove_contaminated_spans_rowlocal(
+                    corpus, [t for _, t in ndl_rows], keep_text=True
+                ).collect(),
+            )
+        )
+        assert via_join == via_local
+
+    def test_empty_needles_and_below_floor(self, spark):
+        from lovdata_pipeline_spark.operators.decontam import (
+            remove_contaminated_spans_rowlocal,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a b word"), (2, " padded  text ")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in remove_contaminated_spans_rowlocal(
+                corpus, [], keep_text=True
+            ).collect()
+        }
+        assert got[1].clean_text == "a b word" and got[1].n_needles_hit == 0
+        assert got[2].clean_text == "padded text"
+        # short needles DO take part here (no anchor floor) — documented
+        got2 = {
+            r.doc_id: r
+            for r in remove_contaminated_spans_rowlocal(
+                corpus, ["a b"], keep_text=True
+            ).collect()
+        }
+        assert got2[1].clean_text == "word" and got2[1].n_tokens_removed == 2
+
+    def test_streaming_composes(self, spark, tmp_path):
+        """The projection form runs inside a real stream (availableNow)
+        with no watermark or state requirements."""
+        import pandas as pd
+
+        from lovdata_pipeline_spark.operators.decontam import (
+            remove_contaminated_spans_rowlocal,
+        )
+
+        src = tmp_path / "docs_surgery_stream"
+        src.mkdir()
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["keep secret leak phrase out", "fine text"]}
+        ).to_parquet(src / "p0.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        out = remove_contaminated_spans_rowlocal(
+            stream, ["secret leak phrase"], keep_text=True
+        )
+        q = (
+            out.writeStream.format("memory").queryName("surg_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt_surg"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM surg_stream").collect()}
+        assert rows[1].clean_text == "keep out" and rows[1].n_tokens_removed == 3
+        assert rows[2].clean_text == "fine text" and rows[2].n_needles_hit == 0
