@@ -123,6 +123,26 @@ def cmd_validate(args) -> int:
     from lovdata_pipeline_spark.sources.state_store import StateStore
 
     spark = _spark("lg-validate")
+    if args.table:
+        # data-expectations mode: per-column stats + PK contract over an
+        # arbitrary parquet; exits 1 when --pk fails unique_nonnull
+        from lovdata_pipeline_spark.operators.validation import expectations_report
+
+        df = spark.read.parquet(args.table)
+        cols = (
+            [c.strip() for c in args.cols.split(",") if c.strip()]
+            if args.cols
+            else df.columns
+        )
+        rows = [r.asDict() for r in expectations_report(df, cols).orderBy("col_name").collect()]
+        pk_ok = True
+        if args.pk:
+            pk_ok = any(r["col_name"] == args.pk and r["unique_nonnull"] for r in rows)
+        print(json.dumps({"table": args.table, "pk_ok": pk_ok, "columns": rows}))
+        return 0 if pk_ok else 1
+    if not (args.store and args.state):
+        print(json.dumps({"error": "need --store and --state (or --table)"}))
+        return 2
     store = ChunkStore(spark, args.store)
     state = StateStore(spark, args.state)
     result = validate(state.processed(), store.distinct_document_ids())
@@ -883,9 +903,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--state", required=True)
     s.set_defaults(func=cmd_status)
 
-    v = sub.add_parser("validate", help="check state/store consistency")
-    v.add_argument("--store", required=True)
-    v.add_argument("--state", required=True)
+    v = sub.add_parser("validate", help="check state/store consistency, or data expectations over a parquet (--table)")
+    v.add_argument("--store", help="chunk store path (consistency mode)")
+    v.add_argument("--state", help="state store path (consistency mode)")
+    v.add_argument("--table", help="expectations mode: parquet path to audit")
+    v.add_argument("--cols", help="expectations mode: comma-separated columns (default: all)")
+    v.add_argument("--pk", help="expectations mode: column that must satisfy the PK contract (exit 1 otherwise)")
     v.set_defaults(func=cmd_validate)
 
     se = sub.add_parser("search", help="search the chunk store (vector/keyword/hybrid)")

@@ -419,3 +419,22 @@ def test_quantize_round_trip(spark, tmp_path, capsys):
             assert 0 <= c <= 255
             dec = mins[i] + c * (maxs[i] - mins[i]) / 255.0
             assert abs(dec - orig[vid][i]) <= (maxs[i] - mins[i]) / 255.0 / 2 + 1e-12
+
+
+def test_validate_expectations_mode(spark, tmp_path, capsys):
+    """`lg validate --table`: per-column report + PK gate exit code."""
+    p = tmp_path / "tbl"
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "pk long, v string"
+    ).write.parquet(str(p))
+    rc = main(["validate", "--table", str(p), "--pk", "pk"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["pk_ok"] and {c["col_name"] for c in s["columns"]} == {"pk", "v"}
+    v = next(c for c in s["columns"] if c["col_name"] == "v")
+    assert v["n_nulls"] == 1 and v["n_distinct"] == 1 and not v["unique_nonnull"]
+    # the same table fails the PK contract on v
+    rc = main(["validate", "--table", str(p), "--pk", "v"])
+    assert rc == 1
+    # neither mode selected → usage error
+    assert main(["validate"]) == 2
