@@ -22,7 +22,9 @@
                   vocabulary-drift monitor, Gopher repetition filters,
                   CCNet perplexity buckets, distributed PCA +
                   reduce-then-rerank retrieval, and hash-graded BPE
-                  tokenizer training).
+                  tokenizer training; late r6 adds span-level
+                  decontamination surgery, SQ8 scalar-quantized ANN,
+                  and the per-column data-expectations gate).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).

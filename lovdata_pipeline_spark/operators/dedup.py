@@ -1081,6 +1081,50 @@ def remove_duplicate_paragraphs(
     )
 
 
+def remove_repeated_paragraphs_rowlocal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """WITHIN-document repeated-paragraph removal as a pure projection —
+    the row-local face of ``remove_duplicate_paragraphs`` for streams:
+    a paragraph repeated inside one document survives only at its first
+    position (navigation chrome and templated sections repeat within a
+    page long before they repeat across pages). No join, aggregation,
+    or shuffle, so it composes with any streaming trigger — the batch
+    operator's global first-occurrence rule needs corpus state a stream
+    cannot hold without watermarked aggregation.
+
+    Same output shape and conventions as the batch form: (id, n_paras,
+    n_dropped, text), whitespace-only paragraphs always kept, literal
+    ``sep`` split↔join round-trip. Keep rule: position i survives iff
+    no EARLIER position holds the same non-whitespace paragraph —
+    ``array_position`` (first index of the value) == own index. The
+    per-row cost is O(n_paras²) string compares; n_paras is small by
+    construction (a document's own paragraph count).
+    """
+    import re
+
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    # array_position is 1-based; filter's index 0-based. Whitespace-only
+    # paragraphs are kept unconditionally (they'd otherwise collapse to
+    # their first blank twin and mangle spacing).
+    kept = F.filter(
+        parts,
+        lambda p, i: (F.trim(p) == "")
+        | (F.array_position(parts, p) == i + F.lit(1)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(parts).alias("n_paras"),
+        # coalesce: NULL text propagates NULL sizes; the batch form
+        # reports n_dropped 0 there — keep the contracts identical
+        F.coalesce(F.size(parts) - F.size(kept), F.lit(0)).alias("n_dropped"),
+        F.array_join(kept, sep).alias(text_col),
+    )
+
+
 def _cell_blocked_members(
     assigned: DataFrame,
     cell_counts: dict[int, int],

@@ -921,3 +921,61 @@ def test_gopher_repetition_matches_pure_python(spark):
         want = ref(text)
         for k, v in want.items():
             assert got[i][k] == pytest.approx(v), (i, k, got[i][k], v, text)
+
+
+class TestRemoveRepeatedParagraphsRowlocal:
+    def test_within_doc_first_survives_and_batch_contract(self, spark):
+        """First occurrence survives within the doc; whitespace-only
+        paragraphs always kept; NULL text matches the batch contract
+        (n_dropped 0, NULL passthrough); single-doc results agree with
+        the batch operator, whose global rule reduces to the same thing
+        when no paragraph crosses documents."""
+        from lovdata_pipeline_spark.operators.dedup import (
+            remove_duplicate_paragraphs,
+            remove_repeated_paragraphs_rowlocal,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "A\n\nB\n\nA\n\nC\n\nB"),
+                (2, "same\n\nsame\n\nsame"),
+                (3, "unique one\n\n\n\nunique two"),
+                (4, None),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        local = {r.doc_id: r for r in remove_repeated_paragraphs_rowlocal(docs).collect()}
+        assert (local[1].n_dropped, local[1].text) == (2, "A\n\nB\n\nC")
+        assert (local[2].n_dropped, local[2].text) == (2, "same")
+        assert (local[3].n_dropped, local[3].text) == (0, "unique one\n\n\n\nunique two")
+        assert (local[4].n_dropped, local[4].text) == (0, None)
+        assert (local[5].n_dropped, local[5].text) == (0, "")
+        # no paragraph here is shared ACROSS docs → the batch global rule
+        # and the row-local rule coincide, row for row
+        batch = sorted(map(tuple, remove_duplicate_paragraphs(docs).collect()))
+        assert batch == sorted(map(tuple, remove_repeated_paragraphs_rowlocal(docs).collect()))
+
+    def test_streaming_composes(self, spark, tmp_path):
+        import pandas as pd
+
+        from lovdata_pipeline_spark.operators.dedup import (
+            remove_repeated_paragraphs_rowlocal,
+        )
+
+        src = tmp_path / "docs_rrp_stream"
+        src.mkdir()
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["nav menu\n\ncontent\n\nnav menu"]}
+        ).to_parquet(src / "p0.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = (
+            remove_repeated_paragraphs_rowlocal(stream)
+            .writeStream.format("memory").queryName("rrp_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rrp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        (row,) = spark.sql("SELECT * FROM rrp_stream").collect()
+        assert row.text == "nav menu\n\ncontent" and row.n_dropped == 1
