@@ -412,3 +412,35 @@ class TestSurgeryRandomizedDifferential:
             n_docs_hit += want[0] > 0
         # the fixture must actually exercise the machinery
         assert n_docs_hit > 50
+
+
+def test_surgery_hot_anchor_candidates_stay_correct(spark):
+    """A stock-phrase anchor shared by EVERY doc floods the candidate
+    join (documented contract: wider candidates, never wider output) —
+    only docs containing the FULL needle get cut, and only at the
+    needle, not the shared anchor."""
+    from lovdata_pipeline_spark.operators.decontam import (
+        remove_contaminated_spans,
+    )
+
+    stock = "in the matter of the application"
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, f"{stock} for case {i} granted with costs"))
+        else:
+            rows.append((i, f"{stock} concerning case {i} dismissed today"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    needles = spark.createDataFrame(
+        [(100, f"{stock} for case 0 granted")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(
+            corpus, needles, anchor_n=5, keep_text=True
+        ).collect()
+    }
+    assert got[0].n_needles_hit == 1 and got[0].clean_text == "with costs"
+    hit = [d for d, r in got.items() if r.n_needles_hit > 0]
+    assert hit == [0]  # every other doc shares the anchor but not the needle
+    assert got[3].clean_text == rows[3][1]
