@@ -454,6 +454,19 @@ def cmd_analyze(args) -> int:
         .groupBy("detected_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    comp = None
+    if args.compression:
+        comp = (
+            textstats.compression_signals(
+                docs, text_col=args.text_col, id_col=args.id_col
+            )
+            .join(docs.select(args.id_col, args.group_col), args.id_col)
+            .groupBy(args.group_col)
+            .agg(
+                F.round(F.avg("compression_ratio"), 4).alias("mean_ratio"),
+                F.sum((~F.col("comp_keep")).cast("long")).alias("n_out_of_band"),
+            )
+        )
     # log2 length buckets: bucket b holds docs with 2^b <= n_tokens < 2^(b+1)
     # (empty AND NULL-text docs land in bucket -1 — token_count_col(NULL)
     # is NULL under ANSI, which the <= 0 guard alone would pass through
@@ -489,6 +502,9 @@ def cmd_analyze(args) -> int:
         langs = spark.read.parquet(f"{args.output}/languages")
         hist = spark.read.parquet(f"{args.output}/length_histogram")
         drift = spark.read.parquet(f"{args.output}/vocab_drift")
+        if comp is not None:
+            comp.write.mode("overwrite").parquet(f"{args.output}/compression")
+            comp = spark.read.parquet(f"{args.output}/compression")
     drift_rows = {
         r[args.group_col]: r["kl_vs_corpus"] for r in drift.collect()
     }
@@ -505,6 +521,16 @@ def cmd_analyze(args) -> int:
                 "length_histogram_log2": hist_rows,
                 "top_bpe_pairs": top_pairs,
                 "vocab_drift_kl": drift_rows,
+                **(
+                    {
+                        "compression_by_group": {
+                            r[args.group_col]: [r["mean_ratio"], r["n_out_of_band"]]
+                            for r in comp.collect()
+                        }
+                    }
+                    if comp is not None
+                    else {}
+                ),
             }
         )
     )
@@ -974,6 +1000,8 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
     an.add_argument("--group-col", default="source")
+    an.add_argument("--compression", action="store_true",
+                    help="also report per-group zlib compression-ratio stats (mean ratio, docs outside the keep band)")
     an.set_defaults(func=cmd_analyze)
 
     pl = sub.add_parser("plan", help="per-group mixture plan: tokens, shares, uniform-mix epochs")

@@ -438,3 +438,15 @@ def test_validate_expectations_mode(spark, tmp_path, capsys):
     assert rc == 1
     # neither mode selected → usage error
     assert main(["validate"]) == 2
+
+
+def test_analyze_compression_flag(spark, tmp_path, docs_parquet, capsys):
+    rc = main(["analyze", "--input", docs_parquet, "--compression"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    comp = s["compression_by_group"]
+    assert set(comp) == {"web", "books"}
+    for ratio, n_out in comp.values():
+        assert ratio > 0 and n_out >= 0
+    # short fixture docs all exceed the hi band (DEFLATE header overhead)
+    assert all(n_out > 0 for _, n_out in comp.values())
