@@ -738,12 +738,20 @@ def cmd_quantize(args) -> int:
     import json as _json
     import os as _os
 
+    from pyspark.sql import functions as F
+
     from lovdata_pipeline_spark.operators import similarity
 
     spark = _spark("lg-quantize")
     emb = spark.read.parquet(args.input)
-    first = emb.select(args.vec_col).first()
-    if first is None or first[0] is None:
+    # NULL-filter the probe (like reduction.pca_fit): a leading NULL
+    # vector must not abort the command when valid vectors exist
+    first = (
+        emb.select(args.vec_col)
+        .filter(F.col(args.vec_col).isNotNull())
+        .first()
+    )
+    if first is None:
         print(_json.dumps({"error": "no vectors found", "input": args.input}))
         return 1
     dims = len(first[0])

@@ -534,7 +534,13 @@ def remove_contaminated_spans_rowlocal(
     )
     padded = F.array(*[F.lit(" " + s + " ") for s in normed]).cast("array<string>")
     untouched = ~F.exists(padded, lambda ndl: hay.contains(ndl))
+    # NULL the needle list for untouched rows so the hits/covered
+    # machinery short-circuits exactly like the batch join form (where
+    # the left join leaves _ndls NULL): transform/flatten over a NULL
+    # array return NULL immediately, so clean rows pay only the padded
+    # contains prefilter + normalization — never the O(|needles|·n·len)
+    # aligned-slice scan.
     frame = docs.select(
         F.col(id_col), F.col(text_col).alias("_text")
-    ).withColumn("_ndls", ndls)
-    return _apply_surgery(frame, id_col, untouched, keep_text)
+    ).withColumn("_ndls", F.when(~untouched, ndls))
+    return _apply_surgery(frame, id_col, F.col("_ndls").isNull(), keep_text)

@@ -13,6 +13,9 @@ Determinism: every row's contribution is quantized to integers
 two is exact, floor is exact), so the Gram/mean sums are exact integer
 arithmetic and bit-identical under ANY partitioning or shuffle order —
 no floating-point accumulation-order drift reaches the eigensolver.
+Overflow-proof: each partial row covers ≤ 2^19 rows (every int64 cell
+< 2^61) and the cross-partial merge runs in DECIMAL(38,0), exact to
+~2·10^25 rows per Gram cell — int64 never accumulates across batches.
 Eigenvector sign is fixed deterministically (the largest-|coordinate|
 entry is made positive, ties to the lowest index).
 
@@ -42,25 +45,34 @@ class PCAModel(NamedTuple):
     sum_q: int              # Σ_i Σ_r q_ri   — exact integer invariant
 
 
+#: per-partial row cap so an int64 Gram cell cannot overflow: |q| ≤ 2·SCALE
+#: = 2^21, so q² ≤ 2^42 and a chunk of ≤ 2^19 rows keeps every cell sum
+#: ≤ 2^61 < 2^63. Cross-chunk merging happens Spark-side in DECIMAL(38,0),
+#: which is exact to ~10^38 per cell (≈ 2·10^25 rows) — far past any corpus.
+_CHUNK_ROWS = 1 << 19
+
+
 def _partial_stats(vec_col: str, d: int):
     def fn(batches):
         import numpy as np
         import pandas as pd
 
-        n = 0
-        s = np.zeros(d, dtype=np.int64)
-        g = np.zeros((d, d), dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Q = np.floor(X * SCALE).astype(np.int64)
-            n += Q.shape[0]
-            s += Q.sum(axis=0)
-            g += Q.T @ Q
-        yield pd.DataFrame(
-            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
-        )
+            # one partial row per bounded chunk — NO cross-chunk int64
+            # accumulation, so no silent wraparound at large row counts
+            for lo in range(0, Q.shape[0], _CHUNK_ROWS):
+                C = Q[lo : lo + _CHUNK_ROWS]
+                yield pd.DataFrame(
+                    {
+                        "n": [C.shape[0]],
+                        "s": [C.sum(axis=0).tolist()],
+                        "g": [(C.T @ C).reshape(-1).tolist()],
+                    }
+                )
 
     return fn
 
@@ -74,9 +86,9 @@ def pca_fit(
 
     Plan shape: one scan → one Arrow-batched ``mapInPandas`` (integer
     partials, BLAS per batch) → posexplode of the d² Gram cells → hash
-    aggregate (map-side combinable) → a driver collect of exactly
-    d² + d + 1 longs. No shuffle is keyed by row identity; nothing
-    driver-side scales with the corpus.
+    aggregate in DECIMAL(38,0) (map-side combinable, overflow-proof) →
+    a driver collect of exactly d² + d + 1 values. No shuffle is keyed
+    by row identity; nothing driver-side scales with the corpus.
     """
     import numpy as np
 
@@ -99,32 +111,38 @@ def pca_fit(
     # merge partials in Spark (bounded frames: d and d² keys), ONE scan up
     # top: cache the few partial rows, not the corpus
     partials = partials.cache()
+    # merge in DECIMAL(38,0): each partial cell is < 2^61 (chunk-bounded),
+    # and decimal sums are exact — no int64 wraparound at any corpus size
+    dec = "decimal(38,0)"
     try:
         n_vecs = partials.agg(F.sum("n")).collect()[0][0]
         s_rows = (
             partials.select(F.posexplode("s").alias("i", "v"))
             .groupBy("i")
-            .agg(F.sum("v").alias("v"))
+            .agg(F.sum(F.col("v").cast(dec)).alias("v"))
             .collect()
         )
         g_rows = (
             partials.select(F.posexplode("g").alias("i", "v"))
             .groupBy("i")
-            .agg(F.sum("v").alias("v"))
+            .agg(F.sum(F.col("v").cast(dec)).alias("v"))
             .collect()
         )
     finally:
         partials.unpersist()
-    s = np.zeros(d, dtype=np.int64)
+    # Python ints (arbitrary precision) carry the exact sums to numpy
+    s_exact = [0] * d
     for r in s_rows:
-        s[r["i"]] = r["v"]
-    G = np.zeros(d * d, dtype=np.int64)
+        s_exact[r["i"]] = int(r["v"])
+    g_exact = [0] * (d * d)
     for r in g_rows:
-        G[r["i"]] = r["v"]
-    G = G.reshape(d, d)
+        g_exact[r["i"]] = int(r["v"])
+    s = np.array(s_exact, dtype=np.float64)
+    G = np.array(g_exact, dtype=np.float64).reshape(d, d)
+    trace_g = sum(g_exact[i * d + i] for i in range(d))
 
-    mean_q = s.astype(np.float64) / n_vecs
-    cov = G.astype(np.float64) / n_vecs - np.outer(mean_q, mean_q)
+    mean_q = s / n_vecs
+    cov = G / n_vecs - np.outer(mean_q, mean_q)
     evals, evecs = np.linalg.eigh(cov)           # ascending
     order = np.argsort(evals)[::-1][:k]
     evals_top = np.maximum(evals[order], 0.0)
@@ -141,8 +159,8 @@ def pca_fit(
         components=P,
         explained_variance_ratio=evr,
         n_vecs=int(n_vecs),
-        sum_sq_q=int(np.trace(G)),
-        sum_q=int(s.sum()),
+        sum_sq_q=trace_g,
+        sum_q=sum(s_exact),
     )
 
 

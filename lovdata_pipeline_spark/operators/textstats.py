@@ -35,9 +35,13 @@ def _nonempty(arr: Column) -> Column:
     return F.filter(arr, lambda w: w != "")
 
 
-#: the Java-regex ``\s`` set — btrim with this set strips real
-#: whitespace from both ends at plain-scan cost (no regex engine)
-_WS_SET = " \t\n\r\f"
+#: the FULL Java-regex ``\s`` set ``[ \t\n\x0B\f\r]`` — btrim with this
+#: set strips real whitespace from both ends at plain-scan cost (no
+#: regex engine). \x0B (vertical tab) is spelled as an escape, not a
+#: raw byte, so it can't be silently lost in an edit: Java ``\s``
+#: matches it, and a \x0B-terminated document split by ``\s+`` would
+#: otherwise grow a phantom '' token.
+_WS_SET = " \t\n\r\f\x0b"
 
 
 def _clean_split(c: Column) -> Column:
@@ -1465,6 +1469,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     min_count: int = 2,
+    inmemory_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):
     learn the top ``n_merges`` merges over the corpus, returning
@@ -1474,19 +1479,38 @@ def bpe_train(
     The working frame is the DISTINCT-WORD vocabulary with counts — one
     corpus scan total; every training iteration runs on the vocabulary
     frame (bounded by |vocab|, not corpus size), exactly like the
-    published trainers. Symbol sequences are encoded as
-    ``\\x1f sym \\x1f`` concatenations so applying a merge is a single
-    codegen ``replace`` (left-to-right, non-overlapping — the BPE scan
-    order; Spark and DuckDB implement identical semantics, so the
-    graded oracle replays training exactly). The per-iteration best
-    pair is a hash aggregate + 1-row TakeOrdered (count desc, pair
-    asc ties); each iteration persists the vocab frame and releases the
-    previous one, so lineage stays one replace deep.
+    published trainers.
+
+    Two execution paths, same results bit-for-bit (pinned by
+    tests/test_r7_operators.py on the sf0.01 corpus):
+
+    - **In-memory (default when the vocabulary fits the size gate)**:
+      the distinct-word frame is vocabulary-, not corpus-sized, so when
+      its estimated footprint is under ``inmemory_max_bytes`` it is
+      collected ONCE and the merge loop runs on the driver with an
+      indexed incremental pair counter (heap best-pair + per-affected-
+      word count diffs — the published trainers' shape). A production
+      30k–50k-merge tokenizer is then one Spark job + a driver loop,
+      not 30k sequential Spark jobs of scheduler overhead.
+    - **Distributed (oversize fallback)**: symbol sequences are encoded
+      as ``\\x1f sym \\x1f`` concatenations so applying a merge is a
+      single codegen ``replace`` (left-to-right, non-overlapping — the
+      BPE scan order; Spark and DuckDB implement identical semantics,
+      so the graded oracle replays training exactly). The per-iteration
+      best pair is a hash aggregate + 1-row TakeOrdered (count desc,
+      pair asc ties); each iteration persists the vocab frame and
+      releases the previous one, so lineage stays one replace deep.
+
+    Determinism across the two paths: counts are exact integers both
+    ways; tie-breaks are (count desc, left asc, right asc) where Spark
+    string order is binary UTF-8 — identical to Python's codepoint
+    order, since UTF-8 byte order preserves codepoint order.
 
     Stops early when the best pair's count drops below ``min_count``.
     Words containing the separator byte are excluded (both engines).
-    Caveat: symbols are Java-regex ``(.)`` units — astral-plane
-    codepoints (outside the BMP) would split into surrogate halves.
+    Caveat: symbols are codepoint units in both paths (Java regex
+    ``(.)`` matches a full surrogate pair as one code point, matching
+    Python's codepoint iteration).
     """
     spark = docs.sparkSession
     S = _BPE_SEP
@@ -1497,6 +1521,105 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    schema = (
+        "rank int, left string, right string, merged string, n_occurrences long"
+    )
+    wc = wc.persist()
+    try:
+        # size gate: estimated driver footprint of the collected vocab
+        # (≤4 bytes/char UTF-8 + per-row overhead). Vocabulary-sized —
+        # at 100 TB of text the distinct-word frame is still ~10⁷ rows.
+        est = wc.agg(
+            F.sum(F.length("word") * 4 + F.lit(24)).alias("b")
+        ).collect()[0]["b"]
+        if est is not None and est <= inmemory_max_bytes:
+            vocab = [(r["word"], r["cnt"]) for r in wc.collect()]
+            merges = _bpe_train_inmemory(vocab, n_merges, min_count)
+            return spark.createDataFrame(merges, schema)
+        merges = _bpe_train_distributed(wc, n_merges, min_count)
+        return spark.createDataFrame(merges, schema)
+    finally:
+        wc.unpersist()
+
+
+def _bpe_train_inmemory(
+    vocab: list, n_merges: int, min_count: int
+) -> list:
+    """Driver-side BPE merge loop over the collected (word, count)
+    vocabulary: indexed incremental pair counting (only words containing
+    the merged pair are re-scanned per iteration) with a lazy-deletion
+    heap for best-pair selection — O(affected·log) per merge instead of
+    a full Spark job. Reproduces the distributed path bit-for-bit:
+    identical pair counting (all adjacent positions, weighted by word
+    count), identical left-to-right non-overlapping merge application,
+    identical (count desc, left asc, right asc) tie-break."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    seqs: list = [(list(w), c) for w, c in vocab]
+    counts: Counter = Counter()
+    occurs: defaultdict = defaultdict(set)
+    for idx, (syms, cnt) in enumerate(seqs):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += cnt
+            occurs[p].add(idx)
+    heap = [(-n, a, b) for (a, b), n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negn, a, b = heap[0]
+            if counts.get((a, b), 0) == -negn:
+                best = (a, b, -negn)
+                break
+            heapq.heappop(heap)  # stale entry (count changed since push)
+        if best is None or best[2] < min_count:
+            break
+        a, b, n = best
+        merges.append((rank, a, b, a + b, n))
+        touched: set = set()
+        for idx in sorted(occurs[(a, b)]):
+            syms, cnt = seqs[idx]
+            old_pairs = Counter(zip(syms, syms[1:]))
+            out: list = []
+            i = 0
+            m = len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_pairs = Counter(zip(out, out[1:]))
+            for p in set(old_pairs) | set(new_pairs):
+                delta = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if delta:
+                    counts[p] += delta * cnt
+                    touched.add(p)
+                    if counts[p] <= 0:
+                        del counts[p]
+                if p in new_pairs:
+                    occurs[p].add(idx)
+                elif idx in occurs.get(p, ()):
+                    occurs[p].discard(idx)
+            seqs[idx] = (out, cnt)
+        occurs.pop((a, b), None)
+        for p in touched:
+            if p in counts:
+                heapq.heappush(heap, (-counts[p], p[0], p[1]))
+    return merges
+
+
+def _bpe_train_distributed(
+    wc: DataFrame, n_merges: int, min_count: int
+) -> list:
+    """Distributed BPE merge loop (the oversize fallback): one Spark
+    aggregate + 1-row collect per merge over the separator-encoded
+    vocabulary frame. See ``bpe_train``."""
+    S = _BPE_SEP
     frame = wc.select(
         F.expr(f"regexp_replace(word, '(.)', '{S}$1{S}')").alias("s"), "cnt"
     ).persist()
@@ -1540,10 +1663,7 @@ def bpe_train(
             frame = nxt
     finally:
         frame.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, merged string, n_occurrences long",
-    )
+    return merges
 
 
 def _sql_str(s: str) -> str:

@@ -934,7 +934,12 @@ def build_curation_report(
         cont = decontam.contaminated_ids(
             docs, bench, n=n, text_col=text_col, id_col=id_col
         ).select(id_col, F.lit(True).alias("is_cont"))
-        flags = flags.join(F.broadcast(cont), id_col, "left")
+        # no broadcast hint: cont is bounded by the number of CONTAMINATED
+        # training docs (usually tiny, but O(corpus) under heavy
+        # contamination) — let AQE's size-based planning pick broadcast vs
+        # shuffle rather than forcing an id set of unknown size onto every
+        # executor (r7 ADVICE).
+        flags = flags.join(cont, id_col, "left")
     else:
         flags = flags.withColumn("is_cont", F.lit(False))
     cell = flags.groupBy("fingerprint", strata_col).agg(

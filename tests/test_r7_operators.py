@@ -1,0 +1,263 @@
+"""Round-7 pins: the bpe_train in-memory fast path (gate both ways,
+bit-exact vs the distributed loop on the real sf0.01 corpus), the
+overflow-proof chunked PCA partials, the row-local decontam
+short-circuit, and the quantize CLI NULL-probe fix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.operators import textstats
+from lovdata_pipeline_spark.operators import reduction
+
+SF001 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: in-memory fast path vs distributed fallback
+# ---------------------------------------------------------------------------
+
+
+class TestBPEGate:
+    def test_gate_both_ways_bit_identical_on_sf001(self, spark):
+        """VERDICT r7 Next #3 done-criterion: the in-memory path must
+        reproduce the distributed path's merges bit-for-bit on the
+        sf0.01 corpus."""
+        docs = spark.read.parquet(f"{SF001}/documents.parquet")
+        fast = [
+            tuple(r)
+            for r in textstats.bpe_train(docs, n_merges=8).orderBy("rank").collect()
+        ]
+        slow = [
+            tuple(r)
+            for r in textstats.bpe_train(
+                docs, n_merges=8, inmemory_max_bytes=0
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert fast == slow
+        assert len(fast) == 8
+
+    def test_distributed_fallback_sennrich(self, spark):
+        """The oversize fallback stays pinned to the Sennrich
+        walk-through now that defaults route in-memory."""
+        corpus = (
+            "low low low low low lower lower "
+            "newest newest newest newest newest newest widest widest widest"
+        )
+        docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+        got = [
+            (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+            for r in textstats.bpe_train(
+                docs, n_merges=4, inmemory_max_bytes=0
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [
+            (1, "e", "s", "es", 9),
+            (2, "es", "t", "est", 9),
+            (3, "l", "o", "lo", 7),
+            (4, "lo", "w", "low", 7),
+        ]
+
+    def test_inmemory_tie_break_matches_binary_order(self, spark):
+        """Ties break (count desc, left asc, right asc) in BINARY
+        codepoint order in both paths — the backslash/quote corpus from
+        the r6 pin, driven through both gates."""
+        w = "a\\b'c"
+        docs = spark.createDataFrame(
+            [(1, f"{w} {w} {w}")], "doc_id long, text string"
+        )
+        for gate in (256 << 20, 0):
+            got = [
+                (r.left, r.right, r.n_occurrences)
+                for r in textstats.bpe_train(
+                    docs, n_merges=2, inmemory_max_bytes=gate
+                )
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == [("'", "c", 3), ("\\", "b", 3)], gate
+
+    def test_inmemory_incremental_counts_match_recount(self):
+        """The indexed incremental counter must equal a from-scratch
+        recount after every merge (the classic update-bug trap:
+        overlapping pairs like 'aaaa', merges that chain like
+        (a,ab))."""
+        from collections import Counter
+
+        vocab = [("aaaa", 3), ("aabab", 2), ("banana", 5), ("abab", 1)]
+        merges = textstats._bpe_train_inmemory(vocab, 6, 1)
+        # replay naively and check each reported count
+        seqs = [(list(w), c) for w, c in vocab]
+        for rank, a, b, merged, n in merges:
+            counts: Counter = Counter()
+            for syms, cnt in seqs:
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += cnt
+            best = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            assert best[0] == (a, b) and best[1] == n, (rank, a, b, n, best)
+            nxt = []
+            for syms, cnt in seqs:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((out, cnt))
+            seqs = nxt
+
+
+# ---------------------------------------------------------------------------
+# PCA: chunked partials + DECIMAL merge (overflow-proof sufficient stats)
+# ---------------------------------------------------------------------------
+
+
+class TestPCAOverflowGuard:
+    def _vecs(self, spark, n=40, d=5):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (i, [float(x) for x in rng.uniform(-2, 2, d)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_chunked_partials_equal_unchunked(self, spark, monkeypatch):
+        emb = self._vecs(spark)
+        base = reduction.pca_fit(emb, k=3)
+        monkeypatch.setattr(reduction, "_CHUNK_ROWS", 3)
+        chunked = reduction.pca_fit(emb.repartition(5), k=3)
+        # exact integer invariants must be IDENTICAL (not just close)
+        assert base.sum_q == chunked.sum_q
+        assert base.sum_sq_q == chunked.sum_sq_q
+        assert base.n_vecs == chunked.n_vecs
+        import numpy as np
+
+        assert np.allclose(base.mean, chunked.mean, atol=0)
+        assert np.allclose(base.components, chunked.components, atol=0)
+
+    def test_partial_rows_are_chunk_bounded(self, spark, monkeypatch):
+        """No partial row may cover more than _CHUNK_ROWS rows — the
+        int64-overflow ceiling proof depends on it."""
+        monkeypatch.setattr(reduction, "_CHUNK_ROWS", 4)
+        emb = self._vecs(spark, n=30).coalesce(1)
+        partials = (
+            emb.select("embedding")
+            .mapInPandas(
+                reduction._partial_stats("embedding", 5),
+                schema="n long, s array<long>, g array<long>",
+            )
+            .collect()
+        )
+        assert sum(r["n"] for r in partials) == 30
+        assert max(r["n"] for r in partials) <= 4
+
+    def test_gram_merge_exact_at_large_magnitudes(self, spark):
+        """Vectors at the quantization extreme (|x| = 2 → q = ±2^21):
+        per-cell products are 2^42; the decimal merge must carry them
+        exactly. With 12 rows the true Gram diagonal is 12·2^42 —
+        verify bit-exact (float64 accumulation would also hold here;
+        the point is the decimal path returns exact ints end-to-end)."""
+        rows = [(i, [2.0, -2.0]) for i in range(12)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        m = reduction.pca_fit(emb, k=1)
+        q = 2 * reduction.SCALE  # 2^21
+        assert m.sum_sq_q == 12 * 2 * q * q
+        assert m.sum_q == 0
+        assert m.n_vecs == 12
+
+
+# ---------------------------------------------------------------------------
+# row-local decontam: clean rows short-circuit (NULL needle list)
+# ---------------------------------------------------------------------------
+
+
+class TestRowlocalShortCircuit:
+    def test_semantics_unchanged(self, spark):
+        from lovdata_pipeline_spark.operators import decontam
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the secret answer is forty two obviously"),
+                (2, "totally clean document with many words"),
+                (3, None),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_needles_hit, r.n_tokens_removed)
+            for r in decontam.remove_contaminated_spans_rowlocal(
+                docs, ["secret answer is forty two"], keep_text=True
+            ).collect()
+        }
+        assert got == {1: (1, 5), 2: (0, 0), 3: (0, 0), 4: (0, 0)}
+
+    def test_clean_rows_carry_null_needles(self, spark):
+        """The short-circuit contract: untouched rows must have a NULL
+        _ndls so transform/flatten skip the aligned-slice scan — check
+        the branch column itself on a minimal reproduction of the
+        rowlocal frame construction."""
+        from lovdata_pipeline_spark.operators.decontam import (
+            _ws_normalized,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "has the needle text"), (2, "clean row")],
+            "doc_id long, text string",
+        )
+        ndls = F.array(
+            F.struct(F.lit(2).alias("nlen"), F.lit("needle text").alias("needle"))
+        )
+        hay = F.concat(
+            F.lit(" "),
+            F.coalesce(_ws_normalized("text"), F.lit("")),
+            F.lit(" "),
+        )
+        untouched = ~hay.contains(" needle text ")
+        frame = docs.withColumn("_ndls", F.when(~untouched, ndls))
+        got = {r.doc_id: r["_ndls"] for r in frame.collect()}
+        assert got[1] is not None and got[2] is None
+
+
+# ---------------------------------------------------------------------------
+# quantize CLI: NULL-leading vector probe
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_cli_skips_leading_null_vector(spark, tmp_path, capsys):
+    from lovdata_pipeline_spark.cli import main
+
+    src = str(tmp_path / "emb.parquet")
+    out = str(tmp_path / "codes.parquet")
+    # vec_id 0 (NULL vector) sorts first in the single input file
+    spark.createDataFrame(
+        [(0, None), (1, [0.5, -0.5]), (2, [1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(src)
+    rc = main(["quantize", "--input", src, "--output", out])
+    assert rc == 0
+    line = [
+        ln
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    info = json.loads(line)
+    assert info.get("error") is None
+    assert os.path.exists(os.path.join(out, "_sq8_params.json"))

@@ -148,3 +148,33 @@ def test_no_phantom_tokens_on_trailing_newline(spark):
         ).collect()
     }
     assert "" not in vocab
+
+
+def test_no_phantom_tokens_on_vertical_tab(spark):
+    """Java regex \\s matches \\x0B (vertical tab); _WS_SET must too,
+    or a \\x0B-terminated doc is btrim-kept but split-consumed — the
+    phantom '' token class (r7 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.textstats import (
+        _words,
+        token_count_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "two words\x0b"), (2, "\x0bmid\x0bsplit\x0b"), (3, "\x0b\x0b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", token_count_col("text").alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 0}
+    vocab = {
+        r.w
+        for r in docs.select(F.explode(_words("text")).alias("w")).collect()
+    }
+    assert "" not in vocab
+    assert vocab == {"two", "words", "mid", "split"}

@@ -71,14 +71,15 @@ def _dtype_drift(sdf, odf) -> list[str]:
     return out
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark("diffcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    todo = QUERIES if not only else {n: QUERIES[n] for n in only}
     failures = []
-    for name, fn in QUERIES.items():
+    for name, fn in todo.items():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -112,10 +113,15 @@ def main(sf_dir: str) -> int:
             failures.append(name)
         print(f"{status} {name:32s} {len(sdf):7d} rows  ({time.time()-t0:.1f}s)  {'; '.join(problems)}")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    print(f"\n{len(todo) - len(failures)}/{len(todo)} passed")
     spark.stop()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
