@@ -239,6 +239,57 @@ def kmeans_refine(
     return centroids
 
 
+def kmeans_refine_exact(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    round_dp: int = 9,
+) -> list[list[float]]:
+    """Deterministic Lloyd refinement: like ``kmeans_refine`` but the
+    per-cell means come from EXACT integer sums (each coordinate is
+    quantized ``floor(x·2^20)`` and summed in DECIMAL(38,0) — the
+    ``pca_fit`` discipline), so the refined centroids are bit-identical
+    under ANY partitioning or shuffle order. ``kmeans_refine``'s
+    ``avg(double)`` is accumulation-order-dependent at the last ulp,
+    which can flip boundary assignments between runs — fine for an
+    index build you persist once, wrong inside a reproducible graded
+    query. Cost per iteration: one assignment scan + one hash
+    aggregate of |cells| rows; only k·d values return to the driver.
+    Empty cells keep their previous centroid."""
+    dims = len(centroids[0])
+    for _ in range(iterations):
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+        v = _as_double(F.col(vec_col))
+        qcols = [
+            F.floor(F.element_at(v, i + 1) * scale).cast("long").alias(f"_q{i}")
+            for i in range(dims)
+        ]
+        sums = (
+            assigned.select("cell", *qcols)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.col(f"_q{i}").cast("decimal(38,0)")).alias(f"_q{i}")
+                    for i in range(dims)
+                ],
+            )
+            .collect()
+        )
+        updated = list(centroids)
+        for row in sums:
+            n = row["_n"]
+            updated[row["cell"]] = [
+                round(int(row[f"_q{i}"]) / n / scale, round_dp)
+                for i in range(dims)
+            ]
+        centroids = updated
+    return centroids
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],

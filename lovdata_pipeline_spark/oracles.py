@@ -2625,3 +2625,53 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
 
 ORACLES["bpe_learned_merges"] = _bpe_train_oracle(8)
 ORACLES["bpe_token_counts"] = _bpe_apply_oracle(8)
+
+# r7: the first driver-graded STREAMING row. A static parquet source
+# drained via Trigger.AvailableNow must equal batch semantics, so the
+# oracle is the plain batch explode+count (tokenize = the shared
+# _clean_split contract: trim → \s+ split → drop '' boundaries).
+ORACLES["streaming_vocab_counts"] = r"""
+        SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        )
+        GROUP BY w HAVING count(*) >= 3
+        ORDER BY token
+"""
+
+# r7: compression-band report — the oracle recomputes the banding /
+# keep-gate / per-(source, band) aggregation from the PINNED zlib
+# literals (queries.COMPRESSION_FIXTURE; DEFLATE itself is not
+# SQL-expressible, so the codec outputs are literal-pinned and pytest
+# re-derives them from live zlib). Ratio convention matches
+# compression_signals: n_bytes = 0 → ratio 0.0.
+from lovdata_pipeline_spark.queries import COMPRESSION_FIXTURE as _CFIX
+
+ORACLES["compression_band_report"] = (
+    """
+        WITH fix(doc_id, source, n_bytes, n_compressed) AS (VALUES
+          """
+    + ",\n          ".join(
+        f"({i}, '{s}', {nb}, {nc})" for i, s, nb, nc in _CFIX
+    )
+    + """),
+        sig AS (
+          SELECT doc_id, source, n_bytes,
+                 CASE WHEN n_bytes = 0 THEN 0.0
+                      ELSE CAST(n_compressed AS DOUBLE) / n_bytes END AS ratio
+          FROM fix)
+        SELECT source,
+               CAST(least(greatest(floor(ratio * 10), 0), 11) AS INTEGER) AS band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ratio >= 0.30 AND ratio <= 0.95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               round(min(ratio), 6) AS min_ratio,
+               round(max(ratio), 6) AS max_ratio,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM sig
+        GROUP BY source, band
+        ORDER BY source, band
+"""
+)

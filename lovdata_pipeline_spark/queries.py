@@ -2126,16 +2126,23 @@ def pca_variance_report_embeddings(spark, sf_dir):
 
 
 def ann_pca_rerank_recall_embeddings(spark, sf_dir):
-    """Two-stage "reduce then rerank" retrieval verdict (late r6):
-    PCA-32 candidates (top-100 per query by reduced-space distance) +
-    exact-cosine rerank, graded as per-query recall@10 against the
-    exact full-space top-10. Measured mean recall 0.94 / min 0.8 at
-    sf0.01; the verdict pins recall ≥ 0.5 per query (25× the 0.02
+    """Two-stage "reduce then rerank" retrieval verdict (late r6, r7
+    adds the sublinear candidate stage): candidates come from an IVF
+    probe IN PCA-32 SPACE (8 cells, 4 probed — each query scores ~half
+    the corpus instead of all of it; centroids are deterministic seeds
+    + two exact-integer Lloyd steps), then the exact-cosine rerank,
+    graded as per-query recall@10 against the exact full-space top-10.
+    Measured at sf0.01: mean recall 0.90 / min 0.8 (the exhaustive
+    candidate scan measured 0.94 — the 0.04 is the price of probing
+    half the corpus at this 500-vector toy scale; the clustered pytest
+    fixture pins ≥ 0.94 mean at 2/8 probing where cell structure is
+    real). The verdict pins recall ≥ 0.5 per query (25× the 0.02
     random-draw baseline). The query-id set and result count are the
     oracle's data-exact arms; the recall verdict is Spark-asserted
     (eigenvectors aren't SQL-expressible — the agg_approx_stats
     discipline). Deterministic end-to-end: quantized-integer fit,
-    6-dp rounded scores, id tie-breaks."""
+    exact-integer centroid refinement, 6-dp rounded scores, id and
+    cell-index tie-breaks."""
     from lovdata_pipeline_spark.operators import reduction
 
     (emb,) = load(spark, sf_dir, "embeddings")
@@ -2143,7 +2150,9 @@ def ann_pca_rerank_recall_embeddings(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 101 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = reduction.pca_rerank_topk(queries, emb, m, k=10, pool=100)
+    approx = reduction.pca_rerank_topk(
+        queries, emb, m, k=10, pool=100, n_cells=8, n_probe=4
+    )
     exact = similarity.knn_join(queries, emb, k=10)
     hits = (
         approx.select("query_id", "vec_id")
@@ -2177,6 +2186,183 @@ def hard_negatives_embeddings(spark, sf_dir):
     )
     corpus = emb.filter(F.col("vec_id") % 101 != 0)
     return similarity.hard_negatives(anchors, corpus, k=5).orderBy("query_id", "rk")
+
+
+def streaming_vocab_counts(spark, sf_dir):
+    """First driver-GRADED streaming row (r7 VERDICT Next #5): the
+    corpus parquet is consumed through a real Structured Streaming
+    query — ``readStream`` file source → the stateful heavy-hitters
+    vocabulary counter (``applyInPandasWithState``, per-token running
+    counts with timeout eviction) → ``foreachBatch`` parquet sink —
+    driven to completion with ``Trigger.AvailableNow``. Because update
+    -mode counts are monotone per token, the final vocabulary is
+    ``max(n)`` per token over the landed updates regardless of how
+    availableNow split the micro-batches. Oracle: the batch
+    explode+count SQL — a static source drained via availableNow must
+    equal batch semantics exactly. Tokens under 3 occurrences are
+    trimmed (both sides) to keep the graded frame vocabulary-bounded.
+
+    Scale shape: state is one counter per live token (timeout-evicted),
+    the sink append is per-batch parquet, and the final rollup is a
+    hash aggregate over update rows — nothing driver-side scales with
+    the stream's history.
+    """
+    import tempfile
+
+    from lovdata_pipeline_spark.streaming.windows import (
+        streaming_token_counts,
+    )
+
+    import os
+    import tempfile
+
+    (batch_docs,) = load(spark, sf_dir, "documents")
+    # the file stream source lists a DIRECTORY; the testdata table is a
+    # single parquet file, so expose it through a symlinked temp dir
+    # (zero copy — production corpora are directories already)
+    src_dir = tempfile.mkdtemp(prefix="stream_vocab_src_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(batch_docs.schema).parquet(src_dir)
+    # NoTimeout: a finite AvailableNow drain must terminate on its own
+    # (ProcessingTimeTimeout keeps the query alive to fire evictions)
+    counts = streaming_token_counts(stream, timeout_minutes=None)
+    out_dir = tempfile.mkdtemp(prefix="stream_vocab_out_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_vocab_chk_")
+
+    def land(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(land)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.read.schema("token string, n_occurrences long").parquet(out_dir)
+    return (
+        upd.groupBy("token")
+        .agg(F.max("n_occurrences").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 3)
+        .orderBy("token")
+    )
+
+
+#: pinned zlib fixture for the compression-band graded row: (doc_id,
+#: source, n_bytes, n_compressed) computed ONCE with zlib level 6 from
+#: the texts in ``_compression_fixture_docs`` and stored as literals.
+#: tests/test_r7_operators.py re-derives each row from the live codec,
+#: so a zlib drift would fail pytest; the graded row then certifies the
+#: whole banding/aggregation surface DOWNSTREAM of the codec against a
+#: pure-SQL oracle over the same literals (DEFLATE itself is not
+#: SQL-expressible — the one declared weak spot, now literal-pinned).
+COMPRESSION_FIXTURE = [
+    (1, "web", 990, 28),
+    (2, "web", 1025, 54),
+    (3, "web", 226, 143),
+    (4, "print", 194, 134),
+    (5, "print", 194, 138),
+    (6, "print", 179, 122),
+    (7, "noise", 480, 270),
+    (8, "noise", 400, 58),
+    (9, "noise", 180, 56),
+    (10, "short", 4, 12),
+    (11, "short", 0, 8),
+    (12, "short", 3, 11),
+]
+
+
+def _compression_fixture_docs(spark):
+    """The deterministic fixture texts behind COMPRESSION_FIXTURE."""
+    texts = [
+        (1, "web", "click here click here click here " * 30),
+        (2, "web", "home | about | contact | privacy | terms\n" * 25),
+        (
+            3,
+            "web",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+            "enim ad minim veniam quis nostrud exercitation ullamco laboris "
+            "nisi ut aliquip ex ea commodo consequat",
+        ),
+        (
+            4,
+            "print",
+            "The committee reviewed the proposed amendments to the statute "
+            "and concluded that further consultation with the affected "
+            "municipalities was required before a final recommendation "
+            "could be issued.",
+        ),
+        (
+            5,
+            "print",
+            "Paragraph 1. The act applies to all undertakings that offer "
+            "goods or services to consumers. Paragraph 2. The act does not "
+            "apply to private sales between individuals unless mediated "
+            "commercially.",
+        ),
+        (
+            6,
+            "print",
+            "In the matter of the appeal, the court found that the lower "
+            "instance had erred in its application of the proportionality "
+            "standard, and remanded the case for renewed consideration.",
+        ),
+        (
+            7,
+            "noise",
+            "".join(
+                format((i * 2654435761) % 4294967296, "08x") for i in range(60)
+            ),
+        ),
+        (
+            8,
+            "noise",
+            "".join(chr(33 + ((i * i * 31 + i * 17) % 90)) for i in range(400)),
+        ),
+        (9, "noise", "qz7k vx2j wm9p rt4h bn6c ls0d fg8y ae3u io5w " * 4),
+        (10, "short", "tiny"),
+        (11, "short", ""),
+        (12, "short", "a b"),
+    ]
+    return spark.createDataFrame(texts, "doc_id long, source string, text string")
+
+
+def compression_band_report(spark, sf_dir):
+    """Compression-ratio band report over the pinned fixture (r7
+    VERDICT Next #8): the REAL zlib ``compression_signals`` UDF runs
+    live on the fixture texts, then bands (``floor(ratio·10)`` clamped
+    to [0, 11]) aggregate per (source, band). The oracle computes the
+    same report from the literal (n_bytes, n_compressed) pins — so the
+    graded hash certifies (a) the live codec still reproduces the pins
+    and (b) every ratio/keep/band/aggregate expression downstream of
+    the codec. The per-row codec values themselves stay pytest-pinned
+    (DEFLATE is not SQL-expressible)."""
+    docs = _compression_fixture_docs(spark)
+    sig = textstats.compression_signals(docs)
+    band = F.least(
+        F.greatest(F.floor(F.col("compression_ratio") * 10), F.lit(0)),
+        F.lit(11),
+    ).cast("int")
+    return (
+        sig.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("band", band)
+        .groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("comp_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
+            F.round(F.max("compression_ratio"), 6).alias("max_ratio"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("source", "band")
+    )
 
 
 # ===========================================================================
@@ -2226,193 +2412,165 @@ QUERIES = {
     "enrich_documents_pipeline": enrich_documents_pipeline,
     "curation_pipeline": curation_pipeline,
     "multimodal_features": multimodal_features,
-    # --- never-graded-before queries promoted in r3 -------------------------
     "agg_approx_stats": agg_approx_stats,
-    # --- new r3 LLM-curation / retrieval operators --------------------------
     "text_bm25_search": text_bm25_search,
-    # --- new r6 operators (in-window at birth, per the attestation rule).
-    # --- Demoted in exchange, each multiply-attested with graded family
-    # --- twins: pii_scan_documents (green r3+r4+r5; the PII gate fires
-    # --- inside the graded pretraining_pipeline), decontaminate_clean_set
-    # --- (green r4+r5; the decontam cut runs inside pretraining_pipeline
-    # --- and the flag side stays graded via benchmark_contamination_report
-    # --- + exact_contamination_documents), text_quality_classifier (green
-    # --- r4+r5; the keep flag is graded inside curation_report_by_source
-    # --- and the logit inside pretraining_pipeline). ------------------------
+    # --- r6-born operators still holding their at-birth window slot ---------
     "paragraph_dedup_documents": paragraph_dedup_documents,
     "boilerplate_strip_documents": boilerplate_strip_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
-    # --- late-r6 additions, same at-birth rule. Demoted in exchange:
-    # --- text_fingerprints (green r1–r5; the fingerprint expression is
-    # --- graded inside curation_report_by_source's cell aggregation and
-    # --- dedup_exact_groups; vocab twin in tail) and text_winnowing
-    # --- (green r3+r4+r5; the winnowing primitive is graded inside
-    # --- dedup_shared_spans AND dedup_remove_spans). --------------------
     "mixture_plan_by_source": mixture_plan_by_source,
     "token_length_band_documents": token_length_band_documents,
-    # vocab_drift_by_source enters at birth; dedup_shared_spans (green
-    # r4+r5) demotes — its strict superset dedup_remove_spans (which
-    # composes shared_span_pairs internally) stays graded.
     "vocab_drift_by_source": vocab_drift_by_source,
-    # text_repetition_signals enters at birth; dedup_ngram_jaccard (green
-    # r1–r5, five attestations) demotes — the dedup family keeps exact/
-    # minhash/components/span dedup graded, and minhash-LSH's verify stage
-    # exercises the same exact-jaccard expression on every candidate pair.
     "text_repetition_signals": text_repetition_signals,
-    # perplexity_buckets_by_source enters at birth; events_sessionize
-    # (green r1–r5, five attestations) demotes — events_rolling_1h keeps
-    # the identical per-user-key window shape graded, and sessionization
-    # semantics stay pinned by the streaming session-window tests.
     "perplexity_buckets_by_source": perplexity_buckets_by_source,
-    # pca_variance_report_embeddings enters at birth; ann_cosine_topk
-    # (green r1–r5, five attestations) demotes — the ANN family keeps
-    # ivfpq graded, and the exact-cosine expression stays graded inside
-    # knn_classify, hard_negatives, and semantic-dedup verification.
     "pca_variance_report_embeddings": pca_variance_report_embeddings,
-    # ann_pca_rerank_recall_embeddings enters at birth; dedup_exact_groups
-    # (green r1–r5, five attestations) demotes — the exact-fingerprint
-    # grouping stays graded inside curation_report_by_source's dup counts,
-    # pretraining_pipeline's dedup stage, and paragraph_dedup_documents.
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
-    # bpe_learned_merges enters at birth; anti_join_changed (green r1–r5,
-    # five attestations) demotes — the anti-join shape stays graded inside
-    # curation_pipeline's and pretraining_pipeline's decontamination cuts,
-    # and incremental semantics stay pinned by tests/test_incremental.py.
     "bpe_learned_merges": bpe_learned_merges,
-    # bpe_token_counts enters at birth; q1_pricing_summary (green r2–r5,
-    # four attestations) demotes — the decimal-aggregate discipline stays
-    # graded via q3_top_unshipped's revenue sum, and q1/q5 remain under
-    # local diffcheck every round.
     "bpe_token_counts": bpe_token_counts,
-    # --- new r4 operators (in-window at birth, per the attestation rule) ----
     "dedup_remove_spans": dedup_remove_spans,
-    "pack_sequences_documents": pack_sequences_documents,
     "pretraining_pipeline": pretraining_pipeline,
-    "benchmark_contamination_report": benchmark_contamination_report,
-    "ann_topk_ivfpq": ann_topk_ivfpq,
-    # --- new late-r6 operators (in-window at birth, per the attestation
-    # --- rule). Demoted in exchange, each with five attestations and
-    # --- family twins: events_asof_join and dedup_minhash_lsh (comments
-    # --- on their tail entries). decontam_remove_spans' window slot is
-    # --- next to its flag-side sibling exact_contamination_documents.
     "ann_topk_sq8": ann_topk_sq8,
-    # --- r6 attestation refresh (r5 VERDICT "What's missing #3" / Next #3):
-    # --- these four were last driver-graded in r1; cycle them back through
-    # --- the window so no entry's only attestation goes stale. Demoted in
-    # --- exchange (each r4-born, green r4+r5, with family twins still
-    # --- graded): decontaminate_benchmark_overlap (clean_set + both
-    # --- contamination reports stay), temperature_mix_orders (epoch_mix /
-    # --- hash_split / cluster_balanced / weighted_sample keep the
-    # --- portable-hash sampling family graded), sequence_manifest_documents
-    # --- (strict superset pack_emit_sequences stays), ann_topk_pq (strict
-    # --- superset ann_topk_ivfpq + cosine stay). ------------------------
-    "running_sum": running_sum,
-    "cube_status_priority": cube_status_priority,
-    "set_ops_nations": set_ops_nations,
-    "full_outer_order_presence": full_outer_order_presence,
-    # --- new r5 operators (in-window at birth) ------------------------------
+    # --- NEW r7 operators (in-window at birth, per the attestation rule):
+    # --- the first driver-graded STREAMING row (readStream + AvailableNow
+    # --- + applyInPandasWithState, oracled against batch explode+count)
+    # --- and the compression-band report (bands/keep-gate/aggregation
+    # --- downstream of the literal-pinned zlib codec). Demoted in
+    # --- exchange: knn_classify_embeddings (green r5+r6; ANN family keeps
+    # --- hard_negatives + sq8 + pca_rerank graded, NULL-label exclusion
+    # --- pinned by pytest) and quality_quota_by_source (green r5+r6;
+    # --- weighted_sample + tfidf keep the two-phase top-k family graded,
+    # --- per-group quota dicts pinned by pytest). -----------------------
+    "streaming_vocab_counts": streaming_vocab_counts,
+    "compression_band_report": compression_band_report,
+    # --- r7 attestation refresh (r6 VERDICT "What's missing #3" / Next
+    # --- #2): the 14 entries last driver-graded in r1-r2, cycled back
+    # --- through the window so no attestation goes four-plus rounds
+    # --- stale. Demoted in exchange, each multiply-attested (green in at
+    # --- least two rounds, most refreshed r6) with family twins staying
+    # --- graded:
+    # ---   running_sum (r1+r6)            -> events_rolling_1h keeps the
+    # ---                                     cumulative/RANGE window shape
+    # ---   cube_status_priority (r1+r6)   -> rollup_priority + pivot_status
+    # ---                                     enter (grouping-sets family)
+    # ---   set_ops_nations (r1+r6)        -> freshly re-attested r6;
+    # ---                                     EXCEPT-ALL twin set_difference_
+    # ---                                     validation r1-r3-green in tail
+    # ---   full_outer_order_presence (r1+r6) -> left_join_customer_orders
+    # ---                                     enters (outer-join family)
+    # ---   pack_sequences_documents (r4+r5+r6) -> strict superset
+    # ---                                     pack_emit_sequences stays
+    # ---   benchmark_contamination_report (r4+r5+r6) -> exact_contamination
+    # ---                                     + decontam_remove_spans stay
+    # ---   ann_topk_ivfpq (r4+r5+r6)      -> sq8 + pca_rerank stay; ivf/pq
+    # ---                                     subsets in tail
+    # ---   importance_score_documents (r5+r6) -> gopher_quality keeps the
+    # ---                                     quality-scoring family
+    # ---   training_order_documents (r5+r6) -> hash_split keeps the
+    # ---                                     portable-hash family
+    # ---   epoch_mix_documents (r5+r6)    -> hash_split (same family)
+    # ---   text_bigram_surprisal (r5+r6)  -> perplexity_buckets_by_source
+    # ---                                     composes the same LM scoring
+    # ---   cluster_balanced_sample_embeddings (r5+r6) -> weighted_sample
+    # ---                                     keeps the sampling family
+    # ---   length_bucketed_batches_documents (r5+r6) -> pack_emit keeps the
+    # ---                                     packing prefix-sum family
+    # ---   semantic_dedup_pairs_embeddings (r5+r6) -> dedup_embedding_
+    # ---                                     cosine_blocked ENTERS (the
+    # ---                                     same blocked-matmul path)
+    "semi_join_processed": semi_join_processed,
+    "distinct_projection": distinct_projection,
+    "filter_like": filter_like,
+    "topk_limit": topk_limit,
+    "rollup_priority": rollup_priority,
+    "pivot_status": pivot_status,
+    "left_join_customer_orders": left_join_customer_orders,
+    "percentile_order_totals": percentile_order_totals,
+    "events_lag_gaps": events_lag_gaps,
+    "events_hourly": events_hourly,
+    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
+    "text_token_counts": text_token_counts,
+    "text_stopword_ratios": text_stopword_ratios,
+    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,
+    # --- r5-born entries still holding their window slot ---------------------
     "pack_emit_sequences": pack_emit_sequences,
     "text_gopher_quality": text_gopher_quality,
-    "importance_score_documents": importance_score_documents,
-    "training_order_documents": training_order_documents,
-    "epoch_mix_documents": epoch_mix_documents,
     "exact_contamination_documents": exact_contamination_documents,
     "decontam_remove_spans": decontam_remove_spans,
-    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,
     "curation_report_by_source": curation_report_by_source,
     "hash_split_documents": hash_split_documents,
-    "text_bigram_surprisal": text_bigram_surprisal,
-    "length_bucketed_batches_documents": length_bucketed_batches_documents,
-    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,
-    # --- late-r5 operators (in-window at birth): tfidf/bpe/range-window/knn-
-    # --- classify; demoted in exchange (each with a graded family twin):
-    # --- multimodal_audio (green r2+r3+r4; twin multimodal_features stays),
-    # --- hybrid_search_rrf (green r3+r4; text_bm25_search stays),
-    # --- ann_topk_lsh_bucketed (green r3+r4; cosine/ivf/pq/ivfpq graded),
-    # --- text_repetition (green r3+r4; fingerprints/winnowing/surprisal
-    # --- graded) ------------------------------------------------------------
     "tfidf_keywords_by_source": tfidf_keywords_by_source,
     "bpe_pair_stats": bpe_pair_stats,
     "events_rolling_1h": events_rolling_1h,
-    "knn_classify_embeddings": knn_classify_embeddings,
-    # quality_quota_by_source enters at birth; ann_topk_ivf (green r3+r4)
-    # demotes — its strict superset ann_topk_ivfpq stays graded, as do
-    # cosine/pq.
-    "quality_quota_by_source": quality_quota_by_source,
-    # weighted_sample_documents enters at birth; dedup_simhash (green
-    # r1+r2+r3+r4) demotes — the dedup family keeps exact/ngram/minhash/
-    # components/shared_spans/remove_spans graded.
     "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q3_top_unshipped": q3_top_unshipped,
-    # validate_documents_expectations enters at birth (late r6);
-    # dedup_components (green r3+r4+r5, three attestations) demotes —
-    # pointer-jumping CC stays pinned by tests/test_dedup_properties.py
-    # and its minhash-pair input twin sits in the tail under diffcheck.
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
-    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations (see comment above)
-    "events_asof_join": events_asof_join,                # green r1–r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h; asof/range twins under diffcheck)
-    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1–r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans' anchor join; ngram_jaccard twin in tail)
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1–r5; demoted r6 for text_repetition_signals (minhash-LSH's verify stage runs the same exact-jaccard expression per candidate pair)
-    "events_sessionize": events_sessionize,              # green r1–r5; demoted r6 for perplexity_buckets_by_source (events_rolling_1h keeps the per-user-key window shape graded; session windows pinned by streaming tests)
-    "ann_cosine_topk": ann_cosine_topk,                  # green r1–r5; demoted r6 for pca_variance_report_embeddings (ANN family: ivfpq graded; exact cosine graded inside knn_classify/hard_negatives/semantic dedup)
-    "dedup_exact_groups": dedup_exact_groups,            # green r1–r5; demoted r6 for ann_pca_rerank_recall_embeddings (exact-fingerprint grouping graded inside curation_report/pretraining_pipeline/paragraph_dedup)
-    "anti_join_changed": anti_join_changed,              # green r1–r5; demoted r6 for bpe_learned_merges (anti-join shape graded inside both capstone pipelines' decontamination cuts; incremental pinned by tests)
-    "q1_pricing_summary": q1_pricing_summary,            # green r2–r5; demoted r6 for bpe_token_counts (decimal-agg discipline stays graded via q3's revenue sum; q1/q5 diffchecked every round)
-    "dedup_simhash": dedup_simhash,                      # green r1+r2+r3+r4; demoted late-r5 for weighted_sample_documents (dedup family: exact/ngram/minhash/components/span pair all graded)
-    "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 for quality_quota_by_source (strict superset ann_topk_ivfpq stays graded)
-    "multimodal_audio": multimodal_audio,                # green r2+r3+r4; demoted late-r5 for tfidf_keywords_by_source (twin multimodal_features stays graded)
-    "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 for bpe_pair_stats (search family: text_bm25_search stays graded)
-    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,      # green r3+r4; demoted late-r5 for events_rolling_1h (ANN family: ann_cosine_topk/ivf/pq/ivfpq all graded)
-    "text_repetition": text_repetition,                  # green r3+r4; demoted late-r5 for knn_classify_embeddings (text-stats family: fingerprints/winnowing/surprisal graded)
-    "exists_agg_priority": exists_agg_priority,          # green r1+r2+r3+r4; demoted r5 for pack_emit_sequences (semi-join twins anti_join_changed + semi_join_processed remain)
-    "dedup_embedding_cosine": dedup_embedding_cosine,    # green r1+r2+r3+r4; demoted r5 for semantic_dedup_pairs_embeddings (same blocked-matmul + fold-verify path; complete-search twin dedup_embedding_cosine_blocked also in tail)
-    "text_unigram_surprisal": text_unigram_surprisal,    # green r3+r4; demoted r5 for text_bigram_surprisal (the strict family step-up: same tokenize/count/fixed-point shape)
-    "shard_pack_documents": shard_pack_documents,        # green r3+r4; demoted r5 for length_bucketed_batches_documents (packing family: pack_sequences/pack_emit/manifest graded; same shared prefix sum)
-    "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 for hash_split_documents (same portable-hash rule family: temperature_mix/epoch_mix/cluster_balanced/hash_split graded)
-    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; demoted r5 for curation_report_by_source (exact-key dedup family: dedup_exact_groups stays graded; tail alias dedup_fingerprint_groups)
-    "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 for cluster_balanced_sample_embeddings (a strict superset: same seeding+argmin CTEs plus thresholds)
-    "text_language_id": text_language_id,                # green r1+r2+r3+r4; demoted r5 for exact_contamination_documents (text-stats family: stopword_ratios twin in tail, fingerprints/winnowing/repetition/surprisal graded)
-    "top3_orders_per_customer": top3_orders_per_customer,  # green r1+r2+r3+r4; demoted r5 for text_gopher_quality (rank-window family: events_sessionize stays graded, max_acctbal twin in tail)
-    "q5_region_revenue": q5_region_revenue,              # green r1+r2+r3+r4; demoted r5 for importance_score_documents (multi-join agg twin q3_top_unshipped stays)
-    "text_quality": text_quality,                        # green r1+r2+r3+r4; demoted r5 for training_order_documents (quality family: text_quality_classifier + text_gopher_quality graded)
-    "knn_join_top3": knn_join_top3,                      # green r1+r2+r3+r4; demoted r5 for epoch_mix_documents (ANN family: ann_cosine_topk/lsh/ivf/pq/ivfpq all graded)
-    "point_lookup": point_lookup,                        # green r1+r2+r3; demoted r4 for dedup_shared_spans
-    "status_counts": status_counts,                      # green r1+r2+r3; demoted r4 for dedup_remove_spans
-    "set_difference_validation": set_difference_validation,  # green r1+r2+r3; demoted r4 for decontaminate_benchmark_overlap
-    "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1+r2+r3; demoted r4 for decontaminate_clean_set
-    "agg_distinct_counts": agg_distinct_counts,              # green r1+r2+r3; demoted r4 for text_quality_classifier
-    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3; demoted r4 for pack_sequences_documents (rank-window twin top3_orders_per_customer stays)
-    "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1+r2+r3; demoted r4 for ann_topk_pq (rollup/cube/pivot family twins in tail, each with prior green rows)
-    "events_json_props": events_json_props,                              # green r1+r2+r3; demoted r4 for pretraining_pipeline
-    "positional_ids": positional_ids,                                    # green r1+r2+r3; demoted r4 for benchmark_contamination_report (in-UDF id assignment also inside windowed chunk_documents_pipeline)
-    "greedy_token_buckets": greedy_token_buckets,                        # green r1+r2+r3; demoted r4 for temperature_mix_orders (tier-2 grouping also inside windowed chunk_documents_pipeline)
-    "events_range_join": events_range_join,                              # green r1+r2+r3; demoted r4 for ann_topk_ivfpq
-    "not_exists_high_value": not_exists_high_value,                      # green r1+r2+r3; demoted r4 for sequence_manifest_documents (anti-join twin anti_join_changed stays)
-    "text_token_counts": text_token_counts,              # green r1+r2
-    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2
-    "events_lag_gaps": events_lag_gaps,                  # green r1+r2 (lag ≈ sessionize's gap window)
-    "semi_join_processed": semi_join_processed,          # green r1+r2
-    "pivot_status": pivot_status,                        # green r1+r2
-    "distinct_projection": distinct_projection,          # green r1+r2
-    "filter_like": filter_like,                          # green r1+r2
-    "topk_limit": topk_limit,                            # green r1+r2
-    "rollup_priority": rollup_priority,                  # green r1+r2
-    "events_hourly": events_hourly,                      # green r1+r2
-    "left_join_customer_orders": left_join_customer_orders,  # green r1+r2
-    "percentile_order_totals": percentile_order_totals,  # green r1+r2
-    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # twin of graded default
-    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
-    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 for vocab_drift_by_source (strict superset dedup_remove_spans, which composes shared_span_pairs, stays graded)
-    "text_fingerprints": text_fingerprints,              # green r1–r5; demoted late-r6 for mixture_plan_by_source (fingerprint expression graded inside curation_report_by_source + dedup_exact_groups; vocab twin in tail)
-    "text_winnowing": text_winnowing,                    # green r3+r4+r5; demoted late-r6 for token_length_band_documents (winnowing primitive graded inside dedup_shared_spans + dedup_remove_spans)
-    "pii_scan_documents": pii_scan_documents,            # green r3+r4+r5; demoted r6 for paragraph_dedup_documents (PII gate fires inside graded pretraining_pipeline)
-    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 for boilerplate_strip_documents (decontam cut inside pretraining_pipeline; flag side graded ×2)
-    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 for hard_negatives_embeddings (keep flag graded in curation_report; logit in pretraining_pipeline)
-    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 for the attestation refresh (clean_set + contamination reports stay graded)
-    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 for the attestation refresh (portable-hash sampling family stays graded)
-    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 for the attestation refresh (strict superset pack_emit_sequences stays graded)
-    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 for the attestation refresh (strict superset ann_topk_ivfpq stays graded)
+    "running_sum": running_sum,                          # green r1+r6 (refreshed r6); demoted r7 for the attestation refresh
+    "cube_status_priority": cube_status_priority,        # green r1+r6 (refreshed r6); demoted r7 (rollup_priority + pivot_status graded this round)
+    "set_ops_nations": set_ops_nations,                  # green r1+r6 (refreshed r6); demoted r7 (set_difference_validation twin in tail, r1-r3 green)
+    "full_outer_order_presence": full_outer_order_presence,  # green r1+r6 (refreshed r6); demoted r7 (left_join_customer_orders graded this round)
+    "pack_sequences_documents": pack_sequences_documents,  # green r4+r5+r6; demoted r7 (strict superset pack_emit_sequences stays graded)
+    "benchmark_contamination_report": benchmark_contamination_report,  # green r4+r5+r6; demoted r7 (exact_contamination + decontam_remove_spans stay graded)
+    "ann_topk_ivfpq": ann_topk_ivfpq,                    # green r4+r5+r6; demoted r7 (ann_topk_sq8 + ann_pca_rerank stay graded)
+    "importance_score_documents": importance_score_documents,  # green r5+r6; demoted r7 (text_gopher_quality keeps quality scoring graded)
+    "training_order_documents": training_order_documents,  # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
+    "epoch_mix_documents": epoch_mix_documents,          # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
+    "text_bigram_surprisal": text_bigram_surprisal,      # green r5+r6; demoted r7 (perplexity_buckets composes the same LM scoring)
+    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5+r6; demoted r7 (weighted_sample keeps the sampling family graded)
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; demoted r7 (pack_emit keeps the packing family graded)
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; demoted r7 (dedup_embedding_cosine_blocked graded this round, same blocked-matmul path)
+    "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; demoted r7 for streaming_vocab_counts (ANN family: hard_negatives/sq8/pca_rerank graded)
+    "quality_quota_by_source": quality_quota_by_source,  # green r5+r6; demoted r7 for compression_band_report (two-phase top-k family: weighted_sample/tfidf graded)
+    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations
+    "events_asof_join": events_asof_join,                # green r1-r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h)
+    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1-r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1-r5; demoted r6 (minhash-LSH verify runs the same exact-jaccard expression)
+    "events_sessionize": events_sessionize,              # green r1-r5; demoted r6 (events_rolling_1h keeps the per-user-key window shape graded)
+    "ann_cosine_topk": ann_cosine_topk,                  # green r1-r5; demoted r6 (exact cosine graded inside hard_negatives/semantic dedup)
+    "dedup_exact_groups": dedup_exact_groups,            # green r1-r5; demoted r6 (exact-fingerprint grouping graded inside curation_report/pretraining/paragraph_dedup)
+    "anti_join_changed": anti_join_changed,              # green r1-r5; demoted r6 (anti-join shape graded inside both capstone decontamination cuts)
+    "q1_pricing_summary": q1_pricing_summary,            # green r2-r5; demoted r6 (decimal-agg discipline graded via q3's revenue sum)
+    "dedup_simhash": dedup_simhash,                      # green r1-r4; demoted late-r5 (dedup family: exact/ngram/minhash/components/span pair all attested)
+    "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 (superset ann_topk_ivfpq attested r4-r6)
+    "multimodal_audio": multimodal_audio,                # green r2-r4; demoted late-r5 (twin multimodal_features stays graded)
+    "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 (text_bm25_search stays graded)
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,      # green r3+r4; demoted late-r5 (ANN family graded)
+    "text_repetition": text_repetition,                  # green r3+r4; demoted late-r5 (fingerprints/winnowing/surprisal attested)
+    "exists_agg_priority": exists_agg_priority,          # green r1-r4; demoted r5 (semi-join twin semi_join_processed graded this round)
+    "dedup_embedding_cosine": dedup_embedding_cosine,    # green r1-r4; demoted r5 (blocked twin graded this round)
+    "text_unigram_surprisal": text_unigram_surprisal,    # green r3+r4; demoted r5 (bigram step-up attested r5+r6)
+    "shard_pack_documents": shard_pack_documents,        # green r3+r4; demoted r5 (packing family: pack_emit graded)
+    "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 (portable-hash family: hash_split graded)
+    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; alias dedup_fingerprint_groups graded this round
+    "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 (superset cluster_balanced attested r5+r6)
+    "text_language_id": text_language_id,                # green r1-r4; demoted r5 (text-stats family attested)
+    "top3_orders_per_customer": top3_orders_per_customer,  # green r1-r4; demoted r5 (rank-window family attested)
+    "q5_region_revenue": q5_region_revenue,              # green r1-r4; demoted r5 (multi-join agg twin q3_top_unshipped stays)
+    "text_quality": text_quality,                        # green r1-r4; demoted r5 (quality family attested)
+    "knn_join_top3": knn_join_top3,                      # green r1-r4; demoted r5 (ANN family attested)
+    "point_lookup": point_lookup,                        # green r1-r3; demoted r4
+    "status_counts": status_counts,                      # green r1-r3; demoted r4
+    "set_difference_validation": set_difference_validation,  # green r1-r3; demoted r4
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1-r3; demoted r4
+    "agg_distinct_counts": agg_distinct_counts,              # green r1-r3; demoted r4
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1-r3; demoted r4
+    "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1-r3; demoted r4 (rollup/cube/pivot cycle through the window)
+    "events_json_props": events_json_props,                              # green r1-r3; demoted r4
+    "positional_ids": positional_ids,                                    # green r1-r3; demoted r4 (also inside windowed chunk_documents_pipeline)
+    "greedy_token_buckets": greedy_token_buckets,                        # green r1-r3; demoted r4 (also inside windowed chunk_documents_pipeline)
+    "events_range_join": events_range_join,                              # green r1-r3; demoted r4
+    "not_exists_high_value": not_exists_high_value,                      # green r1-r3; demoted r4 (anti-join twin attested)
+    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
+    "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)
+    "text_winnowing": text_winnowing,                    # green r3-r5; demoted late-r6 (winnowing primitive graded inside span dedup)
+    "pii_scan_documents": pii_scan_documents,            # green r3-r5; demoted r6 (PII gate fires inside graded pretraining_pipeline)
+    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 (decontam cut inside pretraining_pipeline)
+    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 (keep flag graded in curation_report; logit in pretraining_pipeline)
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 (clean_set + contamination reports attested)
+    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 (portable-hash sampling family attested)
+    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 (strict superset pack_emit_sequences graded)
+    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 (superset ann_topk_ivfpq attested r4-r6)
 }
+

@@ -166,9 +166,12 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
     )
 
 
-def _token_counts_update(timeout_minutes: int):
+def _token_counts_update(timeout_minutes: int | None):
     """Per-token state machine for streaming_token_counts, exposed for
-    direct unit testing (same discipline as _totals_update)."""
+    direct unit testing (same discipline as _totals_update).
+    ``timeout_minutes=None`` disables eviction (NoTimeout mode) — used
+    by finite AvailableNow drains, where a ProcessingTimeTimeout would
+    keep the query alive to fire timeouts after the data is exhausted."""
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -180,14 +183,15 @@ def _token_counts_update(timeout_minutes: int):
         for pdf in pdfs:
             n += len(pdf)
         state.update((n,))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame({"token": [key[0]], "n_occurrences": [n]})
 
     return update
 
 
 def streaming_token_counts(
-    docs: DataFrame, text_col: str = "text", timeout_minutes: int = 60
+    docs: DataFrame, text_col: str = "text", timeout_minutes: int | None = 60
 ) -> DataFrame:
     """Streaming vocabulary counter — the heavy-hitters face of the
     batch token aggregates: per token, a running occurrence count over
@@ -201,7 +205,12 @@ def streaming_token_counts(
     removes cold tokens, so state is bounded by the live vocabulary,
     not the stream's history — the applyInPandasWithState analog of
     the space-saving sketch's eviction. Same ProcessingTimeTimeout
-    drain-and-stop note as running_user_totals.
+    drain-and-stop note as running_user_totals. Pass
+    ``timeout_minutes=None`` for finite AvailableNow drains: NoTimeout
+    mode lets the query terminate on its own once the source is
+    exhausted (a ProcessingTimeTimeout keeps it alive to fire
+    evictions), at the cost of no cold-token eviction — fine for a
+    bounded drain, wrong for an unbounded stream.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -210,10 +219,15 @@ def streaming_token_counts(
     tok = docs.select(
         F.explode(_clean_split(F.lower(F.col(text_col)))).alias("token")
     )
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return tok.groupBy("token").applyInPandasWithState(
         _token_counts_update(timeout_minutes),
         outputStructType="token string, n_occurrences long",
         stateStructType="n long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )

@@ -605,10 +605,15 @@ def test_pca_rerank_with_full_pool_equals_exact_knn(spark):
     queries = corpus.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = sorted(map(tuple, reduction.pca_rerank_topk(
-        queries, corpus, m, k=5, pool=80).collect()))
     want = sorted(map(tuple, similarity.knn_join(queries, corpus, k=5).collect()))
+    # full pool + full probing (n_probe == n_cells) must be exact
+    got = sorted(map(tuple, reduction.pca_rerank_topk(
+        queries, corpus, m, k=5, pool=80, n_cells=8, n_probe=8).collect()))
     assert got == want
+    # n_cells=0 (no IVF index) is the same degenerate exhaustive scan
+    got0 = sorted(map(tuple, reduction.pca_rerank_topk(
+        queries, corpus, m, k=5, pool=80, n_cells=0).collect()))
+    assert got0 == want
 
 
 class TestBPETrain:

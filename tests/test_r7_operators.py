@@ -261,3 +261,174 @@ def test_quantize_cli_skips_leading_null_vector(spark, tmp_path, capsys):
     info = json.loads(line)
     assert info.get("error") is None
     assert os.path.exists(os.path.join(out, "_sq8_params.json"))
+
+
+# ---------------------------------------------------------------------------
+# compression fixture honesty + graded streaming row
+# ---------------------------------------------------------------------------
+
+
+def test_compression_fixture_literals_match_live_zlib(spark):
+    """COMPRESSION_FIXTURE pins (n_bytes, n_compressed) as literals for
+    the SQL oracle; the live codec must keep reproducing them, or the
+    graded compression_band_report row would silently drift from what
+    the engine actually computes."""
+    import zlib
+
+    from lovdata_pipeline_spark.queries import (
+        COMPRESSION_FIXTURE,
+        _compression_fixture_docs,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _compression_fixture_docs(spark).collect()
+    }
+    assert set(texts) == {i for i, *_ in COMPRESSION_FIXTURE}
+    for doc_id, _source, n_bytes, n_compressed in COMPRESSION_FIXTURE:
+        raw = texts[doc_id].encode("utf-8")
+        assert len(raw) == n_bytes, doc_id
+        assert len(zlib.compress(raw, 6)) == n_compressed, doc_id
+
+
+def test_streaming_vocab_counts_equals_batch(spark):
+    """The graded streaming row: AvailableNow drain over a static
+    source must equal the batch explode+count at sf0.001 (the driver
+    grades sf0.01 via the oracle; this pins the smaller SF in pytest)."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.textstats import _words
+    from lovdata_pipeline_spark.queries import streaming_vocab_counts
+
+    got = {
+        (r.token, r.n_occurrences)
+        for r in streaming_vocab_counts(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        (r.token, r.n)
+        for r in docs.select(F.explode(_words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF-in-PCA-space candidate stage (r7 VERDICT Next #4)
+# ---------------------------------------------------------------------------
+
+
+class TestPCARerankIVF:
+    def _clustered(self, spark, n_clusters=8, per=50, d=16):
+        """Well-separated Gaussian clusters — the corpus shape IVF
+        probing is FOR (the sf0.01 synthetic embeddings have no such
+        structure, which is why the graded query probes 4/8)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(n_clusters, d)) * 1.5
+        rows = []
+        for c in range(n_clusters):
+            pts = centers[c] + rng.normal(size=(per, d)) * 0.05
+            for j, p in enumerate(pts):
+                rows.append(
+                    (c * per + j, np.clip(p, -2, 2).astype("float32").tolist())
+                )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_recall_bar_on_clustered_fixture(self, spark):
+        """Sublinear probing (2 of 8 cells = 25% of the corpus scanned)
+        must keep mean recall@10 >= 0.94 when the corpus actually has
+        cell structure — the VERDICT Next #4 done-criterion bar."""
+        from lovdata_pipeline_spark.operators import reduction, similarity
+
+        corpus = self._clustered(spark)
+        m = reduction.pca_fit(corpus, k=8)
+        queries = corpus.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = reduction.pca_rerank_topk(
+            queries, corpus, m, k=10, pool=50, n_cells=8, n_probe=2
+        )
+        exact = similarity.knn_join(queries, corpus, k=10)
+        got = {
+            (r.query_id, r.vec_id)
+            for r in approx.select("query_id", "vec_id").collect()
+        }
+        want = {}
+        for r in exact.select("query_id", "vec_id").collect():
+            want.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [
+            len({v for (q2, v) in got if q2 == q} & vs) / len(vs)
+            for q, vs in want.items()
+        ]
+        assert sum(recalls) / len(recalls) >= 0.94, recalls
+
+    def test_probe_pruning_no_cross_join(self, spark):
+        """The IVF candidate stage must plan as an equi-join on cell —
+        no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+        from lovdata_pipeline_spark.operators import reduction
+
+        corpus = self._clustered(spark, n_clusters=4, per=20)
+        m = reduction.pca_fit(corpus, k=4)
+        queries = corpus.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = reduction.pca_rerank_topk(
+            queries, corpus, m, k=3, pool=10, n_cells=4, n_probe=2
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_candidates_come_only_from_probed_cells(self, spark):
+        """Behavioral pruning proof: with n_probe=1, every returned
+        vec_id must sit in the query's single nearest PCA-space cell."""
+        from lovdata_pipeline_spark.operators import reduction
+        from lovdata_pipeline_spark.operators.similarity import (
+            deterministic_centroids,
+            ivf_assign,
+            kmeans_refine_exact,
+        )
+
+        corpus = self._clustered(spark, n_clusters=4, per=25)
+        m = reduction.pca_fit(corpus, k=4)
+        queries = corpus.filter(F.col("vec_id") % 29 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = reduction.pca_rerank_topk(
+            queries, corpus, m, k=5, pool=100, n_cells=4, n_probe=1
+        ).collect()
+        # rebuild the same index the operator builds
+        cp = reduction.pca_project(
+            corpus.select("vec_id", "embedding"), m, out_col="_cp"
+        )
+        cents = kmeans_refine_exact(
+            cp,
+            deterministic_centroids(cp, 4, vec_col="_cp"),
+            iterations=2,
+            vec_col="_cp",
+        )
+        cell_of = {
+            r.vec_id: r.cell
+            for r in ivf_assign(cp, cents, vec_col="_cp").collect()
+        }
+        for r in got:
+            assert cell_of[r.vec_id] == cell_of[r.query_id], r
+
+    def test_refine_exact_partition_invariant(self, spark):
+        """kmeans_refine_exact must be bit-identical under repartition
+        (the reason it exists — avg(double) is not)."""
+        from lovdata_pipeline_spark.operators.similarity import (
+            deterministic_centroids,
+            kmeans_refine_exact,
+        )
+
+        corpus = self._clustered(spark, n_clusters=3, per=30, d=6)
+        seeds = deterministic_centroids(corpus, 3)
+        a = kmeans_refine_exact(corpus.repartition(1), seeds, iterations=3)
+        b = kmeans_refine_exact(corpus.repartition(13), seeds, iterations=3)
+        assert a == b
