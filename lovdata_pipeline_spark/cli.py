@@ -134,11 +134,34 @@ def cmd_validate(args) -> int:
             if args.cols
             else df.columns
         )
-        rows = [r.asDict() for r in expectations_report(df, cols).orderBy("col_name").collect()]
+        rows = [
+            r.asDict()
+            for r in expectations_report(df, cols, approx=args.approx)
+            .orderBy("col_name")
+            .collect()
+        ]
         pk_ok = True
         if args.pk:
-            pk_ok = any(r["col_name"] == args.pk and r["unique_nonnull"] for r in rows)
-        print(json.dumps({"table": args.table, "pk_ok": pk_ok, "columns": rows}))
+            # the pk CONTRACT is always exact, even when the wide audit
+            # ran approx (HLL can't certify uniqueness)
+            if args.approx:
+                exact = expectations_report(df, [args.pk]).collect()[0]
+                pk_ok = bool(exact["unique_nonnull"])
+            else:
+                pk_ok = any(
+                    r["col_name"] == args.pk and r["unique_nonnull"]
+                    for r in rows
+                )
+        print(
+            json.dumps(
+                {
+                    "table": args.table,
+                    "pk_ok": pk_ok,
+                    "approx": bool(args.approx),
+                    "columns": rows,
+                }
+            )
+        )
         return 0 if pk_ok else 1
     if not (args.store and args.state):
         print(json.dumps({"error": "need --store and --state (or --table)"}))
@@ -454,6 +477,21 @@ def cmd_analyze(args) -> int:
         .groupBy("detected_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    bpe_totals = None
+    if getattr(args, "bpe", None):
+        # re-tokenize the corpus under a PREVIOUSLY trained merge table
+        # (versioned artifact written by `lg tokenizer --output`)
+        bpe_merges = textstats.load_bpe_merges(spark, args.bpe)
+        bpe_totals = (
+            textstats.bpe_apply(
+                docs, bpe_merges, text_col=args.text_col, id_col=args.id_col
+            )
+            .agg(
+                F.sum("n_words").alias("w"),
+                F.sum("n_bpe_tokens").alias("b"),
+            )
+            .first()
+        )
     comp = None
     if args.compression:
         comp = (
@@ -521,6 +559,15 @@ def cmd_analyze(args) -> int:
                 "length_histogram_log2": hist_rows,
                 "top_bpe_pairs": top_pairs,
                 "vocab_drift_kl": drift_rows,
+                **(
+                    {
+                        "bpe_artifact": args.bpe,
+                        "corpus_whitespace_tokens": int(bpe_totals["w"] or 0),
+                        "corpus_bpe_tokens": int(bpe_totals["b"] or 0),
+                    }
+                    if bpe_totals is not None
+                    else {}
+                ),
                 **(
                     {
                         "compression_by_group": {
@@ -796,7 +843,9 @@ def cmd_tokenizer(args) -> int:
     )
     merges_rows = merges_df.orderBy("rank").collect()
     if args.output:
-        merges_df.write.mode("overwrite").parquet(args.output)
+        # versioned artifact (parquet + _bpe_params.json sidecar) so a
+        # later session can load and apply without retraining
+        textstats.save_bpe_merges(merges_df, args.output)
     merges = [(r["left"], r["right"]) for r in merges_rows]
     totals = (
         textstats.bpe_apply(docs, merges, text_col=args.text_col)
@@ -943,6 +992,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", help="expectations mode: parquet path to audit")
     v.add_argument("--cols", help="expectations mode: comma-separated columns (default: all)")
     v.add_argument("--pk", help="expectations mode: column that must satisfy the PK contract (exit 1 otherwise)")
+    v.add_argument("--approx", action="store_true",
+                   help="expectations mode: approx_count_distinct per column (HLL, no Expand) for wide tables; --pk is still checked exactly")
     v.set_defaults(func=cmd_validate)
 
     se = sub.add_parser("search", help="search the chunk store (vector/keyword/hybrid)")
@@ -1010,6 +1061,8 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--group-col", default="source")
     an.add_argument("--compression", action="store_true",
                     help="also report per-group zlib compression-ratio stats (mean ratio, docs outside the keep band)")
+    an.add_argument("--bpe", default=None,
+                    help="path to a saved merge-table artifact (lg tokenizer --output); re-tokenizes the corpus under it and reports the BPE token budget")
     an.set_defaults(func=cmd_analyze)
 
     pl = sub.add_parser("plan", help="per-group mixture plan: tokens, shares, uniform-mix epochs")

@@ -1666,6 +1666,65 @@ def _bpe_train_distributed(
     return merges
 
 
+#: BPE merge-table artifact version — bump on any change to the merge
+#: semantics or the on-disk layout, so a stale artifact fails loudly
+#: instead of re-tokenizing a corpus under different rules.
+BPE_ARTIFACT_VERSION = 1
+
+
+def save_bpe_merges(merges_df: DataFrame, path: str) -> int:
+    """Persist a trained merge table as a VERSIONED parquet artifact:
+    the (rank, left, right, merged, n_occurrences) rows plus a
+    ``_bpe_params.json`` sidecar (version, n_merges, separator
+    codepoint) inside the output directory — the ``_sq8_params.json``
+    discipline, so training and applying can run in different sessions
+    (``lg tokenizer --output`` writes it; ``bpe_apply`` /
+    ``lg analyze --bpe`` load it). The ``_`` prefix keeps parquet
+    readers from listing the sidecar. Returns the merge count."""
+    import json as _json
+    import os as _os
+
+    merges_df.write.mode("overwrite").parquet(path)
+    n = merges_df.count()  # merge tables are parameters-sized
+    with open(_os.path.join(path, "_bpe_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": BPE_ARTIFACT_VERSION,
+                "n_merges": int(n),
+                "separator": ord(_BPE_SEP),
+            },
+            fh,
+        )
+    return int(n)
+
+
+def load_bpe_merges(spark, path: str) -> list:
+    """Load a saved merge-table artifact into the ordered
+    ``[(left, right)]`` list ``bpe_apply`` takes (a parameters-sized
+    collect). Validates the sidecar's version and separator so an
+    artifact trained under different rules fails loudly; a missing
+    sidecar (a bare merge parquet) is accepted for compatibility."""
+    import json as _json
+    import os as _os
+
+    side = _os.path.join(path, "_bpe_params.json")
+    if _os.path.exists(side):
+        with open(side) as fh:
+            params = _json.load(fh)
+        if params.get("version") != BPE_ARTIFACT_VERSION:
+            raise ValueError(
+                f"bpe artifact version {params.get('version')} != "
+                f"{BPE_ARTIFACT_VERSION} (retrain or migrate): {path}"
+            )
+        if params.get("separator") != ord(_BPE_SEP):
+            raise ValueError(
+                f"bpe artifact separator {params.get('separator')} != "
+                f"{ord(_BPE_SEP)}: {path}"
+            )
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
+
+
 def _sql_str(s: str) -> str:
     """Spark-SQL string literal for expr() splicing: quotes double, and
     backslashes double too — Spark's parser treats ``\\`` in

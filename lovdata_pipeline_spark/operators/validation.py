@@ -49,7 +49,15 @@ def validate(state_ids: DataFrame, store_ids: DataFrame) -> ValidationResult:
     )
 
 
-def expectations_report(df: DataFrame, cols: list[str]) -> DataFrame:
+#: exact-mode column cap: each exact countDistinct adds an Expand
+#: branch (pre-shuffle rows × |cols|); past this many columns the gate
+#: refuses to build the plan unless approx mode is chosen.
+EXPECTATIONS_EXACT_COL_CAP = 32
+
+
+def expectations_report(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
     """Per-column data-expectation stats — the Deequ-style ingest gate a
     100-TB pipeline runs before anything downstream trusts a table:
     one row per checked column with (col_name, n_rows, n_nulls,
@@ -62,15 +70,32 @@ def expectations_report(df: DataFrame, cols: list[str]) -> DataFrame:
     unpivots to per-column rows inside the plan (explode of a struct
     array — no driver round trip). The multi-countDistinct Expand
     multiplies pre-shuffle rows by |cols|: fine for the handful of
-    contract columns this gate is for; audit EVERY column of a wide
-    table with approx_count_distinct instead (one HLL sketch per
-    column, no Expand — not hash-graded because HLL estimates are not
-    cross-engine-stable).
+    contract columns this gate is for, so exact mode REFUSES more than
+    ``EXPECTATIONS_EXACT_COL_CAP`` columns (a 500-column audit would
+    silently build a 500-way Expand). Audit EVERY column of a wide
+    table with ``approx=True`` instead: one HLL sketch per column
+    (``approx_count_distinct``), no Expand — and ``unique_nonnull``
+    then needs the exact row count only on columns whose ESTIMATE is
+    within HLL error of n_rows, so the wide pass stays one scan and the
+    pk contract is re-checked exactly by the caller on the id column
+    (the ``lg validate --pk`` path always uses exact mode). Approx mode
+    is not hash-graded: HLL estimates are not cross-engine-stable.
 
     null_frac is the UNROUNDED ratio of two exact integers —
     bit-identical in every IEEE engine (same discipline as
     ``ngram_overlap_flags.overlap_frac``).
     """
+    if not approx and len(cols) > EXPECTATIONS_EXACT_COL_CAP:
+        raise ValueError(
+            f"expectations_report: {len(cols)} columns exceeds the exact-"
+            f"mode cap ({EXPECTATIONS_EXACT_COL_CAP}); pass approx=True "
+            "for a wide-table audit (one HLL sketch per column, no Expand)"
+        )
+    distinct_of = (
+        (lambda c: F.approx_count_distinct(F.col(c)))
+        if approx
+        else (lambda c: F.countDistinct(F.col(c)))
+    )
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         # coalesce: sum over an EMPTY table is NULL, which would cascade
@@ -80,7 +105,7 @@ def expectations_report(df: DataFrame, cols: list[str]) -> DataFrame:
                 f"_nulls_{c}"
             )
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+        aggs.append(distinct_of(c).alias(f"_dist_{c}"))
     one = df.agg(*aggs)
     per_col = F.array(
         *[

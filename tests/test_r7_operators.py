@@ -432,3 +432,140 @@ class TestPCARerankIVF:
         a = kmeans_refine_exact(corpus.repartition(1), seeds, iterations=3)
         b = kmeans_refine_exact(corpus.repartition(13), seeds, iterations=3)
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table artifact round-trip (r7 VERDICT Next #6)
+# ---------------------------------------------------------------------------
+
+
+class TestBPEArtifactRoundTrip:
+    CORPUS = [
+        (1, "low low low low low lower lower"),
+        (2, "newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+
+    def test_cli_train_write_load_apply(self, spark, tmp_path, capsys):
+        """train -> versioned artifact -> load in a 'later session' ->
+        apply must equal the in-session apply, byte for byte."""
+        from lovdata_pipeline_spark.cli import main
+
+        src = str(tmp_path / "docs.parquet")
+        art = str(tmp_path / "merges")
+        spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(src)
+        rc = main(
+            ["tokenizer", "--input", src, "--merges", "4", "--output", art]
+        )
+        assert rc == 0
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+        ][-1]
+        info = json.loads(line)
+        in_session = [tuple(m[:2]) for m in info["merges"]]
+        # sidecar exists and validates
+        assert os.path.exists(os.path.join(art, "_bpe_params.json"))
+        loaded = textstats.load_bpe_merges(spark, art)
+        assert loaded == in_session and len(loaded) == 4
+        # apply under the loaded table == apply under the in-session one
+        docs = spark.read.parquet(src)
+        a = sorted(
+            map(tuple, textstats.bpe_apply(docs, loaded).collect())
+        )
+        b = sorted(
+            map(tuple, textstats.bpe_apply(docs, in_session).collect())
+        )
+        assert a == b
+        assert info["corpus_bpe_tokens"] == sum(r[2] for r in a)
+
+    def test_version_mismatch_fails_loudly(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        art = str(tmp_path / "merges_v")
+        textstats.save_bpe_merges(textstats.bpe_train(docs, n_merges=2), art)
+        side = os.path.join(art, "_bpe_params.json")
+        params = json.load(open(side))
+        params["version"] = 999
+        json.dump(params, open(side, "w"))
+        with pytest.raises(ValueError, match="version"):
+            textstats.load_bpe_merges(spark, art)
+
+    def test_analyze_with_bpe_artifact(self, spark, tmp_path, capsys):
+        from lovdata_pipeline_spark.cli import main
+
+        src = str(tmp_path / "docs2.parquet")
+        art = str(tmp_path / "merges2")
+        spark.createDataFrame(
+            [(i, s, "web") for i, s in self.CORPUS],
+            "doc_id long, text string, source string",
+        ).write.mode("overwrite").parquet(src)
+        assert main(["tokenizer", "--input", src, "--merges", "3",
+                     "--output", art]) == 0
+        capsys.readouterr()
+        assert main(["analyze", "--input", src, "--bpe", art]) == 0
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+        ][-1]
+        info = json.loads(line)
+        assert info["bpe_artifact"] == art
+        assert 0 < info["corpus_bpe_tokens"]
+        assert info["corpus_whitespace_tokens"] == 16
+
+
+# ---------------------------------------------------------------------------
+# expectations gate: wide-table mode (r7 VERDICT Next #7)
+# ---------------------------------------------------------------------------
+
+
+class TestExpectationsWideMode:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5.0), (3, "b", 6.0), (4, None, 7.0)],
+            "id long, s string, v double",
+        )
+
+    def test_exact_mode_refuses_past_column_cap(self, spark):
+        from lovdata_pipeline_spark.operators import validation
+
+        df = self._df(spark)
+        wide = [f"c{i}" for i in range(validation.EXPECTATIONS_EXACT_COL_CAP + 1)]
+        with pytest.raises(ValueError, match="exact-"):
+            validation.expectations_report(df, wide)
+
+    def test_approx_mode_no_expand_and_sane_stats(self, spark):
+        from lovdata_pipeline_spark.operators import validation
+
+        df = self._df(spark)
+        exact = validation.expectations_report(df, ["id", "s", "v"])
+        approx = validation.expectations_report(df, ["id", "s", "v"], approx=True)
+        # nulls/rows are exact in both modes; distinct is HLL in approx
+        e = {r.col_name: r for r in exact.collect()}
+        a = {r.col_name: r for r in approx.collect()}
+        for c in ("id", "s", "v"):
+            assert a[c].n_rows == e[c].n_rows == 4
+            assert a[c].n_nulls == e[c].n_nulls
+            # tiny cardinalities: HLL is exact here
+            assert a[c].n_distinct == e[c].n_distinct
+        # the Expand operator (multi-countDistinct) must be absent
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in exact_plan  # sanity: exact mode does use it
+
+    def test_cli_approx_pk_still_exact(self, spark, tmp_path, capsys):
+        from lovdata_pipeline_spark.cli import main
+
+        p = str(tmp_path / "t.parquet")
+        self._df(spark).write.mode("overwrite").parquet(p)
+        rc = main(["validate", "--table", p, "--pk", "id", "--approx"])
+        out = [
+            ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+        ][-1]
+        info = json.loads(out)
+        assert rc == 0 and info["pk_ok"] is True and info["approx"] is True
+        # duplicate pk must fail even in approx mode (exact recheck)
+        p2 = str(tmp_path / "t2.parquet")
+        self._df(spark).union(self._df(spark)).write.mode("overwrite").parquet(p2)
+        rc2 = main(["validate", "--table", p2, "--pk", "id", "--approx"])
+        assert rc2 == 1
