@@ -106,6 +106,7 @@ HEADLINE = [
     "pretraining_pipeline",
     "curation_report_by_source",
     "validate_documents_expectations",
+    "streaming_vocab_counts",
 ]
 
 
