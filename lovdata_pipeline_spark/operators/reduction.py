@@ -108,35 +108,34 @@ def pca_fit(
             schema="n long, s array<long>, g array<long>",
         )
     )
-    # merge partials in Spark (bounded frames: d and d² keys), ONE scan up
-    # top: cache the few partial rows, not the corpus
-    partials = partials.cache()
-    # merge in DECIMAL(38,0): each partial cell is < 2^61 (chunk-bounded),
-    # and decimal sums are exact — no int64 wraparound at any corpus size
+    # merge ALL sufficient statistics in ONE job: pack each partial row
+    # as concat(s, g, [n]) and posexplode — indexes [0, d) are s,
+    # [d, d+d²) are g, d+d² is the row count. One hash aggregate over
+    # d²+d+1 keys (map-side combinable), one driver collect; sums run
+    # in DECIMAL(38,0) (each partial cell is < 2^61, chunk-bounded), so
+    # nothing wraps int64 at any corpus size. The r6 form ran three
+    # separate jobs (count, s-merge, g-merge) over a cached partials
+    # frame — 3× the scheduler latency for the same answer.
     dec = "decimal(38,0)"
-    try:
-        n_vecs = partials.agg(F.sum("n")).collect()[0][0]
-        s_rows = (
-            partials.select(F.posexplode("s").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum(F.col("v").cast(dec)).alias("v"))
-            .collect()
+    rows = (
+        partials.select(
+            F.posexplode(
+                F.concat("s", "g", F.array(F.col("n")))
+            ).alias("i", "v")
         )
-        g_rows = (
-            partials.select(F.posexplode("g").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum(F.col("v").cast(dec)).alias("v"))
-            .collect()
-        )
-    finally:
-        partials.unpersist()
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast(dec)).alias("v"))
+        .collect()
+    )
     # Python ints (arbitrary precision) carry the exact sums to numpy
-    s_exact = [0] * d
-    for r in s_rows:
-        s_exact[r["i"]] = int(r["v"])
-    g_exact = [0] * (d * d)
-    for r in g_rows:
-        g_exact[r["i"]] = int(r["v"])
+    flat = [0] * (d + d * d + 1)
+    for r in rows:
+        flat[r["i"]] = int(r["v"])
+    s_exact = flat[:d]
+    g_exact = flat[d : d + d * d]
+    n_vecs = flat[d + d * d]
+    if n_vecs == 0:
+        raise ValueError("pca_fit: no non-NULL vectors")
     s = np.array(s_exact, dtype=np.float64)
     G = np.array(g_exact, dtype=np.float64).reshape(d, d)
     trace_g = sum(g_exact[i * d + i] for i in range(d))
@@ -275,17 +274,27 @@ def pca_rerank_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cents = (
-        kmeans_refine_exact(
-            cp,
-            deterministic_centroids(cp, n_cells, id_col=corpus_id, vec_col="_cp"),
-            iterations=2,
-            id_col=corpus_id,
-            vec_col="_cp",
-        )
-        if n_cells > 0
-        else []
-    )
+    if n_cells > 0:
+        # the index build materializes the projected corpus 3× (seed
+        # TakeOrdered + two Lloyd iterations) — persist the narrow
+        # (id, 8-dim) projection for the build and release it right
+        # after; the final assignment scan recomputes it once lazily.
+        # At cluster scale you write the projected corpus once instead.
+        cp = cp.persist()
+        try:
+            cents = kmeans_refine_exact(
+                cp,
+                deterministic_centroids(
+                    cp, n_cells, id_col=corpus_id, vec_col="_cp"
+                ),
+                iterations=2,
+                id_col=corpus_id,
+                vec_col="_cp",
+            )
+        finally:
+            cp.unpersist()
+    else:
+        cents = []
     if cents and n_probe < len(cents):
         # IVF probe in PCA space: corpus rows carry their nearest-cell
         # id; each query explodes into its n_probe nearest cells (ties

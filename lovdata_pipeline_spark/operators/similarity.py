@@ -262,29 +262,32 @@ def kmeans_refine_exact(
     dims = len(centroids[0])
     for _ in range(iterations):
         assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-        v = _as_double(F.col(vec_col))
-        qcols = [
-            F.floor(F.element_at(v, i + 1) * scale).cast("long").alias(f"_q{i}")
-            for i in range(dims)
-        ]
+        # posexplode keeps the aggregate NARROW (|cells|·d rows of one
+        # decimal sum each) instead of d wide decimal columns — the wide
+        # form made Catalyst analysis the dominant cost per iteration
         sums = (
-            assigned.select("cell", *qcols)
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(F.col(f"_q{i}").cast("decimal(38,0)")).alias(f"_q{i}")
-                    for i in range(dims)
-                ],
+            assigned.select(
+                "cell", F.posexplode(_as_double(F.col(vec_col))).alias("i", "x")
             )
+            .select(
+                "cell",
+                "i",
+                F.floor(F.col("x") * scale).cast("decimal(38,0)").alias("q"),
+            )
+            .groupBy("cell", "i")
+            .agg(F.sum("q").alias("q"), F.count(F.lit(1)).alias("_n"))
             .collect()
         )
         updated = list(centroids)
+        acc: dict = {}
         for row in sums:
-            n = row["_n"]
-            updated[row["cell"]] = [
-                round(int(row[f"_q{i}"]) / n / scale, round_dp)
-                for i in range(dims)
+            acc.setdefault(row["cell"], [0] * dims)[row["i"]] = (
+                int(row["q"]),
+                row["_n"],
+            )
+        for cell, entries in acc.items():
+            updated[cell] = [
+                round(q / n / scale, round_dp) for (q, n) in entries
             ]
         centroids = updated
     return centroids

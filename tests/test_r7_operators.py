@@ -569,3 +569,50 @@ class TestExpectationsWideMode:
         self._df(spark).union(self._df(spark)).write.mode("overwrite").parquet(p2)
         rc2 = main(["validate", "--table", p2, "--pk", "id", "--approx"])
         assert rc2 == 1
+
+
+# ---------------------------------------------------------------------------
+# property: in-memory BPE == distributed BPE on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_word = st.text(
+    alphabet=st.sampled_from("abcdefg'\\é"), min_size=1, max_size=6
+)
+_corpus = st.lists(
+    st.lists(_word, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n_merges=st.integers(min_value=1, max_value=6))
+def test_bpe_paths_agree_on_random_corpora(spark, texts, n_merges):
+    """Property: the driver-side incremental merge loop and the
+    distributed replace loop learn IDENTICAL merge tables (ranks,
+    pairs, counts) on arbitrary corpora — including quotes,
+    backslashes, non-ASCII, repeated and empty words."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fast = [
+        tuple(r)
+        for r in textstats.bpe_train(docs, n_merges=n_merges, min_count=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    slow = [
+        tuple(r)
+        for r in textstats.bpe_train(
+            docs, n_merges=n_merges, min_count=1, inmemory_max_bytes=0
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert fast == slow
