@@ -2675,3 +2675,31 @@ ORACLES["compression_band_report"] = (
         ORDER BY source, band
 """
 )
+
+# r7: canonical dedup survivor by QUALITY — exact window replay of
+# fingerprint (normalized-text md5), the composite quality score, and
+# the (quality desc, doc_id asc) winner per fingerprint group.
+ORACLES["dedup_keep_best_quality"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 md5(coalesce({_NORMALIZED_TEXT}, '')) AS fingerprint,
+                 {_QUALITY_EXPRS}
+          FROM documents),
+        q AS (
+          SELECT doc_id, fingerprint,
+                 round(greatest(least(
+                   1.0
+                   - (CASE WHEN nw < 10 THEN 0.5 WHEN nw > 100000 THEN 0.5 ELSE 0.0 END)
+                   - least(punct / nc * 2, 0.3)
+                   - least(digits / nc * 2, 0.3)
+                   - least(uppers / nc, 0.2)
+                 , 1.0), 0.0), 6) AS quality
+          FROM f),
+        r AS (
+          SELECT doc_id, fingerprint, quality,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY quality DESC, doc_id) AS rk
+          FROM q)
+        SELECT doc_id, fingerprint, quality
+        FROM r WHERE rk = 1 ORDER BY doc_id
+"""

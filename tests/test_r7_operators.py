@@ -616,3 +616,43 @@ def test_bpe_paths_agree_on_random_corpora(spark, texts, n_merges):
         .collect()
     ]
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# canonical dedup survivor by quality (new r7 operator)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_quality_policy(spark, tmp_path):
+    """Within an exact-dup group the HIGHEST-quality member survives
+    (ties on min doc_id); non-duplicated docs all survive."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    # same normalized text => same fingerprint, but different quality:
+    # doc 2 has clean casing, doc 1 SCREAMS (upper-ratio penalty) —
+    # normalization lowercases, so both share the fingerprint
+    rows = [
+        (1, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG EVERY DAY AGAIN"),
+        (2, "the quick brown fox jumps over the lazy dog every day again"),
+        (3, "the quick brown fox jumps over the lazy dog every day again"),
+        (4, "an entirely different document with enough words to pass gates"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prepared = docs.withColumn(
+        "fingerprint",
+        F.md5(F.coalesce(textstats._normalized("text"), F.lit(""))),
+    )
+    q = textstats.quality_scores(prepared, keep_cols=("fingerprint",))
+    best = top_k_per_group(
+        q.select("doc_id", "fingerprint", "quality"),
+        1,
+        "fingerprint",
+        "quality",
+        "doc_id",
+    )
+    got = sorted(r.doc_id for r in best.collect())
+    # doc 1 is eliminated by quality (uppercase penalty); docs 2 and 3
+    # tie on quality, min-id 2 wins; doc 4 is its own group
+    assert got == [2, 4]
