@@ -656,3 +656,56 @@ def test_dedup_keep_best_quality_policy(spark, tmp_path):
     # doc 1 is eliminated by quality (uppercase penalty); docs 2 and 3
     # tie on quality, min-id 2 wins; doc 4 is its own group
     assert got == [2, 4]
+
+
+def test_streaming_vocab_counts_multi_batch(spark, tmp_path):
+    """The max-per-token rollup must be correct when AvailableNow
+    splits the drain into MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over several files): update-mode re-emissions carry running counts,
+    and only the final (max) value per token may survive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.streaming.windows import (
+        streaming_token_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 'alpha' appears in every file => re-emitted with growing counts
+    pd.DataFrame({"doc_id": [1], "text": ["alpha beta alpha"]}).to_parquet(
+        src / "p0.parquet"
+    )
+    pd.DataFrame({"doc_id": [2], "text": ["alpha gamma"]}).to_parquet(
+        src / "p1.parquet"
+    )
+    pd.DataFrame({"doc_id": [3], "text": ["alpha beta"]}).to_parquet(
+        src / "p2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = streaming_token_counts(stream, timeout_minutes=None)
+    out = str(tmp_path / "out")
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _b: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.read.schema("token string, n_occurrences long").parquet(out)
+    # multiple batches really happened: alpha must appear more than once
+    assert upd.filter(F.col("token") == "alpha").count() > 1
+    final = {
+        r.token: r.n_occurrences
+        for r in upd.groupBy("token")
+        .agg(F.max("n_occurrences").alias("n_occurrences"))
+        .collect()
+    }
+    assert final == {"alpha": 4, "beta": 2, "gamma": 1}
