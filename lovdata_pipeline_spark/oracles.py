@@ -2703,3 +2703,9 @@ ORACLES["dedup_keep_best_quality"] = f"""
         SELECT doc_id, fingerprint, quality
         FROM r WHERE rk = 1 ORDER BY doc_id
 """
+
+# r7: the persisted-index IVF query is result-identical to ann_topk_ivf
+# (same portable seeds, probe choice, in-cell cosine) — the index is a
+# LAYOUT (parquet partitioned by cell), not a different algorithm, so
+# the oracle is reused verbatim.
+ORACLES["ann_topk_ivf_index"] = ORACLES["ann_topk_ivf"]

@@ -2188,6 +2188,25 @@ def hard_negatives_embeddings(spark, sf_dir):
     return similarity.hard_negatives(anchors, corpus, k=5).orderBy("query_id", "rk")
 
 
+def ann_topk_ivf_index(spark, sf_dir):
+    """PERSISTED-index IVF ANN (r7): the corpus is written as a parquet
+    index partitioned by cell (+ ``_ivf_params.json``), then probed by
+    reading ONLY the two nearest cell directories — Catalyst partition
+    pruning, the layout the 100-TB IVF story runs on (SCALING.md's
+    "write the corpus partitioned by cell" made real and graded).
+    Same portable centroids, probe choice, and in-cell scoring as
+    ``ann_topk_ivf``, so the results — and the oracle — are identical:
+    the index is a layout, not a different algorithm. The
+    PartitionFilters plan assertion lives in tests/test_r7_operators.py."""
+    import tempfile
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.ivf_write_index(emb, idx, n_cells=8, portable=True)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.ivf_index_topk(spark, idx, query, k=10, n_probe=2)
+
+
 def dedup_keep_best_quality(spark, sf_dir):
     """Canonical survivor selection by QUALITY (r7): exact-duplicate
     groups (normalized-text md5 fingerprint) keep their HIGHEST-QUALITY
@@ -2476,6 +2495,14 @@ QUERIES = {
     # r5+r6; the pair-count aggregate is replayed at every iteration of
     # the graded bpe_learned_merges oracle, and bpe_token_counts stays).
     "dedup_keep_best_quality": dedup_keep_best_quality,
+    # ann_topk_ivf_index (new r7) enters at birth: the persisted
+    # partition-pruned IVF index layout, result-identical to
+    # ann_topk_ivf (tail, green r3+r4) whose oracle it reuses verbatim.
+    # Demoted in exchange: hash_split_documents (green r5+r6; the
+    # portable-hash split family stays graded via weighted_sample's
+    # 60-bit md5 machinery, and epoch/temperature/stratified twins sit
+    # in the tail under diffcheck).
+    "ann_topk_ivf_index": ann_topk_ivf_index,
     # --- r7 attestation refresh (r6 VERDICT "What's missing #3" / Next
     # --- #2): the 14 entries last driver-graded in r1-r2, cycled back
     # --- through the window so no attestation goes four-plus rounds
@@ -2531,7 +2558,6 @@ QUERIES = {
     "exact_contamination_documents": exact_contamination_documents,
     "decontam_remove_spans": decontam_remove_spans,
     "curation_report_by_source": curation_report_by_source,
-    "hash_split_documents": hash_split_documents,
     "tfidf_keywords_by_source": tfidf_keywords_by_source,
     "events_rolling_1h": events_rolling_1h,
     "weighted_sample_documents": weighted_sample_documents,
@@ -2540,6 +2566,7 @@ QUERIES = {
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "hash_split_documents": hash_split_documents,        # green r5+r6; demoted r7 for ann_topk_ivf_index (portable-hash family graded via weighted_sample; epoch/temperature/stratified twins in tail)
     "bpe_pair_stats": bpe_pair_stats,                    # green r5+r6; demoted r7 for dedup_keep_best_quality (pair counting replayed inside the graded bpe_learned_merges oracle chain)
     "running_sum": running_sum,                          # green r1+r6 (refreshed r6); demoted r7 for the attestation refresh
     "cube_status_priority": cube_status_priority,        # green r1+r6 (refreshed r6); demoted r7 (rollup_priority + pivot_status graded this round)

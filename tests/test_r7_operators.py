@@ -709,3 +709,139 @@ def test_streaming_vocab_counts_multi_batch(spark, tmp_path):
         .collect()
     }
     assert final == {"alpha": 4, "beta": 2, "gamma": 1}
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: partition pruning is REAL (r7)
+# ---------------------------------------------------------------------------
+
+
+class TestIVFIndexPersistence:
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_index_equals_inmemory_ivf(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = self._emb(spark)
+        idx = str(tmp_path / "idx")
+        cents = similarity.ivf_write_index(emb, idx, n_cells=4, portable=True)
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        got = sorted(
+            map(
+                tuple,
+                similarity.ivf_index_topk(
+                    spark, idx, query, k=5, n_probe=2
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(emb, query, cents, k=5, n_probe=2).collect(),
+            )
+        )
+        assert got == want and len(got) == 5
+
+    def test_probe_scan_is_partition_pruned(self, spark, tmp_path):
+        """The done-criterion: the probed read must carry a partition
+        filter on cell — unprobed cell directories are pruned at plan
+        time, never listed or opened."""
+        from pyspark.sql import functions as F2
+
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = self._emb(spark)
+        idx = str(tmp_path / "idx2")
+        similarity.ivf_write_index(emb, idx, n_cells=4, portable=True)
+        query = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+        df = similarity.ivf_index_topk(spark, idx, query, k=5, n_probe=1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        # behavioral proof: a 1-probe scan sees only that cell's rows
+        import json as _json
+        import os as _os
+
+        params = _json.load(open(_os.path.join(idx, "_ivf_params.json")))
+        cents = params["centroids"]
+        probe = min(
+            range(len(cents)),
+            key=lambda i: sum(
+                (q - c) ** 2 for q, c in zip(query, cents[i])
+            ),
+        )
+        n_in_cell = (
+            spark.read.parquet(idx).filter(F2.col("cell") == probe).count()
+        )
+        scanned = (
+            spark.read.parquet(idx)
+            .filter(F2.col("cell").isin([probe]))
+            .count()
+        )
+        total = spark.read.parquet(idx).count()
+        assert scanned == n_in_cell < total
+
+    def test_full_probe_degrades_to_exact(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = self._emb(spark)
+        idx = str(tmp_path / "idx3")
+        similarity.ivf_write_index(emb, idx, n_cells=4, portable=True)
+        query = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+        got = sorted(
+            map(
+                tuple,
+                similarity.ivf_index_topk(
+                    spark, idx, query, k=5, n_probe=4
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, similarity.cosine_topk(emb, query, k=5).collect())
+        )
+        assert got == want
+
+    def test_version_mismatch_fails(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from lovdata_pipeline_spark.operators import similarity
+
+        emb = self._emb(spark)
+        idx = str(tmp_path / "idx4")
+        similarity.ivf_write_index(emb, idx, n_cells=2)
+        side = _os.path.join(idx, "_ivf_params.json")
+        params = _json.load(open(side))
+        params["version"] = 99
+        _json.dump(params, open(side, "w"))
+        with pytest.raises(ValueError, match="version"):
+            similarity.ivf_index_topk(spark, idx, [0.0] * 4, k=1)
+
+
+def test_cli_index_end_to_end(spark, tmp_path, capsys):
+    from lovdata_pipeline_spark.cli import main
+
+    out = str(tmp_path / "ivfidx")
+    rc = main(
+        [
+            "index",
+            "--input",
+            "/root/testdata/sf0.001/embeddings.parquet",
+            "--output",
+            out,
+            "--cells",
+            "4",
+        ]
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ][-1]
+    info = json.loads(line)
+    assert info["n_cells"] == 4
+    assert sum(info["rows_per_cell"].values()) == 500
+    assert os.path.exists(os.path.join(out, "_ivf_params.json"))
+    # the partition layout is real: cell=N directories on disk
+    assert any(
+        d.startswith("cell=") for d in os.listdir(out) if not d.startswith("_")
+    )
