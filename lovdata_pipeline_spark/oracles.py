@@ -2709,3 +2709,65 @@ ORACLES["dedup_keep_best_quality"] = f"""
 # LAYOUT (parquet partitioned by cell), not a different algorithm, so
 # the oracle is reused verbatim.
 ORACLES["ann_topk_ivf_index"] = ORACLES["ann_topk_ivf"]
+
+
+def _clf_train_oracle(iterations: int = 3, n_buckets: int = 32,
+                      lr: str = "0.125") -> str:
+    """Exact SQL replay of textstats.train_text_classifier: the hashed
+    feature build (bucket = hash60(md5(w ‖ seed)) % k, + bias bucket k),
+    then per-iteration CTEs — per-doc integer logit numerator, sigmoid
+    quantized to round(p·10^9) (positive domain: DuckDB's half-away ==
+    Spark's HALF_UP), exact integer gradient numerators, and the
+    floor-based quantized-weight update in the SAME double evaluation
+    order as the driver loop."""
+    wscale = "16777216.0"  # 2^24
+    pscale = "1000000000"  # 10^9
+    ctes = [
+        f"""x AS (
+          SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+                   CAST(CAST(concat('0x', substr(md5(w || 'clf-v1'), 1, 15)) AS UBIGINT) AS BIGINT) % {n_buckets} AS b
+            FROM (SELECT doc_id, lang,
+                         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), t -> t <> '')) AS w
+                  FROM documents))
+          GROUP BY doc_id, y, b
+          UNION ALL
+          SELECT doc_id, CAST(lang = 'en' AS BIGINT), {n_buckets}, 1 FROM documents)""",
+        "nn AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM x)",
+        f"w0(b, wq) AS (SELECT CAST(r.range AS INTEGER), CAST(0 AS BIGINT) FROM range({n_buckets + 1}) r)",
+    ]
+    for t in range(1, iterations + 1):
+        p, c = t - 1, t
+        ctes.append(
+            f"""pd{c} AS (
+          SELECT x.doc_id, x.y, SUM(w{p}.wq * x.cnt) AS num
+          FROM x JOIN w{p} USING (b) GROUP BY x.doc_id, x.y)"""
+        )
+        ctes.append(
+            f"""pq{c} AS (
+          SELECT doc_id,
+                 CAST(round({pscale}.0 / (1.0 + exp(-(CAST(num AS DOUBLE) / {wscale})))) AS BIGINT) AS pq
+          FROM pd{c})"""
+        )
+        ctes.append(
+            f"""g{c} AS (
+          SELECT x.b, SUM((pq{c}.pq - x.y * {pscale}) * x.cnt) AS g
+          FROM x JOIN pq{c} USING (doc_id) GROUP BY x.b)"""
+        )
+        ctes.append(
+            f"""w{c} AS (
+          SELECT w{p}.b,
+                 w{p}.wq - CAST(floor({lr} * CAST(coalesce(g{c}.g, 0) AS DOUBLE) * {wscale} / (nn.nd * {pscale}.0)) AS BIGINT) AS wq
+          FROM w{p} LEFT JOIN g{c} USING (b) CROSS JOIN nn)"""
+        )
+    return (
+        "        WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT b AS bucket, wq AS weight_q,
+               CAST(wq AS DOUBLE) / {wscale} AS weight
+        FROM w{iterations} ORDER BY bucket"""
+    )
+
+
+ORACLES["train_quality_classifier_documents"] = _clf_train_oracle(3, 32)

@@ -845,3 +845,72 @@ def test_cli_index_end_to_end(spark, tmp_path, capsys):
     assert any(
         d.startswith("cell=") for d in os.listdir(out) if not d.startswith("_")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression trainer (new r7)
+# ---------------------------------------------------------------------------
+
+
+class TestClassifierTraining:
+    def _separable(self, spark, n=40):
+        rows = []
+        for i in range(n):
+            if i % 2 == 0:
+                rows.append((i, 1, "excellent prose flows here with excellent clarity"))
+            else:
+                rows.append((i, 0, "spam junk spam junk buy now spam junk"))
+        return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+    def test_learns_separable_corpus(self, spark):
+        docs = self._separable(spark)
+        w = textstats.train_text_classifier(
+            docs, "label", n_buckets=16, iterations=8, lr=0.5
+        )
+        wq = [r.weight_q for r in w.orderBy("bucket").collect()]
+        scored = textstats.apply_text_classifier(docs, wq)
+        joined = scored.join(docs.select("doc_id", "label"), "doc_id")
+        acc = joined.filter(
+            (F.col("clf_keep") & (F.col("label") == 1))
+            | (~F.col("clf_keep") & (F.col("label") == 0))
+        ).count() / docs.count()
+        assert acc == 1.0
+
+    def test_partition_invariant_weights(self, spark):
+        docs = self._separable(spark, n=30)
+        a = [
+            tuple(r)
+            for r in textstats.train_text_classifier(
+                docs.repartition(1), "label", n_buckets=8, iterations=3
+            )
+            .orderBy("bucket")
+            .collect()
+        ]
+        b = [
+            tuple(r)
+            for r in textstats.train_text_classifier(
+                docs.repartition(11), "label", n_buckets=8, iterations=3
+            )
+            .orderBy("bucket")
+            .collect()
+        ]
+        assert a == b
+
+    def test_empty_corpus_raises(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, label int, text string")
+        with pytest.raises(ValueError, match="empty"):
+            textstats.train_text_classifier(docs, "label", iterations=1)
+
+    def test_null_and_empty_text_score_neutral(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 1, "some words"), (2, 0, None), (3, 1, "   ")],
+            "doc_id long, label int, text string",
+        )
+        w = textstats.train_text_classifier(
+            docs, "label", n_buckets=8, iterations=2
+        )
+        wq = [r.weight_q for r in w.orderBy("bucket").collect()]
+        scored = {r.doc_id: r for r in textstats.apply_text_classifier(docs, wq).collect()}
+        assert set(scored) == {1, 2, 3}
+        # token-free docs carry only the bias term
+        assert scored[2].clf_logit == scored[3].clf_logit
