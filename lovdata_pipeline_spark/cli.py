@@ -774,6 +774,69 @@ def cmd_reduce(args) -> int:
     return 0
 
 
+def cmd_classifier(args) -> int:
+    """Train or apply a hashed-BoW logistic-regression quality
+    classifier. Train mode (``--label-col``): full-batch GD over the
+    corpus, weight table written as a versioned artifact
+    (``--output``). Apply mode (``--model``): score a corpus under a
+    saved table, write (id, clf_logit, clf_score, clf_keep) parquet to
+    ``--output``. One JSON summary line either way."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators import textstats
+
+    spark = _spark("lg-classifier")
+    docs = spark.read.parquet(args.input)
+    if args.label_col:
+        w = textstats.train_text_classifier(
+            docs,
+            args.label_col,
+            n_buckets=args.buckets,
+            iterations=args.iterations,
+            lr=args.lr,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        textstats.save_classifier(w, args.output)
+        nz = w.filter(F.col("weight_q") != 0).count()
+        print(
+            _json.dumps(
+                {
+                    "mode": "train",
+                    "n_buckets": args.buckets,
+                    "iterations": args.iterations,
+                    "nonzero_weights": nz,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+    if not args.model:
+        print(_json.dumps({"error": "need --label-col (train) or --model (apply)"}))
+        return 2
+    wq, seed = textstats.load_classifier(spark, args.model)
+    scored = textstats.apply_text_classifier(
+        docs, wq, text_col=args.text_col, id_col=args.id_col, seed=seed
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    kept = out.filter(F.col("clf_keep")).count()
+    print(
+        _json.dumps(
+            {
+                "mode": "apply",
+                "n_docs": out.count(),
+                "n_keep": kept,
+                "model": args.model,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build a PERSISTED IVF index over an embeddings parquet: the
     corpus rewritten as parquet PARTITIONED BY cell plus an
@@ -1133,6 +1196,18 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--vec-col", default="embedding")
     rd.add_argument("--out-col", default="pca")
     rd.set_defaults(func=cmd_reduce)
+
+    cf = sub.add_parser("classifier", help="train (--label-col) or apply (--model) a hashed-BoW LR quality classifier")
+    cf.add_argument("--input", required=True, help="documents parquet path")
+    cf.add_argument("--output", required=True, help="weight-table dir (train) or scores parquet (apply)")
+    cf.add_argument("--label-col", default=None, help="train mode: 0/1 label column")
+    cf.add_argument("--model", default=None, help="apply mode: saved weight-table dir")
+    cf.add_argument("--buckets", type=int, default=32)
+    cf.add_argument("--iterations", type=int, default=3)
+    cf.add_argument("--lr", type=float, default=0.125)
+    cf.add_argument("--id-col", default="doc_id")
+    cf.add_argument("--text-col", default="text")
+    cf.set_defaults(func=cmd_classifier)
 
     ix = sub.add_parser("index", help="build a persisted IVF index (parquet partitioned by cell + centroid params)")
     ix.add_argument("--input", required=True, help="embeddings parquet path")

@@ -772,6 +772,55 @@ def train_text_classifier(
     )
 
 
+#: classifier weight-table artifact version (the BPE/SQ8 discipline).
+CLF_ARTIFACT_VERSION = 1
+
+
+def save_classifier(weights_df: DataFrame, path: str, seed: str = "clf-v1") -> int:
+    """Persist a trained weight table (parquet + ``_clf_params.json``
+    sidecar: version, bucket count, hash seed, fixed-point scale) so
+    training and scoring can run in different sessions."""
+    import json as _json
+    import os as _os
+
+    weights_df.write.mode("overwrite").parquet(path)
+    n = weights_df.count()
+    with open(_os.path.join(path, "_clf_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": CLF_ARTIFACT_VERSION,
+                "n_buckets": int(n) - 1,
+                "seed": seed,
+                "wscale": _CLF_WSCALE,
+            },
+            fh,
+        )
+    return int(n)
+
+
+def load_classifier(spark, path: str) -> tuple[list, str]:
+    """Load a saved weight table → (weights_q list ordered by bucket,
+    hash seed) for ``apply_text_classifier``. Validates the sidecar."""
+    import json as _json
+    import os as _os
+
+    side = _os.path.join(path, "_clf_params.json")
+    seed = "clf-v1"
+    if _os.path.exists(side):
+        with open(side) as fh:
+            params = _json.load(fh)
+        if params.get("version") != CLF_ARTIFACT_VERSION:
+            raise ValueError(
+                f"classifier artifact version {params.get('version')} != "
+                f"{CLF_ARTIFACT_VERSION} (retrain): {path}"
+            )
+        if params.get("wscale") != _CLF_WSCALE:
+            raise ValueError(f"classifier artifact wscale mismatch: {path}")
+        seed = params.get("seed", seed)
+    rows = spark.read.parquet(path).orderBy("bucket").collect()
+    return [int(r["weight_q"]) for r in rows], seed
+
+
 def apply_text_classifier(
     docs: DataFrame,
     weights_q: list,

@@ -914,3 +914,46 @@ class TestClassifierTraining:
         assert set(scored) == {1, 2, 3}
         # token-free docs carry only the bias term
         assert scored[2].clf_logit == scored[3].clf_logit
+
+
+def test_cli_classifier_train_apply_round_trip(spark, tmp_path, capsys):
+    """train -> versioned weight artifact -> apply in a 'later session'
+    must reproduce the in-session scoring."""
+    from lovdata_pipeline_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    model = str(tmp_path / "model")
+    scores = str(tmp_path / "scores.parquet")
+    rows = [
+        (i, 1 if i % 2 == 0 else 0,
+         "excellent prose flows here" if i % 2 == 0 else "spam junk buy now")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, label int, text string"
+    ).write.mode("overwrite").parquet(src)
+    assert main(["classifier", "--input", src, "--label-col", "label",
+                 "--output", model, "--iterations", "6", "--lr", "0.5",
+                 "--buckets", "16"]) == 0
+    t_line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    assert json.loads(t_line)["mode"] == "train"
+    assert os.path.exists(os.path.join(model, "_clf_params.json"))
+    assert main(["classifier", "--input", src, "--model", model,
+                 "--output", scores]) == 0
+    a_line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    info = json.loads(a_line)
+    assert info["mode"] == "apply" and info["n_docs"] == 20
+    # the separable corpus must classify perfectly through the artifact
+    assert info["n_keep"] == 10
+    got = {
+        r.doc_id: r.clf_keep
+        for r in spark.read.parquet(scores).collect()
+    }
+    assert all(got[i] == (i % 2 == 0) for i in range(20))
+    # version gate
+    side = os.path.join(model, "_clf_params.json")
+    params = json.load(open(side))
+    params["version"] = 99
+    json.dump(params, open(side, "w"))
+    with pytest.raises(ValueError, match="version"):
+        textstats.load_classifier(spark, model)
