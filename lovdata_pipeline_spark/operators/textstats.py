@@ -689,6 +689,9 @@ def train_text_classifier(
 
     spark = docs.sparkSession
     y = F.col(label_col).cast("long")
+    # unlabeled rows must not train (a NULL label would silently drop
+    # its gradient terms while still counting toward N)
+    docs = docs.filter(y.isNotNull())
     tok = docs.select(
         F.col(id_col),
         y.alias("_y"),

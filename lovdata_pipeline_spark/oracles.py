@@ -2725,14 +2725,14 @@ def _clf_train_oracle(iterations: int = 3, n_buckets: int = 32,
     ctes = [
         f"""x AS (
           SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-            SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+            SELECT doc_id, CAST(coalesce(lang = 'en', FALSE) AS BIGINT) AS y,
                    CAST(CAST(concat('0x', substr(md5(w || 'clf-v1'), 1, 15)) AS UBIGINT) AS BIGINT) % {n_buckets} AS b
             FROM (SELECT doc_id, lang,
                          unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), t -> t <> '')) AS w
                   FROM documents))
           GROUP BY doc_id, y, b
           UNION ALL
-          SELECT doc_id, CAST(lang = 'en' AS BIGINT), {n_buckets}, 1 FROM documents)""",
+          SELECT doc_id, CAST(coalesce(lang = 'en', FALSE) AS BIGINT), {n_buckets}, 1 FROM documents)""",
         "nn AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM x)",
         f"w0(b, wq) AS (SELECT CAST(r.range AS INTEGER), CAST(0 AS BIGINT) FROM range({n_buckets + 1}) r)",
     ]

@@ -2198,7 +2198,11 @@ def train_quality_classifier_documents(spark, sf_dir):
     a classifier; this trains one, the CCNet/fastText curation-model
     loop closed inside the engine."""
     (docs,) = load(spark, sf_dir, "documents")
-    labeled = docs.withColumn("_label", (F.col("lang") == "en").cast("int"))
+    # coalesce: a NULL lang trains as negative on BOTH sides (the
+    # trainer drops NULL-labeled rows; the oracle mirrors the coalesce)
+    labeled = docs.withColumn(
+        "_label", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+    )
     w = textstats.train_text_classifier(
         labeled, "_label", n_buckets=32, iterations=3, lr=0.125
     )

@@ -957,3 +957,32 @@ def test_cli_classifier_train_apply_round_trip(spark, tmp_path, capsys):
     json.dump(params, open(side, "w"))
     with pytest.raises(ValueError, match="version"):
         textstats.load_classifier(spark, model)
+
+
+def test_trainer_drops_null_labels(spark):
+    """NULL-labeled rows must not train — same weights as the corpus
+    without them, and they don't inflate N."""
+    base = [
+        (1, 1, "excellent prose flows here"),
+        (2, 0, "spam junk buy now"),
+        (3, 1, "excellent clarity excellent words"),
+        (4, 0, "junk spam junk offer"),
+    ]
+    with_null = base + [(5, None, "excellent spam mixture text")]
+    a = [
+        tuple(r)
+        for r in textstats.train_text_classifier(
+            spark.createDataFrame(base, "doc_id long, label int, text string"),
+            "label", n_buckets=8, iterations=2,
+        ).orderBy("bucket").collect()
+    ]
+    b = [
+        tuple(r)
+        for r in textstats.train_text_classifier(
+            spark.createDataFrame(
+                with_null, "doc_id long, label int, text string"
+            ),
+            "label", n_buckets=8, iterations=2,
+        ).orderBy("bucket").collect()
+    ]
+    assert a == b
