@@ -24,7 +24,16 @@
                   reduce-then-rerank retrieval, and hash-graded BPE
                   tokenizer training; late r6 adds span-level
                   decontamination surgery, SQ8 scalar-quantized ANN,
-                  and the per-column data-expectations gate).
+                  and the per-column data-expectations gate; r7 adds
+                  the first driver-graded STREAMING row
+                  (streaming_vocab_counts: AvailableNow drain through
+                  the stateful heavy-hitters counter vs the batch
+                  explode+count), the compression-band report over
+                  literal-pinned zlib fixtures, quality-preferring
+                  canonical dedup survivors, the persisted
+                  partition-pruned IVF index, and distributed
+                  logistic-regression classifier training replayed
+                  bit-for-bit by a 3-iteration SQL chain).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).

@@ -2473,6 +2473,24 @@ def compression_band_report(spark, sf_dir):
 # top3_orders_per_customer stays windowed), grouping_sets_status_priority
 # (green r1+r2+r3) and events_json_props (green r1+r2+r3) demote in
 # exchange — the last for the pretraining_pipeline capstone.
+#
+# r7 (this round): the full attestation refresh the r6 VERDICT asked
+# for — all 14 entries last graded in r1-r2 cycle back through the
+# window (rationale per entry inline below) — plus five NEW at-birth
+# entries: streaming_vocab_counts (first driver-graded streaming row),
+# compression_band_report, dedup_keep_best_quality, ann_topk_ivf_index
+# (persisted partition-pruned index), and
+# train_quality_classifier_documents (distributed LR training).
+# Demotions (all multiply-attested, most r5+r6-green, each with the
+# family twin named inline): running_sum, cube_status_priority,
+# set_ops_nations, full_outer_order_presence, pack_sequences_documents,
+# benchmark_contamination_report, ann_topk_ivfpq,
+# importance_score_documents, training_order_documents,
+# epoch_mix_documents, text_bigram_surprisal,
+# cluster_balanced_sample_embeddings, length_bucketed_batches_documents,
+# semantic_dedup_pairs_embeddings, knn_classify_embeddings,
+# quality_quota_by_source, bpe_pair_stats, hash_split_documents,
+# text_gopher_quality.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
     "chunk_documents_pipeline": chunk_documents_pipeline,
