@@ -716,7 +716,11 @@ def train_text_classifier(
         F.lit(n_buckets).cast("int").alias("b"),
         F.lit(1).cast("long").alias("cnt"),
     )
-    X = feats.unionByName(bias).persist()
+    # persist the feature frame PRE-PARTITIONED on doc_id: the per-doc
+    # aggregate and the gradient join both key on it, so Catalyst drops
+    # their exchanges in every iteration — the only remaining per-
+    # iteration shuffle is the k-row per-bucket aggregate
+    X = feats.unionByName(bias).repartition(F.col(id_col)).persist()
     try:
         n_docs = X.select(id_col).distinct().count()
         if n_docs == 0:
