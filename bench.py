@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_shared_spans",
     "dedup_embedding_cosine",
+    "dedup_incremental_minhash",
     "dedup_keep_best_quality",
     "semantic_dedup_pairs_embeddings",
     "paragraph_dedup_documents",

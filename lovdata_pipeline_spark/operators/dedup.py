@@ -251,6 +251,30 @@ def minhash_signatures(
     )
 
 
+def _banded_view(
+    sig: DataFrame, bands: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """(id, band_idx, band_hash): the signature split into LSH bands,
+    each band hashed to one bigint. Shared by the in-session pair
+    search and the persisted signature store so the two can never
+    disagree on banding."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+
+
 #: largest hot-shingle set inlined as a codegen isin literal; bigger sets
 #: (small df_cap on a large corpus) fall back to a broadcast anti-join
 _HOT_SET_ISIN_MAX = 20_000
@@ -363,22 +387,7 @@ def minhash_lsh_pairs(
                 .select("doc_a", "doc_b")
             )
     sig = minhash_signatures(sh_for_sig, id_col, num_hashes)
-
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            )
-        ),
-    )
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    banded = _banded_view(sig, bands, rows_per_band, id_col)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_idx", "band_hash"])
@@ -398,6 +407,135 @@ def minhash_lsh_pairs(
     result.count()
     sh.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# incremental MinHash: persisted signature store (r7)
+# --------------------------------------------------------------------------
+
+#: signature-store format version — bump on any change to shingling,
+#: signature, or banding so a stale store fails loudly.
+MINHASH_STORE_VERSION = 1
+
+
+def minhash_store_write(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Persist the MinHash dedup STATE for incremental pipelines: the
+    banded signatures (``<path>/bands``) and the hashed shingle sets
+    (``<path>/shingles``), plus a ``_minhash_params.json`` sidecar
+    (version + shingling/banding parameters). Tomorrow's crawl then
+    deduplicates against the full history WITHOUT re-tokenizing or
+    re-signing it (``minhash_store_dedup_new``) — the daily-batch shape
+    every production near-dup pipeline runs. Document text itself is
+    never stored: bands are (id, band_idx, band_hash) bigints and
+    shingles are 8-byte hashes, ~2 orders of magnitude smaller than the
+    corpus. Returns the number of documents signed.
+
+    The hot-shingle df_cap guard is a WITHIN-BATCH concern — apply it
+    when pair-searching inside a batch (``minhash_lsh_pairs``); the
+    store keeps complete signatures so the probe side decides its own
+    pruning."""
+    import json as _json
+    import os as _os
+
+    sh = hashed_word_shingles(docs, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    banded = _banded_view(sig, bands, num_hashes // bands, id_col)
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    n_docs = docs.select(id_col).distinct().count()
+    with open(_os.path.join(path, "_minhash_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": MINHASH_STORE_VERSION,
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "id_col": id_col,
+                "n_docs": n_docs,
+            },
+            fh,
+        )
+    return n_docs
+
+
+def minhash_store_dedup_new(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicate a NEW batch against a persisted signature store:
+    (new_id, hist_id, jaccard) for every cross pair at or above
+    ``threshold``. The new batch is shingled and signed under the
+    store's own parameters (sidecar-validated), candidates come from an
+    equi-join of the new bands against the stored bands, and the verify
+    stage computes EXACT Jaccard between the new shingle sets and the
+    STORED historical ones — history is never re-read as text.
+
+    Re-crawled ids (present in both the batch and the store) are
+    excluded from the history side: a document is not a duplicate of
+    its own previous version for survivor purposes; diff it explicitly
+    if drift matters. Within-batch duplicates are a separate concern —
+    run ``minhash_lsh_pairs`` on the batch itself and union.
+
+    Scale shape: the probe touches |new|·bands band rows against the
+    stored band table (an AQE hash equi-join — nothing rescans
+    history's text), and the verify joins only candidate ids against
+    the stored sets table. Cost scales with the BATCH, not the corpus.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_minhash_params.json")) as fh:
+        params = _json.load(fh)
+    if params.get("version") != MINHASH_STORE_VERSION:
+        raise ValueError(
+            f"minhash store version {params.get('version')} != "
+            f"{MINHASH_STORE_VERSION} (rebuild): {path}"
+        )
+    n = params["n"]
+    num_hashes = params["num_hashes"]
+    bands = params["bands"]
+
+    sh_new = hashed_word_shingles(new_docs, text_col, id_col, n)
+    sig_new = minhash_signatures(sh_new, id_col, num_hashes)
+    banded_new = _banded_view(sig_new, bands, num_hashes // bands, id_col)
+    new_ids = new_docs.select(id_col).distinct()
+    hist_bands = spark.read.parquet(f"{path}/bands").join(
+        new_ids, id_col, "left_anti"
+    )
+    hist_sh = spark.read.parquet(f"{path}/shingles").join(
+        new_ids, id_col, "left_anti"
+    )
+    cand = (
+        banded_new.select(
+            F.col(id_col).alias("doc_a"), "band_idx", "band_hash"
+        )
+        .join(
+            hist_bands.select(
+                F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(hist_sh)
+    return _verify_jaccard(sh_all, cand, threshold, id_col).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("hist_id"),
+        "jaccard",
+    )
 
 
 # --------------------------------------------------------------------------

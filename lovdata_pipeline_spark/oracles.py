@@ -2771,3 +2771,18 @@ def _clf_train_oracle(iterations: int = 3, n_buckets: int = 32,
 
 
 ORACLES["train_quality_classifier_documents"] = _clf_train_oracle(3, 32)
+
+# r7: incremental minhash dedup — the exact cross-split Jaccard pairs
+# (batch = doc_id % 5 == 0 vs history = the rest). Reuses the shared
+# shingle/jaccard body; banding recall ≈ 1 at 16×2 / 0.8 makes the
+# store-probed Spark result equal the exact set (the dedup_minhash_lsh
+# argument, now across a persisted store boundary).
+ORACLES["dedup_incremental_minhash"] = f"""
+        WITH {_SHINGLE_BODY}
+        SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_id,
+               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS hist_id,
+               jaccard
+        FROM jac
+        WHERE jv >= 0.8 AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))
+        ORDER BY new_id, hist_id
+"""

@@ -986,3 +986,85 @@ def test_trainer_drops_null_labels(spark):
         ).orderBy("bucket").collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash signature store (new r7)
+# ---------------------------------------------------------------------------
+
+
+class TestMinhashStore:
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, base),
+            (2, base + " extra"),                      # near-dup of 1
+            (3, "completely different words about legal statutes here"),
+            (10, base),                                # batch: dup of 1 and 2
+            (15, "nothing like anything else in this corpus at all truly"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_probe_equals_direct_cross_pairs(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators import dedup
+
+        docs = self._corpus(spark)
+        hist = docs.filter(F.col("doc_id") < 10)
+        batch = docs.filter(F.col("doc_id") >= 10)
+        store = str(tmp_path / "store")
+        assert dedup.minhash_store_write(hist, store, bands=16) == 3
+        got = sorted(
+            map(
+                tuple,
+                dedup.minhash_store_dedup_new(
+                    spark, store, batch, threshold=0.5
+                ).collect(),
+            )
+        )
+        # direct all-pairs on the union (df_cap=None: on this 5-doc
+        # corpus the hot-shingle guard would trip at df > 2.5 and
+        # exercise its documented recall trade — the store probe has no
+        # cap, so compare against the uncapped in-session search),
+        # filtered to cross pairs
+        direct = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            if r.doc_a >= 10
+            else (r.doc_b, r.doc_a, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                docs, threshold=0.5, bands=16, df_cap=None
+            ).collect()
+            if (r.doc_a >= 10) != (r.doc_b >= 10)
+        )
+        assert got == direct and len(got) == 2  # 10≈1 and 10≈2
+
+    def test_recrawled_id_excluded_from_history(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators import dedup
+
+        docs = self._corpus(spark)
+        store = str(tmp_path / "store2")
+        dedup.minhash_store_write(
+            docs.filter(F.col("doc_id") < 10), store, bands=16
+        )
+        # re-crawl doc 1 itself: it must not pair with its own stored self
+        recrawl = docs.filter(F.col("doc_id") == 1)
+        got = dedup.minhash_store_dedup_new(
+            spark, store, recrawl, threshold=0.5
+        ).collect()
+        assert all(r.hist_id != 1 for r in got)
+        assert {r.hist_id for r in got} == {2}  # still pairs with doc 2
+
+    def test_version_gate(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from lovdata_pipeline_spark.operators import dedup
+
+        docs = self._corpus(spark)
+        store = str(tmp_path / "store3")
+        dedup.minhash_store_write(docs, store)
+        side = _os.path.join(store, "_minhash_params.json")
+        params = _json.load(open(side))
+        params["version"] = 99
+        _json.dump(params, open(side, "w"))
+        with pytest.raises(ValueError, match="version"):
+            dedup.minhash_store_dedup_new(spark, store, docs)
