@@ -2786,3 +2786,53 @@ ORACLES["dedup_incremental_minhash"] = f"""
         WHERE jv >= 0.8 AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))
         ORDER BY new_id, hist_id
 """
+
+# r7b: sequential conversion funnel — each stage's min-ts is gated
+# strictly after the user's previous stage (a click before the first
+# view must not convert). Counts are exact integers; rates and the mean
+# latency are double divisions over exact integer/DECIMAL inputs,
+# rounded 6 dp, NULL on zero denominators — the registry discipline.
+ORACLES["events_funnel_counts"] = """
+        WITH tv AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        tc AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN tv USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > tv.t_view
+          GROUP BY e.user_id
+        ),
+        tp AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN tc USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+          GROUP BY e.user_id
+        ),
+        f AS (
+          SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase
+          FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+        ),
+        a AS (
+          SELECT count(*) AS n_view_users,
+                 count(t_click) AS n_click_users,
+                 count(t_purchase) AS n_purchase_users,
+                 SUM(CAST(epoch(t_purchase) - epoch(t_view) AS DECIMAL(18,6)))
+                   AS lat_sum
+          FROM f
+        )
+        SELECT n_view_users, n_click_users, n_purchase_users,
+               CASE WHEN n_view_users = 0 THEN NULL
+                    ELSE round(CAST(n_click_users AS DOUBLE) / n_view_users, 6)
+               END AS conv_view_click,
+               CASE WHEN n_click_users = 0 THEN NULL
+                    ELSE round(CAST(n_purchase_users AS DOUBLE) / n_click_users, 6)
+               END AS conv_click_purchase,
+               CASE WHEN n_view_users = 0 THEN NULL
+                    ELSE round(CAST(n_purchase_users AS DOUBLE) / n_view_users, 6)
+               END AS conv_view_purchase,
+               CASE WHEN n_purchase_users = 0 THEN NULL
+                    ELSE round(CAST(lat_sum AS DOUBLE) / n_purchase_users, 6)
+               END AS mean_view_to_purchase_s
+        FROM a
+"""

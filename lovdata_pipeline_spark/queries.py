@@ -1800,6 +1800,81 @@ def events_rolling_1h(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def events_funnel_counts(spark, sf_dir):
+    """Sequential conversion funnel (new r7): view → click → purchase,
+    each stage gated on happening STRICTLY AFTER the user's previous
+    stage — the order-sensitive product-analytics aggregate that
+    sessionize/lag/rolling windows cannot express (a click before the
+    first view must NOT convert).
+
+    One summary row: per-stage user counts, step and overall conversion
+    rates, and the mean view→purchase latency of converted users.
+
+    Plan shape: three conditional min-aggregates chained by equi-joins,
+    all keyed on user_id — after the first hash aggregate every frame is
+    already partitioned by user_id, so the later joins and aggregates
+    reuse that exchange instead of re-shuffling; stage 2/3 inputs are
+    filtered to one event_type BEFORE joining (predicate reaches the
+    scan) and the stage frames shrink monotonically (click candidates ≤
+    viewers, purchase candidates ≤ clickers). The final reduce is a
+    single broadcastable 1-row aggregate. No windows, no driver loops —
+    at 100 TB the cost is one shuffle per stage on the same key.
+
+    Determinism: timestamps compare exactly (microsecond longs in both
+    engines); rate/latency divisions are double-on-double from exact
+    integer/DECIMAL inputs, rounded to 6 dp — the registry float
+    discipline. Zero-denominator steps surface NULL, not a crash (ANSI
+    mode) or a 0-vs-NULL seam."""
+    events = load_events(spark, sf_dir)
+    tv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        events.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = tv.join(tc, "user_id", "left").join(tp, "user_id", "left")
+    lat = F.col("t_purchase").cast("double") - F.col("t_view").cast("double")
+    agg = funnel.agg(
+        F.count(F.lit(1)).alias("n_view_users"),
+        F.count("t_click").alias("n_click_users"),
+        F.count("t_purchase").alias("n_purchase_users"),
+        F.sum(lat.cast("decimal(18,6)")).alias("_lat_sum"),
+    )
+    def _rate(num, den):
+        return F.when(
+            F.col(den) == 0, F.lit(None).cast("double")
+        ).otherwise(F.round(F.col(num).cast("double") / F.col(den), 6))
+
+    return agg.select(
+        "n_view_users",
+        "n_click_users",
+        "n_purchase_users",
+        _rate("n_click_users", "n_view_users").alias("conv_view_click"),
+        _rate("n_purchase_users", "n_click_users").alias("conv_click_purchase"),
+        _rate("n_purchase_users", "n_view_users").alias("conv_view_purchase"),
+        F.when(F.col("n_purchase_users") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("_lat_sum").cast("double") / F.col("n_purchase_users"), 6
+            )
+        )
+        .alias("mean_view_to_purchase_s"),
+    )
+
+
 def knn_classify_embeddings(spark, sf_dir):
     """Majority-vote k-NN label transfer (new r5): every vec_id % 97 == 0
     row is a held-out query classified by its 10 nearest neighbors among
@@ -2630,13 +2705,20 @@ QUERIES = {
     "decontam_remove_spans": decontam_remove_spans,
     "curation_report_by_source": curation_report_by_source,
     "tfidf_keywords_by_source": tfidf_keywords_by_source,
-    "events_rolling_1h": events_rolling_1h,
+    # events_funnel_counts (new r7b) enters at birth: the sequential
+    # view→click→purchase funnel, the order-gated aggregate the window
+    # family can't express. Demoted in exchange: events_rolling_1h
+    # (green r5+r6; the event-time window family keeps events_lag_gaps
+    # + events_hourly graded this round via the attestation refresh,
+    # and sessionize/asof twins sit attested in the tail).
+    "events_funnel_counts": events_funnel_counts,
     "weighted_sample_documents": weighted_sample_documents,
     # --- headliners + SURVEY §2 operator queries ----------------------------
     "q3_top_unshipped": q3_top_unshipped,
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "events_rolling_1h": events_rolling_1h,              # green r5+r6; demoted r7b for events_funnel_counts (event-time family: events_lag_gaps + events_hourly graded this round)
     "exact_contamination_documents": exact_contamination_documents,  # green r5+r6; demoted r7 for dedup_incremental_minhash (exact-substring machinery composed inside graded decontam_remove_spans)
     "text_gopher_quality": text_gopher_quality,          # green r5+r6; demoted r7 for train_quality_classifier_documents (gopher_pass graded inside curation_report + pretraining_pipeline)
     "hash_split_documents": hash_split_documents,        # green r5+r6; demoted r7 for ann_topk_ivf_index (portable-hash family graded via weighted_sample; epoch/temperature/stratified twins in tail)
