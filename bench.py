@@ -59,6 +59,7 @@ HEADLINE = [
     "paragraph_dedup_documents",
     "boilerplate_strip_documents",
     "hard_negatives_embeddings",
+    "bitext_mine_margin",
     "decontaminate_benchmark_overlap",
     "exact_contamination_documents",
     "decontam_remove_spans",

@@ -830,3 +830,97 @@ def knn_classify(
         .filter(F.col("_r") == 1)
         .select(F.col(query_id), F.col(label_col).alias("predicted_label"), "n_votes")
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): mine translation pairs between two
+    monolingual corpora embedded in a shared space. For every source
+    row, its best target by MARGIN — cosine normalized by the mean of
+    both endpoints' k-NN neighborhoods — kept when margin ≥ threshold.
+    Raw cosine can't separate "true translation" from "hub vector close
+    to everything"; dividing by the neighborhood mean cancels hubness,
+    which is the whole point of the margin criterion.
+
+    margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2), where avgₖ(x)
+    is the mean cosine of x to its k nearest targets and avgₖ(y) the
+    mean of y to its k nearest sources. Output: (src_id, tgt_id, score,
+    margin), the forward-max pair per source surviving the threshold.
+
+    Determinism: cosines round to 6 dp before any ranking; the top-k
+    neighborhoods rank (score desc, id asc); neighborhood sums
+    accumulate in DECIMAL(18,6) (exact — shuffle order can't leak low
+    bits); the margin is double division over those exact operands,
+    rounded to 6 dp; forward-max ranks (margin desc, tgt_id asc).
+    Anchors whose neighborhood mean is ≤ 0 are unminable (margin sign
+    would flip) and are excluded BEFORE the division — under ANSI mode
+    a zero denominator would otherwise crash the job.
+
+    Plan shape: the pair scores ride one broadcast cross join (the
+    target side here; LASER mines language pairs where one side is
+    much smaller). BOTH directions' k-NN neighborhoods and the
+    forward-max route through ``sampling.top_k_per_group`` — two-phase,
+    no per-anchor task funnels. At corpus scale (both sides huge),
+    pre-bucket both sides with ``hyperplane_lsh_bucket`` (or IVF cells)
+    and add the bucket to the join key — neighborhoods, margins, and
+    the threshold gate are unchanged within buckets.
+    """
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    s = (
+        src.select(F.col(src_id), _as_double(F.col(vec_col)).alias("sv"))
+        .withColumn("sn", _norm(F.col("sv")))
+        .filter(F.col("sn") > 0)
+    )
+    t = (
+        tgt.select(F.col(tgt_id), _as_double(F.col(vec_col)).alias("tv"))
+        .withColumn("tn", _norm(F.col("tv")))
+        .filter(F.col("tn") > 0)
+    )
+    scored = s.crossJoin(F.broadcast(t)).select(
+        src_id,
+        tgt_id,
+        F.round(
+            _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
+        ).alias("score"),
+    )
+    sk = (
+        top_k_per_group(scored, k, src_id, "score", tgt_id)
+        .groupBy(src_id)
+        .agg(
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("_ssum"),
+            F.count(F.lit(1)).alias("_scnt"),
+        )
+    )
+    tk = (
+        top_k_per_group(scored, k, tgt_id, "score", src_id)
+        .groupBy(tgt_id)
+        .agg(
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("_tsum"),
+            F.count(F.lit(1)).alias("_tcnt"),
+        )
+    )
+    denom = (
+        F.col("_ssum").cast("double") / F.col("_scnt")
+        + F.col("_tsum").cast("double") / F.col("_tcnt")
+    ) / F.lit(2.0)
+    m = (
+        scored.join(sk, src_id)
+        .join(tk, tgt_id)
+        .withColumn("_denom", denom)
+        .filter(F.col("_denom") > 0)
+        .withColumn("margin", F.round(F.col("score") / F.col("_denom"), 6))
+        .select(src_id, tgt_id, "score", "margin")
+    )
+    best = top_k_per_group(m, 1, src_id, "margin", tgt_id)
+    return best.filter(F.col("margin") >= threshold).select(
+        src_id, tgt_id, "score", "margin"
+    )

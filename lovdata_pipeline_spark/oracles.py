@@ -2836,3 +2836,64 @@ ORACLES["events_funnel_counts"] = """
                END AS mean_view_to_purchase_s
         FROM a
 """
+
+# r7b: margin-based bitext mining — the same cosine/6-dp/id-tie
+# discipline as the knn oracles; neighborhood sums in DECIMAL(18,6);
+# the margin's operand order (sum/cnt + sum/cnt) / 2 then score/denom
+# mirrors the Spark columns exactly. The Spark side's two-phase top-k
+# and broadcast cross join are physical details.
+ORACLES["bitext_mine_margin"] = f"""
+        WITH langed AS (
+          SELECT e.vec_id, e.embedding, d.lang
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        sa AS (
+          SELECT vec_id AS src_id, embedding FROM langed
+          WHERE lang = 'en'
+            AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        ),
+        ta AS (
+          SELECT vec_id AS tgt_id, embedding FROM langed
+          WHERE lang = 'zh'
+            AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        ),
+        sc AS (
+          SELECT a.src_id, b.tgt_id, round({_COSINE}, 6) AS score
+          FROM sa a CROSS JOIN ta b
+        ),
+        sk AS (
+          SELECT src_id, SUM(CAST(score AS DECIMAL(18,6))) AS ssum,
+                 count(*) AS scnt
+          FROM (SELECT src_id, score, row_number() OVER (
+                  PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rk
+                FROM sc)
+          WHERE rk <= 4 GROUP BY src_id
+        ),
+        tk AS (
+          SELECT tgt_id, SUM(CAST(score AS DECIMAL(18,6))) AS tsum,
+                 count(*) AS tcnt
+          FROM (SELECT tgt_id, score, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rk
+                FROM sc)
+          WHERE rk <= 4 GROUP BY tgt_id
+        ),
+        m AS (
+          SELECT sc.src_id, sc.tgt_id, sc.score,
+                 (CAST(sk.ssum AS DOUBLE) / sk.scnt
+                  + CAST(tk.tsum AS DOUBLE) / tk.tcnt) / 2.0 AS denom
+          FROM sc JOIN sk USING (src_id) JOIN tk USING (tgt_id)
+        ),
+        mm AS (
+          SELECT src_id, tgt_id, score, round(score / denom, 6) AS margin
+          FROM m WHERE denom > 0
+        ),
+        r AS (
+          SELECT src_id, tgt_id, score, margin,
+                 CAST(row_number() OVER (
+                   PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS INTEGER) AS rk
+          FROM mm
+        )
+        SELECT src_id, tgt_id, score, margin
+        FROM r WHERE rk = 1 AND margin >= 1.0
+        ORDER BY src_id
+"""

@@ -2263,6 +2263,31 @@ def hard_negatives_embeddings(spark, sf_dir):
     return similarity.hard_negatives(anchors, corpus, k=5).orderBy("query_id", "rk")
 
 
+def bitext_mine_margin(spark, sf_dir):
+    """Margin-based bitext mining (new r7b, the LASER/CCMatrix
+    parallel-corpus recipe): mine candidate translation pairs between
+    the 'en' and 'zh' document sets through their shared embedding
+    space — forward-max by margin (cosine over the mean of both
+    endpoints' k-NN neighborhoods, the hubness-cancelling criterion),
+    kept at margin ≥ 1.0. Embeddings join documents on vec_id = doc_id
+    for the language split; all ranking is 6-dp-rounded with id
+    tie-breaks and neighborhood sums are exact DECIMAL, so the mined
+    set is deterministic on any partitioning."""
+    emb, docs = load(spark, sf_dir, "embeddings", "documents")
+    langed = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    src = langed.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = langed.filter(F.col("lang") == "zh").select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return similarity.bitext_margin_mine(src, tgt, k=4, threshold=1.0).orderBy(
+        "src_id"
+    )
+
+
 def train_quality_classifier_documents(spark, sf_dir):
     """Distributed logistic-regression TRAINING graded bit-for-bit
     (r7): learn a 32-bucket hashed bag-of-words classifier for
@@ -2704,7 +2729,15 @@ QUERIES = {
     "pack_emit_sequences": pack_emit_sequences,
     "decontam_remove_spans": decontam_remove_spans,
     "curation_report_by_source": curation_report_by_source,
-    "tfidf_keywords_by_source": tfidf_keywords_by_source,
+    # bitext_mine_margin (new r7b) enters at birth: margin-based
+    # parallel-corpus mining through the shared embedding space — the
+    # LASER/CCMatrix hubness-cancelling criterion, composing the
+    # two-phase top-k both directions. Demoted in exchange:
+    # tfidf_keywords_by_source (green r5+r6; tf/idf scoring stays
+    # graded via the text_bm25_search flagship, and the two-phase
+    # top-k rank machinery rides graded inside this very entry, both
+    # directions).
+    "bitext_mine_margin": bitext_mine_margin,
     # events_funnel_counts (new r7b) enters at birth: the sequential
     # view→click→purchase funnel, the order-gated aggregate the window
     # family can't express. Demoted in exchange: events_rolling_1h
@@ -2718,6 +2751,7 @@ QUERIES = {
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5+r6; demoted r7b for bitext_mine_margin (tf/idf scoring graded via the text_bm25_search flagship)
     "events_rolling_1h": events_rolling_1h,              # green r5+r6; demoted r7b for events_funnel_counts (event-time family: events_lag_gaps + events_hourly graded this round)
     "exact_contamination_documents": exact_contamination_documents,  # green r5+r6; demoted r7 for dedup_incremental_minhash (exact-substring machinery composed inside graded decontam_remove_spans)
     "text_gopher_quality": text_gopher_quality,          # green r5+r6; demoted r7 for train_quality_classifier_documents (gopher_pass graded inside curation_report + pretraining_pipeline)

@@ -18,6 +18,59 @@ def _ts(s):
     return datetime.datetime.fromisoformat(s)
 
 
+class TestBitextMargin:
+    def _frames(self, spark):
+        # tgt 100 is a HUB (close to every source); tgt 200 is the true
+        # match of src 1. Raw cosine ranks the hub first for src 1
+        # (0.714 > 0.70) but the margin criterion must flip the pick:
+        # the hub's k-NN neighborhood mean (~0.9975) inflates its
+        # denominator while tgt 200's (~0.42) does not. tgt 300 is
+        # zero-norm and must be excluded, not crash ANSI division.
+        src = spark.createDataFrame(
+            [
+                (1, [0.714, 0.70]),
+                (2, [1.0, 0.0]),
+                (3, [0.995, 0.0999]),
+                (4, [0.99, 0.141]),
+            ],
+            "src_id long, embedding array<double>",
+        )
+        tgt = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (200, [0.0, 1.0]), (300, [0.0, 0.0])],
+            "tgt_id long, embedding array<double>",
+        )
+        return src, tgt
+
+    def test_margin_beats_raw_cosine_on_hubs(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
+
+        src, tgt = self._frames(spark)
+        rows = {
+            r.src_id: r
+            for r in bitext_margin_mine(src, tgt, k=2, threshold=1.0).collect()
+        }
+        assert rows[1].tgt_id == 200  # margin pick, not the raw-cosine hub
+        assert rows[1].margin > 1.0
+        assert all(r.tgt_id != 300 for r in rows.values())
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
+
+        src, tgt = self._frames(spark)
+        a = sorted(
+            map(tuple, bitext_margin_mine(src, tgt, k=2).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                bitext_margin_mine(
+                    src.repartition(7), tgt.repartition(5), k=2
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
 class TestFunnelGating:
     def _events(self, spark, rows):
         return spark.createDataFrame(
