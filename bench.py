@@ -102,6 +102,7 @@ HEADLINE = [
     "temperature_mix_orders",
     "cluster_balanced_sample_embeddings",
     "hash_split_documents",
+    "stratified_split_exact",
     "mixture_plan_by_source",
     "token_length_band_documents",
     "vocab_drift_by_source",

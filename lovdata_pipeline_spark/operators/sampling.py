@@ -377,3 +377,79 @@ def weighted_sample_per_group(
         "es_score", F.round(F.log(u) / F.col(weight_col), 6)
     )
     return top_k_per_group(scored, k, group_col, "es_score", id_col)
+
+
+def stratified_split(
+    df: DataFrame,
+    splits: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """EXACT-COUNT stratified train/val/test split: within every
+    stratum, split sizes are exactly ``floor(n·pct/100)`` (the last
+    split absorbs the remainder) — the held-out-set contract
+    ``hash_split``'s rate-based filter cannot give (its per-stratum
+    realized fractions wander by O(1/√n), which at a 500-row stratum
+    is a ±4% validation set).
+
+    ``splits`` are (name, integer-percent) pairs summing to 100 —
+    integer percents make every threshold ``n·pct div 100`` exact
+    integer arithmetic, portable across engines (a double ``0.8·n``
+    could round differently at the floor boundary).
+
+    Assignment is deterministic and append-indifferent *per epoch
+    seed*: rows order within their stratum by ``md5(id ‖ seed)`` (id
+    unique ⇒ order total), and the first ``t₁`` go to split 1, the
+    next ``t₂−t₁`` to split 2, … Rank, not hash-range, is what makes
+    counts exact.
+
+    Scale shape: the within-stratum rank is NOT a per-stratum window
+    (one task per stratum funnels the corpus' dominant source through
+    a single task at 100 TB). It reuses ``packing.global_token_offsets``'
+    two-phase prefix sum with unit weights over the composite key
+    ``stratum ‖ 0x1f ‖ hash`` — range-partitioned, k subtotal rows to
+    the driver, partition-local windows — then subtracts each stratum's
+    start offset (a |strata|-row broadcast). The 0x1f separator keeps
+    strata contiguous in string order; within a stratum the composite
+    orders by the hash alone.
+
+    Output: input columns + ``split``. NULL strata group together
+    (coalesced to '', mirrored in oracles).
+    """
+    from lovdata_pipeline_spark.operators.packing import global_token_offsets
+
+    pcts = [p for _, p in splits]
+    if sum(pcts) != 100 or any(p <= 0 for p in pcts) or len(splits) < 2:
+        raise ValueError(
+            f"splits must be >=2 positive integer percents summing to 100, got {splits}"
+        )
+    strata = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
+    keyed = df.withColumn(
+        "_skey",
+        F.concat(
+            strata,
+            F.lit("\x1f"),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+        ),
+    )
+    ranks = global_token_offsets(
+        keyed.withColumn("_one", F.lit(1)), id_col="_skey", token_col="_one"
+    ).select("_skey", F.col("tok_start").alias("_grank"))
+    ranked = keyed.join(ranks, "_skey")
+    starts = ranked.groupBy(strata.alias("_stratum")).agg(
+        F.min("_grank").alias("_s0"), F.count(F.lit(1)).alias("_n")
+    )
+    ranked = ranked.join(
+        F.broadcast(starts), strata == F.col("_stratum")
+    ).withColumn("_rn", F.col("_grank") - F.col("_s0"))
+    cum = 0
+    assign = None
+    for name, pct in splits[:-1]:
+        cum += pct
+        cond = F.col("_rn") < F.expr(f"_n * {cum} div 100")
+        assign = F.when(cond, name) if assign is None else assign.when(cond, name)
+    assign = assign.otherwise(splits[-1][0])
+    return ranked.withColumn("split", assign).drop(
+        "_skey", "_grank", "_stratum", "_s0", "_n", "_rn"
+    )

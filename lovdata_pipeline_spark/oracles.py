@@ -2897,3 +2897,28 @@ ORACLES["bitext_mine_margin"] = f"""
         FROM r WHERE rk = 1 AND margin >= 1.0
         ORDER BY src_id
 """
+
+# r7b: exact-count stratified split — within-stratum md5 rank (id
+# unique => order total), integer thresholds n*pct div 100. The Spark
+# side's two-phase prefix-sum rank is a physical detail; the oracle's
+# per-stratum window is the semantic definition.
+ORACLES["stratified_split_exact"] = """
+        WITH k AS (
+          SELECT doc_id, source,
+                 md5(CAST(doc_id AS VARCHAR) || 'split-v1') AS h
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY coalesce(source, '') ORDER BY h) - 1 AS rn,
+                 count(*) OVER (
+                   PARTITION BY coalesce(source, '')) AS n
+          FROM k
+        )
+        SELECT doc_id, source,
+               CASE WHEN rn < n * 80 // 100 THEN 'train'
+                    WHEN rn < n * 90 // 100 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r ORDER BY doc_id
+"""

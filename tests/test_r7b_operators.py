@@ -71,6 +71,46 @@ class TestBitextMargin:
         assert a == b
 
 
+class TestStratifiedSplit:
+    def test_exact_counts_per_stratum(self, spark):
+        from lovdata_pipeline_spark.operators.sampling import stratified_split
+
+        rows = [(i, "a") for i in range(7)] + [(100 + i, "b") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_split(df).groupBy("source", "split").count().collect()
+        got = {(r.source, r.split): r["count"] for r in out}
+        # stratum a (n=7): train floor(5.6)=5, val floor(6.3)-5=1, test 1
+        assert got[("a", "train")] == 5
+        assert got[("a", "val")] == 1
+        assert got[("a", "test")] == 1
+        # stratum b (n=20): exactly 16/2/2
+        assert got[("b", "train")] == 16
+        assert got[("b", "val")] == 2
+        assert got[("b", "test")] == 2
+
+    def test_partition_independent_and_seeded(self, spark):
+        from lovdata_pipeline_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame(
+            [(i, "s" if i % 3 else "t") for i in range(50)],
+            "doc_id long, source string",
+        )
+        a = sorted(map(tuple, stratified_split(df).collect()))
+        b = sorted(map(tuple, stratified_split(df.repartition(13)).collect()))
+        assert a == b
+        c = sorted(map(tuple, stratified_split(df, seed="epoch-2").collect()))
+        assert a != c  # a new seed redraws the assignment
+
+    def test_rejects_bad_percents(self, spark):
+        import pytest
+
+        from lovdata_pipeline_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            stratified_split(df, (("train", 70), ("val", 10)))
+
+
 class TestFunnelGating:
     def _events(self, spark, rows):
         return spark.createDataFrame(
