@@ -77,12 +77,14 @@ HEADLINE = [
     "text_repetition_signals",
     "text_unigram_surprisal",
     "text_bigram_surprisal",
+    "text_kn_surprisal",
     "perplexity_buckets_by_source",
     "pca_variance_report_embeddings",
     "ann_pca_rerank_recall_embeddings",
     "text_quality_classifier",
     "train_quality_classifier_documents",
     "text_gopher_quality",
+    "quality_blend_documents",
     "importance_score_documents",
     "text_bm25_search",
     "tfidf_keywords_by_source",

@@ -2106,3 +2106,155 @@ def compression_signals(
         ratio.alias("compression_ratio"),
         ((ratio >= lo) & (ratio <= hi)).alias("comp_keep"),
     )
+
+
+def quality_blend(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Rank-free multi-signal quality BLENDING (the FineWeb-edu-style
+    "combine several weak signals into one keep score", normalized PER
+    SOURCE so no single domain's scale dominates the mix):
+    (id, group, blend_score, quality_band).
+
+    Four signals per document, each rounded to 6 dp at birth:
+      * ``s_stop``  — English-stopword token fraction (fluency proxy);
+      * ``s_alpha`` — fraction of words containing a letter;
+      * ``s_len``   — −|mean word length − 5| (proximity to prose-like
+        word length; monotone "bigger is better" after negation);
+      * ``s_size``  — ln(1 + word count) (length prior, log-damped).
+    Each signal min-max normalizes WITHIN its source (a |groups|-row
+    broadcast of per-source min/max — not a per-source percent_rank,
+    which would funnel each source through one window task at scale);
+    a source-constant signal normalizes to the neutral 0.5. The blend
+    is the fixed-weight sum 0.4·stop + 0.2·alpha + 0.2·len + 0.2·size,
+    rounded 6 dp, banded high ≥ 0.66 > medium ≥ 0.33 > low.
+
+    Determinism: every signal is 6-dp-rounded BEFORE the min/max
+    aggregation (min/max of doubles is order-free), the normalization
+    is double arithmetic over those exact operands in a fixed order,
+    and band cuts compare the rounded blend — bit-stable on any
+    partitioning and engine. Plan shape: ONE text scan computes all
+    four signals; the only other costs are the |groups|-row aggregate
+    and its broadcast join back.
+    """
+    e = _gopher_exprs(text_col)
+    lwords = _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    sw_hits = F.size(F.filter(lwords, lambda w: w.isin(STOPWORDS["en"])))
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("_grp"),
+        F.round(
+            sw_hits.cast("double") / F.greatest(F.size(lwords), F.lit(1)), 6
+        ).alias("s_stop"),
+        F.round(e["frac_alpha_words"], 6).alias("s_alpha"),
+        F.round(-F.abs(e["mean_word_len"] - F.lit(5.0)), 6).alias("s_len"),
+        F.round(F.log(F.lit(1.0) + e["n_words"]), 6).alias("s_size"),
+    )
+    sigs = ["s_stop", "s_alpha", "s_len", "s_size"]
+    stats = base.groupBy("_grp").agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in sigs],
+        *[F.max(c).alias(f"_mx_{c}") for c in sigs],
+    )
+    joined = base.join(F.broadcast(stats), "_grp")
+
+    def norm(c):
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        return F.when(
+            mx > mn, F.round((F.col(c) - mn) / (mx - mn), 6)
+        ).otherwise(F.lit(0.5))
+
+    blend = F.round(
+        F.lit(0.4) * norm("s_stop")
+        + F.lit(0.2) * norm("s_alpha")
+        + F.lit(0.2) * norm("s_len")
+        + F.lit(0.2) * norm("s_size"),
+        6,
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        blend.alias("blend_score"),
+        F.when(blend >= 0.66, "high")
+        .when(blend >= 0.33, "medium")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+def kn_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram surprisal (Kneser & Ney 1995 /
+    Chen & Goodman 1998) with the corpus as its own model — the
+    industry-standard smoothing step up from ``bigram_surprisal``'s
+    add-one: P(w₂|w₁) = (c(w₁w₂) − D)/ctx(w₁) +
+    (D·N₁₊(w₁·)/ctx(w₁)) · (N₁₊(·w₂)/B), where ctx(w₁) is the bigram
+    mass starting at w₁, N₁₊ are distinct-continuation fan-outs, and B
+    the distinct-bigram-type count. The continuation probability is
+    KN's whole point: "Francisco" is frequent but follows only "San",
+    so its unigram back-off weight should be tiny — add-one smoothing
+    can't see that.
+
+    (id, n_bigrams, mean_kn_surprisal): per-doc mean of −ln P over its
+    transitions; docs with <2 words absent (the bigram contract).
+    Every observed doc bigram exists in the corpus counts, so
+    c − D > 0 always — no max(·,0) branch, no log-of-zero.
+
+    Determinism: per-bigram surprisals round to 9 dp and accumulate in
+    DECIMAL(18,9) (the surprisal-family fixed-point discipline); the
+    probability's operand order is mirrored exactly by the oracle.
+
+    Plan shape: one tokenize scan feeds the pair explode; all model
+    tables are hash aggregates on string keys re-attached by equi-join
+    (AQE absorbs stopword-pair skew); B rides a broadcast 1-row
+    scalar. ctx and N₁₊(w₁·) come from ONE aggregate over the bigram
+    counts (sum + count per w₁) — the model costs three aggregates on
+    the bigram-type frame, which is vocabulary²-bounded, not
+    corpus-bounded.
+    """
+    d = float(discount)
+    w = _words(text_col)
+    grams = F.when(
+        F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pairs = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    nb = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btot = big.agg(F.count(F.lit(1)).alias("B"))
+    p = (F.col("c12") - F.lit(d)) / F.col("ctx") + F.lit(d) * F.col(
+        "n1f"
+    ) / F.col("ctx") * (F.col("n1b") / F.col("B"))
+    s = -F.log(p)
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(btot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(s, 9).cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_kn_surprisal"),
+        )
+    )

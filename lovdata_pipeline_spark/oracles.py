@@ -2922,3 +2922,82 @@ ORACLES["stratified_split_exact"] = """
                     ELSE 'test' END AS split
         FROM r ORDER BY doc_id
 """
+
+# r7b: multi-signal quality blend — the gopher word/alpha/mean-len
+# expressions (same SQL as the graded gopher oracle), the EN stopword
+# fraction, and ln(1+n) size prior, each rounded 6 dp BEFORE the
+# per-source min/max; normalization and the fixed-weight sum mirror
+# the Spark operand order exactly; source-constant signals pin 0.5.
+ORACLES["quality_blend_documents"] = rf"""
+        WITH d AS (SELECT doc_id, source, coalesce(text, '') AS text FROM documents),
+        w AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') END AS words,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS lwords
+          FROM d),
+        m AS (
+          SELECT doc_id, source, coalesce(source, '') AS grp,
+                 round(CAST(len(list_filter(lwords,
+                       x -> list_contains({_STOPWORDS_SQL["en"]}, x))) AS DOUBLE)
+                       / greatest(len(lwords), 1), 6) AS s_stop,
+                 round(CASE WHEN len(words) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(words,
+                              x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                            / len(words) END, 6) AS s_alpha,
+                 round(-abs((CASE WHEN len(words) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                            / len(words) END) - 5.0), 6) AS s_len,
+                 round(ln(1.0 + len(words)), 6) AS s_size
+          FROM w),
+        g AS (
+          SELECT grp,
+                 min(s_stop) AS mn1, max(s_stop) AS mx1,
+                 min(s_alpha) AS mn2, max(s_alpha) AS mx2,
+                 min(s_len) AS mn3, max(s_len) AS mx3,
+                 min(s_size) AS mn4, max(s_size) AS mx4
+          FROM m GROUP BY grp),
+        b AS (
+          SELECT m.doc_id, m.source,
+                 round(0.4 * (CASE WHEN mx1 > mn1 THEN round((s_stop - mn1) / (mx1 - mn1), 6) ELSE 0.5 END)
+                     + 0.2 * (CASE WHEN mx2 > mn2 THEN round((s_alpha - mn2) / (mx2 - mn2), 6) ELSE 0.5 END)
+                     + 0.2 * (CASE WHEN mx3 > mn3 THEN round((s_len - mn3) / (mx3 - mn3), 6) ELSE 0.5 END)
+                     + 0.2 * (CASE WHEN mx4 > mn4 THEN round((s_size - mn4) / (mx4 - mn4), 6) ELSE 0.5 END), 6)
+                   AS blend_score
+          FROM m JOIN g USING (grp))
+        SELECT doc_id, source, blend_score,
+               CASE WHEN blend_score >= 0.66 THEN 'high'
+                    WHEN blend_score >= 0.33 THEN 'medium'
+                    ELSE 'low' END AS quality_band
+        FROM b ORDER BY doc_id
+"""
+
+# r7b: Kneser-Ney bigram surprisal — same pair explode and fixed-point
+# accumulation as the graded bigram oracle; ctx/N1+ fan-outs and the
+# distinct-bigram-type total B from the bigram-type frame; the
+# interpolated probability's operand order mirrors the Spark columns.
+ORACLES["text_kn_surprisal"] = r"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w
+          FROM documents),
+        pairs0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS g
+          FROM tok),
+        pairs AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pairs0),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+        cx AS (SELECT w1, SUM(c12) AS ctx, count(*) AS n1f FROM bc GROUP BY w1),
+        nb AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY w2),
+        bt AS (SELECT count(*) AS B FROM bc),
+        per AS (
+          SELECT p.doc_id,
+                 -ln((c12 - 0.75) / ctx + 0.75 * n1f / ctx * (CAST(n1b AS DOUBLE) / B)) AS s
+          FROM pairs p JOIN bc USING (w1, w2) JOIN cx USING (w1)
+               JOIN nb USING (w2) CROSS JOIN bt)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_kn_surprisal
+        FROM per GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1011,6 +1011,28 @@ def hash_split_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def text_kn_surprisal(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram surprisal (new r7b): the
+    industry-standard LM smoothing — absolute discounting plus the
+    distinct-continuation back-off — replacing ``bigram_surprisal``'s
+    add-one. Same fixed-point accumulation discipline (9-dp rounds,
+    DECIMAL(18,9) sums), same one-scan + vocabulary-bounded-aggregate
+    plan shape."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.kn_surprisal(docs).orderBy("doc_id")
+
+
+def quality_blend_documents(spark, sf_dir):
+    """Multi-signal quality blending (new r7b): four 6-dp-rounded
+    signals (stopword fraction, alpha-word fraction, word-length
+    proximity, log size) min-max normalized PER SOURCE via a
+    |groups|-row broadcast (no per-source window task), combined with
+    fixed weights and banded high/medium/low — the FineWeb-edu-style
+    score-combination step between raw signals and quota selection."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.quality_blend(docs).orderBy("doc_id")
+
+
 def stratified_split_exact(spark, sf_dir):
     """EXACT-COUNT stratified 80/10/10 split (new r7b): within every
     source, split sizes are exactly floor(n·pct/100) with the last
@@ -2749,7 +2771,14 @@ QUERIES = {
     # --- r5-born entries still holding their window slot ---------------------
     "pack_emit_sequences": pack_emit_sequences,
     "decontam_remove_spans": decontam_remove_spans,
-    "curation_report_by_source": curation_report_by_source,
+    # quality_blend_documents (new r7b) enters at birth: per-source
+    # min-max-normalized multi-signal blending + banding — the score-
+    # combination step between raw quality signals and quota selection.
+    # Demoted in exchange: curation_report_by_source (green r5+r6; its
+    # report cells stay graded inside BOTH capstones —
+    # curation_pipeline and pretraining_pipeline compose the same
+    # fingerprint/gopher/keep/contamination cell sums).
+    "quality_blend_documents": quality_blend_documents,
     # bitext_mine_margin (new r7b) enters at birth: margin-based
     # parallel-corpus mining through the shared embedding space — the
     # LASER/CCMatrix hubness-cancelling criterion, composing the
@@ -2774,11 +2803,20 @@ QUERIES = {
     # the Efraimidis–Spirakis scoring stays pytest-pinned with the
     # hash_split/epoch/temperature twins attested in the tail).
     "stratified_split_exact": stratified_split_exact,
-    # --- headliners + SURVEY §2 operator queries ----------------------------
-    "q3_top_unshipped": q3_top_unshipped,
+    # text_kn_surprisal (new r7b) enters at birth: interpolated
+    # Kneser–Ney — the industry-standard LM smoothing stepping up the
+    # graded add-one bigram family. Demoted in exchange:
+    # q3_top_unshipped (green r1–r6, the most-attested entry on the
+    # board; the multi-join/agg/top-k relational families each keep an
+    # in-window twin this round — left_join_customer_orders,
+    # percentile_order_totals, rollup/pivot, semi_join, topk_limit —
+    # and q1/q5 decimal-agg twins sit attested in the tail).
+    "text_kn_surprisal": text_kn_surprisal,
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "q3_top_unshipped": q3_top_unshipped,                # green r1-r6; demoted r7b for text_kn_surprisal (join/agg/top-k families each keep an in-window twin; q1/q5 in tail)
+    "curation_report_by_source": curation_report_by_source,  # green r5+r6; demoted r7b for quality_blend_documents (report cells graded inside both capstone pipelines)
     "weighted_sample_documents": weighted_sample_documents,  # green r5+r6; demoted r7b for stratified_split_exact (the same md5-rank machinery enters graded; E-S scoring pytest-pinned)
     "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5+r6; demoted r7b for bitext_mine_margin (tf/idf scoring graded via the text_bm25_search flagship)
     "events_rolling_1h": events_rolling_1h,              # green r5+r6; demoted r7b for events_funnel_counts (event-time family: events_lag_gaps + events_hourly graded this round)

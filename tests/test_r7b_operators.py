@@ -111,6 +111,95 @@ class TestStratifiedSplit:
             stratified_split(df, (("train", 70), ("val", 10)))
 
 
+class TestQualityBlend:
+    def test_constant_signal_is_neutral_and_bands_cut(self, spark):
+        from lovdata_pipeline_spark.operators.textstats import quality_blend
+
+        # single-doc source: every signal is source-constant -> all four
+        # normalize to the neutral 0.5 -> blend exactly 0.5 -> medium
+        df = spark.createDataFrame(
+            [(1, "solo", "the cat and the dog went to the house of that")],
+            "doc_id long, source string, text string",
+        )
+        [r] = quality_blend(df).collect()
+        assert r.blend_score == 0.5
+        assert r.quality_band == "medium"
+
+    def test_better_doc_scores_higher(self, spark):
+        from lovdata_pipeline_spark.operators.textstats import quality_blend
+
+        good = "the report and the summary of that work is in the archive " * 10
+        junk = "xx1 9#@ 0000 ~~~ %% !! 22 33 44 55"
+        df = spark.createDataFrame(
+            [(1, "web", good), (2, "web", junk)],
+            "doc_id long, source string, text string",
+        )
+        rows = {r.doc_id: r for r in quality_blend(df).collect()}
+        assert rows[1].blend_score > rows[2].blend_score
+        assert rows[1].quality_band == "high"
+        assert rows[2].quality_band == "low"
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.textstats import quality_blend
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, quality_blend(docs).collect()))
+        b = sorted(map(tuple, quality_blend(docs.repartition(17)).collect()))
+        assert a == b
+
+
+class TestKNSurprisal:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from lovdata_pipeline_spark.operators.textstats import kn_surprisal
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in kn_surprisal(df).collect()}
+        # corpus: c(a,b)=2 c(b,a)=1 c(a,c)=1, B=3, ctx(a)=3 n1f(a)=2,
+        # ctx(b)=1 n1f(b)=1, n1b(.)=1 for a/b/c
+        p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+        p_ba = (1 - 0.75) / 1 + 0.75 * 1 / 1 * (1 / 3)
+        p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+        exp1 = round(
+            (round(-math.log(p_ab), 9) * 2 + round(-math.log(p_ba), 9)) / 3, 6
+        )
+        exp2 = round(round(-math.log(p_ac), 9), 6)
+        assert rows[1].n_bigrams == 3
+        assert rows[1].mean_kn_surprisal == exp1
+        assert rows[2].mean_kn_surprisal == exp2
+
+    def test_continuation_backoff_beats_addone(self, spark):
+        """KN's point: a word frequent ONLY after one context ('francisco'
+        after 'san') gets a small continuation weight, so an unusual
+        transition into it is penalized more than its raw frequency
+        suggests — its KN surprisal must exceed the diverse-context
+        word's for equally-frequent transitions."""
+        from lovdata_pipeline_spark.operators.textstats import kn_surprisal
+
+        ctxdoc = " ".join(["san francisco"] * 20 + ["a x", "b x", "c x", "d x"])
+        probe_f = "q francisco"
+        probe_x = "q x"
+        df = spark.createDataFrame(
+            [(1, ctxdoc), (2, probe_f), (3, probe_x)],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in kn_surprisal(df).collect()}
+        assert (
+            rows[2].mean_kn_surprisal > rows[3].mean_kn_surprisal
+        )  # x follows 5 contexts, francisco only 2
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.textstats import kn_surprisal
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, kn_surprisal(docs).collect()))
+        b = sorted(map(tuple, kn_surprisal(docs.repartition(19)).collect()))
+        assert a == b
+
+
 class TestFunnelGating:
     def _events(self, spark, rows):
         return spark.createDataFrame(
