@@ -350,14 +350,36 @@ def cmd_split(args) -> int:
     per-split counts."""
     import json as _json
 
-    from lovdata_pipeline_spark.operators.sampling import hash_split
+    from lovdata_pipeline_spark.operators.sampling import hash_split, stratified_split
 
     spark = _spark("lg-split")
     weights = {}
     for part in args.weights.split(","):
         name, _, frac = part.partition("=")
         weights[name.strip()] = float(frac)
-    out = hash_split(spark.read.parquet(args.input), weights, args.id_col, args.seed)
+    if args.stratified:
+        # exact-count per-stratum split: fractions become integer
+        # percents (the operator's thresholds are exact integer
+        # arithmetic; 0.8 -> 80). Reject weights that don't round to
+        # a clean percent grid instead of silently reshaping them.
+        splits = []
+        for name, frac in weights.items():
+            pct = round(frac * 100) if frac <= 1 else round(frac)
+            if abs(pct - frac * (100 if frac <= 1 else 1)) > 1e-9:
+                print(f"error: weight {name}={frac} is not a whole percent")
+                return 2
+            splits.append((name, int(pct)))
+        out = stratified_split(
+            spark.read.parquet(args.input),
+            tuple(splits),
+            strata_col=args.stratified,
+            id_col=args.id_col,
+            seed=args.seed,
+        )
+    else:
+        out = hash_split(
+            spark.read.parquet(args.input), weights, args.id_col, args.seed
+        )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     counts = {
         r["split"]: r["n"]
@@ -1054,6 +1076,74 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_mine(args) -> int:
+    """Margin-based bitext mining between two language slices of an
+    embeddings parquet (vector ids joined to a documents parquet for
+    the language column). Writes the mined (src_id, tgt_id, score,
+    margin) pairs as parquet and prints one JSON summary line."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    spark = _spark("lg-mine")
+    emb = spark.read.parquet(args.embeddings)
+    docs = spark.read.parquet(args.documents)
+    langed = emb.join(
+        docs.select(
+            F.col(args.doc_id_col).alias(args.vec_id_col), args.lang_col
+        ),
+        args.vec_id_col,
+    )
+    src = langed.filter(F.col(args.lang_col) == args.src_lang).select(
+        F.col(args.vec_id_col).alias("src_id"), args.vec_col
+    )
+    tgt = langed.filter(F.col(args.lang_col) == args.tgt_lang).select(
+        F.col(args.vec_id_col).alias("tgt_id"), args.vec_col
+    )
+    pairs = bitext_margin_mine(
+        src, tgt, k=args.k, threshold=args.threshold, vec_col=args.vec_col
+    )
+    pairs.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "mined_pairs": n,
+                "src_lang": args.src_lang,
+                "tgt_lang": args.tgt_lang,
+                "k": args.k,
+                "threshold": args.threshold,
+                "output_path": args.output,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_funnel(args) -> int:
+    """Sequential conversion funnel over an events parquet: per-stage
+    user counts + conversion rates with strict-after gating. Prints the
+    one-row summary as a JSON line."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.queries import events_funnel_counts
+
+    spark = _spark("lg-funnel")
+    import os as _os
+
+    sf_dir = _os.path.dirname(args.input.rstrip("/"))
+    base = _os.path.basename(args.input.rstrip("/"))
+    if base != "events.parquet":
+        # the query loads <dir>/events.parquet; point it at the file's
+        # parent via a temp symlink-free rename contract instead of
+        # silently reading the wrong table
+        print("error: --input must be a path ending in events.parquet")
+        return 2
+    [row] = events_funnel_counts(spark, sf_dir).collect()
+    print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -1141,6 +1231,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
     sp.add_argument("--seed", default="split-v1")
     sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument(
+        "--stratified",
+        metavar="STRATA_COL",
+        help="exact-count per-stratum split (weights must be whole percents)",
+    )
     sp.set_defaults(func=cmd_split)
 
     r = sub.add_parser("report", help="per-source curation report")
@@ -1256,6 +1351,24 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--text-col", default="text")
     sm.add_argument("--group-col", default="source")
     sm.set_defaults(func=cmd_sample)
+
+    mn = sub.add_parser("mine", help="margin-based bitext mining between two language slices")
+    mn.add_argument("--embeddings", required=True, help="embeddings parquet path")
+    mn.add_argument("--documents", required=True, help="documents parquet path (language column)")
+    mn.add_argument("--output", required=True, help="mined-pairs parquet path")
+    mn.add_argument("--src-lang", required=True)
+    mn.add_argument("--tgt-lang", required=True)
+    mn.add_argument("--k", type=int, default=4)
+    mn.add_argument("--threshold", type=float, default=1.0)
+    mn.add_argument("--vec-col", default="embedding")
+    mn.add_argument("--vec-id-col", default="vec_id")
+    mn.add_argument("--doc-id-col", default="doc_id")
+    mn.add_argument("--lang-col", default="lang")
+    mn.set_defaults(func=cmd_mine)
+
+    fu = sub.add_parser("funnel", help="view->click->purchase conversion funnel summary")
+    fu.add_argument("--input", required=True, help="path to an events.parquet")
+    fu.set_defaults(func=cmd_funnel)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

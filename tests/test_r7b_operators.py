@@ -111,6 +111,89 @@ class TestStratifiedSplit:
             stratified_split(df, (("train", 70), ("val", 10)))
 
 
+class TestR7bCLI:
+    def test_split_stratified_exact_counts(self, spark, tmp_path, capsys):
+        import json
+
+        from lovdata_pipeline_spark.cli import main
+
+        src = tmp_path / "docs"
+        spark.createDataFrame(
+            [(i, "a" if i < 20 else "b") for i in range(40)],
+            "doc_id long, source string",
+        ).write.parquet(str(src))
+        rc = main(
+            [
+                "split",
+                "--input", str(src),
+                "--output", str(tmp_path / "out"),
+                "--stratified", "source",
+            ]
+        )
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # both strata have n=20: exactly 16/2/2 each
+        assert got["splits"] == {"train": 32, "val": 4, "test": 4}
+
+    def test_split_stratified_rejects_fractional_percent(
+        self, spark, tmp_path, capsys
+    ):
+        from lovdata_pipeline_spark.cli import main
+
+        src = tmp_path / "docs2"
+        spark.createDataFrame(
+            [(1, "a")], "doc_id long, source string"
+        ).write.parquet(str(src))
+        rc = main(
+            [
+                "split",
+                "--input", str(src),
+                "--output", str(tmp_path / "out2"),
+                "--weights", "train=0.805,val=0.1,test=0.095",
+                "--stratified", "source",
+            ]
+        )
+        assert rc == 2
+
+    def test_mine_cli_round_trip(self, spark, tmp_path, capsys):
+        import json
+
+        from lovdata_pipeline_spark.cli import main
+
+        emb = tmp_path / "emb"
+        docs = tmp_path / "docs3"
+        rows = [
+            (1, [0.714, 0.70], "en"),
+            (2, [1.0, 0.0], "en"),
+            (3, [0.995, 0.0999], "en"),
+            (100, [1.0, 0.0], "zh"),
+            (200, [0.0, 1.0], "zh"),
+        ]
+        spark.createDataFrame(
+            [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+        ).write.parquet(str(emb))
+        spark.createDataFrame(
+            [(i, lang) for i, _, lang in rows], "doc_id long, lang string"
+        ).write.parquet(str(docs))
+        rc = main(
+            [
+                "mine",
+                "--embeddings", str(emb),
+                "--documents", str(docs),
+                "--output", str(tmp_path / "pairs"),
+                "--src-lang", "en",
+                "--tgt-lang", "zh",
+                "--k", "2",
+            ]
+        )
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["mined_pairs"] >= 1
+        assert spark.read.parquet(str(tmp_path / "pairs")).columns == [
+            "src_id", "tgt_id", "score", "margin",
+        ]
+
+
 class TestQualityBlend:
     def test_constant_signal_is_neutral_and_bands_cut(self, spark):
         from lovdata_pipeline_spark.operators.textstats import quality_blend
