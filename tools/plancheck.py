@@ -66,6 +66,13 @@ CROSS_JOIN_OK = {
     # n_buckets range (a bounded parameters-sized grid) and the 1-row
     # corpus total.
     "vocab_drift_by_source",
+    # bitext mining broadcasts the smaller language side for the pair
+    # scorer — the knn_join shape (at scale both sides pre-bucket via
+    # LSH/IVF and the join gains a bucket equi-key).
+    "bitext_mine_margin",
+    # Kneser–Ney: the 1-row distinct-bigram-type total B rides the same
+    # scalar broadcast as the unigram/bigram surprisal forms.
+    "text_kn_surprisal",
 }
 
 # queries whose scans must show a pushed filter
