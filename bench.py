@@ -116,6 +116,7 @@ HEADLINE = [
     "curation_report_by_source",
     "validate_documents_expectations",
     "streaming_vocab_counts",
+    "streaming_session_counts",
 ]
 
 

@@ -3001,3 +3001,32 @@ ORACLES["text_kn_surprisal"] = r"""
                      / count(*), 6) AS mean_kn_surprisal
         FROM per GROUP BY doc_id ORDER BY doc_id
 """
+
+# r7b: streaming session windows — gaps-and-islands with the
+# session_window boundary rule (an event at EXACTLY last_ts+gap still
+# merges — the boundary is inclusive, pinned by test; new session only
+# when gap > 30 min, the same rule as batch sessionize), session_end =
+# last event + gap. Complete-mode availableNow drain == batch.
+ORACLES["streaming_session_counts"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                        OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+"""

@@ -194,6 +194,100 @@ class TestR7bCLI:
         ]
 
 
+class TestStreamingSessionCounts:
+    def test_boundary_rule_gap_equal_merges(self, spark):
+        """session_window's boundary is INCLUSIVE: an event at exactly
+        last_ts+gap merges into the window, and one microsecond past it
+        starts a new session — so the oracle's gaps-and-islands rule is
+        the batch one (new session iff gap > 1800), pinned here because
+        microsecond data makes exact-boundary ties measure-zero."""
+        rows = [
+            (1, 10, _ts("2024-01-01T00:00:00")),
+            (2, 10, _ts("2024-01-01T00:30:00")),            # exactly gap -> merges
+            (3, 10, _ts("2024-01-01T01:00:00.000001")),     # 1 us past -> NEW
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        sess = (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("s.start").alias("st"), "n")
+            .orderBy("st")
+            .collect()
+        )
+        assert [(r.st.hour, r.st.minute, r.n) for r in sess] == [
+            (0, 0, 2),   # 00:00 + 00:30 merge (inclusive boundary)
+            (1, 0, 1),   # 01:00:00.000001 is past 00:30's window end
+        ]
+
+    def test_multibatch_complete_drain_equals_batch(self, spark, tmp_path):
+        """availableNow split into one-file micro-batches must land the
+        same final session table as a single batch (complete mode:
+        last batch wins)."""
+        import datetime as dt
+
+        src = tmp_path / "ev_src"
+        src.mkdir()
+        rows1 = [
+            (i, i % 5, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=i))
+            for i in range(40)
+        ]
+        rows2 = [
+            (100 + i, i % 5, dt.datetime(2024, 1, 1, 6, 0, 0) + dt.timedelta(minutes=i * 40))
+            for i in range(20)
+        ]
+        schema = "event_id long, user_id long, ts timestamp"
+        # the file stream source lists FILES: land each frame as one
+        # parquet file and link it into the source dir (the graded
+        # query's symlink trick)
+        import glob
+        import os
+
+        for name, rows in (("a", rows1), ("b", rows2)):
+            d = tmp_path / f"_{name}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+            [part] = glob.glob(str(d / "part-*.parquet"))
+            os.symlink(part, str(src / f"{name}.parquet"))
+        batch = spark.read.parquet(str(src))
+
+        def sessionize(df):
+            return (
+                df.groupBy(
+                    F.session_window("ts", "30 minutes").alias("s"), "user_id"
+                )
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events",
+                )
+            )
+
+        out = tmp_path / "out"
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        def land(bdf, _bid):
+            bdf.write.mode("overwrite").parquet(str(out))
+
+        q = (
+            sessionize(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(land)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+        want = sorted(map(tuple, sessionize(batch).collect()))
+        assert got == want
+        assert len(want) > 5
+
+
 class TestQualityBlend:
     def test_constant_signal_is_neutral_and_bands_cut(self, spark):
         from lovdata_pipeline_spark.operators.textstats import quality_blend
