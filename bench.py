@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_learned_merges",
     "bpe_token_counts",
     "events_rolling_1h",
+    "events_retention_cohorts",
     "events_funnel_counts",
     "knn_classify_embeddings",
     "quality_quota_by_source",

@@ -3030,3 +3030,36 @@ ORACLES["streaming_session_counts"] = """
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
 """
+
+# r7b: weekly retention cohorts — Monday-start week truncation in both
+# engines; offsets are exact integer day-diffs div 7 (both weeks are
+# truncated starts, so the division is always whole); retention rate
+# divides by the cohort's own offset-0 cell.
+ORACLES["events_retention_cohorts"] = """
+        WITH f AS (
+          SELECT user_id,
+                 date_trunc('week', min(ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        a AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+          FROM events
+        ),
+        c AS (
+          SELECT cohort_week,
+                 CAST(datediff('day', cohort_week, w) // 7 AS INTEGER)
+                   AS week_offset,
+                 count(*) AS n_active
+          FROM a JOIN f USING (user_id)
+          GROUP BY cohort_week, week_offset
+        ),
+        s AS (
+          SELECT cohort_week, n_active AS cohort_size
+          FROM c WHERE week_offset = 0
+        )
+        SELECT c.cohort_week, c.week_offset, c.n_active,
+               round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
+                 AS retention
+        FROM c JOIN s USING (cohort_week)
+        ORDER BY cohort_week, week_offset
+"""

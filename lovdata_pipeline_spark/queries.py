@@ -1918,6 +1918,59 @@ def events_funnel_counts(spark, sf_dir):
     )
 
 
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts (new r7b): users cohorted by the week
+    of their FIRST event; for every later week, how many of that
+    cohort came back — the (cohort_week, week_offset, n_active,
+    retention) matrix product analytics reads as a triangle chart.
+    Week 0 is the cohort size by construction, so retention divides by
+    the offset-0 count of the same cohort.
+
+    Plan shape: one shuffle by user for the first-event aggregate, one
+    distinct over (user, week) — the activity frame, orders of
+    magnitude smaller than raw events — an equi-join back on user, and
+    a final aggregate on the tiny (cohort, offset) grid; the cohort
+    sizes re-attach as a |cohorts|-row broadcast. No windows, no
+    per-cohort funneling.
+
+    Determinism: week truncation is calendar arithmetic (Monday-start
+    in both engines), offsets are exact integer day-diffs div 7, and
+    the single rate division is double-over-long rounded 6 dp."""
+    events = load_events(spark, sf_dir)
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cells = (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("_cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("_cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def knn_classify_embeddings(spark, sf_dir):
     """Majority-vote k-NN label transfer (new r5): every vec_id % 97 == 0
     row is a held-out query classified by its 10 nearest neighbors among
@@ -2739,7 +2792,17 @@ QUERIES = {
     "enrich_documents_pipeline": enrich_documents_pipeline,
     "curation_pipeline": curation_pipeline,
     "multimodal_features": multimodal_features,
-    "agg_approx_stats": agg_approx_stats,
+    # events_retention_cohorts (new r7b) enters at birth: the weekly
+    # cohort-retention matrix — first-event cohorting + distinct
+    # user-week activity, the remaining classic product-analytics
+    # aggregate the events family lacked. Demoted in exchange:
+    # agg_approx_stats (green r1–r6, the board's most-attested entry;
+    # the sketch family stays graded via
+    # validate_documents_expectations, whose wide-table mode runs the
+    # same HLL approx-distinct machinery, and the exact-distinct
+    # verdict twin agg_distinct_counts sits r1-r3-attested in the
+    # tail).
+    "events_retention_cohorts": events_retention_cohorts,
     "text_bm25_search": text_bm25_search,
     # --- r6-born operators still holding their at-birth window slot ---------
     "paragraph_dedup_documents": paragraph_dedup_documents,
@@ -2900,6 +2963,7 @@ QUERIES = {
     "validate_documents_expectations": validate_documents_expectations,
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
+    "agg_approx_stats": agg_approx_stats,                # green r1-r6; demoted r7b for events_retention_cohorts (HLL sketch family graded via validate_documents_expectations wide mode; exact-distinct twin in tail)
     "dedup_remove_spans": dedup_remove_spans,            # green r5+r6; demoted r7b for streaming_session_counts (span-surgery family graded via decontam_remove_spans)
     "q3_top_unshipped": q3_top_unshipped,                # green r1-r6; demoted r7b for text_kn_surprisal (join/agg/top-k families each keep an in-window twin; q1/q5 in tail)
     "curation_report_by_source": curation_report_by_source,  # green r5+r6; demoted r7b for quality_blend_documents (report cells graded inside both capstone pipelines)

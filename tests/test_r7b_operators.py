@@ -194,6 +194,43 @@ class TestR7bCLI:
         ]
 
 
+class TestRetentionCohorts:
+    def test_cohort_matrix(self, spark, tmp_path):
+        rows = [
+            # cohort of Mon 2024-01-01: users 1,2 — user 1 returns in
+            # week 1 and 3, user 2 never returns
+            (1, 1, "2024-01-02T10:00:00"),
+            (2, 1, "2024-01-09T10:00:00"),
+            (3, 1, "2024-01-23T10:00:00"),
+            (4, 2, "2024-01-03T10:00:00"),
+            # cohort of Mon 2024-01-08: user 3 (first event that week)
+            (5, 3, "2024-01-08T00:00:00"),
+            (6, 3, "2024-01-10T12:00:00"),  # same week: still offset 0
+        ]
+        ev = spark.createDataFrame(
+            [(i, _ts(t), u, "view", 0.0, "{}") for i, (_, u, t) in zip(range(6), [(None, u, t) for _, u, t in rows])],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        out_dir = str(tmp_path / "ret")
+        ev.write.parquet(out_dir + "/events.parquet")
+
+        from lovdata_pipeline_spark.queries import events_retention_cohorts
+
+        got = {
+            (r.cohort_week.date().isoformat(), r.week_offset): (
+                r.n_active,
+                r.retention,
+            )
+            for r in events_retention_cohorts(spark, out_dir).collect()
+        }
+        assert got[("2024-01-01", 0)] == (2, 1.0)
+        assert got[("2024-01-01", 1)] == (1, 0.5)
+        assert got[("2024-01-01", 3)] == (1, 0.5)
+        assert ("2024-01-01", 2) not in got  # nobody active that week
+        assert got[("2024-01-08", 0)] == (1, 1.0)
+        assert len(got) == 4
+
+
 class TestStreamingSessionCounts:
     def test_boundary_rule_gap_equal_merges(self, spark):
         """session_window's boundary is INCLUSIVE: an event at exactly
