@@ -885,12 +885,22 @@ def bitext_margin_mine(
         .withColumn("tn", _norm(F.col("tv")))
         .filter(F.col("tn") > 0)
     )
-    scored = s.crossJoin(F.broadcast(t)).select(
-        src_id,
-        tgt_id,
-        F.round(
-            _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
-        ).alias("score"),
+    # the pair-score frame feeds THREE consumers (both k-NN neighborhood
+    # passes and the margin join) — persist so the |S|×|T| cosine pass
+    # runs once, not three times. Lazy fill (the first consumer
+    # materializes it); released with the session's cache clearing like
+    # the offsets cache, and values are 6-dp-rounded so a cache miss
+    # recomputes identical bits.
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            src_id,
+            tgt_id,
+            F.round(
+                _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
+            ).alias("score"),
+        )
+        .persist()
     )
     sk = (
         top_k_per_group(scored, k, src_id, "score", tgt_id)
