@@ -1131,7 +1131,7 @@ def cmd_funnel(args) -> int:
     spark = _spark("lg-funnel")
     import os as _os
 
-    sf_dir = _os.path.dirname(args.input.rstrip("/"))
+    sf_dir = _os.path.dirname(args.input.rstrip("/")) or "."
     base = _os.path.basename(args.input.rstrip("/"))
     if base != "events.parquet":
         # the query loads <dir>/events.parquet; point it at the file's
