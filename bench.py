@@ -118,6 +118,13 @@ HEADLINE = [
     "validate_documents_expectations",
     "streaming_vocab_counts",
     "streaming_session_counts",
+    # --- r7c additions ---
+    "zipf_slope_by_source",
+    "collocation_pmi_bigrams",
+    "pagerank_doc_graph",
+    "scd2_user_event_intervals",
+    "filter_attrition_report",
+    "streaming_dedup_counts",
 ]
 
 

@@ -111,3 +111,63 @@ def identify_changed(
 def identify_removed(manifest: DataFrame) -> DataFrame:
     """Documents flagged removed upstream (op 4; lovlig.py:122-123)."""
     return manifest.filter(F.col("status") == "removed")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Change-history (SCD Type 2) intervals from an event log →
+    (key, attr, valid_from, valid_to, first_tie, n_events, is_current),
+    where ``first_tie`` is the interval's first ``tie_col`` value —
+    kept in the output so (key, valid_from, first_tie) is a unique,
+    deterministic total order even when timestamp ties span intervals.
+
+    The state-store keeps only the LATEST row per document (reference:
+    ``infrastructure/file_document_state_repository.py`` upsert); the
+    warehouse-grade history form is slowly-changing-dimension type 2 —
+    one row per *run* of consecutive equal attribute values, valid from
+    its first event until the next change (NULL / is_current for the
+    open interval).
+
+    Consecutive equal values are consolidated with the gaps-and-islands
+    identity (rn_by_key − rn_by_key_and_attr is constant exactly within
+    a run), then ``lead(valid_from)`` closes each interval. Both
+    row_numbers ride the SAME (key × time) sort, so the plan is one
+    shuffle on the key, one sort, two window passes, one aggregate and
+    one final per-key lead over the (much smaller) island table.
+    Per-key window partitions hold one key's events — the
+    key-cardinality parallelism every event-log query here uses.
+
+    Determinism: ordering ties break on ``tie_col`` (a unique event
+    id); island boundaries and lead ordering then inherit uniqueness
+    via (valid_from, first tie value).
+    """
+    from pyspark.sql import Window
+
+    w_key = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    w_key_attr = Window.partitionBy(key_col, attr_col).orderBy(ts_col, tie_col)
+    islands = (
+        df.select(key_col, ts_col, attr_col, tie_col)
+        .withColumn(
+            "_grp", F.row_number().over(w_key) - F.row_number().over(w_key_attr)
+        )
+        .groupBy(key_col, attr_col, "_grp")
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.min(tie_col).alias("first_tie"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_island = Window.partitionBy(key_col).orderBy("valid_from", "first_tie")
+    return islands.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w_island).alias("valid_to"),
+        "first_tie",
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -3063,3 +3063,213 @@ ORACLES["events_retention_cohorts"] = """
         FROM c JOIN s USING (cohort_week)
         ORDER BY cohort_week, week_offset
 """
+
+# r7c: per-source Zipf slope — integer frequencies, floor-quantized
+# 6-dp log coordinates, exact int64 normal equations (bounds proven in
+# operators/corpstats.py), one double division at the end.
+ORACLES["zipf_slope_by_source"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '')) AS term
+          FROM documents),
+        tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY source, term),
+        rkd AS (
+          SELECT source, term, freq,
+                 row_number() OVER (PARTITION BY source ORDER BY freq DESC, term) AS rk
+          FROM tf),
+        pts AS (
+          SELECT source,
+                 CAST(floor(ln(rk) * 1000000) AS BIGINT) AS x,
+                 CAST(floor(ln(freq) * 1000000) AS BIGINT) AS y
+          FROM rkd WHERE rk <= 100),
+        a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY source)
+        SELECT source, n_terms,
+               CASE WHEN (n_terms * sxx - sx * sx) > 0
+                    THEN round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                               / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6)
+               END AS zipf_slope
+        FROM a ORDER BY source
+"""
+
+# r7c: top-50 bigram collocations by PMI — exact integer counts, the
+# single fixed double-expression tree ln((cb/Tb)/((c1/Tu)(c2/Tu)))
+# mirrored operand-for-operand from operators/corpstats.py.
+ORACLES["collocation_pmi_bigrams"] = r"""
+        WITH t AS (
+          SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '') AS w
+          FROM documents),
+        uc AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS cu
+               FROM (SELECT unnest(w) AS u FROM t) GROUP BY u),
+        bg AS (
+          SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS g
+          FROM t),
+        bc AS (SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
+               FROM bg GROUP BY 1, 2),
+        tu AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uc),
+        tb AS (SELECT CAST(sum(cb) AS BIGINT) AS tb FROM bc)
+        SELECT b.w1, b.w2, b.cb AS n_pair,
+               round(ln((CAST(b.cb AS DOUBLE) / tb.tb)
+                        / ((CAST(u1.cu AS DOUBLE) / tu.tu)
+                           * (CAST(u2.cu AS DOUBLE) / tu.tu))), 6) AS pmi
+        FROM bc b
+        JOIN uc u1 ON u1.term = b.w1
+        JOIN uc u2 ON u2.term = b.w2
+        CROSS JOIN tu CROSS JOIN tb
+        WHERE b.cb >= 5
+        ORDER BY pmi DESC, b.w1, b.w2
+        LIMIT 50
+"""
+
+# r7c: PageRank over the exact 3-NN cosine graph, 3 damped power
+# iterations unrolled as CTEs. All arithmetic is integer (micro-unit
+# ranks, // contributions, (15·base + 85·S) // 100 mixing) so every
+# rank matches operators/graph.py bit-for-bit.
+ORACLES["pagerank_doc_graph"] = f"""
+        WITH v AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        sc AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst, round({_COSINE}, 6) AS score
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        ed AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+            FROM sc) WHERE rk <= 3),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY src),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        bs AS (SELECT 1000000000000 // n AS base FROM nn),
+        ew AS (SELECT e.src, e.dst, d.odeg FROM ed e JOIN deg d USING (src)),
+        r0 AS (SELECT node, base AS r FROM nodes CROSS JOIN bs),
+        s1 AS (SELECT e.dst AS node, SUM(r.r // e.odeg) AS s
+               FROM ew e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        r1 AS (SELECT nd.node, (15 * b.base + 85 * COALESCE(s.s, 0)) // 100 AS r
+               FROM nodes nd CROSS JOIN bs b LEFT JOIN s1 s ON s.node = nd.node),
+        s2 AS (SELECT e.dst AS node, SUM(r.r // e.odeg) AS s
+               FROM ew e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        r2 AS (SELECT nd.node, (15 * b.base + 85 * COALESCE(s.s, 0)) // 100 AS r
+               FROM nodes nd CROSS JOIN bs b LEFT JOIN s2 s ON s.node = nd.node),
+        s3 AS (SELECT e.dst AS node, SUM(r.r // e.odeg) AS s
+               FROM ew e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        r3 AS (SELECT nd.node, (15 * b.base + 85 * COALESCE(s.s, 0)) // 100 AS r
+               FROM nodes nd CROSS JOIN bs b LEFT JOIN s3 s ON s.node = nd.node)
+        SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_q
+        FROM r3 ORDER BY rank_q DESC, vec_id LIMIT 20
+"""
+
+# r7c: SCD2 change-history intervals over the event log — gaps-and-
+# islands via two same-sort row_numbers, per-user lead over islands.
+ORACLES["scd2_user_event_intervals"] = """
+        WITH i AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+          FROM events),
+        isl AS (
+          SELECT user_id, event_type, grp,
+                 min(ts) AS valid_from,
+                 min(event_id) AS first_tie,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM i GROUP BY user_id, event_type, grp),
+        iv AS (
+          SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, first_tie) AS valid_to,
+                 first_tie, n_events
+          FROM isl)
+        SELECT user_id, event_type, valid_from, valid_to, first_tie, n_events,
+               (valid_to IS NULL) AS is_current
+        FROM iv ORDER BY user_id, valid_from, first_tie
+"""
+
+# r7c: sequential curation-gate attrition funnel. The gopher and
+# quality-keep expressions are the standalone oracles' fragments
+# verbatim (text_gopher_quality / curation_report_by_source), counted
+# once under each cumulative gate.
+ORACLES["filter_attrition_report"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), sw -> sw <> '') AS words,
+                 list_filter(list_transform(string_split_regex(coalesce(text, ''), '\r?\n'),
+                                            x -> trim(x)), x -> x <> '') AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS nw,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                           / len(words) END AS mwl,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                           / len(words) END AS fa,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '^[-*•·]'))) AS DOUBLE)
+                           / len(lines) END AS fb,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
+                           / len(lines) END AS fe,
+                 CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines) END AS fd,
+                 CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                      AS BIGINT) AS ns
+          FROM w),
+        g AS (
+          SELECT doc_id, nw,
+                 (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                  AND fa >= 0.8 AND fb <= 0.9 AND fe <= 0.3 AND fd <= 0.3
+                  AND ns >= 2) AS gopher_pass
+          FROM m),
+        qtok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'), sw -> sw <> '')) AS wd
+          FROM documents),
+        qk AS (
+          SELECT doc_id,
+                 SUM(CAST(CAST(concat('0x', substr(md5(wd || 'quality-v1'), 1, 15))
+                               AS UBIGINT) % 10001 AS BIGINT) - 5000) > 0 AS keep
+          FROM qtok GROUP BY doc_id),
+        flags AS (
+          SELECT g.doc_id, g.nw, g.gopher_pass,
+                 coalesce(qk.keep, FALSE) AS keep
+          FROM g LEFT JOIN qk ON qk.doc_id = g.doc_id),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS c0,
+                 CAST(coalesce(sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+                 CAST(coalesce(sum(CASE WHEN nw >= 30 AND nw <= 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+                 CAST(coalesce(sum(CASE WHEN nw >= 30 AND nw <= 100000 AND keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+                 CAST(coalesce(sum(CASE WHEN nw >= 30 AND nw <= 100000 AND keep AND gopher_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4
+          FROM flags)
+        SELECT stage_idx, stage, n_in, n_out,
+               n_in - n_out AS n_dropped,
+               round(CAST(n_out AS DOUBLE) / greatest(n_in, 1), 6) AS retention
+        FROM (
+          SELECT CAST(1 AS INTEGER) AS stage_idx, 'has_text' AS stage, c0 AS n_in, c1 AS n_out FROM c
+          UNION ALL SELECT 2, 'length_band', c1, c2 FROM c
+          UNION ALL SELECT 3, 'quality', c2, c3 FROM c
+          UNION ALL SELECT 4, 'gopher', c3, c4 FROM c)
+        ORDER BY stage_idx
+"""
+
+# r7c: streaming exact dedup drained AvailableNow must equal batch
+# COUNT(DISTINCT) — the streaming side lands the deduped key set and
+# counts rows, so any double-emitted key breaks the hash.
+ORACLES["streaming_dedup_counts"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+"""

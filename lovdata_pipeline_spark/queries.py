@@ -2727,6 +2727,194 @@ def compression_band_report(spark, sf_dir):
     )
 
 
+def zipf_slope_by_source(spark, sf_dir):
+    """Per-source Zipf-law fit (new r7c): OLS slope of ln(freq) on
+    ln(rank) over each source's top-100 tokens — the corpus-health
+    monitor that flags template/machine-generated sources whose token
+    distribution bends away from Zipf (slope ≈ -1 for natural text).
+    All counting integer, log coordinates quantized to 6-dp int64, the
+    normal equations exact integer sums — bit-equal on any engine and
+    under any partitioning."""
+    from lovdata_pipeline_spark.operators.corpstats import zipf_slope
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return zipf_slope(docs).orderBy("source")
+
+
+def collocation_pmi_bigrams(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by pointwise mutual
+    information (new r7c) — the Church & Hanks multiword-expression
+    extractor (tokenizer seeding / boilerplate phrase discovery). One
+    scan feeds both the unigram and bigram aggregates; scalar totals
+    ride 1-row broadcasts; min_count prunes before the vocabulary
+    joins; exact integer counts make the single fixed double-expression
+    tree engine-identical before the 6-dp round."""
+    from lovdata_pipeline_spark.operators.corpstats import collocation_pmi
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return collocation_pmi(docs, min_count=5, k=50)
+
+
+def pagerank_doc_graph(spark, sf_dir):
+    """PageRank centrality over the exact 3-NN cosine graph of the
+    embedding table (new r7c): top-20 most central vectors after 3
+    damped power iterations — the representative-document selector of
+    graph-based curation (and the citation-graph consumer of the
+    enrichment chain's cross-ref edges; reference:
+    domain/parsers/lovdata_chunker.py href extraction). Ranks live in
+    integer micro-units with integer-division contributions, so the
+    oracle's unrolled 3-iteration CTE chain reproduces every rank
+    bit-for-bit. Edge build here is the exact broadcast builder; at
+    corpus scale the LSH/IVF candidate join slots in with pagerank
+    unchanged (operators/graph.py)."""
+    from lovdata_pipeline_spark.operators.graph import knn_edges, pagerank_quantized
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    edges = knn_edges(emb, k=3)
+    ranks = pagerank_quantized(edges, damping_pct=85, n_iter=3)
+    return (
+        ranks.select(F.col("node").alias("vec_id"), "rank_q")
+        .orderBy(F.col("rank_q").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+def scd2_user_event_intervals(spark, sf_dir):
+    """SCD Type-2 change history over the event log (new r7c): one row
+    per run of consecutive equal event_type values per user, valid from
+    its first event until the next change — the warehouse history form
+    of the reference's latest-row-only state upsert
+    (infrastructure/file_document_state_repository.py). Gaps-and-
+    islands via two same-sort row_numbers, then a per-key lead over the
+    island table; ties break on event_id so every boundary is
+    deterministic."""
+    from lovdata_pipeline_spark.operators.incremental import scd2_intervals
+
+    ev = load_events(spark, sf_dir)
+    return scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", attr_col="event_type", tie_col="event_id"
+    ).orderBy("user_id", "valid_from", "first_tie")
+
+
+def filter_attrition_report(spark, sf_dir):
+    """Sequential curation-gate attrition funnel (new r7c): how many
+    documents survive each gate applied IN ORDER — has-tokens →
+    length band [30, 100k] → hashed-classifier keep → Gopher quality —
+    the per-wave yield report every curation run publishes next to its
+    mixture plan. (Gopher last: the synthetic corpus fails the Gopher
+    word-shape rules wholesale, so any gate ordered after it would be
+    graded on an empty set.) ONE scan, one conditional aggregate (the
+    gates are pure column expressions: gopher_pass_col /
+    quality_keep_col), and an in-plan unpivot to the 4-row funnel —
+    nothing scales with the corpus but the single pass."""
+    (docs,) = load(spark, sf_dir, "documents")
+    nw = F.coalesce(textstats.token_count_col("text"), F.lit(0))
+    s1 = nw > 0
+    s2 = s1 & nw.between(30, 100000)
+    s3 = s2 & F.coalesce(textstats.quality_keep_col("text"), F.lit(False))
+    s4 = s3 & F.coalesce(textstats.gopher_pass_col("text"), F.lit(False))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(s1).alias("c1"),
+        cnt(s2).alias("c2"),
+        cnt(s3).alias("c3"),
+        cnt(s4).alias("c4"),
+    )
+    stages = [
+        (1, "has_text", "c0", "c1"),
+        (2, "length_band", "c1", "c2"),
+        (3, "quality", "c2", "c3"),
+        (4, "gopher", "c3", "c4"),
+    ]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    F.col(i_col).alias("n_in"),
+                    F.col(o_col).alias("n_out"),
+                )
+                for i, name, i_col, o_col in stages
+            ]
+        )
+    ).alias("s")
+    return (
+        agg.select(rows)
+        .select(
+            "s.stage_idx",
+            "s.stage",
+            "s.n_in",
+            "s.n_out",
+            (F.col("s.n_in") - F.col("s.n_out")).alias("n_dropped"),
+            F.round(
+                F.col("s.n_out").cast("double")
+                / F.greatest(F.col("s.n_in"), F.lit(1)).cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def streaming_dedup_counts(spark, sf_dir):
+    """Third driver-GRADED streaming row (new r7c): streaming EXACT
+    DEDUP — ``readStream`` file source over the event log →
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
+    ``foreachBatch`` landing — drained with ``Trigger.AvailableNow``,
+    then rolled up to distinct-user counts per event type. The
+    watermark is set past the full data span, so the in-run dedup
+    state covers every key and the drain must equal batch
+    COUNT(DISTINCT) exactly; in production the watermark bounds state
+    to the dedup horizon instead (the operator —
+    streaming.windows.streaming_dedup — is the same either way). The
+    count(*) rollup (NOT countDistinct) is the grading teeth: any key
+    the streaming dedup emits twice breaks the hash."""
+    import os
+    import tempfile
+
+    from lovdata_pipeline_spark.streaming.windows import streaming_dedup
+
+    ev = load_events(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], watermark_col="ts", watermark="3650 days"
+    ).select("user_id", "event_type")
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_dedup_chk_")
+
+    def land(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _ = ev  # batch load pins the nanosAsLong conf for the raw read
+    return (
+        spark.read.schema("user_id long, event_type string")
+        .parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2787,11 +2975,27 @@ def compression_band_report(spark, sf_dir):
 # text_gopher_quality.
 QUERIES = {
     # --- flagship ETL pipelines (exact oracles as of r3) --------------------
+    # r7c rotation: five NEW operators enter at birth (zipf slope,
+    # collocation PMI, pagerank, SCD2 intervals, attrition funnel —
+    # see their blocks below); the five demotions are the window's
+    # most-attested non-refresh entries, each with family twins named
+    # at its tail line: embed_documents_pipeline +
+    # enrich_documents_pipeline (green r3-r6; chunk_documents_pipeline
+    # and curation_pipeline keep the ETL-pipeline family graded, and
+    # the embedding provider seam + enrichment chain are pytest-pinned),
+    # multimodal_features (green r2-r6; twin multimodal_audio in tail),
+    # text_bm25_search (green r3-r6; twin hybrid_search_rrf in tail,
+    # tf/idf scoring also inside tfidf_keywords), and
+    # pretraining_pipeline (green r4-r6; capstone family stays graded
+    # via curation_pipeline, every stage has a standalone
+    # graded-or-tail twin). The sixth r7c operator,
+    # streaming_dedup_counts, also enters at birth (the no-query-
+    # unattested invariant admits nothing else for a never-graded
+    # entry); its sixth demotion is pack_emit_sequences (green r5+r6;
+    # packing family twins pack_sequences_documents r4-r6 and
+    # training_order_documents r5-r6 stay attested in the tail).
     "chunk_documents_pipeline": chunk_documents_pipeline,
-    "embed_documents_pipeline": embed_documents_pipeline,
-    "enrich_documents_pipeline": enrich_documents_pipeline,
     "curation_pipeline": curation_pipeline,
-    "multimodal_features": multimodal_features,
     # events_retention_cohorts (new r7b) enters at birth: the weekly
     # cohort-retention matrix — first-event cohorting + distinct
     # user-week activity, the remaining classic product-analytics
@@ -2803,7 +3007,6 @@ QUERIES = {
     # verdict twin agg_distinct_counts sits r1-r3-attested in the
     # tail).
     "events_retention_cohorts": events_retention_cohorts,
-    "text_bm25_search": text_bm25_search,
     # --- r6-born operators still holding their at-birth window slot ---------
     "paragraph_dedup_documents": paragraph_dedup_documents,
     "boilerplate_strip_documents": boilerplate_strip_documents,
@@ -2826,7 +3029,6 @@ QUERIES = {
     # → excision — stays graded via decontam_remove_spans, which
     # composes the same machinery against needle spans).
     "streaming_session_counts": streaming_session_counts,
-    "pretraining_pipeline": pretraining_pipeline,
     "ann_topk_sq8": ann_topk_sq8,
     # --- NEW r7 operators (in-window at birth, per the attestation rule):
     # --- the first driver-graded STREAMING row (readStream + AvailableNow
@@ -2867,6 +3069,25 @@ QUERIES = {
     # anchor-candidate machinery composes it, and the contamination
     # REPORT family twin sits one slot down in the tail).
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    # --- NEW r7c operators (in-window at birth; the five demotions they
+    # --- displace are documented at the top of the dict) ------------------
+    # zipf_slope_by_source: per-source Zipf-law fit — integer-exact
+    # OLS over floor-quantized log coordinates; the corpus-health
+    # monitor next to vocab_drift (KL) and perplexity buckets.
+    "zipf_slope_by_source": zipf_slope_by_source,
+    # collocation_pmi_bigrams: Church & Hanks PMI collocations — one
+    # scan, two vocabulary-bounded aggregates, broadcast totals.
+    "collocation_pmi_bigrams": collocation_pmi_bigrams,
+    # pagerank_doc_graph: integer-exact damped power iteration over the
+    # 3-NN cosine graph — the first graph-centrality entry; iterative
+    # join-agg family next to dedup_components.
+    "pagerank_doc_graph": pagerank_doc_graph,
+    # scd2_user_event_intervals: gaps-and-islands SCD2 change history —
+    # the warehouse-history form of the state-store's latest-row upsert.
+    "scd2_user_event_intervals": scd2_user_event_intervals,
+    # filter_attrition_report: sequential curation-gate yield funnel in
+    # one conditional-aggregate scan + in-plan unpivot.
+    "filter_attrition_report": filter_attrition_report,
     # --- r7 attestation refresh (r6 VERDICT "What's missing #3" / Next
     # --- #2): the 14 entries last driver-graded in r1-r2, cycled back
     # --- through the window so no attestation goes four-plus rounds
@@ -2917,7 +3138,13 @@ QUERIES = {
     "text_stopword_ratios": text_stopword_ratios,
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,
     # --- r5-born entries still holding their window slot ---------------------
-    "pack_emit_sequences": pack_emit_sequences,
+    # streaming_dedup_counts (new r7c) enters at birth in
+    # pack_emit_sequences' former slot (that entry demoted to the tail,
+    # green r5+r6 with packing twins staying attested): the THIRD
+    # driver-graded streaming row — readStream →
+    # dropDuplicatesWithinWatermark → AvailableNow drain, hash-matched
+    # against batch COUNT(DISTINCT).
+    "streaming_dedup_counts": streaming_dedup_counts,
     "decontam_remove_spans": decontam_remove_spans,
     # quality_blend_documents (new r7b) enters at birth: per-source
     # min-max-normalized multi-signal blending + banding — the score-
@@ -2961,6 +3188,13 @@ QUERIES = {
     # and q1/q5 decimal-agg twins sit attested in the tail).
     "text_kn_surprisal": text_kn_surprisal,
     "validate_documents_expectations": validate_documents_expectations,
+    # ------------------------------------------------------------------ tail
+    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; demoted r7c for streaming_dedup_counts' at-birth slot (packing family twins pack_sequences_documents r4-r6 + training_order_documents r5-r6 attested in tail)
+    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; demoted r7c (ETL-pipeline family stays graded via chunk_documents_pipeline + curation_pipeline; provider seam pytest-pinned)
+    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; demoted r7c (same family anchors; enrichment chain pytest-pinned)
+    "multimodal_features": multimodal_features,  # green r2-r6; demoted r7c (twin multimodal_audio in tail r2-r4-green; mapInPandas plumbing pytest-pinned)
+    "text_bm25_search": text_bm25_search,  # green r3-r6; demoted r7c (twin hybrid_search_rrf in tail; tf/idf scoring also graded-adjacent via tfidf_keywords)
+    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; demoted r7c (capstone family stays graded via curation_pipeline)
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "agg_approx_stats": agg_approx_stats,                # green r1-r6; demoted r7b for events_retention_cohorts (HLL sketch family graded via validate_documents_expectations wide mode; exact-distinct twin in tail)

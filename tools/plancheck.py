@@ -73,6 +73,15 @@ CROSS_JOIN_OK = {
     # Kneser–Ney: the 1-row distinct-bigram-type total B rides the same
     # scalar broadcast as the unigram/bigram surprisal forms.
     "text_kn_surprisal",
+    # collocation PMI: TWO 1-row scalar broadcasts (unigram total Tu,
+    # bigram total Tb) — the bm25/surprisal shape; the vocabulary
+    # re-attach joins are plain equi-joins.
+    "collocation_pmi_bigrams",
+    # pagerank's 3-NN edge builder is the whitelisted knn_join
+    # broadcast-query shape (exact builder at test scale; the LSH/IVF
+    # candidate join replaces it at corpus scale with pagerank
+    # unchanged).
+    "pagerank_doc_graph",
 }
 
 # queries whose scans must show a pushed filter
