@@ -28,42 +28,117 @@ from lovdata_pipeline_spark.operators.similarity import _as_double, _dot, _norm
 RANK_SCALE = 10**12
 
 
+#: extra per-(source, block-pair) candidates beyond k — absorbs any
+#: last-ulp ordering disagreement between the numpy candidate scores
+#: and the exact fold re-score at the k-th boundary.
+_KNN_SLACK = 8
+
+
 def knn_edges(
     vectors: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Directed k-NN graph over an embedding table: (src, dst, score,
     rk) — each node's edges point to its k most cosine-similar OTHER
     nodes (self excluded BEFORE ranking, so a tie at score 1.0 cannot
     displace a real neighbor).
 
-    This is the exact builder: the scored frame is a broadcast
-    crossJoin (one side must fit executors), and the per-source top-k
-    routes through the two-phase ``top_k_per_group``. At corpus scale
-    swap the scored frame for the LSH- or IVF-bucketed candidate join
-    (``similarity.hyperplane_lsh_bucket`` / ``ivf_topk``) — the ranking
-    and everything downstream (pagerank) is unchanged.
+    Exact, in two stages (the blocked near-dup discipline —
+    ``dedup.embedding_near_duplicates_blocked``): CANDIDATES come from
+    block-pair BLAS matmuls — vectors hash into ``n_blocks`` blocks,
+    every block pair (i ≤ j) is one ``applyInPandas`` group, and each
+    source emits its top (k + slack) neighbors per pair in BOTH
+    directions, so every (src, dst) pair meets in exactly one group
+    and each source's true global top-k is a subset of its per-pair
+    top-k union. The VERDICT is the exact fold re-score: candidates
+    equi-join their vectors back and the 6-dp-rounded SQL cosine +
+    two-phase ``top_k_per_group`` decides the final edges — numpy
+    float ordering never reaches the output. (The first cut scored the
+    full N² broadcast crossJoin through the interpreted SQL fold:
+    ~80 s at 2 000 vectors; the blocked form is ~linear-in-candidates
+    with the same graded result.) At corpus scale swap the candidate
+    stage for the LSH/IVF bucketed join (``similarity``) — ranking and
+    everything downstream (pagerank) is unchanged.
 
     Zero-norm vectors are excluded from both sides (cosine undefined;
     ANSI-mode division). Scores are rounded to 6 dp with ties broken
     on dst id — deterministic edges, hence deterministic pagerank.
     """
-    a = (
-        vectors.select(F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("av"))
-        .withColumn("an", _norm(F.col("av")))
-        .filter(F.col("an") > 0)
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    take = k + _KNN_SLACK
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    v = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv"))
+        .withColumn("vn", _norm(F.col("vv")))
+        .filter(F.col("vn") > 0)
     )
-    b = (
-        vectors.select(F.col(id_col).alias("dst"), _as_double(F.col(vec_col)).alias("bv"))
-        .withColumn("bn", _norm(F.col("bv")))
-        .filter(F.col("bn") > 0)
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    ).withColumn("pair_id", F.col("bi") * n_blocks + F.col("bj"))
+    blocked = v.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
     )
+    mem = blocked.join(
+        F.broadcast(pairs), F.col("block") == F.col("bi")
+    ).unionByName(
+        blocked.join(
+            F.broadcast(pairs.filter(F.col("bi") != F.col("bj"))),
+            F.col("block") == F.col("bj"),
+        )
+    )
+
+    def find(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        blocks = pdf["block"].to_numpy()
+        out_s, out_d = [], []
+
+        def emit(src_ids, dst_ids, sims):
+            # per source: top `take` dsts by (-sim, dst id) — id order
+            # makes the candidate CUT deterministic; the exact re-score
+            # decides the final edges
+            order_d = np.argsort(dst_ids, kind="stable")
+            for r, sid in enumerate(src_ids):
+                row = sims[r][order_d]
+                cand = dst_ids[order_d]
+                keep = cand != sid  # self excluded before ranking
+                row, cand = row[keep], cand[keep]
+                if len(cand) > take:
+                    top = np.argsort(-row, kind="stable")[:take]
+                else:
+                    top = np.arange(len(cand))
+                out_s.extend([sid] * len(top))
+                out_d.extend(cand[top])
+
+        if bi == bj:
+            emit(ids, ids, mat @ mat.T)
+        else:
+            am, bm = blocks == bi, blocks == bj
+            sims = mat[am] @ mat[bm].T
+            emit(ids[am], ids[bm], sims)
+            emit(ids[bm], ids[am], sims.T)
+        return pd.DataFrame({"src": out_s, "dst": out_d})
+
+    cand = (
+        mem.groupBy("pair_id")
+        .applyInPandas(find, schema=f"src {id_type}, dst {id_type}")
+        .distinct()
+    )
+    # exact re-score over candidates only (|V|·(k+slack)·n_blocks rows,
+    # never N²): the same fold + 6-dp round + dst tie-break as a full
+    # exact scan, so the output is the exact k-NN graph
     scored = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("src") != F.col("dst"))
+        cand.join(v.select(F.col("vid").alias("src"), F.col("vv").alias("av"), F.col("vn").alias("an")), "src")
+        .join(v.select(F.col("vid").alias("dst"), F.col("vv").alias("bv"), F.col("vn").alias("bn")), "dst")
         .select(
             "src",
             "dst",

@@ -2764,9 +2764,10 @@ def pagerank_doc_graph(spark, sf_dir):
     domain/parsers/lovdata_chunker.py href extraction). Ranks live in
     integer micro-units with integer-division contributions, so the
     oracle's unrolled 3-iteration CTE chain reproduces every rank
-    bit-for-bit. Edge build here is the exact broadcast builder; at
+    bit-for-bit. Edge build is the blocked BLAS candidate stage + exact
+    fold re-score (operators/graph.py) — still the exact k-NN graph; at
     corpus scale the LSH/IVF candidate join slots in with pagerank
-    unchanged (operators/graph.py)."""
+    unchanged."""
     from lovdata_pipeline_spark.operators.graph import knn_edges, pagerank_quantized
 
     (emb,) = load(spark, sf_dir, "embeddings")

@@ -142,6 +142,59 @@ class TestKnnEdges:
         top = {r.src: r.dst for r in edges if r.rk == 1}
         assert top[1] == 2 and top[2] == 1 and top[3] == 4 and top[4] == 3
 
+    def test_blocked_equals_exhaustive_and_block_invariant(self, spark):
+        """The blocked BLAS candidate stage + exact re-score must equal
+        the exhaustive exact scorer (same fold, full crossJoin) and be
+        invariant to the block count — the candidate cut never reaches
+        the output."""
+        from pyspark.sql import functions as F
+
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+        from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+        from lovdata_pipeline_spark.operators.similarity import (
+            _as_double,
+            _dot,
+            _norm,
+        )
+
+        rows = [
+            (i, [math.cos(0.37 * i + 0.1 * j) for j in range(8)])
+            for i in range(40)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = (
+            vecs.select(
+                F.col("vec_id").alias("src"),
+                _as_double(F.col("embedding")).alias("av"),
+            )
+            .withColumn("an", _norm(F.col("av")))
+            .filter(F.col("an") > 0)
+        )
+        b = (
+            vecs.select(
+                F.col("vec_id").alias("dst"),
+                _as_double(F.col("embedding")).alias("bv"),
+            )
+            .withColumn("bn", _norm(F.col("bv")))
+            .filter(F.col("bn") > 0)
+        )
+        scored = (
+            F.broadcast(a)
+            .crossJoin(b)
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+                ).alias("score"),
+            )
+        )
+        exhaustive = sorted(top_k_per_group(scored, 3, "src", "score", "dst").collect())
+        for n_blocks in (1, 3, 8):
+            got = sorted(knn_edges(vecs, k=3, n_blocks=n_blocks).collect())
+            assert got == exhaustive, f"n_blocks={n_blocks} diverged"
+
 
 class TestPagerankQuantized:
     def _ring_edges(self, spark, n=6):

@@ -77,11 +77,6 @@ CROSS_JOIN_OK = {
     # bigram total Tb) — the bm25/surprisal shape; the vocabulary
     # re-attach joins are plain equi-joins.
     "collocation_pmi_bigrams",
-    # pagerank's 3-NN edge builder is the whitelisted knn_join
-    # broadcast-query shape (exact builder at test scale; the LSH/IVF
-    # candidate join replaces it at corpus scale with pagerank
-    # unchanged).
-    "pagerank_doc_graph",
 }
 
 # queries whose scans must show a pushed filter
