@@ -125,6 +125,9 @@ HEADLINE = [
     "scd2_user_event_intervals",
     "filter_attrition_report",
     "streaming_dedup_counts",
+    # --- r7d additions ---
+    "cms_token_estimates",
+    "hll_distinct_by_source",
 ]
 
 

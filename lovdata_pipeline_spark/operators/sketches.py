@@ -1,0 +1,199 @@
+"""Mergeable frequency/cardinality sketches with EXACT SQL replay:
+count-min (token frequency estimates) and HyperLogLog (distinct
+counts).
+
+Sketches are the 100-TB tools for when even the vocabulary does not
+fit: both structures here are built by one explode scan feeding a
+hash aggregate whose output is PARAMETER-bounded (w·d cells / m
+registers per group), so map-side partial aggregation reduces every
+partition to a full sketch before the shuffle — the shuffle moves
+sketches, not tokens. Merging partitions IS the aggregate (cell-wise
+sum for CMS, register-wise max for HLL), the defining mergeable-sketch
+property; the same merge works across days/streams by summing/maxing
+stored sketch tables.
+
+Unlike ``approx_count_distinct`` (whose HLL++ register layout is
+engine-internal, so its graded row is rows-only), these sketches use
+the repo's portable 60-bit md5 hash (``dedup.portable_token_hash``)
+and integer register arithmetic, so DuckDB replays every cell, every
+register, and every estimate bit-for-bit — approximate ≠
+nondeterministic, the same argument as the LSH/IVF oracles.
+
+Determinism discipline: all counts and registers are integers; the
+CMS estimate is an integer min; the HLL estimate keeps the harmonic
+sum as an EXACT integer (Σ 2^(SCALE−M_j) — each term a power of two,
+bounded < 2^62) and spends exactly one double division + optional
+``ln`` on it, both IEEE-identical across engines, before the 6-dp
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lovdata_pipeline_spark.operators import textstats
+from lovdata_pipeline_spark.operators.dedup import portable_token_hash
+
+#: salts namespace the two sketches' hash families apart.
+CMS_SALT = "cms-v1"
+HLL_SALT = "hll-v1"
+
+#: HLL hash width (the portable md5 hash is 60 bits).
+_HASH_BITS = 60
+
+#: alpha_m bias constants (Flajolet et al. 2007): m=16, 32, 64 use the
+#: published constants; larger m uses 0.7213/(1 + 1.079/m).
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _cms_bucket(row: Column, token: Column, w: int) -> Column:
+    """Row-``row`` CMS bucket of ``token``: 60-bit md5 of the salted
+    "(row):cms-v1:(token)" string, mod w — one independent-enough hash
+    per row, identical in any engine."""
+    return F.pmod(
+        portable_token_hash(
+            F.concat(row.cast("string"), F.lit(f":{CMS_SALT}:"), token)
+        ),
+        F.lit(w),
+    )
+
+
+def cms_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 64,
+    d: int = 3,
+) -> DataFrame:
+    """Count-min sketch over the token stream → (r, bucket, cnt), at
+    most w·d rows (Cormode & Muthukrishnan 2005).
+
+    One explode scan; each token occurrence lands in one bucket per
+    row r ∈ [0, d). The hash aggregate's key space is w·d, so partial
+    aggregation collapses every partition to a full sketch before the
+    shuffle — the mergeable-sketch shape (merging two sketches is
+    cell-wise +, i.e. exactly this groupBy over their union).
+    """
+    tok = docs.select(F.explode(textstats._words(text_col)).alias("tok"))
+    rows = tok.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"), "tok"
+    )
+    return (
+        rows.select("r", _cms_bucket(F.col("r"), F.col("tok"), w).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    token_col: str = "token",
+    w: int = 64,
+    d: int = 3,
+) -> DataFrame:
+    """Point-query the sketch for each distinct ``tokens`` row →
+    (token, n_est): the CMS estimate min over the d cells the token
+    hashes to. Never underestimates; collisions only inflate.
+
+    ``w``/``d`` must match the build. Probes are |tokens|·d rows
+    equi-joined against the ≤ w·d-row sketch (broadcast-sized both
+    sides); tokens the corpus never produced estimate 0 via the left
+    join's coalesce.
+    """
+    probes = (
+        tokens.select(F.col(token_col).alias("token"))
+        .distinct()
+        .select("token", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"))
+        .select("token", "r", _cms_bucket(F.col("r"), F.col("token"), w).alias("bucket"))
+    )
+    return (
+        probes.join(sketch, ["r", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
+    )
+
+
+def _msb_position(col: Column) -> Column:
+    """1-based index of the highest set bit of a non-negative long
+    (0 when the value is 0): smear the top bit down with
+    or-shift-right doubling, then popcount — pure integer ops both
+    engines implement identically."""
+    sm = col
+    for s in (1, 2, 4, 8, 16, 32):
+        sm = sm.bitwiseOR(F.shiftrightunsigned(sm, s))
+    return F.bit_count(sm)
+
+
+def hll_registers(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    p: int = 5,
+) -> DataFrame:
+    """Per-group HyperLogLog registers → (group, bucket, reg), at most
+    m = 2^p rows per group.
+
+    bucket = low p bits of the 60-bit portable hash; reg = ρ(rest) =
+    1 + leading-zero count of the remaining (60−p)-bit window —
+    computed as integer smear+popcount, never a float log. The hash
+    aggregate's key space is |groups|·m, so partials merge map-side
+    (register-wise MAX — the HLL merge — IS the aggregate).
+    """
+    m = 1 << p
+    tok = docs.select(
+        F.col(group_col), F.explode(textstats._words(text_col)).alias("tok")
+    ).select(
+        F.col(group_col),
+        portable_token_hash(F.concat(F.lit(f"{HLL_SALT}:"), F.col("tok"))).alias("h"),
+    )
+    rem = F.shiftrightunsigned(F.col("h"), p)
+    rho = F.lit(_HASH_BITS - p + 1) - _msb_position(rem)
+    return (
+        tok.select(
+            F.col(group_col),
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_col: str = "source",
+    p: int = 5,
+) -> DataFrame:
+    """Registers → (group, n_est): the bias-corrected HLL cardinality
+    estimate, 6-dp rounded.
+
+    The harmonic sum Σ 2^(−M_j) is kept EXACT by scaling: with
+    SCALE = 61−p bits, each register contributes the integer
+    2^(SCALE−M_j) (absent buckets contribute 2^SCALE, M_j ≤ 61−p keeps
+    every term ≥ 1), and the total is < m·2^SCALE < 2^62. The estimate
+    spends one double division on the exact integer sum —
+    α_m·m²·2^SCALE / S — and the small-range branch (E ≤ 5/2·m with
+    empty buckets) swaps in linear counting m·ln(m/V); both are single
+    fixed expression trees, IEEE-identical across engines.
+    """
+    m = 1 << p
+    alpha = _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    scale = _HASH_BITS - p + 1  # max rho, so every 2^(scale-reg) ≥ 1
+    per_group = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        # shiftleft() wants a python-int shift; the per-row shift rides
+        # an expr (both engines' << on BIGINT agree for these bounds)
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({scale} - reg)")).alias("s_present"),
+    )
+    v = F.lit(m) - F.col("n_buckets")  # empty buckets (register 0)
+    s_total = F.col("s_present") + v * F.lit(1 << scale).cast("long")
+    e_raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << scale))
+        / s_total.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(F.col(group_col), F.round(est, 6).alias("n_est"))

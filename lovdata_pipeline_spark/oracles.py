@@ -3273,3 +3273,96 @@ ORACLES["streaming_dedup_counts"] = """
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# r7d: count-min sketch replayed cell-for-cell — the bucket hash is the
+# portable 60-bit md5 (the simhash/classifier convention), counts are
+# integers, and the estimate is an integer MIN over d cells, so the
+# sketch is approximate yet fully deterministic (the LSH/IVF oracle
+# argument). w=16/d=2 deliberately collide the 31-token vocabulary so
+# the graded overcounts are non-vacuous.
+ORACLES["cms_token_estimates"] = r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w <> '')) AS tok
+          FROM documents),
+        truec AS (
+          SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_true
+          FROM tok GROUP BY tok),
+        top AS (
+          SELECT token, n_true FROM truec
+          ORDER BY n_true DESC, token LIMIT 20),
+        rs AS (SELECT unnest([0, 1]) AS r),
+        cells AS (
+          SELECT rs.r,
+                 CAST(CAST(concat('0x', substr(md5(CAST(rs.r AS VARCHAR) || ':cms-v1:' || t.tok), 1, 15))
+                      AS UBIGINT) % 16 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok t CROSS JOIN rs
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT t.token, t.n_true, rs.r,
+                 CAST(CAST(concat('0x', substr(md5(CAST(rs.r AS VARCHAR) || ':cms-v1:' || t.token), 1, 15))
+                      AS UBIGINT) % 16 AS BIGINT) AS bucket
+          FROM top t CROSS JOIN rs)
+        SELECT p.token,
+               p.n_true,
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est,
+               CAST(min(coalesce(c.cnt, 0)) - p.n_true AS BIGINT) AS overcount
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY p.token, p.n_true
+        ORDER BY p.n_true DESC, p.token
+"""
+
+# r7d: portable HyperLogLog replayed register-for-register: bucket =
+# low 5 hash bits, rho = 56 - msb(remainder) with msb computed by the
+# same or-shift smear + bit_count integer chain Spark runs, the
+# harmonic sum an exact BIGINT (each register term a power of two),
+# and the estimate ONE double division (713.728 = alpha_32*m^2,
+# precomputed so no engine re-derives it) with the linear-counting
+# small-range branch on exact integer V — bit-identical before the
+# 6-dp round.
+ORACLES["hll_distinct_by_source"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5('hll-v1:' || tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM tok),
+        rr AS (SELECT source, h & 31 AS bucket, h >> 5 AS rem FROM h),
+        s1 AS (SELECT source, bucket, rem | (rem >> 1) AS x FROM rr),
+        s2 AS (SELECT source, bucket, x | (x >> 2) AS x FROM s1),
+        s3 AS (SELECT source, bucket, x | (x >> 4) AS x FROM s2),
+        s4 AS (SELECT source, bucket, x | (x >> 8) AS x FROM s3),
+        s5 AS (SELECT source, bucket, x | (x >> 16) AS x FROM s4),
+        s6 AS (SELECT source, bucket, x | (x >> 32) AS x FROM s5),
+        regs AS (
+          SELECT source, bucket, MAX(56 - bit_count(x)) AS reg
+          FROM s6 GROUP BY source, bucket),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT) AS s_present
+          FROM regs GROUP BY source),
+        e AS (
+          SELECT source,
+                 32 - nb AS v,
+                 713.728e0 * 72057594037927936e0
+                   / CAST(s_present + CAST(32 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS e_raw
+          FROM agg),
+        fin AS (
+          SELECT source,
+                 round(CASE WHEN e_raw <= 80.0e0 AND v > 0
+                            THEN 32.0e0 * ln(32.0e0 / CAST(v AS DOUBLE))
+                            ELSE e_raw END, 6) AS n_est
+          FROM e),
+        exact AS (
+          SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+          FROM tok GROUP BY source)
+        SELECT x.source, x.n_exact, f.n_est,
+               round((f.n_est - x.n_exact) / CAST(x.n_exact AS DOUBLE), 6) AS rel_err
+        FROM exact x JOIN fin f ON f.source = x.source
+        ORDER BY x.source
+"""

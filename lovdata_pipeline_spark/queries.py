@@ -2916,6 +2916,77 @@ def streaming_dedup_counts(spark, sf_dir):
     )
 
 
+def cms_token_estimates(spark, sf_dir):
+    """Count-min sketch frequency estimates vs exact counts (new r7d):
+    the corpus token stream folds into a 2×16 CMS (deliberately narrow
+    so the 31-token vocabulary collides and the estimates genuinely
+    OVERCOUNT — grading a collision-free sketch would be vacuous), then
+    the exact top-20 tokens are point-queried against it. Output rows
+    carry (token, n_true, n_est, overcount); CMS guarantees
+    overcount ≥ 0 and the oracle replays every cell and every min
+    bit-for-bit (portable md5 bucket hashes, integer counts — see
+    operators/sketches.py). The sketch aggregate's key space is w·d, so
+    at 100 TB every partition collapses to a full sketch map-side and
+    the shuffle moves sketches, not tokens."""
+    from lovdata_pipeline_spark.operators.sketches import cms_estimate, cms_sketch
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w, d = 16, 2
+    tok = docs.select(F.explode(textstats._words("text")).alias("token"))
+    true_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    top = true_counts.orderBy(F.col("n_true").desc(), "token").limit(20)
+    est = cms_estimate(cms_sketch(docs, w=w, d=d), top, w=w, d=d)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "n_true",
+            "n_est",
+            (F.col("n_est") - F.col("n_true")).alias("overcount"),
+        )
+        .orderBy(F.col("n_true").desc(), "token")
+    )
+
+
+def hll_distinct_by_source(spark, sf_dir):
+    """Portable HyperLogLog distinct-token estimate per source vs the
+    exact countDistinct (new r7d): (source, n_exact, n_est, rel_err).
+    Unlike ``approx_count_distinct`` (engine-internal HLL++ layout —
+    its graded row is rows-only), this HLL builds its m=32 registers
+    from the repo's 60-bit md5 hash with integer smear+popcount ρ, and
+    keeps the harmonic sum as an exact integer, so DuckDB replays
+    registers AND estimate bit-for-bit — the sketch family's first
+    hash-green row. Register key space is |sources|·m: partitions merge
+    map-side (register MAX is the HLL merge), the shuffle moves
+    registers, not tokens."""
+    from lovdata_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    est = hll_estimate(hll_registers(docs, p=5), p=5)
+    exact = (
+        docs.select("source", F.explode(textstats._words("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_exact",
+            "n_est",
+            F.round(
+                (F.col("n_est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2996,7 +3067,16 @@ QUERIES = {
     # packing family twins pack_sequences_documents r4-r6 and
     # training_order_documents r5-r6 stay attested in the tail).
     "chunk_documents_pipeline": chunk_documents_pipeline,
-    "curation_pipeline": curation_pipeline,
+    # cms_token_estimates (new r7d) enters at birth: count-min-sketch
+    # frequency estimates point-queried for the exact top-20 tokens —
+    # the sketch family's first hash-green frequency row (portable md5
+    # bucket hashes; every cell and min replayed in SQL). Demoted in
+    # exchange: curation_pipeline (green r2-r6, the window's most-
+    # attested entry; the capstone family stays graded via
+    # chunk_documents_pipeline, and every curation stage has a
+    # standalone graded-or-tail twin: quality gates, dedup, decontam,
+    # quota, packing).
+    "cms_token_estimates": cms_token_estimates,
     # events_retention_cohorts (new r7b) enters at birth: the weekly
     # cohort-retention matrix — first-event cohorting + distinct
     # user-week activity, the remaining classic product-analytics
@@ -3030,7 +3110,16 @@ QUERIES = {
     # → excision — stays graded via decontam_remove_spans, which
     # composes the same machinery against needle spans).
     "streaming_session_counts": streaming_session_counts,
-    "ann_topk_sq8": ann_topk_sq8,
+    # hll_distinct_by_source (new r7d) enters at birth: portable
+    # HyperLogLog distinct-token estimates per source, registers AND
+    # estimate bit-replayed in SQL (integer smear+popcount rho, exact
+    # integer harmonic sum) — the cardinality-sketch row that
+    # approx_count_distinct's rows-only grade could never be. Demoted
+    # in exchange: ann_topk_sq8 (green r6; the ANN family keeps TWO
+    # in-window rows — ann_topk_ivf_index and
+    # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
+    # pinned by tests + the lg quantize CLI surface).
+    "hll_distinct_by_source": hll_distinct_by_source,
     # --- NEW r7 operators (in-window at birth, per the attestation rule):
     # --- the first driver-graded STREAMING row (readStream + AvailableNow
     # --- + applyInPandasWithState, oracled against batch explode+count)
@@ -3195,7 +3284,9 @@ QUERIES = {
     "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; demoted r7c (same family anchors; enrichment chain pytest-pinned)
     "multimodal_features": multimodal_features,  # green r2-r6; demoted r7c (twin multimodal_audio in tail r2-r4-green; mapInPandas plumbing pytest-pinned)
     "text_bm25_search": text_bm25_search,  # green r3-r6; demoted r7c (twin hybrid_search_rrf in tail; tf/idf scoring also graded-adjacent via tfidf_keywords)
-    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; demoted r7c (capstone family stays graded via curation_pipeline)
+    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; demoted r7c (capstone family stays graded via chunk_documents_pipeline; every stage has a standalone graded twin)
+    "curation_pipeline": curation_pipeline,  # green r2-r6; demoted r7d for cms_token_estimates' at-birth slot (capstone family graded via chunk_documents_pipeline; stage twins standalone-graded)
+    "ann_topk_sq8": ann_topk_sq8,  # green r6; demoted r7d for hll_distinct_by_source's at-birth slot (ANN family keeps ann_topk_ivf_index + ann_pca_rerank in window; sq8 pytest+CLI pinned)
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "agg_approx_stats": agg_approx_stats,                # green r1-r6; demoted r7b for events_retention_cohorts (HLL sketch family graded via validate_documents_expectations wide mode; exact-distinct twin in tail)
