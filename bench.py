@@ -128,6 +128,9 @@ HEADLINE = [
     # --- r7d additions ---
     "cms_token_estimates",
     "hll_distinct_by_source",
+    # --- r7e additions ---
+    "embedding_outliers_by_label",
+    "phrase_search_documents",
 ]
 
 

@@ -134,3 +134,55 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a positional inverted index →
+    (doc_id, n_matches), one row per document containing the phrase at
+    least once — the retrieval primitive BM25's bag-of-words scoring
+    cannot express (order matters: "row column sort" must not match
+    "sort column row").
+
+    Plan shape (the reason this is an INDEX join, not a text scan):
+    the (doc, position, term) postings explode from one scan, but the
+    very first projection filters to the phrase's own terms — at any
+    corpus size only matching-term postings survive the scan, and with
+    a persisted postings table (the inverted index every search system
+    materializes anyway) the scan itself is a pushed ``term IN (...)``
+    read of |phrase| posting lists. The L-term alignment is then a
+    chain of (doc, pos+offset) hash equi-joins — each join's keys are
+    posting-list-sized, never corpus-sized, and skew is bounded by the
+    most frequent phrase term (AQE splits a hot posting list).
+
+    Matching is over the canonical lowercase whitespace tokenizer
+    (``_clean_split`` — the corpus-wide convention), so a phrase is a
+    sequence of tokens, not a substring: no partial-word hits, and
+    punctuation-stripping rules live in one place. Counts are exact
+    occurrence counts (overlapping matches count separately).
+    """
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_match_counts: empty phrase")
+    postings = docs.select(
+        F.col(id_col), F.posexplode(_clean_split(F.lower(F.col(text_col)))).alias("pos", "term")
+    ).filter(F.col("term").isin(terms))
+    anchor = postings.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    matched = anchor
+    for off, t in enumerate(terms[1:], start=1):
+        nxt = (
+            postings.filter(F.col("term") == t)
+            .select(
+                F.col(id_col),
+                (F.col("pos") - F.lit(off)).alias("pos"),
+            )
+        )
+        matched = matched.join(nxt, [id_col, "pos"])
+    return (
+        matched.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -934,3 +934,86 @@ def bitext_margin_mine(
     return best.filter(F.col("margin") >= threshold).select(
         src_id, tgt_id, "score", "margin"
     )
+
+
+def label_centroid_outliers(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Per-label centroid outliers → (label, vec_id, cos_centroid, rk):
+    each label's k vectors LEAST cosine-similar to the label's mean
+    vector — the embedding-space mislabel/contamination monitor every
+    labeled-corpus audit runs (and the per-cluster outlier pass of
+    SemDeDup-style curation when fed cluster ids as labels).
+
+    Exactness without a mean: cosine is scale-invariant, so the score
+    uses the per-label quantized-integer SUM vector directly —
+    cos(v, Σ) == cos(v, Σ/n) — and the division that would make means
+    engine-dependent never happens. Coordinates quantize
+    ``floor(x·2^20)`` and sum in DECIMAL(38,0) (the ``pca_fit`` /
+    ``kmeans_refine_exact`` discipline): bit-identical under any
+    partitioning. The sum vector is cast to double for the one scoring
+    expression — exact while n·2^20·max|x| < 2^53 (≈ 8e9 unit-norm
+    rows per label; past that raise ``scale`` down or pre-aggregate per
+    shard).
+
+    Plan shape: one posexplode scan → (label, dim) hash aggregate
+    (|labels|·d rows), centroid-sum arrays rebuilt in-plan
+    (array_sort over (i, q) structs — no driver collect), broadcast
+    back onto the vector scan for ONE scoring pass, then the
+    two-phase ``top_k_per_group`` ascending. Nothing scales beyond the
+    two scans but |labels|·d.
+
+    NULL labels and NULL/zero-norm vectors are excluded (no vote, no
+    score — the knn_classify rule); ties break on id.
+    """
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+
+    v = (
+        vectors.filter(
+            F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            _as_double(F.col(vec_col)).alias("_vv"),
+        )
+        .withColumn("_vn", _norm(F.col("_vv")))
+        .filter(F.col("_vn") > 0)
+    )
+    sums = (
+        v.select(F.col(label_col), F.posexplode(F.col("_vv")).alias("_i", "_x"))
+        .select(
+            F.col(label_col),
+            F.col("_i"),
+            F.floor(F.col("_x") * F.lit(scale)).cast("decimal(38,0)").alias("_q"),
+        )
+        .groupBy(label_col, "_i")
+        .agg(F.sum("_q").alias("_q"))
+    )
+    cent = (
+        sums.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_i", "_q"))).alias("_pairs"))
+        .select(
+            F.col(label_col),
+            F.transform(F.col("_pairs"), lambda s: s["_q"].cast("double")).alias(
+                "_cv"
+            ),
+        )
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .filter(F.col("_cn") > 0)
+    )
+    scored = v.join(F.broadcast(cent), label_col).select(
+        F.col(label_col),
+        F.col(id_col),
+        F.round(
+            _dot(F.col("_vv"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")), 6
+        ).alias("cos_centroid"),
+    )
+    return top_k_per_group(
+        scored, k, label_col, "cos_centroid", id_col, descending=False
+    )

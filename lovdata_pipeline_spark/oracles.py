@@ -3366,3 +3366,74 @@ ORACLES["hll_distinct_by_source"] = r"""
         FROM exact x JOIN fin f ON f.source = x.source
         ORDER BY x.source
 """
+
+# r7e: per-label centroid outliers — the centroid never becomes a mean
+# (cosine is scale-invariant, so the quantized-integer SUM vector is
+# scored directly); sums replay exactly, the sum vector casts to double
+# (< 2^53 at any test scale), and the one float expression is the same
+# list_dot_product cosine every ANN oracle uses.
+ORACLES["embedding_outliers_by_label"] = r"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS vv
+          FROM embeddings
+          WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        vok AS (
+          SELECT vec_id, label, vv, sqrt(list_dot_product(vv, vv)) AS n
+          FROM v
+          WHERE sqrt(list_dot_product(vv, vv)) > 0),
+        q AS (
+          SELECT label,
+                 unnest(list_transform(range(1, len(vv) + 1),
+                        i -> {'i': i, 'q': CAST(floor(vv[i] * 1048576) AS BIGINT)})) AS s
+          FROM vok),
+        sums AS (
+          SELECT label, s.i AS i, CAST(SUM(s.q) AS BIGINT) AS q
+          FROM q GROUP BY label, s.i),
+        cent AS (
+          SELECT label, list(CAST(q AS DOUBLE) ORDER BY i) AS cv
+          FROM sums GROUP BY label),
+        cn AS (
+          SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+          FROM cent
+          WHERE sqrt(list_dot_product(cv, cv)) > 0),
+        scored AS (
+          SELECT a.label, a.vec_id,
+                 round(list_dot_product(a.vv, c.cv) / (a.n * c.cn), 6) AS cos_centroid
+          FROM vok a JOIN cn c ON c.label = a.label),
+        ranked AS (
+          SELECT label, vec_id, cos_centroid,
+                 CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY cos_centroid ASC, vec_id) AS INTEGER) AS rk
+          FROM scored)
+        SELECT label, vec_id, cos_centroid, rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY label, rk
+"""
+
+# r7e: exact phrase search replayed as the same positional-postings
+# join chain — postings filtered to the phrase's own terms, alignment
+# via (doc, pos+offset) equi-joins, exact occurrence counts.
+ORACLES["phrase_search_documents"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) + 1),
+                        i -> {'p': i, 't': w[i]})) AS s
+          FROM tok),
+        p AS (
+          SELECT doc_id, s.p AS pos, s.t AS term
+          FROM pos WHERE s.t IN ('row', 'column', 'sort')),
+        m AS (
+          SELECT a.doc_id
+          FROM p a
+          JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'column'
+          JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'sort'
+          WHERE a.term = 'row')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        FROM m GROUP BY doc_id
+        ORDER BY n_matches DESC, doc_id
+"""

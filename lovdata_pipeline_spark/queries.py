@@ -2987,6 +2987,38 @@ def hll_distinct_by_source(spark, sf_dir):
     )
 
 
+def embedding_outliers_by_label(spark, sf_dir):
+    """Per-label centroid outliers (new r7e): each label's 3 vectors
+    least cosine-similar to the label's mean direction — the
+    embedding-space mislabel/contamination audit. Cosine against the
+    quantized-integer SUM vector (scale-invariance makes the mean's
+    division unnecessary — the one float op is the final score), so
+    the whole report is bit-reproducible and fully SQL-replayed; rank
+    rides the two-phase top-k ascending. See
+    operators/similarity.py:label_centroid_outliers."""
+    from lovdata_pipeline_spark.operators.similarity import label_centroid_outliers
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, k=3).orderBy("label", "rk")
+
+
+def phrase_search_documents(spark, sf_dir):
+    """Exact phrase retrieval over a positional inverted index (new
+    r7e): documents containing the token sequence "row column sort",
+    with exact occurrence counts — the order-sensitive retrieval
+    primitive BM25 cannot express. The postings projection filters to
+    the phrase's own terms AT THE SCAN, and the alignment is a chain
+    of (doc, pos+offset) equi-joins over posting-list-sized inputs —
+    never a corpus text rescan. See
+    operators/search.py:phrase_match_counts."""
+    from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return phrase_match_counts(docs, "row column sort").orderBy(
+        F.col("n_matches").desc(), "doc_id"
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3091,7 +3123,14 @@ QUERIES = {
     # --- r6-born operators still holding their at-birth window slot ---------
     "paragraph_dedup_documents": paragraph_dedup_documents,
     "boilerplate_strip_documents": boilerplate_strip_documents,
-    "hard_negatives_embeddings": hard_negatives_embeddings,
+    # embedding_outliers_by_label (new r7e) enters at birth: per-label
+    # centroid outliers — cosine vs the quantized-integer sum vector
+    # (scale-invariance elides the mean), two-phase ascending top-k.
+    # Demoted in exchange: hard_negatives_embeddings (green r6; same
+    # embedding family and the same per-anchor two-phase-rank machinery
+    # stays in-window via ann_pca_rerank_recall_embeddings, with
+    # knn_classify_embeddings r6-green in the tail).
+    "embedding_outliers_by_label": embedding_outliers_by_label,
     "mixture_plan_by_source": mixture_plan_by_source,
     "token_length_band_documents": token_length_band_documents,
     "vocab_drift_by_source": vocab_drift_by_source,
@@ -3100,7 +3139,14 @@ QUERIES = {
     "pca_variance_report_embeddings": pca_variance_report_embeddings,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
     "bpe_learned_merges": bpe_learned_merges,
-    "bpe_token_counts": bpe_token_counts,
+    # phrase_search_documents (new r7e) enters at birth: exact phrase
+    # retrieval over the positional inverted index — scan-filtered
+    # postings, (doc, pos+offset) equi-join chain. Demoted in
+    # exchange: bpe_token_counts (green r6; the BPE family's training
+    # row bpe_learned_merges stays in-window and certifies the merge
+    # machinery apply consumes; apply's segmentation + CLI round-trip
+    # are pytest-pinned).
+    "phrase_search_documents": phrase_search_documents,
     # streaming_session_counts (new r7b) enters at birth: the SECOND
     # driver-graded streaming row — native session_window over a real
     # readStream drain, complete-mode availableNow == batch
@@ -3287,6 +3333,8 @@ QUERIES = {
     "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; demoted r7c (capstone family stays graded via chunk_documents_pipeline; every stage has a standalone graded twin)
     "curation_pipeline": curation_pipeline,  # green r2-r6; demoted r7d for cms_token_estimates' at-birth slot (capstone family graded via chunk_documents_pipeline; stage twins standalone-graded)
     "ann_topk_sq8": ann_topk_sq8,  # green r6; demoted r7d for hll_distinct_by_source's at-birth slot (ANN family keeps ann_topk_ivf_index + ann_pca_rerank in window; sq8 pytest+CLI pinned)
+    "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6; demoted r7e for embedding_outliers_by_label's at-birth slot (embedding family + two-phase-rank machinery stay in-window via ann_pca_rerank; knn_classify r6-green in tail)
+    "bpe_token_counts": bpe_token_counts,  # green r6; demoted r7e for phrase_search_documents' at-birth slot (bpe_learned_merges stays in-window; apply segmentation + CLI round-trip pytest-pinned)
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
     "agg_approx_stats": agg_approx_stats,                # green r1-r6; demoted r7b for events_retention_cohorts (HLL sketch family graded via validate_documents_expectations wide mode; exact-distinct twin in tail)

@@ -1,0 +1,125 @@
+"""Round-7e pins: per-label centroid outliers and positional-index
+phrase search (the driver oracle covers sf0.01 bit-equality)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestLabelCentroidOutliers:
+    def _vectors(self, spark):
+        # label 0 clusters near +x with one planted -x outlier (id 99);
+        # label 1 clusters near +y with one planted +x outlier (id 88)
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.95, -0.05, 0.0], 0),
+            (99, [-1.0, 0.0, 0.0], 0),
+            (11, [0.0, 1.0, 0.0], 1),
+            (12, [0.1, 0.9, 0.0], 1),
+            (88, [1.0, 0.05, 0.0], 1),
+            (50, None, 0),  # NULL vector: excluded
+            (51, [1.0, 1.0, 1.0], None),  # NULL label: excluded
+            (52, [0.0, 0.0, 0.0], 1),  # zero norm: excluded
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_planted_outliers_rank_first(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import (
+            label_centroid_outliers,
+        )
+
+        out = label_centroid_outliers(self._vectors(spark), k=2).collect()
+        worst = {r.label: r.vec_id for r in out if r.rk == 1}
+        assert worst == {0: 99, 1: 88}
+        ids = {r.vec_id for r in out}
+        assert 50 not in ids and 51 not in ids and 52 not in ids
+
+    def test_scores_are_cosine_to_centroid_direction(self, spark):
+        """The planted -x outlier of the +x cluster must score ~-1."""
+        from lovdata_pipeline_spark.operators.similarity import (
+            label_centroid_outliers,
+        )
+
+        out = {
+            (r.label, r.vec_id): r.cos_centroid
+            for r in label_centroid_outliers(self._vectors(spark), k=4).collect()
+        }
+        assert out[(0, 99)] < -0.95
+        # 88 drags its own centroid toward +x, so its score is mid-range
+        # (centroid ~(1.1, 1.95)) — still clearly below the cluster's
+        assert out[(1, 88)] < 0.6 < out[(1, 11)]
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.similarity import (
+            label_centroid_outliers,
+        )
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)], i % 3)
+            for i in range(60)
+        ]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        a = sorted(label_centroid_outliers(vecs, k=3).collect())
+        b = sorted(label_centroid_outliers(vecs.repartition(13), k=3).collect())
+        assert a == b
+
+
+class TestPhraseSearch:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts_and_order_sensitivity(self, spark):
+        from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "the quick brown fox and the quick brown dog"),
+                (2, "brown quick the"),  # reversed: no match
+                (3, "THE Quick BROWN"),  # case-folded: matches
+                (4, "the quick quick brown"),  # interrupted: no match
+                (5, None),
+            ],
+        )
+        out = {
+            r.doc_id: r.n_matches
+            for r in phrase_match_counts(docs, "the quick brown").collect()
+        }
+        assert out == {1: 2, 3: 1}
+
+    def test_overlapping_matches_count_separately(self, spark):
+        from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+        docs = self._docs(spark, [(1, "a a a a")])
+        [row] = phrase_match_counts(docs, "a a").collect()
+        assert row.n_matches == 3
+
+    def test_empty_phrase_raises(self, spark):
+        from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+        with pytest.raises(ValueError):
+            phrase_match_counts(self._docs(spark, [(1, "x")]), "   ")
+
+    def test_single_term_phrase_is_term_count(self, spark):
+        from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+        docs = self._docs(spark, [(1, "x y x z x"), (2, "y z")])
+        out = {r.doc_id: r.n_matches for r in phrase_match_counts(docs, "x").collect()}
+        assert out == {1: 3}
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+        rows = [(i, "alpha beta gamma " * (i % 4 + 1)) for i in range(40)]
+        docs = self._docs(spark, rows)
+        a = sorted(phrase_match_counts(docs, "beta gamma alpha").collect())
+        b = sorted(
+            phrase_match_counts(docs.repartition(11), "beta gamma alpha").collect()
+        )
+        assert a == b and a
