@@ -1144,6 +1144,73 @@ def cmd_funnel(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Corpus sketches over a documents parquet. ``--mode cms`` builds
+    a count-min sketch (optionally persisted with ``--output``; its
+    parameters land in a ``_cms_params.json`` sidecar like the SQ8/IVF
+    artifacts) and prints estimates for ``--query`` tokens as JSON
+    lines; ``--mode hll`` prints the per-group HyperLogLog
+    distinct-token estimates. Both run one explode scan with
+    parameter-bounded aggregate state — usable at any corpus size."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+
+    spark = _spark("lg-sketch")
+    docs = spark.read.parquet(args.input)
+    if args.mode == "hll":
+        out = hll_estimate(hll_registers(docs, group_col=args.group_col, p=args.p),
+                           group_col=args.group_col, p=args.p)
+        for row in out.orderBy(args.group_col).collect():
+            print(json.dumps(row.asDict()))
+        return 0
+    sk = cms_sketch(docs, w=args.width, d=args.depth)
+    if args.output:
+        sk.write.mode("overwrite").parquet(args.output)
+        with open(_os.path.join(args.output, "_cms_params.json"), "w") as fh:
+            json.dump({"version": 1, "w": args.width, "d": args.depth}, fh)
+    if args.query:
+        terms = [t for t in args.query.split(",") if t]
+        qdf = spark.createDataFrame([(t,) for t in terms], "token string")
+        est = {
+            r.token: r.n_est
+            for r in cms_estimate(sk, qdf, w=args.width, d=args.depth).collect()
+        }
+        for t in terms:
+            print(json.dumps({"token": t, "n_est": est.get(t, 0)}))
+    elif not args.output:
+        print("error: --mode cms needs --query tokens and/or --output")
+        return 2
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    """Exact phrase search over a documents parquet: documents
+    containing the token sequence, with occurrence counts, as JSON
+    lines (positional-index join — see search.phrase_match_counts)."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+    spark = _spark("lg-phrase")
+    docs = spark.read.parquet(args.input)
+    out = (
+        phrase_match_counts(docs, args.phrase, id_col=args.id_col)
+        .orderBy(F.col("n_matches").desc(), args.id_col)
+        .limit(args.k)
+    )
+    for row in out.collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
     from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -1369,6 +1436,24 @@ def main(argv: list[str] | None = None) -> int:
     fu = sub.add_parser("funnel", help="view->click->purchase conversion funnel summary")
     fu.add_argument("--input", required=True, help="path to an events.parquet")
     fu.set_defaults(func=cmd_funnel)
+
+    sk = sub.add_parser("sketch", help="corpus sketches: count-min frequency estimates / HLL distinct counts")
+    sk.add_argument("--input", required=True, help="documents parquet")
+    sk.add_argument("--mode", choices=["cms", "hll"], default="cms")
+    sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
+    sk.add_argument("--output", help="cms: persist the sketch parquet (+ _cms_params.json)")
+    sk.add_argument("--width", type=int, default=1024, help="cms buckets per row")
+    sk.add_argument("--depth", type=int, default=4, help="cms hash rows")
+    sk.add_argument("--group-col", default="source", help="hll: group column")
+    sk.add_argument("--p", type=int, default=5, help="hll: 2^p registers per group")
+    sk.set_defaults(func=cmd_sketch)
+
+    ph = sub.add_parser("phrase", help="exact phrase search (positional-index join)")
+    ph.add_argument("--input", required=True, help="documents parquet")
+    ph.add_argument("--phrase", required=True)
+    ph.add_argument("--id-col", default="doc_id")
+    ph.add_argument("-k", type=int, default=20, help="max documents printed")
+    ph.set_defaults(func=cmd_phrase)
 
     m = sub.add_parser("migrate", help="copy chunks between storage formats")
     m.add_argument("--source-format", choices=["parquet", "jsonl"], required=True)

@@ -1,0 +1,74 @@
+"""`lg sketch` / `lg phrase`: CLI surfaces of the sketch and
+positional-phrase-search families — driven end-to-end over parquet
+fixtures, with the CMS artifact round-trip checked against the
+in-session estimate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lovdata_pipeline_spark.cli import main
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    rows = [
+        (1, "alpha beta alpha beta alpha", "web"),
+        (2, "beta gamma delta beta", "web"),
+        (3, "alpha beta gamma sorted rows", "books"),
+        (4, "row column sort row column sort", "books"),
+    ]
+    p = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(p))
+    return str(p)
+
+
+def test_sketch_cms_query_and_artifact(spark, tmp_path, docs_parquet, capsys):
+    out = tmp_path / "cms_sketch"
+    rc = main(
+        [
+            "sketch",
+            "--input", docs_parquet,
+            "--mode", "cms",
+            "--query", "alpha,beta,never-seen",
+            "--output", str(out),
+            "--width", "512",
+            "--depth", "3",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    est = {l["token"]: l["n_est"] for l in lines}
+    # wide sketch on a tiny vocab: estimates are exact
+    assert est == {"alpha": 4, "beta": 5, "never-seen": 0}
+    # artifact written with its params sidecar
+    params = json.load(open(os.path.join(str(out), "_cms_params.json")))
+    assert params["w"] == 512 and params["d"] == 3
+    cells = spark.read.parquet(str(out))
+    assert cells.count() > 0
+
+
+def test_sketch_cms_requires_query_or_output(docs_parquet, capsys):
+    assert main(["sketch", "--input", docs_parquet, "--mode", "cms"]) == 2
+
+
+def test_sketch_hll_reports_per_group(docs_parquet, capsys):
+    rc = main(["sketch", "--input", docs_parquet, "--mode", "hll"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["source"] for l in lines} == {"web", "books"}
+    assert all(l["n_est"] > 0 for l in lines)
+
+
+def test_phrase_cli_orders_and_counts(docs_parquet, capsys):
+    rc = main(
+        ["phrase", "--input", docs_parquet, "--phrase", "row column sort", "-k", "5"]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines == [{"doc_id": 4, "n_matches": 2}]

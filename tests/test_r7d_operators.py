@@ -168,3 +168,75 @@ class TestHyperLogLog:
             hll_estimate(hll_registers(docs.repartition(17), p=self.P), p=self.P).collect()
         )
         assert a == b
+
+
+class TestStreamingSketches:
+    """The sketch builders are plain hash aggregates, so they run
+    UNCHANGED on a readStream frame (complete mode): each micro-batch
+    merges into the running sketch by the sketch's own merge operator
+    (cellwise sum / register max). Pinned: multi-batch AvailableNow
+    drain == batch sketch, bit-for-bit."""
+
+    def _stream_src(self, spark, tmp_path, name):
+        import pandas as pd
+
+        src = tmp_path / name
+        src.mkdir()
+        # two files => two micro-batches under maxFilesPerTrigger=1
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["x y z x", "y common common"], "source": ["a", "a"]}
+        ).to_parquet(src / "p0.parquet")
+        pd.DataFrame(
+            {"doc_id": [3, 4], "text": ["z q q common", "x common w"], "source": ["b", "b"]}
+        ).to_parquet(src / "p1.parquet")
+        batch = spark.read.parquet(str(src))
+        stream = spark.readStream.schema(batch.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        return batch, stream
+
+    def test_streaming_cms_equals_batch(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.sketches import cms_sketch
+
+        batch, stream = self._stream_src(spark, tmp_path, "cms_stream")
+        q = (
+            cms_sketch(stream, w=8, d=2)
+            .writeStream.format("memory")
+            .queryName("cms_stream_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.r, r.bucket, r.cnt)
+            for r in spark.sql("SELECT * FROM cms_stream_cells").collect()
+        )
+        want = sorted(
+            (r.r, r.bucket, r.cnt) for r in cms_sketch(batch, w=8, d=2).collect()
+        )
+        assert got == want and got
+
+    def test_streaming_hll_registers_equal_batch(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.sketches import hll_registers
+
+        batch, stream = self._stream_src(spark, tmp_path, "hll_stream")
+        q = (
+            hll_registers(stream, p=4)
+            .writeStream.format("memory")
+            .queryName("hll_stream_regs")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.source, r.bucket, r.reg)
+            for r in spark.sql("SELECT * FROM hll_stream_regs").collect()
+        )
+        want = sorted(
+            (r.source, r.bucket, r.reg) for r in hll_registers(batch, p=4).collect()
+        )
+        assert got == want and got
