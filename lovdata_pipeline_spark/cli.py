@@ -1192,20 +1192,47 @@ def cmd_sketch(args) -> int:
 
 
 def cmd_phrase(args) -> int:
-    """Exact phrase search over a documents parquet: documents
-    containing the token sequence, with occurrence counts, as JSON
-    lines (positional-index join — see search.phrase_match_counts)."""
+    """Exact phrase search: documents containing the token sequence,
+    with occurrence counts, as JSON lines (positional-index join — see
+    search.phrase_match_counts). ``--write-index`` persists the
+    bucket-partitioned postings index from ``--input``; ``--index``
+    queries a persisted index (partition-pruned bucket reads) instead
+    of scanning documents."""
     from pyspark.sql import functions as F
 
-    from lovdata_pipeline_spark.operators.search import phrase_match_counts
+    from lovdata_pipeline_spark.operators.search import (
+        phrase_match_counts,
+        postings_phrase_counts,
+        postings_write,
+    )
 
     spark = _spark("lg-phrase")
-    docs = spark.read.parquet(args.input)
-    out = (
-        phrase_match_counts(docs, args.phrase, id_col=args.id_col)
-        .orderBy(F.col("n_matches").desc(), args.id_col)
-        .limit(args.k)
-    )
+    if args.write_index:
+        if not args.input:
+            print("error: --write-index needs --input")
+            return 2
+        postings_write(
+            spark.read.parquet(args.input), args.write_index, id_col=args.id_col
+        )
+        print(json.dumps({"index": args.write_index, "status": "written"}))
+        if not args.phrase:
+            return 0
+    if not args.phrase:
+        print("error: --phrase required unless only --write-index")
+        return 2
+    if args.index or args.write_index:
+        out = postings_phrase_counts(
+            spark, args.index or args.write_index, args.phrase
+        )
+        id_col = out.columns[0]
+    else:
+        if not args.input:
+            print("error: need --input or --index")
+            return 2
+        docs = spark.read.parquet(args.input)
+        out = phrase_match_counts(docs, args.phrase, id_col=args.id_col)
+        id_col = args.id_col
+    out = out.orderBy(F.col("n_matches").desc(), id_col).limit(args.k)
     for row in out.collect():
         print(json.dumps(row.asDict()))
     return 0
@@ -1449,8 +1476,10 @@ def main(argv: list[str] | None = None) -> int:
     sk.set_defaults(func=cmd_sketch)
 
     ph = sub.add_parser("phrase", help="exact phrase search (positional-index join)")
-    ph.add_argument("--input", required=True, help="documents parquet")
-    ph.add_argument("--phrase", required=True)
+    ph.add_argument("--input", help="documents parquet (in-memory form / index build source)")
+    ph.add_argument("--phrase", help="token sequence to search")
+    ph.add_argument("--index", help="query a persisted postings index instead of --input")
+    ph.add_argument("--write-index", help="persist the postings index to this path first")
     ph.add_argument("--id-col", default="doc_id")
     ph.add_argument("-k", type=int, default=20, help="max documents printed")
     ph.set_defaults(func=cmd_phrase)

@@ -168,21 +168,118 @@ def phrase_match_counts(
     terms = [t for t in phrase.strip().lower().split() if t]
     if not terms:
         raise ValueError("phrase_match_counts: empty phrase")
-    postings = docs.select(
-        F.col(id_col), F.posexplode(_clean_split(F.lower(F.col(text_col)))).alias("pos", "term")
-    ).filter(F.col("term").isin(terms))
+    # the postings frame is consumed once per phrase term — a lazy
+    # persist makes the tokenize scan run once, not L times; it holds
+    # only the phrase's own terms' postings (bounded by the hottest
+    # term's document frequency), released with the session cache
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(_clean_split(F.lower(F.col(text_col)))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .persist()
+    )
+    return _phrase_align(postings, terms, id_col)
+
+
+def _phrase_align(postings: DataFrame, terms: list, id_col: str) -> DataFrame:
+    """Shared alignment stage of the phrase forms: chain the phrase's
+    posting lists through (doc, pos+offset) equi-joins and count exact
+    occurrences per document. Both the in-memory and the persisted-
+    index form route through this, so they cannot diverge."""
     anchor = postings.filter(F.col("term") == terms[0]).select(id_col, "pos")
     matched = anchor
     for off, t in enumerate(terms[1:], start=1):
-        nxt = (
-            postings.filter(F.col("term") == t)
-            .select(
-                F.col(id_col),
-                (F.col("pos") - F.lit(off)).alias("pos"),
-            )
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col),
+            (F.col("pos") - F.lit(off)).alias("pos"),
         )
         matched = matched.join(nxt, [id_col, "pos"])
-    return (
-        matched.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+    return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+#: bump when the postings layout changes incompatibly.
+POSTINGS_INDEX_VERSION = 1
+
+
+def postings_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the positional inverted index: the full (doc, pos, term)
+    postings parquet PARTITIONED BY ``tbucket`` (a term-hash bucket)
+    plus a ``_postings_params.json`` sidecar — the ``ivf_write_index``
+    layout convention. Partitioning by raw term would create a
+    directory per vocabulary word; hashing terms into ``n_buckets``
+    partitions keeps the directory count fixed while a phrase probe
+    still reads ONLY its terms' buckets via Catalyst partition pruning
+    (``PartitionFilters``), so query cost is |phrase terms'| buckets of
+    the index at any corpus size. Build cost: the one tokenize scan +
+    one partitioned write every search deployment pays to have an
+    index at all."""
+    import json as _json
+    import os as _os
+
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(_clean_split(F.lower(F.col(text_col)))).alias("pos", "term"),
+    ).withColumn(
+        "tbucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
     )
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
+    with open(_os.path.join(path, "_postings_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": POSTINGS_INDEX_VERSION,
+                "n_buckets": n_buckets,
+                "id_col": id_col,
+            },
+            fh,
+        )
+
+
+def postings_phrase_counts(spark, path: str, phrase: str) -> DataFrame:
+    """Phrase search against a PERSISTED postings index: the phrase's
+    term buckets are computed driver-side from the sidecar parameters,
+    the index parquet is read with a filter on the ``tbucket``
+    PARTITION column (unprobed bucket directories are pruned at
+    planning time and never listed), the term IN filter is pushed into
+    the surviving files' scans, and the alignment is the same
+    ``_phrase_align`` join chain as the in-memory form — identical
+    results (pinned), sublinear index reads."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_postings_params.json")) as fh:
+        params = _json.load(fh)
+    if params.get("version") != POSTINGS_INDEX_VERSION:
+        raise ValueError(
+            f"postings index version {params.get('version')} != "
+            f"{POSTINGS_INDEX_VERSION} (rebuild): {path}"
+        )
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("postings_phrase_counts: empty phrase")
+    n_buckets = int(params["n_buckets"])
+    id_col = params["id_col"]
+    # one |terms|-row job computes every bucket (xxhash64 lives JVM-side;
+    # re-implementing it driver-side would be a second hash to keep in sync)
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .persist()
+    )
+    return _phrase_align(postings, terms, id_col)

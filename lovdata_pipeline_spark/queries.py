@@ -2934,7 +2934,11 @@ def cms_token_estimates(spark, sf_dir):
     w, d = 16, 2
     tok = docs.select(F.explode(textstats._words("text")).alias("token"))
     true_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
-    top = true_counts.orderBy(F.col("n_true").desc(), "token").limit(20)
+    # ≤20 rows consumed twice (probe build + final join): the lazy
+    # persist saves a full tokenize scan + aggregate (the bitext
+    # pair-score convention — released with the session cache, integer
+    # values so a miss recomputes identical bits)
+    top = true_counts.orderBy(F.col("n_true").desc(), "token").limit(20).persist()
     est = cms_estimate(cms_sketch(docs, w=w, d=d), top, w=w, d=d)
     return (
         top.join(est, "token")

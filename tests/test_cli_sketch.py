@@ -72,3 +72,32 @@ def test_phrase_cli_orders_and_counts(docs_parquet, capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines == [{"doc_id": 4, "n_matches": 2}]
+
+
+def test_phrase_cli_index_roundtrip(spark, tmp_path, docs_parquet, capsys):
+    idx = str(tmp_path / "cli_postings")
+    rc = main(
+        [
+            "phrase",
+            "--input", docs_parquet,
+            "--write-index", idx,
+            "--phrase", "row column sort",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["status"] == "written"
+    assert lines[1:] == [{"doc_id": 4, "n_matches": 2}]
+    # query the persisted index alone (no --input)
+    rc = main(["phrase", "--index", idx, "--phrase", "alpha beta"])
+    assert rc == 0
+    got = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert got == [
+        {"doc_id": 1, "n_matches": 2},
+        {"doc_id": 3, "n_matches": 1},
+    ]
+
+
+def test_phrase_cli_arg_validation(docs_parquet, capsys):
+    assert main(["phrase", "--input", docs_parquet]) == 2
+    assert main(["phrase", "--phrase", "x"]) == 2

@@ -123,3 +123,59 @@ class TestPhraseSearch:
             phrase_match_counts(docs.repartition(11), "beta gamma alpha").collect()
         )
         assert a == b and a
+
+
+class TestPostingsIndex:
+    """Persisted positional inverted index: layout (tbucket partition
+    pruning), version gate, and index == in-memory equality (both forms
+    share _phrase_align, so alignment cannot diverge — this pins the
+    LAYOUT path: write, sidecar, bucket probe, pushed term filter)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox and the quick brown dog"),
+            (2, "brown quick the"),
+            (3, "THE Quick BROWN"),
+            (4, "row column sort row column sort"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_index_equals_in_memory_and_prunes_partitions(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.search import (
+            phrase_match_counts,
+            postings_phrase_counts,
+            postings_write,
+        )
+
+        docs = self._docs(spark)
+        idx = str(tmp_path / "postings_idx")
+        postings_write(docs, idx, n_buckets=8)
+        for phrase in ("the quick brown", "row column sort", "quick"):
+            via_index = sorted(postings_phrase_counts(spark, idx, phrase).collect())
+            in_memory = sorted(phrase_match_counts(docs, phrase).collect())
+            assert via_index == in_memory and via_index, phrase
+        plan = (
+            postings_phrase_counts(spark, idx, "the quick brown")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "tbucket" in plan
+
+    def test_version_gate(self, spark, tmp_path):
+        import json
+        import os
+
+        from lovdata_pipeline_spark.operators.search import (
+            postings_phrase_counts,
+            postings_write,
+        )
+
+        idx = str(tmp_path / "postings_vgate")
+        postings_write(self._docs(spark), idx, n_buckets=4)
+        p = os.path.join(idx, "_postings_params.json")
+        params = json.load(open(p))
+        params["version"] = 999
+        json.dump(params, open(p, "w"))
+        with pytest.raises(ValueError, match="version"):
+            postings_phrase_counts(spark, idx, "the quick")
