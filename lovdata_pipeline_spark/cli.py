@@ -1163,25 +1163,45 @@ def cmd_sketch(args) -> int:
         hll_registers,
     )
 
+    from lovdata_pipeline_spark.operators.sketches import (
+        CMS_STORE_VERSION,
+        cms_sketch_load,
+    )
+
     spark = _spark("lg-sketch")
-    docs = spark.read.parquet(args.input)
-    if args.mode == "hll":
-        out = hll_estimate(hll_registers(docs, group_col=args.group_col, p=args.p),
-                           group_col=args.group_col, p=args.p)
-        for row in out.orderBy(args.group_col).collect():
-            print(json.dumps(row.asDict()))
-        return 0
-    sk = cms_sketch(docs, w=args.width, d=args.depth)
-    if args.output:
-        sk.write.mode("overwrite").parquet(args.output)
-        with open(_os.path.join(args.output, "_cms_params.json"), "w") as fh:
-            json.dump({"version": 1, "w": args.width, "d": args.depth}, fh)
+    if args.sketch:
+        # query a PERSISTED sketch — no corpus scan at all; w/d come
+        # from the version-gated sidecar so probes can't mis-hash
+        if not args.query:
+            print("error: --sketch needs --query tokens")
+            return 2
+        sk, w, d = cms_sketch_load(spark, args.sketch)
+    else:
+        if not args.input:
+            print("error: need --input (or --sketch with --query)")
+            return 2
+        docs = spark.read.parquet(args.input)
+        if args.mode == "hll":
+            out = hll_estimate(
+                hll_registers(docs, group_col=args.group_col, p=args.p),
+                group_col=args.group_col,
+                p=args.p,
+            )
+            for row in out.orderBy(args.group_col).collect():
+                print(json.dumps(row.asDict()))
+            return 0
+        w, d = args.width, args.depth
+        sk = cms_sketch(docs, w=w, d=d)
+        if args.output:
+            sk.write.mode("overwrite").parquet(args.output)
+            with open(_os.path.join(args.output, "_cms_params.json"), "w") as fh:
+                json.dump({"version": CMS_STORE_VERSION, "w": w, "d": d}, fh)
     if args.query:
         terms = [t for t in args.query.split(",") if t]
         qdf = spark.createDataFrame([(t,) for t in terms], "token string")
         est = {
             r.token: r.n_est
-            for r in cms_estimate(sk, qdf, w=args.width, d=args.depth).collect()
+            for r in cms_estimate(sk, qdf, w=w, d=d).collect()
         }
         for t in terms:
             print(json.dumps({"token": t, "n_est": est.get(t, 0)}))
@@ -1465,8 +1485,9 @@ def main(argv: list[str] | None = None) -> int:
     fu.set_defaults(func=cmd_funnel)
 
     sk = sub.add_parser("sketch", help="corpus sketches: count-min frequency estimates / HLL distinct counts")
-    sk.add_argument("--input", required=True, help="documents parquet")
+    sk.add_argument("--input", help="documents parquet")
     sk.add_argument("--mode", choices=["cms", "hll"], default="cms")
+    sk.add_argument("--sketch", help="query a persisted cms sketch (skip the corpus scan)")
     sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
     sk.add_argument("--output", help="cms: persist the sketch parquet (+ _cms_params.json)")
     sk.add_argument("--width", type=int, default=1024, help="cms buckets per row")

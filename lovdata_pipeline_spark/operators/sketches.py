@@ -197,3 +197,28 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
     return per_group.select(F.col(group_col), F.round(est, 6).alias("n_est"))
+
+
+#: bump when the persisted CMS layout changes incompatibly.
+CMS_STORE_VERSION = 1
+
+
+def cms_sketch_load(spark, path: str):
+    """Load a persisted CMS sketch (``lg sketch --output`` layout:
+    cells parquet + ``_cms_params.json`` sidecar) → (cells DataFrame,
+    w, d). Point queries go through ``cms_estimate`` with the STORE's
+    parameters — estimating under different w/d than the build would
+    silently probe the wrong cells, so the sidecar is the only source
+    of truth (the SQ8/IVF/postings artifact convention, version-gated).
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_cms_params.json")) as fh:
+        params = _json.load(fh)
+    if params.get("version") != CMS_STORE_VERSION:
+        raise ValueError(
+            f"cms sketch version {params.get('version')} != "
+            f"{CMS_STORE_VERSION} (rebuild): {path}"
+        )
+    return spark.read.parquet(path), int(params["w"]), int(params["d"])

@@ -101,3 +101,22 @@ def test_phrase_cli_index_roundtrip(spark, tmp_path, docs_parquet, capsys):
 def test_phrase_cli_arg_validation(docs_parquet, capsys):
     assert main(["phrase", "--input", docs_parquet]) == 2
     assert main(["phrase", "--phrase", "x"]) == 2
+
+
+def test_sketch_persisted_query_without_corpus(spark, tmp_path, docs_parquet, capsys):
+    out = tmp_path / "cms_store"
+    assert main(["sketch", "--input", docs_parquet, "--output", str(out),
+                 "--width", "256", "--depth", "2"]) == 0
+    capsys.readouterr()
+    # query the artifact alone — no --input, w/d from the sidecar
+    rc = main(["sketch", "--sketch", str(out), "--query", "alpha,beta"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["token"]: l["n_est"] for l in lines} == {"alpha": 4, "beta": 5}
+    # version gate
+    import json as _json
+    p = os.path.join(str(out), "_cms_params.json")
+    params = _json.load(open(p)); params["version"] = 999
+    _json.dump(params, open(p, "w"))
+    with pytest.raises(ValueError, match="version"):
+        main(["sketch", "--sketch", str(out), "--query", "alpha"])
