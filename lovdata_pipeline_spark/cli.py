@@ -1172,6 +1172,9 @@ def cmd_sketch(args) -> int:
     if args.sketch:
         # query a PERSISTED sketch — no corpus scan at all; w/d come
         # from the version-gated sidecar so probes can't mis-hash
+        if args.mode == "hll":
+            print("error: --sketch stores are cms; --mode hll rebuilds from --input")
+            return 2
         if not args.query:
             print("error: --sketch needs --query tokens")
             return 2

@@ -103,17 +103,20 @@ def knn_edges(
         out_s, out_d = [], []
 
         def emit(src_ids, dst_ids, sims):
-            # per source: top `take` dsts by (-sim, dst id) — id order
-            # makes the candidate CUT deterministic; the exact re-score
-            # decides the final edges
-            order_d = np.argsort(dst_ids, kind="stable")
+            # per source: every dst scoring within MARGIN of the
+            # take-th numpy score survives the cut, so a candidate can
+            # only be lost if numpy and the exact fold disagree by more
+            # than 1e-9 on a cosine — far beyond float64 summation
+            # error at any dimensionality. The exact re-score decides
+            # the final edges; slack + margin only bound the cut.
+            margin = 1e-9
             for r, sid in enumerate(src_ids):
-                row = sims[r][order_d]
-                cand = dst_ids[order_d]
+                row, cand = sims[r], dst_ids
                 keep = cand != sid  # self excluded before ranking
                 row, cand = row[keep], cand[keep]
                 if len(cand) > take:
-                    top = np.argsort(-row, kind="stable")[:take]
+                    kth = np.partition(-row, take - 1)[take - 1]
+                    top = np.nonzero(-row <= kth + margin)[0]
                 else:
                     top = np.arange(len(cand))
                 out_s.extend([sid] * len(top))
