@@ -2814,7 +2814,12 @@ def filter_attrition_report(spark, sf_dir):
     s2 = s1 & nw.between(30, 100000)
     s3 = s2 & F.coalesce(textstats.quality_keep_col("text"), F.lit(False))
     s4 = s3 & F.coalesce(textstats.gopher_pass_col("text"), F.lit(False))
-    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    # coalesce: sum over an EMPTY corpus is NULL, and the funnel must
+    # report four all-zero stages, not four NULL rows (the expectations
+    # gate's empty-table rule)
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
     agg = docs.agg(
         F.count(F.lit(1)).alias("c0"),
         cnt(s1).alias("c1"),
@@ -3244,7 +3249,13 @@ QUERIES = {
     # ---   full_outer_order_presence (r1+r6) -> left_join_customer_orders
     # ---                                     enters (outer-join family)
     # ---   pack_sequences_documents (r4+r5+r6) -> strict superset
-    # ---                                     pack_emit_sequences stays
+    # ---                                     pack_emit_sequences stayed
+    # ---                                     (itself demoted late-r7c,
+    # ---                                     green r5+r6 — the packing
+    # ---                                     family is now fully
+    # ---                                     tail-attested: shard r3+r4,
+    # ---                                     sequences r4-r6, emit r5+r6,
+    # ---                                     training_order r5+r6)
     # ---   benchmark_contamination_report (r4+r5+r6) -> exact_contamination
     # ---                                     + decontam_remove_spans stay
     # ---   ann_topk_ivfpq (r4+r5+r6)      -> sq8 + pca_rerank stay; ivf/pq
@@ -3258,8 +3269,9 @@ QUERIES = {
     # ---                                     composes the same LM scoring
     # ---   cluster_balanced_sample_embeddings (r5+r6) -> weighted_sample
     # ---                                     keeps the sampling family
-    # ---   length_bucketed_batches_documents (r5+r6) -> pack_emit keeps the
-    # ---                                     packing prefix-sum family
+    # ---   length_bucketed_batches_documents (r5+r6) -> packing prefix-sum
+    # ---                                     family tail-attested (see
+    # ---                                     pack_sequences note above)
     # ---   semantic_dedup_pairs_embeddings (r5+r6) -> dedup_embedding_
     # ---                                     cosine_blocked ENTERS (the
     # ---                                     same blocked-matmul path)
@@ -3356,7 +3368,7 @@ QUERIES = {
     "cube_status_priority": cube_status_priority,        # green r1+r6 (refreshed r6); demoted r7 (rollup_priority + pivot_status graded this round)
     "set_ops_nations": set_ops_nations,                  # green r1+r6 (refreshed r6); demoted r7 (set_difference_validation twin in tail, r1-r3 green)
     "full_outer_order_presence": full_outer_order_presence,  # green r1+r6 (refreshed r6); demoted r7 (left_join_customer_orders graded this round)
-    "pack_sequences_documents": pack_sequences_documents,  # green r4+r5+r6; demoted r7 (strict superset pack_emit_sequences stays graded)
+    "pack_sequences_documents": pack_sequences_documents,  # green r4+r5+r6; demoted r7 (packing family fully tail-attested after pack_emit's own late-r7c demotion)
     "benchmark_contamination_report": benchmark_contamination_report,  # green r4+r5+r6; demoted r7 (exact_contamination + decontam_remove_spans stay graded)
     "ann_topk_ivfpq": ann_topk_ivfpq,                    # green r4+r5+r6; demoted r7 (ann_topk_sq8 + ann_pca_rerank stay graded)
     "importance_score_documents": importance_score_documents,  # green r5+r6; demoted r7 (text_gopher_quality keeps quality scoring graded)
@@ -3364,7 +3376,7 @@ QUERIES = {
     "epoch_mix_documents": epoch_mix_documents,          # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
     "text_bigram_surprisal": text_bigram_surprisal,      # green r5+r6; demoted r7 (perplexity_buckets composes the same LM scoring)
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5+r6; demoted r7 (weighted_sample keeps the sampling family graded)
-    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; demoted r7 (pack_emit keeps the packing family graded)
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; demoted r7 (packing family fully tail-attested after pack_emit's own late-r7c demotion)
     "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; demoted r7 (dedup_embedding_cosine_blocked graded this round, same blocked-matmul path)
     "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; demoted r7 for streaming_vocab_counts (ANN family: hard_negatives/sq8/pca_rerank graded)
     "quality_quota_by_source": quality_quota_by_source,  # green r5+r6; demoted r7 for compression_band_report (two-phase top-k family: weighted_sample/tfidf graded)

@@ -362,3 +362,24 @@ class TestFilterAttrition:
         for r in out:
             assert r.n_dropped == r.n_in - r.n_out
             assert 0.0 <= r.retention <= 1.0
+
+    def test_empty_corpus_yields_zero_funnel(self, spark):
+        """An empty documents table must report four all-zero stages
+        (sum over empty is NULL without the coalesce), retention 0/0
+        guarded to n_out/greatest(n_in,1)."""
+        import os
+        import tempfile
+
+        from lovdata_pipeline_spark.queries import filter_attrition_report
+
+        d = tempfile.mkdtemp(prefix="attr_empty_")
+        spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = filter_attrition_report(spark, d).collect()
+        assert [r.stage for r in out] == [
+            "has_text", "length_band", "quality", "gopher",
+        ]
+        for r in out:
+            assert r.n_in == 0 and r.n_out == 0 and r.n_dropped == 0
+            assert r.retention == 0.0
