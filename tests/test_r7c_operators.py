@@ -383,3 +383,47 @@ class TestFilterAttrition:
         for r in out:
             assert r.n_in == 0 and r.n_out == 0 and r.n_dropped == 0
             assert r.retention == 0.0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_attr = st.sampled_from(["A", "B"])
+_log = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), _attr),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=_log)
+def test_scd2_intervals_partition_each_keys_history(spark, log):
+    """Property on random event logs: per key, interval n_events sum to
+    the key's event count, consecutive intervals chain
+    (valid_to == next valid_from), the attribute CHANGES across every
+    boundary, and exactly the last interval is open."""
+    import datetime
+
+    from lovdata_pipeline_spark.operators.incremental import scd2_intervals
+
+    rows = [
+        (key, datetime.datetime(2024, 1, 1 + ts_day), eid, attr)
+        for eid, (key, ts_day, attr) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+    by_key = {}
+    for r in sorted(out.collect(), key=lambda r: (r.user_id, r.valid_from, r.first_tie)):
+        by_key.setdefault(r.user_id, []).append(r)
+    n_events_in = {}
+    for key, _, _ in log:
+        n_events_in[key] = n_events_in.get(key, 0) + 1
+    for key, ivs in by_key.items():
+        assert sum(r.n_events for r in ivs) == n_events_in[key]
+        assert sum(1 for r in ivs if r.is_current) == 1 and ivs[-1].is_current
+        for prev, cur in zip(ivs, ivs[1:]):
+            assert prev.valid_to == cur.valid_from
+            assert prev.event_type != cur.event_type

@@ -179,3 +179,42 @@ class TestPostingsIndex:
         json.dump(params, open(p, "w"))
         with pytest.raises(ValueError, match="version"):
             postings_phrase_counts(spark, idx, "the quick")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+_phrase = st.lists(_token, min_size=1, max_size=3).map(" ".join)
+
+
+def _naive_phrase_counts(texts, phrase):
+    terms = phrase.split()
+    out = {}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        n = sum(
+            1
+            for p in range(len(words) - len(terms) + 1)
+            if words[p : p + len(terms)] == terms
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, phrase=_phrase)
+def test_phrase_search_matches_naive_matcher(spark, texts, phrase):
+    """Property: the positional-index join equals a naive sliding-window
+    matcher on any small-alphabet corpus and any 1-3 token phrase
+    (overlaps, repeats, and absent terms included)."""
+    from lovdata_pipeline_spark.operators.search import phrase_match_counts
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_match_counts(docs, phrase).collect()}
+    assert got == _naive_phrase_counts(texts, phrase)
