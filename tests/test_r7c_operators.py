@@ -427,3 +427,42 @@ def test_scd2_intervals_partition_each_keys_history(spark, log):
         for prev, cur in zip(ivs, ivs[1:]):
             assert prev.valid_to == cur.valid_from
             assert prev.event_type != cur.event_type
+
+
+_ctok = st.sampled_from(["x", "y", "z", "w"])
+_ctext = st.lists(_ctok, min_size=2, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_ctext, min_size=2, max_size=6))
+def test_collocation_pmi_matches_python(spark, texts):
+    """Property: PMI values and the min_count cut match an exact python
+    computation on random small-alphabet corpora."""
+    import math
+    from collections import Counter
+
+    from lovdata_pipeline_spark.operators.corpstats import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni = Counter(w for t in texts for w in t.split())
+    big = Counter(
+        (ws[i], ws[i + 1])
+        for t in texts
+        for ws in [t.split()]
+        for i in range(len(ws) - 1)
+    )
+    tu, tb = sum(uni.values()), sum(big.values())
+    want = {
+        p: round(
+            math.log((c / tb) / ((uni[p[0]] / tu) * (uni[p[1]] / tu))), 6
+        )
+        for p, c in big.items()
+        if c >= 2
+    }
+    got = {
+        (r.w1, r.w2): r.pmi for r in collocation_pmi(docs, min_count=2, k=100).collect()
+    }
+    # alphabet is 4 tokens → ≤16 possible pairs, so k=100 never cuts
+    assert got == want

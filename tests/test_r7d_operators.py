@@ -240,3 +240,41 @@ class TestStreamingSketches:
             (r.source, r.bucket, r.reg) for r in hll_registers(batch, p=4).collect()
         )
         assert got == want and got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_tok = st.sampled_from(["a", "b", "c", "d", "e"])
+_text = st.lists(_tok, min_size=0, max_size=10).map(" ".join)
+_texts = st.lists(_text, min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_cms_property_vs_counter(spark, texts):
+    """Property: on any corpus, narrow-sketch estimates dominate the
+    exact Counter, and wide-sketch estimates equal it."""
+    from collections import Counter
+
+    from lovdata_pipeline_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    true = Counter(w for t in texts for w in t.split())
+    if not true:
+        return
+    q = spark.createDataFrame([(t,) for t in true], "token string")
+    narrow = {
+        r.token: r.n_est
+        for r in cms_estimate(cms_sketch(docs, w=2, d=2), q, w=2, d=2).collect()
+    }
+    wide = {
+        r.token: r.n_est
+        for r in cms_estimate(cms_sketch(docs, w=512, d=3), q, w=512, d=3).collect()
+    }
+    for t, n in true.items():
+        assert narrow[t] >= n
+        assert wide[t] == n

@@ -218,3 +218,47 @@ def test_phrase_search_matches_naive_matcher(spark, texts, phrase):
     )
     got = {r.doc_id: r.n_matches for r in phrase_match_counts(docs, phrase).collect()}
     assert got == _naive_phrase_counts(texts, phrase)
+
+
+_dim = 4
+_vec = st.lists(
+    st.integers(-5, 5).map(float), min_size=_dim, max_size=_dim
+)
+_labeled = st.lists(
+    st.tuples(_vec, st.integers(0, 1)), min_size=2, max_size=10
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=_labeled)
+def test_centroid_outlier_scores_match_numpy(spark, data):
+    """Property: cos_centroid equals a numpy replica of the quantized
+    sum-vector cosine on random integer-valued labeled vectors."""
+    import numpy as np
+
+    from lovdata_pipeline_spark.operators.similarity import label_centroid_outliers
+
+    rows = [(i, v, lab) for i, (v, lab) in enumerate(data)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r.label, r.vec_id): r.cos_centroid
+        for r in label_centroid_outliers(vecs, k=len(rows)).collect()
+    }
+    scale = 1 << 20
+    by_label = {}
+    for i, v, lab in rows:
+        a = np.array(v)
+        if np.sqrt(np.sum(a * a)) == 0:
+            continue
+        by_label.setdefault(lab, []).append((i, a))
+    for lab, members in by_label.items():
+        s = np.sum([np.floor(m * scale) for _, m in members], axis=0)
+        sn = np.sqrt(np.sum(s * s))
+        if sn == 0:
+            assert not any(k[0] == lab for k in got)
+            continue
+        for i, a in members:
+            want = round(float(np.dot(a, s)) / (float(np.sqrt(np.sum(a * a))) * float(sn)), 6)
+            assert got[(lab, i)] == pytest.approx(want, abs=2e-6), (lab, i)
