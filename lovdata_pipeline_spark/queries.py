@@ -3233,62 +3233,51 @@ QUERIES = {
     # filter_attrition_report: sequential curation-gate yield funnel in
     # one conditional-aggregate scan + in-plan unpivot.
     "filter_attrition_report": filter_attrition_report,
-    # --- r7 attestation refresh (r6 VERDICT "What's missing #3" / Next
-    # --- #2): the 14 entries last driver-graded in r1-r2, cycled back
-    # --- through the window so no attestation goes four-plus rounds
-    # --- stale. Demoted in exchange, each multiply-attested (green in at
-    # --- least two rounds, most refreshed r6) with family twins staying
-    # --- graded:
-    # ---   running_sum (r1+r6)            -> events_rolling_1h keeps the
-    # ---                                     cumulative/RANGE window shape
-    # ---   cube_status_priority (r1+r6)   -> rollup_priority + pivot_status
-    # ---                                     enter (grouping-sets family)
-    # ---   set_ops_nations (r1+r6)        -> freshly re-attested r6;
-    # ---                                     EXCEPT-ALL twin set_difference_
-    # ---                                     validation r1-r3-green in tail
-    # ---   full_outer_order_presence (r1+r6) -> left_join_customer_orders
-    # ---                                     enters (outer-join family)
-    # ---   pack_sequences_documents (r4+r5+r6) -> strict superset
-    # ---                                     pack_emit_sequences stayed
-    # ---                                     (itself demoted late-r7c,
-    # ---                                     green r5+r6 — the packing
-    # ---                                     family is now fully
-    # ---                                     tail-attested: shard r3+r4,
-    # ---                                     sequences r4-r6, emit r5+r6,
-    # ---                                     training_order r5+r6)
-    # ---   benchmark_contamination_report (r4+r5+r6) -> exact_contamination
-    # ---                                     + decontam_remove_spans stay
-    # ---   ann_topk_ivfpq (r4+r5+r6)      -> sq8 + pca_rerank stay; ivf/pq
-    # ---                                     subsets in tail
-    # ---   importance_score_documents (r5+r6) -> gopher_quality keeps the
-    # ---                                     quality-scoring family
-    # ---   training_order_documents (r5+r6) -> hash_split keeps the
-    # ---                                     portable-hash family
-    # ---   epoch_mix_documents (r5+r6)    -> hash_split (same family)
-    # ---   text_bigram_surprisal (r5+r6)  -> perplexity_buckets_by_source
-    # ---                                     composes the same LM scoring
-    # ---   cluster_balanced_sample_embeddings (r5+r6) -> weighted_sample
-    # ---                                     keeps the sampling family
-    # ---   length_bucketed_batches_documents (r5+r6) -> packing prefix-sum
-    # ---                                     family tail-attested (see
-    # ---                                     pack_sequences note above)
-    # ---   semantic_dedup_pairs_embeddings (r5+r6) -> dedup_embedding_
-    # ---                                     cosine_blocked ENTERS (the
-    # ---                                     same blocked-matmul path)
-    "semi_join_processed": semi_join_processed,
-    "distinct_projection": distinct_projection,
-    "filter_like": filter_like,
-    "topk_limit": topk_limit,
-    "rollup_priority": rollup_priority,
-    "pivot_status": pivot_status,
-    "left_join_customer_orders": left_join_customer_orders,
-    "percentile_order_totals": percentile_order_totals,
-    "events_lag_gaps": events_lag_gaps,
-    "events_hourly": events_hourly,
-    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # r2 name of the vocab variant
-    "text_token_counts": text_token_counts,
-    "text_stopword_ratios": text_stopword_ratios,
-    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,
+    # --- r8 attestation refresh (r7 VERDICT Next #1): the 12 entries last
+    # --- driver-graded in r3 — the ledger's only remaining 4-round-stale
+    # --- batch — cycle back through the window. Demoted in exchange, each
+    # --- multiply-attested (green r1+r2 and refreshed green r7) with the
+    # --- family twin named inline:
+    # ---   semi_join_processed (r1+r2+r7)   -> not_exists_high_value ENTERS
+    # ---                                       (semi/anti-join family)
+    # ---   distinct_projection (r1+r2+r7)   -> agg_distinct_counts ENTERS
+    # ---                                       (distinct-agg family)
+    # ---   filter_like (r1+r2+r7)           -> status_counts + point_lookup
+    # ---                                       ENTER (predicate-scan family)
+    # ---   topk_limit (r1+r2+r7)            -> max_acctbal_supplier_per_
+    # ---                                       nation ENTERS (top-per-group)
+    # ---   rollup_priority (r1+r2+r7)       -> grouping_sets_status_priority
+    # ---   pivot_status (r1+r2+r7)             ENTERS (grouping-sets family
+    # ---                                       keeps exactly one graded row)
+    # ---   left_join_customer_orders (r1+r2+r7) -> events_range_join ENTERS
+    # ---                                       (non-equi/outer join family)
+    # ---   percentile_order_totals (r1+r2+r7) -> scalar_subquery_part_avg
+    # ---                                       ENTERS (scalar-agg family)
+    # ---   events_lag_gaps (r1+r2+r7)       -> events_json_props +
+    # ---   events_hourly (r1+r2+r7)            events_range_join ENTER
+    # ---                                       (events family keeps two
+    # ---                                       graded rows; funnel/retention/
+    # ---                                       SCD2 twins also in-window)
+    # ---   dedup_fingerprint_groups (r1+r2+r7) -> fingerprint grouping stays
+    # ---                                       graded via dedup_keep_best_
+    # ---                                       quality + paragraph_dedup
+    # ---   text_token_counts (r1+r2+r7)     -> greedy_token_buckets +
+    # ---                                       positional_ids ENTER (the
+    # ---                                       token-count machinery rides
+    # ---                                       inside both, and inside the
+    # ---                                       graded chunk pipeline)
+    "point_lookup": point_lookup,
+    "status_counts": status_counts,
+    "set_difference_validation": set_difference_validation,
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,
+    "agg_distinct_counts": agg_distinct_counts,
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,
+    "grouping_sets_status_priority": grouping_sets_status_priority,
+    "events_json_props": events_json_props,
+    "positional_ids": positional_ids,
+    "greedy_token_buckets": greedy_token_buckets,
+    "events_range_join": events_range_join,
+    "not_exists_high_value": not_exists_high_value,
     # --- r5-born entries still holding their window slot ---------------------
     # streaming_dedup_counts (new r7c) enters at birth in
     # pack_emit_sequences' former slot (that entry demoted to the tail,
@@ -3407,18 +3396,22 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,              # green r1-r4; demoted r5 (multi-join agg twin q3_top_unshipped stays)
     "text_quality": text_quality,                        # green r1-r4; demoted r5 (quality family attested)
     "knn_join_top3": knn_join_top3,                      # green r1-r4; demoted r5 (ANN family attested)
-    "point_lookup": point_lookup,                        # green r1-r3; demoted r4
-    "status_counts": status_counts,                      # green r1-r3; demoted r4
-    "set_difference_validation": set_difference_validation,  # green r1-r3; demoted r4
-    "scalar_subquery_part_avg": scalar_subquery_part_avg,    # green r1-r3; demoted r4
-    "agg_distinct_counts": agg_distinct_counts,              # green r1-r3; demoted r4
-    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1-r3; demoted r4
-    "grouping_sets_status_priority": grouping_sets_status_priority,      # green r1-r3; demoted r4 (rollup/cube/pivot cycle through the window)
-    "events_json_props": events_json_props,                              # green r1-r3; demoted r4
-    "positional_ids": positional_ids,                                    # green r1-r3; demoted r4 (also inside windowed chunk_documents_pipeline)
-    "greedy_token_buckets": greedy_token_buckets,                        # green r1-r3; demoted r4 (also inside windowed chunk_documents_pipeline)
-    "events_range_join": events_range_join,                              # green r1-r3; demoted r4
-    "not_exists_high_value": not_exists_high_value,                      # green r1-r3; demoted r4 (anti-join twin attested)
+    # --- r8 attestation-refresh demotions (each green r1+r2+r7 unless
+    # --- noted; family twins named in the window block above) -------------
+    "semi_join_processed": semi_join_processed,          # green r1+r2+r7; demoted r8 (not_exists_high_value keeps semi/anti family graded)
+    "distinct_projection": distinct_projection,          # green r1+r2+r7; demoted r8 (agg_distinct_counts graded this round)
+    "filter_like": filter_like,                          # green r1+r2+r7; demoted r8 (status_counts + point_lookup graded this round)
+    "topk_limit": topk_limit,                            # green r1+r2+r7; demoted r8 (max_acctbal top-per-group graded this round)
+    "rollup_priority": rollup_priority,                  # green r1+r2+r7; demoted r8 (grouping_sets_status_priority graded this round)
+    "pivot_status": pivot_status,                        # green r1+r2+r7; demoted r8 (grouping_sets_status_priority graded this round)
+    "left_join_customer_orders": left_join_customer_orders,  # green r1+r2+r7; demoted r8 (events_range_join keeps the join family graded)
+    "percentile_order_totals": percentile_order_totals,  # green r1+r2+r7; demoted r8 (scalar_subquery_part_avg graded this round)
+    "events_lag_gaps": events_lag_gaps,                  # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
+    "events_hourly": events_hourly,                      # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
+    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1+r2+r7; demoted r8 (fingerprint grouping graded via dedup_keep_best_quality + paragraph_dedup)
+    "text_token_counts": text_token_counts,              # green r1+r2+r7; demoted r8 (token-count machinery graded via greedy_token_buckets + positional_ids + chunk pipeline)
+    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword/quality arithmetic graded via text_repetition_signals + quality_blend_documents)
+    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
     "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
     "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)
     "text_winnowing": text_winnowing,                    # green r3-r5; demoted late-r6 (winnowing primitive graded inside span dedup)

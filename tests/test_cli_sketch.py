@@ -65,13 +65,19 @@ def test_sketch_hll_reports_per_group(docs_parquet, capsys):
     assert all(l["n_est"] > 0 for l in lines)
 
 
-def test_phrase_cli_orders_and_counts(docs_parquet, capsys):
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_phrase_cli_orders_and_counts(spark, docs_parquet, capsys):
     rc = main(
         ["phrase", "--input", docs_parquet, "--phrase", "row column sort", "-k", "5"]
     )
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines == [{"doc_id": 4, "n_matches": 2}]
+    # VERDICT r7 Next #3: no cached postings frame survives a phrase query
+    assert _n_persistent_rdds(spark) == 0
 
 
 def test_phrase_cli_index_roundtrip(spark, tmp_path, docs_parquet, capsys):
@@ -96,6 +102,8 @@ def test_phrase_cli_index_roundtrip(spark, tmp_path, docs_parquet, capsys):
         {"doc_id": 1, "n_matches": 2},
         {"doc_id": 3, "n_matches": 1},
     ]
+    # VERDICT r7 Next #3: the index form leaves nothing cached either
+    assert _n_persistent_rdds(spark) == 0
 
 
 def test_phrase_cli_arg_validation(docs_parquet, capsys):
