@@ -1150,8 +1150,11 @@ def cmd_sketch(args) -> int:
     parameters land in a ``_cms_params.json`` sidecar like the SQ8/IVF
     artifacts) and prints estimates for ``--query`` tokens as JSON
     lines; ``--mode hll`` prints the per-group HyperLogLog
-    distinct-token estimates. Both run one explode scan with
-    parameter-bounded aggregate state — usable at any corpus size."""
+    distinct-token estimates, optionally persisting the registers with
+    ``--output`` (+ ``_hll_params.json``) and merging persisted stores
+    with ``--merge-stores`` (register-wise MAX — no corpus re-read).
+    Both run one explode scan with parameter-bounded aggregate state —
+    usable at any corpus size."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -1161,6 +1164,9 @@ def cmd_sketch(args) -> int:
         cms_sketch,
         hll_estimate,
         hll_registers,
+        hll_registers_load,
+        hll_registers_merge,
+        hll_registers_write,
     )
 
     from lovdata_pipeline_spark.operators.sketches import (
@@ -1169,6 +1175,22 @@ def cmd_sketch(args) -> int:
     )
 
     spark = _spark("lg-sketch")
+    if args.merge_stores:
+        # cross-session merge: load persisted register stores, MAX
+        # register-wise, estimate — no corpus text is ever re-read
+        if args.mode != "hll":
+            print("error: --merge-stores is an hll operation (--mode hll)")
+            return 2
+        paths = [s for s in args.merge_stores.split(",") if s]
+        loaded = [hll_registers_load(spark, pth) for pth in paths]
+        p0, g0 = loaded[0][1], loaded[0][2]
+        if any((pi, gi) != (p0, g0) for _, pi, gi in loaded[1:]):
+            print("error: stores built under different p/group_col are not mergeable")
+            return 2
+        merged = hll_registers_merge([t[0] for t in loaded], group_col=g0)
+        for row in hll_estimate(merged, group_col=g0, p=p0).orderBy(g0).collect():
+            print(json.dumps(row.asDict()))
+        return 0
     if args.sketch:
         # query a PERSISTED sketch — no corpus scan at all; w/d come
         # from the version-gated sidecar so probes can't mis-hash
@@ -1185,11 +1207,13 @@ def cmd_sketch(args) -> int:
             return 2
         docs = spark.read.parquet(args.input)
         if args.mode == "hll":
-            out = hll_estimate(
-                hll_registers(docs, group_col=args.group_col, p=args.p),
-                group_col=args.group_col,
-                p=args.p,
-            )
+            regs = hll_registers(docs, group_col=args.group_col, p=args.p)
+            if args.output:
+                hll_registers_write(
+                    regs, args.output, p=args.p, group_col=args.group_col
+                )
+                print(json.dumps({"store": args.output, "status": "written"}))
+            out = hll_estimate(regs, group_col=args.group_col, p=args.p)
             for row in out.orderBy(args.group_col).collect():
                 print(json.dumps(row.asDict()))
             return 0
@@ -1492,7 +1516,8 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--mode", choices=["cms", "hll"], default="cms")
     sk.add_argument("--sketch", help="query a persisted cms sketch (skip the corpus scan)")
     sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
-    sk.add_argument("--output", help="cms: persist the sketch parquet (+ _cms_params.json)")
+    sk.add_argument("--output", help="persist the sketch: cms cells (+ _cms_params.json) or hll registers (+ _hll_params.json)")
+    sk.add_argument("--merge-stores", help="hll: comma-separated persisted register stores to load, MAX-merge, and estimate (no corpus scan)")
     sk.add_argument("--width", type=int, default=1024, help="cms buckets per row")
     sk.add_argument("--depth", type=int, default=4, help="cms hash rows")
     sk.add_argument("--group-col", default="source", help="hll: group column")

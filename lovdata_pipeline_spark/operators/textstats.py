@@ -2258,3 +2258,101 @@ def kn_surprisal(
             ).alias("mean_kn_surprisal"),
         )
     )
+
+
+def kn_trigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated TRIGRAM Kneser–Ney surprisal (Chen & Goodman 1998,
+    eq. 4.17's recursive form) — two back-off levels, the production
+    CCNet-style LM-filter order, stepping up ``kn_surprisal``:
+
+      P(w₃|w₁w₂) = (c(w₁w₂w₃) − D)/c(w₁w₂·)
+                   + D·N₁₊(w₁w₂·)/c(w₁w₂·) · P_cont(w₃|w₂)
+      P_cont(w₃|w₂) = (N₁₊(·w₂w₃) − D)/N₁₊(·w₂·)
+                   + D·N₁₊(w₂·)/N₁₊(·w₂·) · N₁₊(·w₃)/N₁₊(··)
+
+    where the middle and lowest orders use CONTINUATION counts (type
+    fan-outs of the trigram-type table), not raw counts — KN's whole
+    point one order up: a bigram frequent in exactly one context gets
+    a small back-off weight even if its raw count is large. Every doc
+    trigram is present in the corpus model (the corpus is its own
+    model), so c − D > 0 and N₁₊ − D > 0 always — no max(·,0) branch.
+
+    (id, n_trigrams, mean_kn3_surprisal): per-doc mean of −ln P over
+    its trigram transitions; docs with <3 words absent.
+
+    Determinism: per-trigram surprisals round to 9 dp and accumulate
+    in DECIMAL(18,9) (the surprisal-family discipline); the
+    probability's operand order is mirrored exactly by the oracle.
+
+    Plan shape: one tokenize scan feeds the trigram explode; the model
+    is FOUR hash aggregates, every one over the trigram-TYPE frame
+    (vocabulary³-bounded in theory, corpus-type-bounded in practice,
+    never corpus-token-bounded): types → ctx12 (per-prefix mass +
+    fan-out), → mid (distinct-w₁ continuation counts per (w₂,w₃)),
+    → ctx2/uni (per-w₂ and per-w₃ fan-outs of mid), and the 1-row
+    type total broadcasts. Scoring re-attaches by equi-join; AQE
+    absorbs stopword-prefix skew."""
+    d = float(discount)
+    w = _words(text_col)
+    tri_len = F.greatest(F.size(w) - 2, F.lit(1))
+    grams = F.when(
+        F.size(w) < 3,
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.zip_with(
+                F.slice(w, 1, tri_len),
+                F.slice(w, 2, tri_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(w, 3, tri_len),
+            lambda ab, c: F.struct(
+                ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+    )
+    tris = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col,
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+    tc = tris.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    ctx12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("ctx12"), F.count(F.lit(1)).alias("n1f12")
+    )
+    mid = tc.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1mid"))
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("n1mid").alias("ctx2"), F.count(F.lit(1)).alias("n1f2")
+    )
+    uni = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n1uni"))
+    tot = mid.agg(F.count(F.lit(1)).alias("B2"))
+    p_cont = (F.col("n1mid") - F.lit(d)) / F.col("ctx2") + F.lit(d) * F.col(
+        "n1f2"
+    ) / F.col("ctx2") * (F.col("n1uni").cast("double") / F.col("B2"))
+    p = (F.col("c123") - F.lit(d)) / F.col("ctx12") + F.lit(d) * F.col(
+        "n1f12"
+    ) / F.col("ctx12") * p_cont
+    s = -F.log(p)
+    return (
+        tris.join(tc, ["w1", "w2", "w3"])
+        .join(ctx12, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                F.sum(F.round(s, 9).cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_kn3_surprisal"),
+        )
+    )

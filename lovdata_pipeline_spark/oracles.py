@@ -3002,6 +3002,52 @@ ORACLES["text_kn_surprisal"] = r"""
         FROM per GROUP BY doc_id ORDER BY doc_id
 """
 
+# r8: trigram Kneser–Ney — same tokenize + fixed-point accumulation as
+# the graded bigram KN oracle, one order up: the model tables are the
+# trigram-type frame's fan-outs (ctx12/n1f12 per prefix, n1mid distinct-
+# w1 continuations per (w2,w3), ctx2/n1f2/n1uni/B2 from the mid table);
+# the interpolated probability's operand order mirrors the Spark
+# columns exactly, term by term.
+ORACLES["text_kn_trigram_surprisal"] = r"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), sw -> sw <> '') AS w
+          FROM documents),
+        tris0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+          FROM tok),
+        tris AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tris0),
+        tc AS (SELECT w1, w2, w3, count(*) AS c123 FROM tris GROUP BY w1, w2, w3),
+        -- every fan-out is a window over the trigram-TYPE table (one
+        -- row per distinct (w1,w2,w3), so COUNT(*) per (w2,w3) IS the
+        -- distinct-w1 continuation count; COUNT(*) per w2 IS the
+        -- Σ_w3 n1mid mass) — the 5-way join-chain formulation sent
+        -- DuckDB's join-order optimizer into a multi-minute plan
+        scored AS (
+          SELECT w1, w2, w3, c123,
+                 SUM(c123)  OVER (PARTITION BY w1, w2) AS ctx12,
+                 COUNT(*)   OVER (PARTITION BY w1, w2) AS n1f12,
+                 COUNT(*)   OVER (PARTITION BY w2, w3) AS n1mid,
+                 COUNT(*)   OVER (PARTITION BY w2)     AS ctx2,
+                 COUNT(DISTINCT w3) OVER (PARTITION BY w2) AS n1f2,
+                 COUNT(DISTINCT w2) OVER (PARTITION BY w3) AS n1uni
+          FROM tc),
+        bt AS (SELECT count(*) AS B2 FROM (SELECT DISTINCT w2, w3 FROM tc)),
+        per AS (
+          SELECT t.doc_id,
+                 -ln((c123 - 0.75) / ctx12
+                     + 0.75 * n1f12 / ctx12
+                       * ((n1mid - 0.75) / ctx2
+                          + 0.75 * n1f2 / ctx2 * (CAST(n1uni AS DOUBLE) / B2))) AS s
+          FROM tris t JOIN scored USING (w1, w2, w3) CROSS JOIN bt)
+        SELECT doc_id,
+               count(*) AS n_trigrams,
+               round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_kn3_surprisal
+        FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
 # r7b: streaming session windows — gaps-and-islands with the
 # session_window boundary rule (an event at EXACTLY last_ts+gap still
 # merges — the boundary is inclusive, pinned by test; new session only
@@ -3365,6 +3411,49 @@ ORACLES["hll_distinct_by_source"] = r"""
                round((f.n_est - x.n_exact) / CAST(x.n_exact AS DOUBLE), 6) AS rel_err
         FROM exact x JOIN fin f ON f.source = x.source
         ORDER BY x.source
+"""
+
+# r8: the persisted-store cross-day merge. The oracle IS the full-corpus
+# register replay (identical CTE chain to hll_distinct_by_source up to
+# `fin`): register-wise MAX over the union of day stores must equal the
+# registers of the whole corpus, so grading the merged estimate against
+# the full-corpus estimate is exactly the mergeability contract.
+ORACLES["hll_store_merged_counts"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5('hll-v1:' || tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM tok),
+        rr AS (SELECT source, h & 31 AS bucket, h >> 5 AS rem FROM h),
+        s1 AS (SELECT source, bucket, rem | (rem >> 1) AS x FROM rr),
+        s2 AS (SELECT source, bucket, x | (x >> 2) AS x FROM s1),
+        s3 AS (SELECT source, bucket, x | (x >> 4) AS x FROM s2),
+        s4 AS (SELECT source, bucket, x | (x >> 8) AS x FROM s3),
+        s5 AS (SELECT source, bucket, x | (x >> 16) AS x FROM s4),
+        s6 AS (SELECT source, bucket, x | (x >> 32) AS x FROM s5),
+        regs AS (
+          SELECT source, bucket, MAX(56 - bit_count(x)) AS reg
+          FROM s6 GROUP BY source, bucket),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT) AS s_present
+          FROM regs GROUP BY source),
+        e AS (
+          SELECT source,
+                 32 - nb AS v,
+                 713.728e0 * 72057594037927936e0
+                   / CAST(s_present + CAST(32 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS e_raw
+          FROM agg)
+        SELECT source,
+               round(CASE WHEN e_raw <= 80.0e0 AND v > 0
+                          THEN 32.0e0 * ln(32.0e0 / CAST(v AS DOUBLE))
+                          ELSE e_raw END, 6) AS n_est
+        FROM e ORDER BY source
 """
 
 # r7e: per-label centroid outliers — the centroid never becomes a mean

@@ -1022,6 +1022,54 @@ def text_kn_surprisal(spark, sf_dir):
     return textstats.kn_surprisal(docs).orderBy("doc_id")
 
 
+def hll_store_merged_counts(spark, sf_dir):
+    """Cross-session HLL merge THROUGH the persisted register store
+    (new r8, r7 VERDICT Next #5): the corpus splits into two "days"
+    (doc_id parity), each day's registers are written to their own
+    ``hll_registers_write`` store, then both stores are LOADED and
+    register-wise MAXed — and the merged estimate must equal the
+    full-corpus estimate bit-for-bit, which is exactly what the oracle
+    (the full-corpus portable-HLL SQL replay) grades. This is the
+    100-TB nightly shape: each day summarizes its own text once into
+    |groups|·m integer registers; cross-day distinct counts never
+    re-read any day's text."""
+    import tempfile
+
+    from lovdata_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_registers_load,
+        hll_registers_merge,
+        hll_registers_write,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    d1 = tempfile.mkdtemp(prefix="hll_day1_")
+    d2 = tempfile.mkdtemp(prefix="hll_day2_")
+    hll_registers_write(
+        hll_registers(docs.filter(F.col("doc_id") % 2 == 0), p=5), d1, p=5
+    )
+    hll_registers_write(
+        hll_registers(docs.filter(F.col("doc_id") % 2 == 1), p=5), d2, p=5
+    )
+    r1, p1, g1 = hll_registers_load(spark, d1)
+    r2, _, _ = hll_registers_load(spark, d2)
+    merged = hll_registers_merge([r1, r2], group_col=g1)
+    return hll_estimate(merged, p=p1).orderBy("source")
+
+
+def text_kn_trigram_surprisal(spark, sf_dir):
+    """Interpolated TRIGRAM Kneser–Ney surprisal (new r8, r7 VERDICT
+    Next #8): two back-off levels — absolute discounting at the
+    trigram order, continuation-count distributions at the bigram and
+    unigram orders — the production CCNet-style LM-filter order. Same
+    fixed-point accumulation discipline as the bigram row (9-dp
+    rounds, DECIMAL(18,9) sums); the model is four hash aggregates
+    over the trigram-TYPE frame, never the token stream."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return textstats.kn_trigram_surprisal(docs).orderBy("doc_id")
+
+
 def quality_blend_documents(spark, sf_dir):
     """Multi-signal quality blending (new r7b): four 6-dp-rounded
     signals (stopword fraction, alpha-word fraction, word-length
@@ -3141,7 +3189,14 @@ QUERIES = {
     # knn_classify_embeddings r6-green in the tail).
     "embedding_outliers_by_label": embedding_outliers_by_label,
     "mixture_plan_by_source": mixture_plan_by_source,
-    "token_length_band_documents": token_length_band_documents,
+    # text_kn_trigram_surprisal (new r8) enters at birth: interpolated
+    # trigram Kneser–Ney — two back-off levels with continuation-count
+    # lower orders, the last step to a production CCNet-style LM
+    # filter. Demoted in exchange: token_length_band_documents (green
+    # r6+r7; the banding family keeps compression_band_report +
+    # perplexity_buckets_by_source graded, and the token-count
+    # arithmetic rides inside greedy_token_buckets, graded this round).
+    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,
     "vocab_drift_by_source": vocab_drift_by_source,
     "text_repetition_signals": text_repetition_signals,
     "perplexity_buckets_by_source": perplexity_buckets_by_source,
@@ -3175,6 +3230,14 @@ QUERIES = {
     # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
     # pinned by tests + the lg quantize CLI surface).
     "hll_distinct_by_source": hll_distinct_by_source,
+    # hll_store_merged_counts (new r8) enters at birth: the persisted
+    # HLL register store's cross-day merge — day1 ∪ day2 registers
+    # loaded from disk, MAXed, estimated, graded bit-for-bit against
+    # the full-corpus SQL replay. Demoted in exchange:
+    # text_stopword_ratios (green r1+r2+r7; the stopword/quality
+    # arithmetic stays graded via text_repetition_signals and
+    # quality_blend_documents, whose s_stop signal is this ratio).
+    "hll_store_merged_counts": hll_store_merged_counts,
     # --- NEW r7 operators (in-window at birth, per the attestation rule):
     # --- the first driver-graded STREAMING row (readStream + AvailableNow
     # --- + applyInPandasWithState, oracled against batch explode+count)
@@ -3411,6 +3474,7 @@ QUERIES = {
     "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1+r2+r7; demoted r8 (fingerprint grouping graded via dedup_keep_best_quality + paragraph_dedup)
     "text_token_counts": text_token_counts,              # green r1+r2+r7; demoted r8 (token-count machinery graded via greedy_token_buckets + positional_ids + chunk pipeline)
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword/quality arithmetic graded via text_repetition_signals + quality_blend_documents)
+    "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report + perplexity_buckets; token counts via greedy_token_buckets)
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
     "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
     "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)

@@ -106,6 +106,38 @@ def test_phrase_cli_index_roundtrip(spark, tmp_path, docs_parquet, capsys):
     assert _n_persistent_rdds(spark) == 0
 
 
+def test_sketch_hll_store_write_merge_round_trip(
+    spark, tmp_path, docs_parquet, capsys
+):
+    """r8 (VERDICT Next #5): day stores written via the CLI, merged via
+    --merge-stores, must estimate exactly like one full-corpus run —
+    the cross-session registers-only merge."""
+    docs = spark.read.parquet(docs_parquet)
+    d1, d2 = tmp_path / "day1", tmp_path / "day2"
+    docs.filter("doc_id % 2 = 0").write.parquet(str(tmp_path / "p1"))
+    docs.filter("doc_id % 2 = 1").write.parquet(str(tmp_path / "p2"))
+    for src, store in ((tmp_path / "p1", d1), (tmp_path / "p2", d2)):
+        rc = main(["sketch", "--input", str(src), "--mode", "hll",
+                   "--output", str(store)])
+        assert rc == 0
+    capsys.readouterr()
+    rc = main(["sketch", "--mode", "hll", "--merge-stores", f"{d1},{d2}"])
+    assert rc == 0
+    merged = {json.loads(l)["source"]: json.loads(l)["n_est"]
+              for l in capsys.readouterr().out.strip().splitlines()}
+    rc = main(["sketch", "--input", docs_parquet, "--mode", "hll"])
+    assert rc == 0
+    full = {json.loads(l)["source"]: json.loads(l)["n_est"]
+            for l in capsys.readouterr().out.strip().splitlines()}
+    assert merged == full
+    params = json.load(open(os.path.join(str(d1), "_hll_params.json")))
+    assert params["p"] == 5 and params["salt"] == "hll-v1"
+
+
+def test_sketch_merge_stores_requires_hll(docs_parquet, capsys):
+    assert main(["sketch", "--mode", "cms", "--merge-stores", "/nope"]) == 2
+
+
 def test_phrase_cli_arg_validation(docs_parquet, capsys):
     assert main(["phrase", "--input", docs_parquet]) == 2
     assert main(["phrase", "--phrase", "x"]) == 2
