@@ -3320,6 +3320,21 @@ ORACLES["streaming_dedup_counts"] = """
         FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# r8: the stream-stream interval join drain == the batch theta join —
+# purchases joined to same-user clicks in the two hours before them,
+# inclusive on both bounds (the Spark condition is r_ts <= ts AND
+# r_ts >= ts - INTERVAL, mirrored exactly).
+ORACLES["streaming_interval_join_counts"] = """
+        SELECT l.user_id, count(*) AS n_pairs
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'click'
+         AND r.ts <= l.ts
+         AND r.ts >= l.ts - INTERVAL 2 HOUR
+        GROUP BY l.user_id
+        ORDER BY l.user_id
+"""
+
 # r7d: count-min sketch replayed cell-for-cell — the bucket hash is the
 # portable 60-bit md5 (the simhash/classifier convention), counts are
 # integers, and the estimate is an integer MIN over d cells, so the

@@ -2969,6 +2969,76 @@ def streaming_dedup_counts(spark, sf_dir):
     )
 
 
+def streaming_interval_join_counts(spark, sf_dir):
+    """Fourth driver-GRADED streaming row (new r8, r7 VERDICT Next #6):
+    STREAM-STREAM interval join — two ``readStream`` file sources over
+    the same event log (purchases on the left, clicks on the right),
+    watermarked on both sides, inner-joined on user with the click
+    bounded to the two hours BEFORE the purchase (the both-directions
+    time bound is what lets Spark evict join state), drained with
+    ``Trigger.AvailableNow`` into a ``foreachBatch`` landing, then
+    rolled up to pairs-per-user. The watermark is set past the data
+    span so the drain must produce EVERY qualifying pair; the oracle
+    replays the equivalent batch theta join. The count(*) rollup is
+    the grading teeth: any pair the join state dropped or emitted
+    twice breaks the hash. Streaming coverage now spans stateful agg,
+    session windows, dedup, AND joins."""
+    import os
+    import tempfile
+
+    from lovdata_pipeline_spark.streaming.windows import interval_join
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def mk_stream(tag):
+        d = tempfile.mkdtemp(prefix=f"stream_ij_{tag}_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        s = spark.readStream.schema(raw.schema).parquet(d)
+        if dict(raw.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    left = (
+        mk_stream("l")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    right = (
+        mk_stream("r")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    joined = interval_join(
+        left, right, on="user_id", lookback="2 hours", watermark="3650 days"
+    ).select("user_id", "event_id", "click_id")
+    out_dir = tempfile.mkdtemp(prefix="stream_ij_out_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_ij_chk_")
+
+    def land(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("user_id long, event_id long, click_id long")
+        .parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def cms_token_estimates(spark, sf_dir):
     """Count-min sketch frequency estimates vs exact counts (new r7d):
     the corpus token stream folds into a 2×16 CMS (deliberately narrow
@@ -3349,6 +3419,15 @@ QUERIES = {
     # dropDuplicatesWithinWatermark → AvailableNow drain, hash-matched
     # against batch COUNT(DISTINCT).
     "streaming_dedup_counts": streaming_dedup_counts,
+    # streaming_interval_join_counts (new r8) enters at birth: the
+    # FOURTH driver-graded streaming row — a watermarked stream-stream
+    # interval join (purchases ⋈ preceding clicks), AvailableNow drain
+    # oracled against the batch theta join. Demoted in exchange:
+    # dedup_embedding_cosine_blocked (green r1+r7; the blocked-matmul
+    # path stays graded via embedding_outliers_by_label +
+    # ann_pca_rerank_recall_embeddings, with semantic-dedup twins
+    # attested in the tail).
+    "streaming_interval_join_counts": streaming_interval_join_counts,
     "decontam_remove_spans": decontam_remove_spans,
     # quality_blend_documents (new r7b) enters at birth: per-source
     # min-max-normalized multi-signal blending + banding — the score-
