@@ -859,6 +859,51 @@ def cmd_classifier(args) -> int:
     return 0
 
 
+def cmd_rank(args) -> int:
+    """Graph centrality over an embeddings parquet (the graph family's
+    CLI face, r7 VERDICT Next #7): build the exact (or
+    ``--candidates ivf`` sublinear) k-NN cosine graph, optionally
+    persist the edge list with ``--edges-output``, run the
+    integer-exact damped PageRank, and print the ``--top`` most
+    central nodes as JSON lines. ``--edges`` ranks a PREVIOUSLY saved
+    edge parquet instead — re-ranking (different damping/iterations)
+    never rebuilds the graph, the expensive stage."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.graph import knn_edges, pagerank_quantized
+
+    spark = _spark("lg-rank")
+    if args.edges:
+        edges = spark.read.parquet(args.edges)
+    else:
+        if not args.input:
+            print("error: need --input embeddings (or --edges saved-edge parquet)")
+            return 2
+        emb = spark.read.parquet(args.input)
+        edges = knn_edges(
+            emb,
+            k=args.k,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            candidates=args.candidates,
+            n_cells=args.cells,
+            n_probe=args.probe,
+        )
+        if args.edges_output:
+            edges.write.mode("overwrite").parquet(args.edges_output)
+            edges = spark.read.parquet(args.edges_output)
+            print(_json.dumps({"edges": args.edges_output, "status": "written"}))
+    ranks = pagerank_quantized(
+        edges, damping_pct=args.damping_pct, n_iter=args.iterations
+    )
+    out = ranks.orderBy(F.col("rank_q").desc(), "node").limit(args.top)
+    for row in out.collect():
+        print(_json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build a PERSISTED IVF index over an embeddings parquet: the
     corpus rewritten as parquet PARTITIONED BY cell plus an
@@ -1444,6 +1489,21 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--id-col", default="doc_id")
     cf.add_argument("--text-col", default="text")
     cf.set_defaults(func=cmd_classifier)
+
+    rk = sub.add_parser("rank", help="k-NN graph + PageRank centrality over embeddings (graph family CLI)")
+    rk.add_argument("--input", help="embeddings parquet path (graph build source)")
+    rk.add_argument("--edges", help="rank a previously saved edge parquet instead of building")
+    rk.add_argument("--edges-output", help="persist the built edge list to this parquet path")
+    rk.add_argument("-k", type=int, default=3, help="out-degree of the k-NN graph")
+    rk.add_argument("--candidates", choices=["blocked", "ivf"], default="blocked", help="candidate stage: exact block-pair BLAS or sublinear IVF probing")
+    rk.add_argument("--cells", type=int, default=16, help="ivf: number of cells")
+    rk.add_argument("--probe", type=int, default=4, help="ivf: cells probed per source")
+    rk.add_argument("--damping-pct", type=int, default=85)
+    rk.add_argument("--iterations", type=int, default=3)
+    rk.add_argument("--top", type=int, default=10, help="central nodes printed")
+    rk.add_argument("--id-col", default="vec_id")
+    rk.add_argument("--vec-col", default="embedding")
+    rk.set_defaults(func=cmd_rank)
 
     ix = sub.add_parser("index", help="build a persisted IVF index (parquet partitioned by cell + centroid params)")
     ix.add_argument("--input", required=True, help="embeddings parquet path")

@@ -69,6 +69,75 @@ class TestTrigramKN:
         assert a == b
 
 
+class TestKnnEdgesIvfCandidates:
+    def _clusters(self, spark):
+        """Four tight, well-separated clusters on the unit sphere: each
+        vector's true k-NN are its own cluster-mates, so probing the
+        own-cluster cells recovers the exact graph."""
+        import math
+
+        rows = []
+        anchors = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+                   (-1.0, 0.0, 0.0)]
+        vid = 0
+        for ci, (ax, ay, az) in enumerate(anchors):
+            for j in range(15):
+                eps = 1e-3 * (j + 1)
+                vec = [ax + eps * math.sin(j), ay + eps * math.cos(j),
+                       az + eps * math.sin(2 * j)]
+                rows.append((vid, vec))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_ivf_equals_blocked_on_clustered_data(self, spark):
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+
+        vecs = self._clusters(spark)
+        exact = sorted(map(tuple, knn_edges(vecs, k=3).collect()))
+        ivf = sorted(map(tuple, knn_edges(
+            vecs, k=3, candidates="ivf", n_cells=8, n_probe=4
+        ).collect()))
+        assert ivf == exact
+
+    def test_ivf_full_probe_degrades_to_exact(self, spark):
+        """n_probe = n_cells probes every cell — the graceful
+        degradation bound: exact on ANY data, clustered or not."""
+        import math
+
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+
+        rows = [(i, [math.cos(0.37 * i + 0.1 * j) for j in range(8)])
+                for i in range(40)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = sorted(map(tuple, knn_edges(vecs, k=3).collect()))
+        ivf = sorted(map(tuple, knn_edges(
+            vecs, k=3, candidates="ivf", n_cells=4, n_probe=4
+        ).collect()))
+        assert ivf == exact
+
+    def test_ivf_excludes_self_and_zero_norm(self, spark):
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+             (4, [0.1, 0.9]), (5, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        edges = knn_edges(vecs, k=2, candidates="ivf", n_cells=2, n_probe=2).collect()
+        assert 5 not in {r.src for r in edges}
+        assert all(r.dst != 5 and r.src != r.dst for r in edges)
+
+    def test_unknown_candidates_raises(self, spark):
+        import pytest
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="candidates"):
+            knn_edges(vecs, candidates="nope")
+
+
 class TestHllRegisterStore:
     def _docs(self, spark, rows):
         return spark.createDataFrame(rows, "doc_id long, source string, text string")
