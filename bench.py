@@ -131,6 +131,10 @@ HEADLINE = [
     # --- r7e additions ---
     "embedding_outliers_by_label",
     "phrase_search_documents",
+    # --- r8 additions ---
+    "text_kn_trigram_surprisal",
+    "hll_store_merged_counts",
+    "streaming_interval_join_counts",
 ]
 
 

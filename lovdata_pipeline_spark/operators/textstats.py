@@ -2295,8 +2295,10 @@ def kn_trigram_surprisal(
     never corpus-token-bounded): types → ctx12 (per-prefix mass +
     fan-out), → mid (distinct-w₁ continuation counts per (w₂,w₃)),
     → ctx2/uni (per-w₂ and per-w₃ fan-outs of mid), and the 1-row
-    type total broadcasts. Scoring re-attaches by equi-join; AQE
-    absorbs stopword-prefix skew."""
+    type total broadcasts. The fan-outs join back onto the TYPE table
+    (type-scale joins), so the token-scale trigram stream pays exactly
+    ONE equi-join against the scored types — the same shape as the
+    oracle; AQE absorbs stopword-prefix skew."""
     d = float(discount)
     w = _words(text_col)
     tri_len = F.greatest(F.size(w) - 2, F.lit(1))
@@ -2338,19 +2340,23 @@ def kn_trigram_surprisal(
     p = (F.col("c123") - F.lit(d)) / F.col("ctx12") + F.lit(d) * F.col(
         "n1f12"
     ) / F.col("ctx12") * p_cont
-    s = -F.log(p)
-    return (
-        tris.join(tc, ["w1", "w2", "w3"])
-        .join(ctx12, ["w1", "w2"])
+    # score the TYPE table (type-scale joins only), then charge the
+    # token-scale stream exactly one equi-join against the scored types
+    scored_types = (
+        tc.join(ctx12, ["w1", "w2"])
         .join(mid, ["w2", "w3"])
         .join(ctx2, "w2")
         .join(uni, "w3")
         .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", F.round(-F.log(p), 9).alias("s9"))
+    )
+    return (
+        tris.join(scored_types, ["w1", "w2", "w3"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_trigrams"),
             F.round(
-                F.sum(F.round(s, 9).cast("decimal(18,9)")).cast("double")
+                F.sum(F.col("s9").cast("decimal(18,9)")).cast("double")
                 / F.count("*"),
                 6,
             ).alias("mean_kn3_surprisal"),

@@ -1,0 +1,81 @@
+"""Bench line for graph.knn_edges candidate stages (r7 VERDICT Next
+#2's evidence): time blocked (exact, O(N²/B)) vs ivf (sublinear
+probing) candidate generation at two corpus sizes — sf0.1 (2 000
+vectors, where fixed overhead dominates and blocked wins) and the
+generated sf1 (20 000 vectors, where the quadratic term surfaces and
+ivf wins) — medians of --reps noop materializations, merged into
+BENCH_LOCAL.json under "knn_candidates_compare".
+
+Usage: python tools/knn_compare.py [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+POINTS = [
+    ("sf0.1", "/root/testdata/sf0.1", 16),
+    ("sf1", os.path.join(REPO, ".scale", "sf1"), 64),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from lovdata_pipeline_spark.operators.graph import knn_edges
+    from lovdata_pipeline_spark.session import get_spark
+
+    spark = get_spark("knn-compare")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    result = {
+        "note": (
+            "ivf is approximate (recall = data property; see "
+            "operators/graph.py); n_cells scales with N to hold cell "
+            "size, n_probe=4"
+        )
+    }
+    for label, sf_dir, n_cells in POINTS:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        n = emb.count()
+
+        def measure(**kw):
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                knn_edges(emb, k=3, **kw).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            return round(samples[len(samples) // 2], 3)
+
+        blocked = measure()
+        ivf = measure(candidates="ivf", n_cells=n_cells, n_probe=4)
+        result[label] = {
+            "n_vectors": n,
+            "blocked_sec": blocked,
+            "ivf_sec": ivf,
+            "speedup": round(blocked / ivf, 2),
+        }
+        print(label, json.dumps(result[label]), flush=True)
+    spark.stop()
+    bench_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    bench = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
+    bench["knn_candidates_compare"] = result
+    with open(bench_path, "w") as fh:
+        json.dump(bench, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,8 @@ CROSS_JOIN_OK = {
     # Kneser–Ney: the 1-row distinct-bigram-type total B rides the same
     # scalar broadcast as the unigram/bigram surprisal forms.
     "text_kn_surprisal",
+    # trigram form: the same 1-row type-total (B2) scalar broadcast.
+    "text_kn_trigram_surprisal",
     # collocation PMI: TWO 1-row scalar broadcasts (unigram total Tu,
     # bigram total Tb) — the bm25/surprisal shape; the vocabulary
     # re-attach joins are plain equi-joins.

@@ -1,0 +1,136 @@
+"""Generate an sf1-scale synthetic corpus for the scale-ladder bench.
+
+The driver ships sf0.001/0.01/0.1 only; the ladder (SCALING.md) needs a
+third decade to measure per-query scaling exponents. This generator
+does NOT copy or replicate driver rows (replication would plant a
+pathological duplicate structure — every fingerprint group 10×, every
+near-dup pair count ~100×, poisoning exactly the queries the ladder
+audits). Instead it regenerates the same statistical shape the driver
+data exhibits, measured from sf0.1:
+
+documents (50 000 rows = 10× sf0.1):
+  * text: 10–100 words (uniform), drawn uniformly from the same
+    30-token vocabulary; ~5 % of docs carry one planted 'dup' token
+    (250/5 000 at sf0.1); 80 exact-duplicate text pairs planted
+    proportionally (8 groups / 5 000 at sf0.1).
+  * lang ∈ {en de fr zh es}, source ∈ src0..src19, n_chars = len(text).
+
+embeddings (20 000 rows = 10× sf0.1): 64-dim UNIT float vectors
+  (hash-uniform components, normalized — sf0.1 vectors are unit-norm),
+  label ∈ 0..9.
+
+Everything derives from xxhash64 of the row id — deterministic,
+generated entirely JVM-side from ``spark.range`` (no driver loops, no
+Python rows), so regenerating yields identical parquet values.
+
+Usage: python tools/scaleup.py [out_dir]  (default /root/repo/.scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lovdata_pipeline_spark.session import get_spark  # noqa: E402
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+
+
+def _h(*cols):
+    return F.xxhash64(*cols)
+
+
+def write_documents(spark, path: str) -> None:
+    base = spark.range(N_DOCS).withColumnRenamed("id", "doc_id")
+    # 80 planted exact-duplicate pairs: ids ≡ 624 (mod 625) reuse the
+    # previous id's text — proportional to sf0.1's 8 groups per 5 000
+    eff = F.when(
+        F.pmod(F.col("doc_id"), F.lit(625)) == 624, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    n_words = (F.pmod(_h(eff, F.lit("nw")), F.lit(91)) + 10).cast("int")
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: F.element_at(
+            vocab, (F.pmod(_h(eff, j, F.lit("tok")), F.lit(len(VOCAB))) + 1).cast("int")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    # ~5 % of docs append one 'dup' token (250/5 000 at sf0.1)
+    text = F.when(
+        F.pmod(_h(eff, F.lit("dup")), F.lit(20)) == 0,
+        F.concat(text, F.lit(" dup")),
+    ).otherwise(text)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ("en", "de", "fr", "zh", "es")]),
+        (F.pmod(_h(F.col("doc_id"), F.lit("lang")), F.lit(5)) + 1).cast("int"),
+    )
+    source = F.concat(
+        F.lit("src"), F.pmod(_h(F.col("doc_id"), F.lit("src")), F.lit(20))
+    )
+    out = base.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def write_embeddings(spark, path: str) -> None:
+    base = spark.range(N_VECS).withColumnRenamed("id", "vec_id")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(_h(F.col("vec_id"), j, F.lit("emb")), F.lit(2_000_001))
+            / F.lit(1_000_000.0)
+            - F.lit(1.0)
+        ),
+    )
+    out = base.select("vec_id", raw.alias("_raw")).select(
+        "vec_id",
+        F.transform(
+            F.col("_raw"),
+            lambda x: (
+                x
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("_raw"), F.lit(0.0), lambda s, y: s + y * y
+                    )
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(_h(F.col("vec_id"), F.lit("label")), F.lit(10))
+        .cast("int")
+        .alias("label"),
+    )
+    out.repartition(16).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("scaleup-sf1")
+    write_documents(spark, os.path.join(out_dir, "documents.parquet"))
+    write_embeddings(spark, os.path.join(out_dir, "embeddings.parquet"))
+    d = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    e = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+    print(f"sf1 written to {out_dir}: documents={d.count()} embeddings={e.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

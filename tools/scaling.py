@@ -1,0 +1,160 @@
+"""Scale-ladder bench: measure the most expensive headline queries at
+three input decades and report per-query scaling exponents (r7 VERDICT
+Next #4 — "prove the 100×-scale claim empirically").
+
+Ladder points: sf0.01 and sf0.1 (driver testdata) plus the generated
+sf1 (tools/scaleup.py — same statistical shape, 10× sf0.1 rows). The
+x-axis per query is its PRIMARY TABLE's row count (documents and
+embeddings do not scale at the same rate in the driver data), and the
+reported exponent is
+
+    alpha = log(t_hi / t_lo) / log(n_hi / n_lo)
+
+between the top two decades (the largest inputs dominate noise least);
+alpha ≈ 1 is linear scaling, the target for every audited query.
+
+Each (query, sf) point is the median of REPS noop-write materializations
+in one shared JVM (the bench.py policy), caches released between reps.
+
+Usage: python tools/scaling.py [--reps 3] [--queries a,b,c]
+Writes: prints the table, merges a "scaling_ladder" object into
+BENCH_LOCAL.json, and rewrites the ladder section of SCALING.md between
+its markers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: query -> primary table (the x-axis of its exponent)
+LADDER_QUERIES = {
+    "pretraining_pipeline": "documents",
+    "pagerank_doc_graph": "embeddings",
+    "decontam_remove_spans": "documents",
+    "exact_contamination_documents": "documents",
+    "ann_pca_rerank_recall_embeddings": "embeddings",
+    "curation_pipeline": "documents",
+    "dedup_components": "documents",
+    "text_repetition_signals": "documents",
+    "dedup_ngram_jaccard": "documents",
+    "bitext_mine_margin": "embeddings",
+}
+
+SF_DIRS = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", os.path.join(REPO, ".scale", "sf1")),
+]
+
+MARK_BEGIN = "<!-- ladder:begin -->"
+MARK_END = "<!-- ladder:end -->"
+
+
+def _table_rows(spark, sf_dir):
+    rows = {}
+    for t in ("documents", "embeddings"):
+        rows[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--queries", help="comma-separated subset")
+    args = ap.parse_args()
+
+    from lovdata_pipeline_spark.operators.packing import release_offsets_caches
+    from lovdata_pipeline_spark.operators.textstats import release_textstats_caches
+    from lovdata_pipeline_spark.queries import QUERIES
+    from lovdata_pipeline_spark.session import get_spark
+
+    names = list(LADDER_QUERIES)
+    if args.queries:
+        names = [n for n in args.queries.split(",") if n]
+
+    spark = get_spark("scaling-ladder")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    counts = {label: _table_rows(spark, d) for label, d in SF_DIRS}
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        table = LADDER_QUERIES.get(name, "documents")
+        per_sf = {}
+        for label, d in SF_DIRS:
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                release_offsets_caches()
+                release_textstats_caches()
+                spark.catalog.clearCache()
+            samples.sort()
+            per_sf[label] = round(samples[len(samples) // 2], 3)
+            print(f"  {name} @ {label}: {per_sf[label]}s (n={counts[label][table]})",
+                  flush=True)
+        n_lo, n_hi = counts["sf0.1"][table], counts["sf1"][table]
+        t_lo, t_hi = per_sf["sf0.1"], per_sf["sf1"]
+        alpha = math.log(t_hi / t_lo) / math.log(n_hi / n_lo)
+        n0, t0_ = counts["sf0.01"][table], per_sf["sf0.01"]
+        alpha_lo = math.log(t_lo / t0_) / math.log(n_lo / n0)
+        results[name] = {
+            "table": table,
+            "times": per_sf,
+            "rows": {label: counts[label][table] for label, _ in SF_DIRS},
+            "alpha_top": round(alpha, 2),
+            "alpha_low": round(alpha_lo, 2),
+        }
+    spark.stop()
+
+    # render the markdown table
+    lines = [
+        "| query | table | sf0.01 s | sf0.1 s | sf1 s | alpha (0.1→1) | alpha (0.01→0.1) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        t = r["times"]
+        lines.append(
+            f"| {name} | {r['table']} | {t['sf0.01']} | {t['sf0.1']} | {t['sf1']} "
+            f"| {r['alpha_top']} | {r['alpha_low']} |"
+        )
+    table_md = "\n".join(lines)
+    print(table_md)
+
+    bench_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            bench = json.load(fh)
+    else:
+        bench = {}
+    bench["scaling_ladder"] = results
+    with open(bench_path, "w") as fh:
+        json.dump(bench, fh, indent=2)
+
+    scaling_path = os.path.join(REPO, "SCALING.md")
+    content = open(scaling_path).read() if os.path.exists(scaling_path) else ""
+    block = f"{MARK_BEGIN}\n{table_md}\n{MARK_END}"
+    if MARK_BEGIN in content:
+        pre = content.split(MARK_BEGIN)[0]
+        post = content.split(MARK_END)[1]
+        content = pre + block + post
+        with open(scaling_path, "w") as fh:
+            fh.write(content)
+        print(f"updated ladder section in {scaling_path}")
+    else:
+        print("SCALING.md has no ladder markers; add them and re-run "
+              "(table printed above)")
+
+
+if __name__ == "__main__":
+    main()
