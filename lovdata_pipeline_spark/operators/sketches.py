@@ -277,6 +277,94 @@ def hll_registers_load(spark, path: str):
     return spark.read.parquet(path), int(params["p"]), params["group_col"]
 
 
+#: salt namespacing the Bloom filter's hash family.
+BLOOM_SALT = "bloom-v1"
+
+
+def bloom_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter over the corpus token set → (word_idx, bits): the
+    m-bit array packed into m/64 BIGINT words (Bloom 1970) — the
+    MEMBERSHIP sketch completing the family (CMS = frequency, HLL =
+    cardinality). Each token sets k bits, one per salted 60-bit md5
+    hash; the aggregate's key space is m/64 words, so every partition
+    collapses to a full filter map-side and the shuffle moves words,
+    not tokens — and merging filters IS this bit_or aggregate over
+    their union (the mergeable-sketch property, pinned in tests).
+
+    Words carry 63 bits each (positions pack as ``pos div 63`` /
+    ``pos % 63``): the sign bit stays clear, because DuckDB's ``<<``
+    raises on 1 << 63 where Spark's wraps — 63-bit lanes make the
+    replay exact in both engines with no overflow branch."""
+    tok = docs.select(F.explode(textstats._words(text_col)).alias("tok")).distinct()
+    probes = tok.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r")
+    ).select(
+        F.pmod(
+            portable_token_hash(
+                F.concat(F.col("r").cast("string"), F.lit(f":{BLOOM_SALT}:"), F.col("tok"))
+            ),
+            F.lit(m_bits),
+        ).alias("pos")
+    )
+    return (
+        probes.select(
+            F.expr("pos div 63").cast("int").alias("word_idx"),
+            # shiftleft() wants a python-int shift; the per-row shift
+            # rides an expr (the hll_estimate convention)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 63) AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    token_col: str = "token",
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Membership query → (token, in_filter): true iff ALL k bits are
+    set. No false negatives ever; false positives at the classic
+    (1 − e^{−kn/m})^k rate — deterministic ones (the hash family is
+    fixed), so even the false positives replay bit-for-bit in SQL.
+    ``m_bits``/``k`` must match the build. Probes are |tokens|·k rows
+    against the ≤ m/64-row filter — broadcast-sized."""
+    probes = (
+        tokens.select(F.col(token_col).alias("token"))
+        .distinct()
+        .select("token", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r"))
+        .select(
+            "token",
+            F.pmod(
+                portable_token_hash(
+                    F.concat(F.col("r").cast("string"), F.lit(f":{BLOOM_SALT}:"), F.col("token"))
+                ),
+                F.lit(m_bits),
+            ).alias("pos"),
+        )
+        .select(
+            "token",
+            F.expr("pos div 63").cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 63) AS INT))").alias("mask"),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")
+    ).cast("int")
+    return (
+        probes.join(sketch, "word_idx", "left")
+        .groupBy("token")
+        .agg((F.min(hit) == 1).alias("in_filter"))
+    )
+
+
 def hll_registers_merge(stores: list, group_col: str = "source") -> DataFrame:
     """Register-wise MAX across register frames — the HLL merge. The
     union is |stores|·|groups|·m rows (parameter-bounded, never

@@ -3428,6 +3428,104 @@ ORACLES["hll_distinct_by_source"] = r"""
         ORDER BY x.source
 """
 
+# r8: Bloom filter replayed word-for-word — positions from the portable
+# salted 60-bit md5 hash (the CMS/HLL convention), bits packed into
+# 63-bit BIGINT lanes (DuckDB's << raises on 1 << 63 where Spark's
+# wraps, so the sign bit stays clear of the format), membership = min
+# over the k mask tests. m=128 deliberately narrow: the graded rows
+# include deterministic FALSE POSITIVES, not just trivial hits.
+ORACLES["bloom_token_membership"] = r"""
+        WITH words AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w <> '')) AS w
+          FROM documents),
+        vocab AS (SELECT DISTINCT w AS tok FROM words),
+        ks AS (SELECT unnest(generate_series(0, 2)) AS r),
+        pos AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':bloom-v1:' || tok), 1, 15)) AS UBIGINT) AS BIGINT) % 128 AS p
+          FROM vocab CROSS JOIN ks),
+        filt AS (
+          SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+          FROM pos GROUP BY 1),
+        top10 AS (
+          SELECT w AS token FROM words GROUP BY w
+          ORDER BY count(*) DESC, w LIMIT 10),
+        absent AS (
+          SELECT 'absent' || CAST(i AS VARCHAR) AS token
+          FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+        probes AS (SELECT token FROM top10 UNION ALL SELECT token FROM absent),
+        pw AS (
+          SELECT token,
+                 CAST(pp // 63 AS INTEGER) AS word_idx,
+                 CAST(1 AS BIGINT) << CAST(pp % 63 AS INTEGER) AS mask
+          FROM (
+            SELECT token,
+                   CAST(CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':bloom-v1:' || token), 1, 15)) AS UBIGINT) AS BIGINT) % 128 AS pp
+            FROM probes CROSS JOIN ks)),
+        hits AS (
+          SELECT token,
+                 min(CASE WHEN (coalesce(bits, 0) & mask) = mask THEN 1 ELSE 0 END) AS hit
+          FROM pw LEFT JOIN filt USING (word_idx)
+          GROUP BY token)
+        SELECT h.token,
+               h.hit = 1 AS in_filter,
+               (v.tok IS NOT NULL) AS present_exact
+        FROM hits h LEFT JOIN vocab v ON v.tok = h.token
+        ORDER BY h.token
+"""
+
+# r8: the k-NN graph's IVF candidate path, replayed end-to-end — sphere
+# normalization, portable md5-ordered centroid seeding over the
+# normalized vectors, assignment = argmax dot (ties to the lower cell,
+# numpy's stable argsort rule), probes = top-3 cells per source,
+# candidates = ALL probed-cell members (the Spark per-cell
+# top-(k+slack) margin cut can never drop a per-cell top-k member, so
+# it is invisible to the final edges), verdict = the standard 6-dp
+# list_dot_product cosine + dst tie-break. Every dst lives in exactly
+# one cell, so no candidate pair duplicates.
+ORACLES["knn_edges_ivf_embeddings"] = """
+        WITH nv AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+        good AS (
+          SELECT vec_id, ev, nrm,
+                 list_transform(ev, x -> x / nrm) AS uv
+          FROM nv WHERE nrm > 0),
+        c AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                 uv AS cv
+          FROM good
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT 8),
+        sims AS (
+          SELECT g.vec_id, c.cell,
+                 row_number() OVER (
+                   PARTITION BY g.vec_id
+                   ORDER BY list_dot_product(g.uv, c.cv) DESC, c.cell
+                 ) AS rn
+          FROM good g CROSS JOIN c),
+        assigned AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+        probes AS (SELECT vec_id, cell FROM sims WHERE rn <= 3),
+        cand AS (
+          SELECT p.vec_id AS src, a.vec_id AS dst
+          FROM probes p JOIN assigned a
+            ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+        scored AS (
+          SELECT cd.src, cd.dst,
+                 round(list_dot_product(gs.ev, gd.ev) / (gs.nrm * gd.nrm), 6) AS score
+          FROM cand cd
+          JOIN good gs ON gs.vec_id = cd.src
+          JOIN good gd ON gd.vec_id = cd.dst)
+        SELECT src, dst, score, rk FROM (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+          FROM scored)
+        WHERE rk <= 3
+        ORDER BY src, rk
+"""
+
 # r8: the persisted-store cross-day merge. The oracle IS the full-corpus
 # register replay (identical CTE chain to hll_distinct_by_source up to
 # `fin`): register-wise MAX over the union of day stores must equal the

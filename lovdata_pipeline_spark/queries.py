@@ -1022,6 +1022,73 @@ def text_kn_surprisal(spark, sf_dir):
     return textstats.kn_surprisal(docs).orderBy("doc_id")
 
 
+def bloom_token_membership(spark, sf_dir):
+    """Bloom-filter membership probes vs exact vocabulary (new r8):
+    the MEMBERSHIP sketch completing the SQL-replayable family (CMS =
+    frequency r7d, HLL = cardinality r7d, Bloom = membership). The
+    corpus token set folds into a deliberately NARROW m=128-bit filter
+    (k=3) so false positives genuinely occur against the 31-token
+    vocabulary — grading a collision-free filter would be vacuous —
+    then the exact top-10 tokens plus ten never-seen probes are
+    membership-tested. Output (token, in_filter, present_exact): no
+    false negatives ever; the false positives are DETERMINISTIC (fixed
+    salted md5 hash family) and the oracle replays every word's bits
+    and every probe's mask test exactly. At 100 TB the filter is m/64
+    BIGINT words: partials collapse map-side, the shuffle moves words,
+    and merging filters is the same bit_or aggregate."""
+    from lovdata_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    (docs,) = load(spark, sf_dir, "documents")
+    m_bits, k = 128, 3
+    sk = bloom_build(docs, m_bits=m_bits, k=k)
+    top = (
+        docs.select(F.explode(textstats._words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+        .select("token")
+    )
+    absent = spark.range(10).select(
+        F.concat(F.lit("absent"), F.col("id")).alias("token")
+    )
+    vocab = docs.select(
+        F.explode(textstats._words("text")).alias("token")
+    ).distinct()
+    res = bloom_probe(sk, top.unionByName(absent), m_bits=m_bits, k=k)
+    return (
+        res.join(vocab.withColumn("_p", F.lit(True)), "token", "left")
+        .select(
+            "token",
+            "in_filter",
+            F.coalesce(F.col("_p"), F.lit(False)).alias("present_exact"),
+        )
+        .orderBy("token")
+    )
+
+
+def knn_edges_ivf_embeddings(spark, sf_dir):
+    """The k-NN graph's SUBLINEAR candidate path, graded (new r8, past
+    the r7 VERDICT Next #2 ask of a pytest pin): ``knn_edges`` with
+    ``candidates='ivf'`` — unit-sphere coarse quantization into 8
+    portable-seeded cells, each source probing its 3 nearest cells,
+    BLAS scoring per cell, exact fold re-score verdict. The oracle
+    replays seeding (md5 id order), assignment and probing (dot
+    products on the normalized vectors, ties to the lower cell — the
+    stable-argsort rule), takes ALL probed-cell members as candidates
+    (the per-cell top-(k+slack) margin cut can never drop a per-cell
+    top-k member, so the cut is invisible to the final edges), and
+    ranks by the same 6-dp cosine + dst tie-break. Grading this row
+    certifies the approximation ITSELF is deterministic — the
+    blocked/exact form stays graded via pagerank_doc_graph."""
+    from lovdata_pipeline_spark.operators.graph import knn_edges
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return knn_edges(
+        emb, k=3, candidates="ivf", n_cells=8, n_probe=3
+    ).orderBy("src", "rk")
+
+
 def hll_store_merged_counts(spark, sf_dir):
     """Cross-session HLL merge THROUGH the persisted register store
     (new r8, r7 VERDICT Next #5): the corpus splits into two "days"
@@ -3258,7 +3325,14 @@ QUERIES = {
     # stays in-window via ann_pca_rerank_recall_embeddings, with
     # knn_classify_embeddings r6-green in the tail).
     "embedding_outliers_by_label": embedding_outliers_by_label,
-    "mixture_plan_by_source": mixture_plan_by_source,
+    # knn_edges_ivf_embeddings (new r8) enters at birth: the k-NN
+    # graph's sublinear IVF candidate path, graded end-to-end (the
+    # oracle replays sphere quantization, probing, and the exact
+    # re-score — certifying the approximation is deterministic).
+    # Demoted in exchange: mixture_plan_by_source (green r6+r7; the
+    # sampling/mixing family keeps stratified_split_exact graded, with
+    # epoch/temperature/weighted twins attested in the tail).
+    "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,
     # text_kn_trigram_surprisal (new r8) enters at birth: interpolated
     # trigram Kneser–Ney — two back-off levels with continuation-count
     # lower orders, the last step to a production CCNet-style LM
@@ -3270,7 +3344,6 @@ QUERIES = {
     "vocab_drift_by_source": vocab_drift_by_source,
     "text_repetition_signals": text_repetition_signals,
     "perplexity_buckets_by_source": perplexity_buckets_by_source,
-    "pca_variance_report_embeddings": pca_variance_report_embeddings,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
     "bpe_learned_merges": bpe_learned_merges,
     # phrase_search_documents (new r7e) enters at birth: exact phrase
@@ -3308,6 +3381,15 @@ QUERIES = {
     # arithmetic stays graded via text_repetition_signals and
     # quality_blend_documents, whose s_stop signal is this ratio).
     "hll_store_merged_counts": hll_store_merged_counts,
+    # bloom_token_membership (new r8) enters at birth: the membership
+    # sketch completing the SQL-replayable family — deliberately
+    # narrow (m=128) so deterministic false positives are graded, not
+    # just the trivial all-hits case. Demoted in exchange:
+    # pca_variance_report_embeddings (green r6+r7; the PCA fit
+    # machinery — Gram partials, eigen solve, variance ratios — rides
+    # graded inside ann_pca_rerank_recall_embeddings, which composes
+    # pca_fit end-to-end; the report projection is pytest-pinned).
+    "bloom_token_membership": bloom_token_membership,
     # --- NEW r7 operators (in-window at birth, per the attestation rule):
     # --- the first driver-graded STREAMING row (readStream + AvailableNow
     # --- + applyInPandasWithState, oracled against batch explode+count)
@@ -3554,6 +3636,8 @@ QUERIES = {
     "text_token_counts": text_token_counts,              # green r1+r2+r7; demoted r8 (token-count machinery graded via greedy_token_buckets + positional_ids + chunk pipeline)
     "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword/quality arithmetic graded via text_repetition_signals + quality_blend_documents)
     "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report + perplexity_buckets; token counts via greedy_token_buckets)
+    "mixture_plan_by_source": mixture_plan_by_source,    # green r6+r7; demoted r8 for knn_edges_ivf_embeddings' at-birth slot (sampling/mixing family graded via stratified_split_exact; epoch/temperature/weighted twins in tail)
+    "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6+r7; demoted r8 for bloom_token_membership's at-birth slot (PCA fit machinery graded end-to-end inside ann_pca_rerank_recall_embeddings; report projection pytest-pinned)
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
     "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
     "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)

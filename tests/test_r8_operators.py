@@ -222,3 +222,58 @@ class TestHllRegisterStore:
 
         with pytest.raises(ValueError, match="no stores"):
             hll_registers_merge([])
+
+
+class TestBloomFilter:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_false_negatives(self, spark):
+        from lovdata_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        docs = self._docs(
+            spark, [(i, f"tok{i} shared word{i % 5}") for i in range(30)]
+        )
+        sk = bloom_build(docs, m_bits=256, k=3)
+        vocab = spark.createDataFrame(
+            [(f"tok{i}",) for i in range(30)] + [("shared",)], "token string"
+        )
+        got = {r.token: r.in_filter for r in
+               bloom_probe(sk, vocab, m_bits=256, k=3).collect()}
+        assert all(got.values())  # every inserted token must hit
+
+    def test_mergeability_union_equals_bitor(self, spark):
+        """filter(A ∪ B) == bit_or-merge of filter(A), filter(B) — the
+        mergeable-sketch property: day filters combine with one word
+        aggregate, no corpus re-read."""
+        from pyspark.sql import functions as F
+
+        from lovdata_pipeline_spark.operators.sketches import bloom_build
+
+        a = self._docs(spark, [(i, f"alpha{i} x") for i in range(10)])
+        b = self._docs(spark, [(100 + i, f"beta{i} y") for i in range(10)])
+        full = bloom_build(a.unionByName(b), m_bits=128, k=3)
+        merged = (
+            bloom_build(a, m_bits=128, k=3)
+            .unionByName(bloom_build(b, m_bits=128, k=3))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_partition_independent(self, spark):
+        from lovdata_pipeline_spark.operators.sketches import bloom_build
+
+        docs = self._docs(
+            spark, [(i, f"w{i % 17} q{i % 3}") for i in range(40)]
+        )
+        a = sorted(map(tuple, bloom_build(docs, m_bits=128, k=2).collect()))
+        b = sorted(
+            map(tuple, bloom_build(docs.repartition(13), m_bits=128, k=2).collect())
+        )
+        assert a == b
