@@ -173,19 +173,29 @@ def phrase_match_counts(
     toks = _clean_split(F.lower(F.col(text_col)))
     n_terms = len(terms)
 
-    def _is_match(p):
-        cond = None
-        for i, t in enumerate(terms):
-            # element_at is 1-indexed; p ranges over 0-based anchors
-            c = F.element_at(toks, p + F.lit(i + 1)) == F.lit(t)
-            cond = c if cond is None else (cond & c)
-        return cond
+    def _count_for(t):
+        # t is a BOUND lambda variable: the tokenize runs once per row.
+        # Referencing the raw split expression from inside the anchor
+        # lambda instead would re-evaluate it per element_at call —
+        # higher-order functions are interpreted (no codegen CSE), and
+        # that first cut cost ~4x the whole r7 join plan at sf0.1.
+        def _is_match(p):
+            cond = None
+            for i, term in enumerate(terms):
+                # element_at is 1-indexed; p ranges over 0-based anchors
+                c = F.element_at(t, p + F.lit(i + 1)) == F.lit(term)
+                cond = c if cond is None else (cond & c)
+            return cond
 
-    # sequence(0, n-L) would run DESCENDING when n < L — guard first
-    n_matches = F.when(
-        F.size(toks) >= F.lit(n_terms),
-        F.size(F.filter(F.sequence(F.lit(0), F.size(toks) - F.lit(n_terms)), _is_match)),
-    ).otherwise(F.lit(0))
+        # sequence(0, n-L) would run DESCENDING when n < L — guard first
+        return F.when(
+            F.size(t) >= F.lit(n_terms),
+            F.size(
+                F.filter(F.sequence(F.lit(0), F.size(t) - F.lit(n_terms)), _is_match)
+            ),
+        ).otherwise(F.lit(0))
+
+    n_matches = F.element_at(F.transform(F.array(toks), _count_for), 1)
     return (
         docs.select(F.col(id_col), n_matches.alias("n_matches"))
         .filter(F.col("n_matches") > 0)
