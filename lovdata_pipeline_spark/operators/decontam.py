@@ -438,22 +438,32 @@ def _apply_surgery(
     expression branches on ``untouched`` (CaseWhen is lazy per row, so
     rows it selects pay only the normalization regex)."""
     words = _clean_split(F.col("_text"))
-    nwords = F.size(words)
-    # per needle: all aligned match start positions in the ORIGINAL array
-    hits = F.transform(
-        F.col("_ndls"),
-        lambda ndl: F.struct(
-            ndl["nlen"].alias("nlen"),
-            F.filter(
-                F.when(
-                    nwords >= ndl["nlen"],
-                    F.sequence(F.lit(1), nwords - ndl["nlen"] + 1),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda p: F.array_join(F.slice(words, p, ndl["nlen"]), " ")
-                == ndl["needle"],
-            ).alias("starts"),
-        ),
-    )
+    # per needle: all aligned match start positions in the ORIGINAL
+    # array. The tokenize is BOUND ONCE per row as a lambda variable
+    # (the 1-element transform wrapper): higher-order functions are
+    # interpreted with no codegen subexpression elimination, so
+    # referencing the raw split expression from inside the position
+    # lambda would re-run the split per candidate position per needle
+    # — the r8 phrase-search lesson (search.py:phrase_match_counts).
+
+    def _hits_of(w):
+        nw = F.size(w)
+        return F.transform(
+            F.col("_ndls"),
+            lambda ndl: F.struct(
+                ndl["nlen"].alias("nlen"),
+                F.filter(
+                    F.when(
+                        nw >= ndl["nlen"],
+                        F.sequence(F.lit(1), nw - ndl["nlen"] + 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda p: F.array_join(F.slice(w, p, ndl["nlen"]), " ")
+                    == ndl["needle"],
+                ).alias("starts"),
+            ),
+        )
+
+    hits = F.element_at(F.transform(F.array(words), _hits_of), 1)
     covered = F.array_distinct(
         F.flatten(
             F.transform(
@@ -466,15 +476,19 @@ def _apply_surgery(
             )
         )
     )
-    kept_idx = F.filter(
-        F.when(nwords >= 1, F.sequence(F.lit(1), nwords)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: ~F.array_contains(F.col("_covered"), i),
-    )
+    def _spliced(w):
+        # same bind-once discipline: w is the materialized token array
+        kept = F.filter(
+            F.when(F.size(w) >= 1, F.sequence(F.lit(1), F.size(w))).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: ~F.array_contains(F.col("_covered"), i),
+        )
+        return F.array_join(F.transform(kept, lambda i: F.element_at(w, i)), " ")
+
     norm = F.coalesce(_ws_normalized("_text"), F.lit(""))
     clean = F.when(untouched, norm).otherwise(
-        F.array_join(F.transform(kept_idx, lambda i: F.element_at(words, i)), " ")
+        F.element_at(F.transform(F.array(words), _spliced), 1)
     )
     out = frame.withColumn("_hits", hits).withColumn("_covered", covered)
     cols = [

@@ -77,16 +77,24 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     ``transform`` over indices, ``explode``. Stays in codegen.
     """
     words = _clean_split(F.col(text_col))
-    n_sh = F.size(words) - F.lit(n - 1)
-    # Guard: sequence(0, -k) would count downward; short docs get no shingles.
-    shingles = F.when(
-        n_sh <= 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+
+    # The tokenize is BOUND ONCE per row as a lambda variable (the
+    # 1-element transform wrapper): higher-order functions are
+    # interpreted with no codegen subexpression elimination, so putting
+    # the raw split expression inside the window lambda re-ran the
+    # split once per shingle position — O(words²) per document (the r8
+    # phrase-search lesson, search.py:phrase_match_counts).
+    def _shingles_of(w):
+        n_sh = F.size(w) - F.lit(n - 1)
+        # sequence(0, -k) would count downward; short docs get none
+        return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            )
         )
-    )
+
+    shingles = F.element_at(F.transform(F.array(words), _shingles_of), 1)
     return (
         docs.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
