@@ -1197,9 +1197,10 @@ def cmd_sketch(args) -> int:
     lines; ``--mode hll`` prints the per-group HyperLogLog
     distinct-token estimates, optionally persisting the registers with
     ``--output`` (+ ``_hll_params.json``) and merging persisted stores
-    with ``--merge-stores`` (register-wise MAX — no corpus re-read).
-    Both run one explode scan with parameter-bounded aggregate state —
-    usable at any corpus size."""
+    with ``--merge-stores`` (register-wise MAX — no corpus re-read);
+    ``--mode bloom`` builds the membership filter and answers
+    ``--query`` token probes. All run one explode scan with
+    parameter-bounded aggregate state — usable at any corpus size."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -1261,6 +1262,27 @@ def cmd_sketch(args) -> int:
             out = hll_estimate(regs, group_col=args.group_col, p=args.p)
             for row in out.orderBy(args.group_col).collect():
                 print(json.dumps(row.asDict()))
+            return 0
+        if args.mode == "bloom":
+            if not args.query:
+                print("error: --mode bloom needs --query tokens")
+                return 2
+            from lovdata_pipeline_spark.operators.sketches import (
+                bloom_build,
+                bloom_probe,
+            )
+
+            filt = bloom_build(docs, m_bits=args.m_bits, k=args.k_hashes)
+            terms = [t for t in args.query.split(",") if t]
+            qdf = spark.createDataFrame([(t,) for t in terms], "token string")
+            hits = {
+                r.token: bool(r.in_filter)
+                for r in bloom_probe(
+                    filt, qdf, m_bits=args.m_bits, k=args.k_hashes
+                ).collect()
+            }
+            for t in terms:
+                print(json.dumps({"token": t, "in_filter": hits.get(t, False)}))
             return 0
         w, d = args.width, args.depth
         sk = cms_sketch(docs, w=w, d=d)
@@ -1573,7 +1595,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sk = sub.add_parser("sketch", help="corpus sketches: count-min frequency estimates / HLL distinct counts")
     sk.add_argument("--input", help="documents parquet")
-    sk.add_argument("--mode", choices=["cms", "hll"], default="cms")
+    sk.add_argument("--mode", choices=["cms", "hll", "bloom"], default="cms")
     sk.add_argument("--sketch", help="query a persisted cms sketch (skip the corpus scan)")
     sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
     sk.add_argument("--output", help="persist the sketch: cms cells (+ _cms_params.json) or hll registers (+ _hll_params.json)")
@@ -1582,6 +1604,8 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--depth", type=int, default=4, help="cms hash rows")
     sk.add_argument("--group-col", default="source", help="hll: group column")
     sk.add_argument("--p", type=int, default=5, help="hll: 2^p registers per group")
+    sk.add_argument("--m-bits", type=int, default=4096, help="bloom: filter bits")
+    sk.add_argument("--k-hashes", type=int, default=3, help="bloom: hashes per token")
     sk.set_defaults(func=cmd_sketch)
 
     ph = sub.add_parser("phrase", help="exact phrase search (positional-index join)")

@@ -138,6 +138,22 @@ def test_sketch_merge_stores_requires_hll(docs_parquet, capsys):
     assert main(["sketch", "--mode", "cms", "--merge-stores", "/nope"]) == 2
 
 
+def test_sketch_bloom_membership(docs_parquet, capsys):
+    rc = main(
+        ["sketch", "--input", docs_parquet, "--mode", "bloom",
+         "--query", "alpha,row,never-seen-token", "--m-bits", "4096"]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    got = {l["token"]: l["in_filter"] for l in lines}
+    # wide filter on a tiny vocab: no false positives, never a false negative
+    assert got == {"alpha": True, "row": True, "never-seen-token": False}
+
+
+def test_sketch_bloom_requires_query(docs_parquet, capsys):
+    assert main(["sketch", "--input", docs_parquet, "--mode", "bloom"]) == 2
+
+
 def test_phrase_cli_arg_validation(docs_parquet, capsys):
     assert main(["phrase", "--input", docs_parquet]) == 2
     assert main(["phrase", "--phrase", "x"]) == 2

@@ -224,6 +224,63 @@ class TestHllRegisterStore:
             hll_registers_merge([])
 
 
+class TestR8Properties:
+    """Hypothesis pins for the r8 operators (the dedup_properties
+    discipline: few examples, real Spark, no deadline)."""
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _texts = st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=_texts)
+    def test_bloom_never_false_negative(self, spark, texts):
+        """∀ corpus: every token the corpus contains probes True, at
+        any filter width — the Bloom contract's hard half."""
+        from pyspark.sql import functions as F
+
+        from lovdata_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+        from lovdata_pipeline_spark.operators.textstats import _words
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        vocab = docs.select(F.explode(_words("text")).alias("token")).distinct()
+        if not vocab.count():
+            return
+        sk = bloom_build(docs, m_bits=126, k=2)  # deliberately narrow
+        got = bloom_probe(sk, vocab, m_bits=126, k=2)
+        assert got.filter(~F.col("in_filter")).count() == 0
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=_texts)
+    def test_trigram_kn_probabilities_valid(self, spark, texts):
+        """∀ corpus: every observed trigram's interpolated KN
+        probability lies in (0, 1] ⇒ surprisal ≥ 0 and finite — no
+        max(·,0) branch is ever needed because the corpus is its own
+        model."""
+        import math
+
+        from lovdata_pipeline_spark.operators.textstats import (
+            kn_trigram_surprisal,
+        )
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        for r in kn_trigram_surprisal(docs).collect():
+            assert r.n_trigrams >= 1
+            assert r.mean_kn3_surprisal >= 0.0
+            assert math.isfinite(r.mean_kn3_surprisal)
+
+
 class TestBloomFilter:
     def _docs(self, spark, rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
