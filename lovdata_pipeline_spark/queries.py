@@ -3089,14 +3089,28 @@ def streaming_interval_join_counts(spark, sf_dir):
     def land(batch_df, _bid):
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(land)
-        .option("checkpointLocation", chk_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition (keyed keep/index, both sides); at the session's 32
+    # partitions the store init dominates a small drain, so the
+    # checkpoint is pinned to 8 — a streaming query's partition count
+    # is frozen into its checkpoint anyway, so production picks this
+    # per-query too (state size, not data size, drives it). The
+    # session conf is restored immediately after start; results are
+    # partition-count independent (exact inner join + count).
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(land)
+            .option("checkpointLocation", chk_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.schema("user_id long, event_id long, click_id long")
         .parquet(out_dir)
