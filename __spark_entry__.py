@@ -33,7 +33,13 @@
                   canonical dedup survivors, the persisted
                   partition-pruned IVF index, and distributed
                   logistic-regression classifier training replayed
-                  bit-for-bit by a 3-iteration SQL chain).
+                  bit-for-bit by a 3-iteration SQL chain; r8 adds
+                  interpolated TRIGRAM Kneser-Ney, the persisted HLL
+                  register store's cross-day merge, the stream-stream
+                  interval join — the fourth graded streaming row —
+                  the k-NN graph's sublinear IVF candidate path graded
+                  end-to-end, and the Bloom membership filter with its
+                  deterministic false positives graded).
 
 All implementations live in ``lovdata_pipeline_spark`` (queries.py is
 the registry; oracles.py the SQL).
