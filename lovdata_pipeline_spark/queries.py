@@ -3329,7 +3329,6 @@ QUERIES = {
     # tail).
     "events_retention_cohorts": events_retention_cohorts,
     # --- r6-born operators still holding their at-birth window slot ---------
-    "paragraph_dedup_documents": paragraph_dedup_documents,
     "boilerplate_strip_documents": boilerplate_strip_documents,
     # embedding_outliers_by_label (new r7e) enters at birth: per-label
     # centroid outliers — cosine vs the quantized-integer sum vector
@@ -3355,9 +3354,6 @@ QUERIES = {
     # perplexity_buckets_by_source graded, and the token-count
     # arithmetic rides inside greedy_token_buckets, graded this round).
     "text_kn_trigram_surprisal": text_kn_trigram_surprisal,
-    "vocab_drift_by_source": vocab_drift_by_source,
-    "text_repetition_signals": text_repetition_signals,
-    "perplexity_buckets_by_source": perplexity_buckets_by_source,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
     "bpe_learned_merges": bpe_learned_merges,
     # phrase_search_documents (new r7e) enters at birth: exact phrase
@@ -3515,6 +3511,31 @@ QUERIES = {
     # dropDuplicatesWithinWatermark → AvailableNow drain, hash-matched
     # against batch COUNT(DISTINCT).
     "streaming_dedup_counts": streaming_dedup_counts,
+    # --- r8 early attestation refresh (ahead of the r9 ask): five of the
+    # --- eighteen entries whose latest grade is r4 — five rounds stale
+    # --- after this round — cycle back through the window now so the
+    # --- ledger's next-oldest batch shrinks while the window has
+    # --- demotable multiply-attested entries. Demoted in exchange
+    # --- (each green r6+r7, family twin staying in-window):
+    # ---   paragraph_dedup_documents   -> dedup family keeps
+    # ---       dedup_keep_best_quality + dedup_incremental_minhash +
+    # ---       boilerplate_strip (the line-level twin); dedup_simhash
+    # ---       ENTERS as the family refresh
+    # ---   text_repetition_signals     -> quality/repetition family keeps
+    # ---       compression_band_report + quality_blend_documents
+    # ---   perplexity_buckets_by_source -> LM-scoring family keeps
+    # ---       text_kn_surprisal + text_kn_trigram_surprisal (new r8)
+    # ---   vocab_drift_by_source       -> corpus-health family keeps
+    # ---       zipf_slope_by_source + collocation_pmi_bigrams
+    # ---   validate_documents_expectations -> its wide-mode approx-distinct
+    # ---       machinery is graded via hll_distinct_by_source +
+    # ---       hll_store_merged_counts; the exact gate logic and the
+    # ---       32-column cap are pytest-pinned
+    "dedup_simhash": dedup_simhash,
+    "multimodal_audio": multimodal_audio,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "text_language_id": text_language_id,
+    "top3_orders_per_customer": top3_orders_per_customer,
     # streaming_interval_join_counts (new r8) enters at birth: the
     # FOURTH driver-graded streaming row — a watermarked stream-stream
     # interval join (purchases ⋈ preceding clicks), AvailableNow drain
@@ -3566,7 +3587,6 @@ QUERIES = {
     # percentile_order_totals, rollup/pivot, semi_join, topk_limit —
     # and q1/q5 decimal-agg twins sit attested in the tail).
     "text_kn_surprisal": text_kn_surprisal,
-    "validate_documents_expectations": validate_documents_expectations,
     # ------------------------------------------------------------------ tail
     "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; demoted r7c for streaming_dedup_counts' at-birth slot (packing family twins pack_sequences_documents r4-r6 + training_order_documents r5-r6 attested in tail)
     "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; demoted r7c (ETL-pipeline family stays graded via chunk_documents_pipeline + curation_pipeline; provider seam pytest-pinned)
@@ -3616,10 +3636,7 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,            # green r1-r5; demoted r6 (exact-fingerprint grouping graded inside curation_report/pretraining/paragraph_dedup)
     "anti_join_changed": anti_join_changed,              # green r1-r5; demoted r6 (anti-join shape graded inside both capstone decontamination cuts)
     "q1_pricing_summary": q1_pricing_summary,            # green r2-r5; demoted r6 (decimal-agg discipline graded via q3's revenue sum)
-    "dedup_simhash": dedup_simhash,                      # green r1-r4; demoted late-r5 (dedup family: exact/ngram/minhash/components/span pair all attested)
     "ann_topk_ivf": ann_topk_ivf,                        # green r3+r4; demoted late-r5 (superset ann_topk_ivfpq attested r4-r6)
-    "multimodal_audio": multimodal_audio,                # green r2-r4; demoted late-r5 (twin multimodal_features stays graded)
-    "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4; demoted late-r5 (text_bm25_search stays graded)
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,      # green r3+r4; demoted late-r5 (ANN family graded)
     "text_repetition": text_repetition,                  # green r3+r4; demoted late-r5 (fingerprints/winnowing/surprisal attested)
     "exists_agg_priority": exists_agg_priority,          # green r1-r4; demoted r5 (semi-join twin semi_join_processed graded this round)
@@ -3629,8 +3646,6 @@ QUERIES = {
     "stratified_sample_orders": stratified_sample_orders,  # green r3+r4; demoted r5 (portable-hash family: hash_split graded)
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3+r4; alias dedup_fingerprint_groups graded this round
     "embedding_cluster_assign": embedding_cluster_assign,  # green r3+r4; demoted r5 (superset cluster_balanced attested r5+r6)
-    "text_language_id": text_language_id,                # green r1-r4; demoted r5 (text-stats family attested)
-    "top3_orders_per_customer": top3_orders_per_customer,  # green r1-r4; demoted r5 (rank-window family attested)
     "q5_region_revenue": q5_region_revenue,              # green r1-r4; demoted r5 (multi-join agg twin q3_top_unshipped stays)
     "text_quality": text_quality,                        # green r1-r4; demoted r5 (quality family attested)
     "knn_join_top3": knn_join_top3,                      # green r1-r4; demoted r5 (ANN family attested)
@@ -3652,6 +3667,11 @@ QUERIES = {
     "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report + perplexity_buckets; token counts via greedy_token_buckets)
     "mixture_plan_by_source": mixture_plan_by_source,    # green r6+r7; demoted r8 for knn_edges_ivf_embeddings' at-birth slot (sampling/mixing family graded via stratified_split_exact; epoch/temperature/weighted twins in tail)
     "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6+r7; demoted r8 for bloom_token_membership's at-birth slot (PCA fit machinery graded end-to-end inside ann_pca_rerank_recall_embeddings; report projection pytest-pinned)
+    "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6+r7; demoted r8 for the early attestation refresh (dedup family keeps keep_best_quality + incremental_minhash + boilerplate_strip in-window; dedup_simhash enters)
+    "text_repetition_signals": text_repetition_signals,  # green r6+r7; demoted r8 for the early attestation refresh (quality family keeps compression_band_report + quality_blend_documents)
+    "perplexity_buckets_by_source": perplexity_buckets_by_source,  # green r6+r7; demoted r8 for the early attestation refresh (LM family keeps both KN rows graded this round)
+    "vocab_drift_by_source": vocab_drift_by_source,      # green r6+r7; demoted r8 for the early attestation refresh (corpus-health family keeps zipf_slope + collocation_pmi)
+    "validate_documents_expectations": validate_documents_expectations,  # green r6+r7; demoted r8 for the early attestation refresh (wide-mode HLL machinery graded via hll_distinct + hll_store rows; gate logic pytest-pinned)
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
     "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
     "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)
