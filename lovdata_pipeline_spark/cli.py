@@ -1228,6 +1228,9 @@ def cmd_sketch(args) -> int:
             print("error: --merge-stores is an hll operation (--mode hll)")
             return 2
         paths = [s for s in args.merge_stores.split(",") if s]
+        if not paths:
+            print("error: --merge-stores needs at least one store path")
+            return 2
         loaded = [hll_registers_load(spark, pth) for pth in paths]
         p0, g0 = loaded[0][1], loaded[0][2]
         if any((pi, gi) != (p0, g0) for _, pi, gi in loaded[1:]):

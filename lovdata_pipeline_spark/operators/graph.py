@@ -36,14 +36,19 @@ _KNN_SLACK = 8
 
 def _emit_topk_margin(out_s, out_d, src_ids, dst_ids, sims, take):
     """Per source: every dst scoring within MARGIN of the take-th numpy
-    score survives the cut, so a candidate can only be lost if numpy
-    and the exact fold disagree by more than 1e-9 on a cosine — far
-    beyond float64 summation error at any dimensionality. The exact
-    re-score decides the final edges; slack + margin only bound the
+    score survives the cut. The verdict ranks by the 6-dp ROUNDED
+    cosine with a dst-id tie-break, so the margin must cover a full
+    rounding bucket: two unrounded scores up to 1e-6 apart can round
+    equal, and the lower-id one then wins the verdict even if it sat
+    just below the take-th raw score — a 1e-9 margin (float-noise
+    only) could cut such a candidate and diverge from the
+    all-candidates oracle (r8 review finding). 1e-6 for the bucket +
+    1e-9 for numpy-vs-fold float disagreement; the exact re-score
+    still decides the final edges — slack + margin only bound the
     cut. Shared by the blocked and IVF candidate stages."""
     import numpy as np
 
-    margin = 1e-9
+    margin = 1e-6 + 1e-9
     for r, sid in enumerate(src_ids):
         row, cand = sims[r], dst_ids
         keep = cand != sid  # self excluded before ranking
@@ -164,7 +169,11 @@ def _ivf_candidates(
                 continue
             mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
             sims = mat @ cmat.T
-            order = np.argsort(-sims, axis=1)[:, :npb]
+            # kind='stable' pins dot-product ties to the LOWER cell —
+            # the rule the oracle replays (ORDER BY dp DESC, cell);
+            # the default quicksort is not stable and duplicate
+            # vectors seeded as two centroids would tie arbitrarily
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
             n = len(pdf)
             yield pd.DataFrame(
                 {

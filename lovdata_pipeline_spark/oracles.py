@@ -3480,8 +3480,9 @@ ORACLES["bloom_token_membership"] = r"""
 # normalized vectors, assignment = argmax dot (ties to the lower cell,
 # numpy's stable argsort rule), probes = top-3 cells per source,
 # candidates = ALL probed-cell members (the Spark per-cell
-# top-(k+slack) margin cut can never drop a per-cell top-k member, so
-# it is invisible to the final edges), verdict = the standard 6-dp
+# top-(k+slack) cut keeps everything within a full 6-dp rounding
+# bucket of the take-th score, so no candidate the rounded verdict
+# could rank into the top-k is ever dropped), verdict = the standard 6-dp
 # list_dot_product cosine + dst tie-break. Every dst lives in exactly
 # one cell, so no candidate pair duplicates.
 ORACLES["knn_edges_ivf_embeddings"] = """

@@ -1076,8 +1076,9 @@ def knn_edges_ivf_embeddings(spark, sf_dir):
     replays seeding (md5 id order), assignment and probing (dot
     products on the normalized vectors, ties to the lower cell — the
     stable-argsort rule), takes ALL probed-cell members as candidates
-    (the per-cell top-(k+slack) margin cut can never drop a per-cell
-    top-k member, so the cut is invisible to the final edges), and
+    (the per-cell top-(k+slack) cut keeps everything within a full
+    6-dp rounding bucket of the take-th score, so no candidate the
+    rounded verdict could rank into the top-k is ever dropped), and
     ranks by the same 6-dp cosine + dst tie-break. Grading this row
     certifies the approximation ITSELF is deterministic — the
     blocked/exact form stays graded via pagerank_doc_graph."""
@@ -3326,7 +3327,10 @@ QUERIES = {
     # validate_documents_expectations, whose wide-table mode runs the
     # same HLL approx-distinct machinery, and the exact-distinct
     # verdict twin agg_distinct_counts sits r1-r3-attested in the
-    # tail).
+    # tail). r8 update: validate itself cycles to the tail this round —
+    # the sketch family's graded anchors are now hll_distinct_by_source
+    # + hll_store_merged_counts, and agg_distinct_counts is back
+    # in-window via the r8 rotation.
     "events_retention_cohorts": events_retention_cohorts,
     # --- r6-born operators still holding their at-birth window slot ---------
     "boilerplate_strip_documents": boilerplate_strip_documents,
@@ -3350,9 +3354,10 @@ QUERIES = {
     # trigram Kneser–Ney — two back-off levels with continuation-count
     # lower orders, the last step to a production CCNet-style LM
     # filter. Demoted in exchange: token_length_band_documents (green
-    # r6+r7; the banding family keeps compression_band_report +
-    # perplexity_buckets_by_source graded, and the token-count
-    # arithmetic rides inside greedy_token_buckets, graded this round).
+    # r6+r7; the banding family keeps compression_band_report graded
+    # — with both KN surprisal rows carrying the LM-scoring side this
+    # round — and the token-count arithmetic rides inside
+    # greedy_token_buckets, graded this round).
     "text_kn_trigram_surprisal": text_kn_trigram_surprisal,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,
     "bpe_learned_merges": bpe_learned_merges,
@@ -3388,8 +3393,9 @@ QUERIES = {
     # loaded from disk, MAXed, estimated, graded bit-for-bit against
     # the full-corpus SQL replay. Demoted in exchange:
     # text_stopword_ratios (green r1+r2+r7; the stopword/quality
-    # arithmetic stays graded via text_repetition_signals and
-    # quality_blend_documents, whose s_stop signal is this ratio).
+    # arithmetic stays graded via quality_blend_documents, whose
+    # s_stop signal IS this ratio, with compression_band_report
+    # keeping the quality-band family graded).
     "hll_store_merged_counts": hll_store_merged_counts,
     # bloom_token_membership (new r8) enters at birth: the membership
     # sketch completing the SQL-replayable family — deliberately
@@ -3485,7 +3491,8 @@ QUERIES = {
     # ---                                       SCD2 twins also in-window)
     # ---   dedup_fingerprint_groups (r1+r2+r7) -> fingerprint grouping stays
     # ---                                       graded via dedup_keep_best_
-    # ---                                       quality + paragraph_dedup
+    # ---                                       quality + dedup_simhash
+    # ---                                       (cycled in this round)
     # ---   text_token_counts (r1+r2+r7)     -> greedy_token_buckets +
     # ---                                       positional_ids ENTER (the
     # ---                                       token-count machinery rides
@@ -3661,10 +3668,10 @@ QUERIES = {
     "percentile_order_totals": percentile_order_totals,  # green r1+r2+r7; demoted r8 (scalar_subquery_part_avg graded this round)
     "events_lag_gaps": events_lag_gaps,                  # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
     "events_hourly": events_hourly,                      # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
-    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1+r2+r7; demoted r8 (fingerprint grouping graded via dedup_keep_best_quality + paragraph_dedup)
+    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1+r2+r7; demoted r8 (fingerprint grouping graded via dedup_keep_best_quality; dedup_simhash cycled in this round)
     "text_token_counts": text_token_counts,              # green r1+r2+r7; demoted r8 (token-count machinery graded via greedy_token_buckets + positional_ids + chunk pipeline)
-    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword/quality arithmetic graded via text_repetition_signals + quality_blend_documents)
-    "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report + perplexity_buckets; token counts via greedy_token_buckets)
+    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword arithmetic graded via quality_blend_documents' s_stop signal; quality bands via compression_band_report)
+    "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report; token counts via greedy_token_buckets)
     "mixture_plan_by_source": mixture_plan_by_source,    # green r6+r7; demoted r8 for knn_edges_ivf_embeddings' at-birth slot (sampling/mixing family graded via stratified_split_exact; epoch/temperature/weighted twins in tail)
     "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6+r7; demoted r8 for bloom_token_membership's at-birth slot (PCA fit machinery graded end-to-end inside ann_pca_rerank_recall_embeddings; report projection pytest-pinned)
     "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6+r7; demoted r8 for the early attestation refresh (dedup family keeps keep_best_quality + incremental_minhash + boilerplate_strip in-window; dedup_simhash enters)

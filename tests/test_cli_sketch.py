@@ -143,6 +143,10 @@ def test_sketch_merge_stores_requires_hll(docs_parquet, capsys):
     assert main(["sketch", "--mode", "cms", "--merge-stores", "/nope"]) == 2
 
 
+def test_sketch_merge_stores_rejects_empty_list(capsys):
+    assert main(["sketch", "--mode", "hll", "--merge-stores", ","]) == 2
+
+
 def test_sketch_bloom_membership(docs_parquet, capsys):
     rc = main(
         ["sketch", "--input", docs_parquet, "--mode", "bloom",

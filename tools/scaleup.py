@@ -100,19 +100,25 @@ def write_embeddings(spark, path: str) -> None:
             - F.lit(1.0)
         ),
     )
-    out = base.select("vec_id", raw.alias("_raw")).select(
+    # bind the raw array once and normalize against a single norm fold —
+    # putting the aggregate inside the per-element transform lambda
+    # would re-run the O(DIM) fold per element (the interpreted-lambda
+    # lesson this round fixed repo-wide; see SCALING.md)
+    def _unit(r):
+        # the norm gets its own binding level: referencing the fold
+        # expression from the inner lambda would still re-run it per
+        # element even with r bound
+        return F.element_at(
+            F.transform(
+                F.array(F.sqrt(F.aggregate(r, F.lit(0.0), lambda s, y: s + y * y))),
+                lambda nrm: F.transform(r, lambda x: (x / nrm).cast("float")),
+            ),
+            1,
+        )
+
+    out = base.select(
         "vec_id",
-        F.transform(
-            F.col("_raw"),
-            lambda x: (
-                x
-                / F.sqrt(
-                    F.aggregate(
-                        F.col("_raw"), F.lit(0.0), lambda s, y: s + y * y
-                    )
-                )
-            ).cast("float"),
-        ).alias("embedding"),
+        F.element_at(F.transform(F.array(raw), _unit), 1).alias("embedding"),
         F.pmod(_h(F.col("vec_id"), F.lit("label")), F.lit(10))
         .cast("int")
         .alias("label"),

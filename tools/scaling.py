@@ -144,7 +144,7 @@ def main() -> None:
     scaling_path = os.path.join(REPO, "SCALING.md")
     content = open(scaling_path).read() if os.path.exists(scaling_path) else ""
     block = f"{MARK_BEGIN}\n{table_md}\n{MARK_END}"
-    if MARK_BEGIN in content:
+    if MARK_BEGIN in content and MARK_END in content:
         pre = content.split(MARK_BEGIN)[0]
         post = content.split(MARK_END)[1]
         content = pre + block + post
@@ -152,8 +152,10 @@ def main() -> None:
             fh.write(content)
         print(f"updated ladder section in {scaling_path}")
     else:
-        print("SCALING.md has no ladder markers; add them and re-run "
-              "(table printed above)")
+        # don't lose a multi-minute measurement to a marker typo: the
+        # results are already in BENCH_LOCAL.json and printed above
+        print("SCALING.md is missing a ladder marker; add both and re-run "
+              "(table printed above, results saved to BENCH_LOCAL.json)")
 
 
 if __name__ == "__main__":
