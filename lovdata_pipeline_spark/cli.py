@@ -628,6 +628,10 @@ def cmd_clean(args) -> int:
 
     spark = _spark("lg-clean")
     docs = spark.read.parquet(args.input)
+    # frames pinned below — released individually after the write, so a
+    # long-lived shared session keeps its other caches (r8 VERDICT
+    # "What's wrong" #3: a blanket clearCache evicted unrelated frames)
+    pinned = []
     out = docs.select(args.id_col, args.group_col, args.text_col)
     if not args.no_boilerplate:
         out = textstats.strip_boilerplate_lines(
@@ -654,6 +658,7 @@ def cmd_clean(args) -> int:
             # stripped frame — unpinned, the whole strip pipeline
             # (explode + countDistinct + join + splice) evaluates twice
             out = out.persist()
+            pinned.append(out)
             out.count()
         meta = out.drop(args.text_col)
         deduped = remove_duplicate_paragraphs(
@@ -668,6 +673,7 @@ def cmd_clean(args) -> int:
         # pin unless `out` is still the bare input scan
         if not (args.no_boilerplate and args.no_paragraph_dedup):
             out = out.persist()
+            pinned.append(out)
             out.count()
         surg = remove_contaminated_spans(
             out.select(args.id_col, args.text_col),
@@ -685,7 +691,8 @@ def cmd_clean(args) -> int:
         )
         out = out.drop(args.text_col).join(surg, args.id_col)
     out.write.mode("overwrite").parquet(args.output)
-    spark.catalog.clearCache()  # release the pinned stripped frame
+    for df in pinned:  # release exactly what this command pinned
+        df.unpersist()
     written = spark.read.parquet(args.output)
     agg = [F.count(F.lit(1)).alias("n_docs")]
     if "n_dropped" in written.columns:

@@ -288,7 +288,7 @@ def bloom_build(
     k: int = 3,
 ) -> DataFrame:
     """Bloom filter over the corpus token set → (word_idx, bits): the
-    m-bit array packed into m/64 BIGINT words (Bloom 1970) — the
+    m-bit array packed into ceil(m/63) BIGINT words (Bloom 1970) — the
     MEMBERSHIP sketch completing the family (CMS = frequency, HLL =
     cardinality). Each token sets k bits, one per salted 60-bit md5
     hash; the aggregate's key space is m/64 words, so every partition

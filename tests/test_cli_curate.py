@@ -225,6 +225,33 @@ def test_clean_end_to_end(spark, tmp_path, capsys):
     assert got[5] == "fifth body"
 
 
+def test_clean_releases_only_its_own_pins(spark, tmp_path):
+    """`lg clean` unpersists exactly the frames it pinned (r8 VERDICT
+    "What's wrong" #3): the command's own pins are gone afterwards AND a
+    pre-existing unrelated cached frame survives — the old blanket
+    ``spark.catalog.clearCache()`` would have evicted it. Counts compare
+    against the PRE-invocation baseline because a shared full-suite
+    session legitimately holds other documented caches."""
+    bystander = spark.createDataFrame([(1, "x")], "k long, v string").persist()
+    bystander.count()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    p = tmp_path / "dirty_pins"
+    spark.createDataFrame(
+        [(1, "HEAD\na one", "web"), (2, "HEAD\nb two", "web"), (3, "HEAD\nc", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(p))
+    out = tmp_path / "cleaned_pins"
+    rc = main(
+        ["clean", "--input", str(p), "--output", str(out), "--paragraph-sep", r"\n"]
+    )
+    assert rc == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, "clean left its own pins cached or evicted others"
+    # the bystander itself must still be materialized in the cache
+    assert bystander.storageLevel.useMemory
+    bystander.unpersist()
+
+
 def test_analyze_null_text(spark, tmp_path, capsys):
     """NULL-text docs land in histogram bucket -1 instead of crashing the
     driver-side int(None) (r5 ADVICE: token_count_col(NULL) is NULL under

@@ -4,7 +4,8 @@ probing) candidate generation at two corpus sizes — sf0.1 (2 000
 vectors, where fixed overhead dominates and blocked wins) and the
 generated sf1 (20 000 vectors, where the quadratic term surfaces and
 ivf wins) — medians of --reps noop materializations, merged into
-BENCH_LOCAL.json under "knn_candidates_compare".
+BENCH_AUX.json under "knn_candidates_compare" (builder-owned — the
+driver overwrites BENCH_LOCAL.json every round).
 
 Usage: python tools/knn_compare.py [--reps 3]
 """
@@ -70,7 +71,7 @@ def main() -> None:
         }
         print(label, json.dumps(result[label]), flush=True)
     spark.stop()
-    bench_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    bench_path = os.path.join(REPO, "BENCH_AUX.json")
     bench = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
     bench["knn_candidates_compare"] = result
     with open(bench_path, "w") as fh:

@@ -18,8 +18,10 @@ in one shared JVM (the bench.py policy), caches released between reps.
 
 Usage: python tools/scaling.py [--reps 3] [--queries a,b,c]
 Writes: prints the table, merges a "scaling_ladder" object into
-BENCH_LOCAL.json, and rewrites the ladder section of SCALING.md between
-its markers.
+BENCH_AUX.json (builder-owned — the driver overwrites BENCH_LOCAL.json
+every round, which clobbered these records twice, r8 VERDICT "What's
+wrong" #1), and rewrites the ladder section of SCALING.md between its
+markers.
 """
 
 from __future__ import annotations
@@ -80,6 +82,20 @@ def main() -> None:
     names = list(LADDER_QUERIES)
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
+        # fail fast BEFORE the Spark warmup: an unknown name used to
+        # KeyError mid-run, and a name missing from LADDER_QUERIES
+        # silently fell back to table='documents' — the wrong x-axis
+        # for an embeddings query (r8 ADVICE)
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            ap.error(f"not in the query registry: {', '.join(unknown)}")
+        unladdered = [n for n in names if n not in LADDER_QUERIES]
+        if unladdered:
+            ap.error(
+                "no LADDER_QUERIES primary-table entry for: "
+                + ", ".join(unladdered)
+                + " — add (query, table) to tools/scaling.py first"
+            )
 
     spark = get_spark("scaling-ladder")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
@@ -131,7 +147,7 @@ def main() -> None:
     table_md = "\n".join(lines)
     print(table_md)
 
-    bench_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    bench_path = os.path.join(REPO, "BENCH_AUX.json")
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
             bench = json.load(fh)
@@ -153,9 +169,9 @@ def main() -> None:
         print(f"updated ladder section in {scaling_path}")
     else:
         # don't lose a multi-minute measurement to a marker typo: the
-        # results are already in BENCH_LOCAL.json and printed above
+        # results are already in BENCH_AUX.json and printed above
         print("SCALING.md is missing a ladder marker; add both and re-run "
-              "(table printed above, results saved to BENCH_LOCAL.json)")
+              "(table printed above, results saved to BENCH_AUX.json)")
 
 
 if __name__ == "__main__":
