@@ -168,7 +168,15 @@ def _ivf_candidates(
             if not len(pdf):
                 continue
             mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
-            sims = mat @ cmat.T
+            # round to 12 dp BEFORE ranking (r8 ADVICE): numpy's blocked
+            # pairwise summation and DuckDB's sequential
+            # list_dot_product can disagree by ~1e-13 on the same
+            # centroid dot, and the stable-argsort rule below only pins
+            # EXACT ties — a near-tie would otherwise flip a
+            # probe/assignment between the engines. 12 dp is far above
+            # the summation noise and far below any real cell margin;
+            # the oracle mirrors the round.
+            sims = np.round(mat @ cmat.T, 12)
             # kind='stable' pins dot-product ties to the LOWER cell —
             # the rule the oracle replays (ORDER BY dp DESC, cell);
             # the default quicksort is not stable and duplicate

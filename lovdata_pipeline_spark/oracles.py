@@ -3504,7 +3504,11 @@ ORACLES["knn_edges_ivf_embeddings"] = """
           SELECT g.vec_id, c.cell,
                  row_number() OVER (
                    PARTITION BY g.vec_id
-                   ORDER BY list_dot_product(g.uv, c.cv) DESC, c.cell
+                   -- 12-dp round mirrors the Spark side (r8 ADVICE):
+                   -- numpy blocked vs DuckDB sequential summation can
+                   -- differ ~1e-13, and only exact ties take the
+                   -- lower-cell rule
+                   ORDER BY round(list_dot_product(g.uv, c.cv), 12) DESC, c.cell
                  ) AS rn
           FROM good g CROSS JOIN c),
         assigned AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
