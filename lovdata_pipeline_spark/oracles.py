@@ -3077,6 +3077,37 @@ ORACLES["streaming_session_counts"] = """
         ORDER BY user_id, session_start
 """
 
+# r9: the append-mode (production) session-window drain. The sentinel
+# heartbeat pushes the watermark past every real session end, so the
+# emitted append rows must equal the COMPLETE session table — the same
+# gaps-and-islands replay as streaming_session_counts (inclusive
+# boundary: new session only when gap > 1800 s; session_end = last
+# event + gap). The sentinel user (−999) never reaches the output: its
+# own session is the one the watermark hasn't passed.
+ORACLES["streaming_session_append_counts"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                        OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+"""
+
 # r7b: weekly retention cohorts — Monday-start week truncation in both
 # engines; offsets are exact integer day-diffs div 7 (both weeks are
 # truncated starts, so the division is always whole); retention rate
