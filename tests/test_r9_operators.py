@@ -1,0 +1,143 @@
+"""Round-9 operators: the bitext LSH pre-bucketing scale path and the
+append-mode streaming session drain's holdback rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
+
+
+def _clustered_bitext(spark, n_clusters=4, per_side=3, dim=8, jitter=1e-3):
+    """Planted-pair fixture: orthogonal cluster centers, both sides
+    jittered copies — every true pair and every k-NN neighborhood lives
+    inside one cluster (in-cluster cosine ≈ 1, cross-cluster ≈ 0), the
+    clustered-corpus case the bucketed path is built for."""
+    rng = np.random.RandomState(7)
+    centers = np.eye(dim)[:n_clusters]
+    src_rows, tgt_rows = [], []
+    for c in range(n_clusters):
+        for i in range(per_side):
+            src_rows.append(
+                (c * 100 + i, (centers[c] + jitter * rng.randn(dim)).tolist())
+            )
+            tgt_rows.append(
+                (c * 100 + 50 + i, (centers[c] + jitter * rng.randn(dim)).tolist())
+            )
+    schema = "vec_id long, embedding array<double>"
+    src = spark.createDataFrame(src_rows, schema).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = spark.createDataFrame(tgt_rows, schema).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return src, tgt
+
+
+def test_bitext_bucketed_matches_exact_on_clustered(spark):
+    """buckets=16 == exact on the planted-cluster fixture: SRP co-buckets
+    each cluster, so every neighborhood (and therefore every margin and
+    the forward-max) is computed over the same pair set both ways — the
+    knn_edges ivf==blocked pin, for bitext."""
+    src, tgt = _clustered_bitext(spark)
+    exact = sorted(
+        map(tuple, bitext_margin_mine(src, tgt, k=2, threshold=0.0).collect())
+    )
+    bucketed = sorted(
+        map(
+            tuple,
+            bitext_margin_mine(src, tgt, k=2, threshold=0.0, buckets=16).collect(),
+        )
+    )
+    assert exact == bucketed
+    assert len(exact) == 12  # one forward-max pair per source
+
+
+def test_bitext_bucketed_single_bucket_degrades_to_exact(spark):
+    """buckets=2 with a single plane and 1-bit probing covers BOTH
+    buckets from every source — candidate coverage is total, so the
+    result must equal exact on ANY data (the n_probe=n_cells analog)."""
+    src, tgt = _clustered_bitext(spark, n_clusters=2, per_side=2)
+    exact = sorted(
+        map(tuple, bitext_margin_mine(src, tgt, k=2, threshold=0.0).collect())
+    )
+    # n_probe_bits=1 with a single plane probes BOTH buckets from every
+    # source — candidate coverage is total regardless of the plane
+    bucketed = sorted(
+        map(
+            tuple,
+            bitext_margin_mine(
+                src, tgt, k=2, threshold=0.0, buckets=2, n_probe_bits=1
+            ).collect(),
+        )
+    )
+    assert exact == bucketed
+
+
+def test_bitext_bucketed_pairs_never_duplicate(spark):
+    """Multi-probe fans the SOURCE side out; each target lives in exactly
+    one bucket, so no (src, tgt) pair can appear twice in the scored
+    set — pinned via the output being one row per source."""
+    src, tgt = _clustered_bitext(spark)
+    out = bitext_margin_mine(src, tgt, k=2, threshold=0.0, buckets=16).collect()
+    srcs = [r.src_id for r in out]
+    assert len(srcs) == len(set(srcs))
+
+
+def test_session_append_drain_holds_back_trailing_sessions(spark, tmp_path):
+    """The append-mode session drain WITHOUT a watermark heartbeat holds
+    back every user's final session (its end is gap past the last event,
+    which no watermark reading only the data can pass) — the behavior
+    the graded row's sentinel exists to fix."""
+    import os
+
+    from lovdata_pipeline_spark.streaming.windows import session_windows
+
+    rows = [
+        # user 1: two sessions 2h apart; user 2: one session
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:05:00", 1),
+        (3, "2024-01-01 12:30:00", 1),
+        (4, "2024-01-01 10:00:00", 2),
+    ]
+    src = tmp_path / "events_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    part = [f for f in os.listdir(tmp_path / "ev") if f.endswith(".parquet")][0]
+    os.symlink(str(tmp_path / "ev" / part), str(src / "events.parquet"))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    sess = session_windows(stream, gap="30 minutes", watermark="0 seconds")
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def land(b, _):
+        b.write.mode("append").parquet(str(out))
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        )
+        .parquet(str(out))
+        .collect()
+    )
+    # watermark = max ts (12:30); user 1's FIRST session (end 10:35) is
+    # finalized and emitted; user 1's second session (end 13:00) and
+    # user 2's only session (end 10:30 <= 12:30 → emitted too). The one
+    # held back is the session whose end exceeds the final watermark.
+    emitted = {(r.user_id, r.n_events) for r in got}
+    assert (1, 2) in emitted  # first session of user 1 flushed
+    assert (2, 1) in emitted  # user 2's session end precedes the watermark
+    assert (1, 1) not in emitted  # user 1's trailing session held back

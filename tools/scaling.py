@@ -17,11 +17,20 @@ Each (query, sf) point is the median of REPS noop-write materializations
 in one shared JVM (the bench.py policy), caches released between reps.
 
 Usage: python tools/scaling.py [--reps 3] [--queries a,b,c]
+       python tools/scaling.py --correctness [--queries a,b,c]
 Writes: prints the table, merges a "scaling_ladder" object into
 BENCH_AUX.json (builder-owned — the driver overwrites BENCH_LOCAL.json
 every round, which clobbered these records twice, r8 VERDICT "What's
 wrong" #1), and rewrites the ladder section of SCALING.md between its
 markers.
+
+--correctness (r8 VERDICT Next #7): instead of timing, hash-check the
+ladder queries AT SF1 against their DuckDB oracles — the ladder times
+sf1 but the driver only hash-grades sf0.01, so scale-dependent
+wrongness (overflow, skew-dependent tie-breaks, margin cuts) would
+otherwise be invisible. Uses diffcheck's canonical compare (row count,
+columns, dtype drift, value-normalized sorted rows) and merges a
+"scaling_correctness" block into BENCH_AUX.json.
 """
 
 from __future__ import annotations
@@ -68,10 +77,79 @@ def _table_rows(spark, sf_dir):
     return rows
 
 
+def _merge_aux(key: str, value) -> None:
+    bench_path = os.path.join(REPO, "BENCH_AUX.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            bench = json.load(fh)
+    else:
+        bench = {}
+    bench[key] = value
+    with open(bench_path, "w") as fh:
+        json.dump(bench, fh, indent=2)
+
+
+def run_correctness(names: list[str]) -> int:
+    """Spark-vs-DuckDB hash check of the ladder queries at sf1."""
+    import duckdb
+
+    from tools.diffcheck import _dtype_drift, canon
+
+    from lovdata_pipeline_spark.oracles import ORACLES
+    from lovdata_pipeline_spark.queries import QUERIES, TABLES
+    from lovdata_pipeline_spark.session import get_spark
+
+    sf1 = dict(SF_DIRS)["sf1"]
+    if not os.path.isdir(sf1):
+        sys.exit(f"{sf1} missing — run tools/scaleup.py first")
+    spark = get_spark("scaling-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf1, f"{t}.parquet")
+        src = p if os.path.exists(p) else f"/root/testdata/sf0.1/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    out, failures = {}, []
+    for name in names:
+        t0 = time.time()
+        sdf = QUERIES[name](spark, sf1).toPandas()
+        odf = con.execute(ORACLES[name]).df()
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append("columns differ")
+        else:
+            problems.extend(_dtype_drift(sdf, odf))
+        if not problems and canon(sdf) != canon(odf):
+            problems.append("values differ")
+        ok = not problems
+        if not ok:
+            failures.append(name)
+        out[name] = {
+            "rows": len(sdf),
+            "hash_match": ok,
+            "sec": round(time.time() - t0, 1),
+            **({"problems": problems} if problems else {}),
+        }
+        print(f"{'ok   ' if ok else 'FAIL '} {name:36s} {len(sdf):7d} rows "
+              f"({out[name]['sec']}s) {'; '.join(problems)}", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+    _merge_aux("scaling_correctness", {"sf": "sf1", "queries": out})
+    print(f"\n{len(names) - len(failures)}/{len(names)} hash-match at sf1")
+    return 1 if failures else 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", help="comma-separated subset")
+    ap.add_argument(
+        "--correctness",
+        action="store_true",
+        help="hash-check the ladder queries at sf1 instead of timing",
+    )
     args = ap.parse_args()
 
     from lovdata_pipeline_spark.operators.packing import release_offsets_caches
@@ -90,12 +168,15 @@ def main() -> None:
         if unknown:
             ap.error(f"not in the query registry: {', '.join(unknown)}")
         unladdered = [n for n in names if n not in LADDER_QUERIES]
-        if unladdered:
+        if unladdered and not args.correctness:
             ap.error(
                 "no LADDER_QUERIES primary-table entry for: "
                 + ", ".join(unladdered)
                 + " — add (query, table) to tools/scaling.py first"
             )
+
+    if args.correctness:
+        sys.exit(run_correctness(names))
 
     spark = get_spark("scaling-ladder")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
@@ -147,15 +228,7 @@ def main() -> None:
     table_md = "\n".join(lines)
     print(table_md)
 
-    bench_path = os.path.join(REPO, "BENCH_AUX.json")
-    if os.path.exists(bench_path):
-        with open(bench_path) as fh:
-            bench = json.load(fh)
-    else:
-        bench = {}
-    bench["scaling_ladder"] = results
-    with open(bench_path, "w") as fh:
-        json.dump(bench, fh, indent=2)
+    _merge_aux("scaling_ladder", results)
 
     scaling_path = os.path.join(REPO, "SCALING.md")
     content = open(scaling_path).read() if os.path.exists(scaling_path) else ""
