@@ -86,6 +86,70 @@ def test_bitext_bucketed_pairs_never_duplicate(spark):
     assert len(srcs) == len(set(srcs))
 
 
+class TestKnnIndexPath:
+    """knn_edges(candidates='ivf', index_path=...): persisted-geometry
+    candidates must equal the in-memory IVF path, and a subset build
+    must prune the index scan to its probed cells."""
+
+    def _clustered(self, spark, n_clusters=4, per=6, dim=8, jitter=1e-3):
+        rng = np.random.RandomState(11)
+        centers = np.eye(dim)[:n_clusters]
+        rows = [
+            (c * 100 + i, (centers[c] + jitter * rng.randn(dim)).tolist())
+            for c in range(n_clusters)
+            for i in range(per)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_index_path_equals_in_memory_ivf(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.graph import (
+            knn_edges,
+            knn_write_ivf_index,
+        )
+
+        vecs = self._clustered(spark)
+        idx = str(tmp_path / "knn_idx")
+        knn_write_ivf_index(vecs, idx, n_cells=4)
+        mem = sorted(
+            map(
+                tuple,
+                knn_edges(vecs, k=3, candidates="ivf", n_cells=4, n_probe=2).collect(),
+            )
+        )
+        via_idx = sorted(
+            map(
+                tuple,
+                knn_edges(
+                    vecs, k=3, candidates="ivf", n_probe=2, index_path=idx
+                ).collect(),
+            )
+        )
+        assert mem == via_idx
+
+    def test_subset_build_prunes_partitions(self, spark, tmp_path):
+        """Incremental form: a 3-row batch from one cluster probes <
+        n_cells cells — the index read carries a PartitionFilter on
+        cell, and its edges equal the full build's edges restricted to
+        those sources."""
+        from lovdata_pipeline_spark.operators.graph import (
+            knn_edges,
+            knn_write_ivf_index,
+        )
+
+        vecs = self._clustered(spark)
+        idx = str(tmp_path / "knn_idx_sub")
+        knn_write_ivf_index(vecs, idx, n_cells=4)
+        batch = vecs.filter(F.col("vec_id") < 100)  # cluster 0 only
+        df = knn_edges(batch, k=3, candidates="ivf", n_probe=2, index_path=idx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        got = sorted(map(tuple, df.collect()))
+        full = knn_edges(
+            vecs, k=3, candidates="ivf", n_cells=4, n_probe=2
+        ).filter(F.col("src") < 100)
+        assert got == sorted(map(tuple, full.collect()))
+
+
 def test_session_append_drain_holds_back_trailing_sessions(spark, tmp_path):
     """The append-mode session drain WITHOUT a watermark heartbeat holds
     back every user's final session (its end is gap past the last event,

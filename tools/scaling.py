@@ -107,6 +107,8 @@ def run_correctness(names: list[str]) -> int:
     for t in TABLES:
         p = os.path.join(sf1, f"{t}.parquet")
         src = p if os.path.exists(p) else f"/root/testdata/sf0.1/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written table = directory of parts
+            src = os.path.join(src, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     out, failures = {}, []
