@@ -135,6 +135,7 @@ HEADLINE = [
     "text_kn_trigram_surprisal",
     "hll_store_merged_counts",
     "streaming_interval_join_counts",
+    "streaming_session_append_counts",
     "knn_edges_ivf_embeddings",
     "bloom_token_membership",
 ]
