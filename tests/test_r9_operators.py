@@ -86,6 +86,45 @@ def test_bitext_bucketed_pairs_never_duplicate(spark):
     assert len(srcs) == len(set(srcs))
 
 
+class TestJaccardDfCap:
+    """ngram_jaccard_pairs(max_df=...): the SSJoin stop-word escape
+    hatch for saturated shingle spaces (r9 audit — see SCALING.md
+    named causes)."""
+
+    def _docs(self, spark):
+        # two true near-dup pairs + a hot boilerplate line shared by all
+        rows = [
+            (1, "the same header alpha beta gamma delta one"),
+            (2, "the same header alpha beta gamma delta two"),
+            (3, "the same header epsilon zeta eta theta one"),
+            (4, "the same header epsilon zeta eta theta two"),
+            (5, "the same header completely different words here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_capped_equals_exact_when_cap_above_max_posting(self, spark):
+        from lovdata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        exact = sorted(map(tuple, ngram_jaccard_pairs(docs, 0.5).collect()))
+        capped = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, 0.5, max_df=100).collect())
+        )
+        assert exact == capped and len(exact) >= 2
+
+    def test_capped_is_subset_of_exact(self, spark):
+        """An aggressive cap may only DROP pairs (candidate generation
+        shrinks; verification is unchanged) — never invent or rescore."""
+        from lovdata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        exact = set(map(tuple, ngram_jaccard_pairs(docs, 0.5).collect()))
+        capped = set(
+            map(tuple, ngram_jaccard_pairs(docs, 0.5, max_df=2).collect())
+        )
+        assert capped <= exact
+
+
 class TestKnnIndexPath:
     """knn_edges(candidates='ivf', index_path=...): persisted-geometry
     candidates must equal the in-memory IVF path, and a subset build

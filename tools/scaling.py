@@ -89,6 +89,36 @@ def _merge_aux(key: str, value) -> None:
         json.dump(bench, fh, indent=2)
 
 
+#: oracles that cannot run at sf1 in this container, with the named
+#: reason recorded in the scaling_correctness block. pagerank's oracle
+#: replays the FULL N² cosine graph in SQL — at 20 k × 64-d DuckDB
+#: materializes a ~400 GB pair intermediate and fills the disk (hit
+#: once: ENOSPC after >79 GB of .tmp spill). Its sf0.01 hash grade plus
+#: the Spark-side partition-independence pins carry it; the Spark sf1
+#: RUN is still timed in the ladder.
+SKIP_SF1_ORACLE = {
+    "pagerank_doc_graph": (
+        "oracle replays the N^2 cosine graph in SQL — infeasible at "
+        "20k vectors (DuckDB pair intermediate ~400 GB; filled the "
+        "container disk). Hash-graded at sf0.01; Spark-side "
+        "determinism pinned in tests."
+    ),
+}
+
+#: queries whose sf1 hash match is VACUOUS (0 == 0 rows), with the
+#: measured data-property cause.
+VACUOUS_SF1 = {
+    "pretraining_pipeline": (
+        "0 rows BOTH engines at sf1: the 515-doc benchmark slice's "
+        "17,427 distinct 3-grams saturate the 30-token-vocabulary "
+        "3-gram space, so the decontamination gate removes all "
+        "49,484/49,484 train docs (measured) — a data property of the "
+        "bounded-vocabulary synthetic corpus, not an engine bug; the "
+        "same gate keeps 198 docs at sf0.1."
+    ),
+}
+
+
 def run_correctness(names: list[str]) -> int:
     """Spark-vs-DuckDB hash check of the ladder queries at sf1."""
     import duckdb
@@ -104,6 +134,13 @@ def run_correctness(names: list[str]) -> int:
         sys.exit(f"{sf1} missing — run tools/scaleup.py first")
     spark = get_spark("scaling-correctness")
     con = duckdb.connect()
+    # resource guards: an infeasible oracle must FAIL FAST, not fill the
+    # disk (first run died ENOSPC on an unbounded .tmp spill)
+    tmp = os.path.join(REPO, ".tmp", "duck_sf1")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='20GB'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = os.path.join(sf1, f"{t}.parquet")
         src = p if os.path.exists(p) else f"/root/testdata/sf0.1/{t}.parquet"
@@ -113,9 +150,20 @@ def run_correctness(names: list[str]) -> int:
 
     out, failures = {}, []
     for name in names:
+        if name in SKIP_SF1_ORACLE:
+            out[name] = {"hash_match": None, "skipped": SKIP_SF1_ORACLE[name]}
+            print(f"skip  {name:36s} {SKIP_SF1_ORACLE[name][:60]}...", flush=True)
+            continue
         t0 = time.time()
-        sdf = QUERIES[name](spark, sf1).toPandas()
-        odf = con.execute(ORACLES[name]).df()
+        try:
+            sdf = QUERIES[name](spark, sf1).toPandas()
+            odf = con.execute(ORACLES[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            out[name] = {"hash_match": False, "error": str(exc)[:300]}
+            print(f"FAIL  {name:36s} {exc}", flush=True)
+            spark.catalog.clearCache()
+            continue
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
@@ -133,6 +181,7 @@ def run_correctness(names: list[str]) -> int:
             "hash_match": ok,
             "sec": round(time.time() - t0, 1),
             **({"problems": problems} if problems else {}),
+            **({"vacuous": VACUOUS_SF1[name]} if name in VACUOUS_SF1 and ok else {}),
         }
         print(f"{'ok   ' if ok else 'FAIL '} {name:36s} {len(sdf):7d} rows "
               f"({out[name]['sec']}s) {'; '.join(problems)}", flush=True)
