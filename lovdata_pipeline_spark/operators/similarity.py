@@ -920,13 +920,14 @@ def bitext_margin_mine(
     pair_score = F.round(
         _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
     ).alias("score")
-    if buckets:
+    head = src.select(vec_col).first() if buckets else None
+    if buckets and head is not None:
         import math as _math
 
         import numpy as _np
 
         n_planes = max(1, int(_math.ceil(_math.log2(buckets))))
-        dim = len(src.select(vec_col).first()[0])
+        dim = len(head[0])
         planes = _np.random.RandomState(42).randn(n_planes, dim).tolist()
         tb = t.withColumn("_b", _srp_bits(F.col("tv"), planes))
         sb = s.withColumn("_b0", _srp_bits(F.col("sv"), planes))
