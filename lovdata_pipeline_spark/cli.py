@@ -897,6 +897,7 @@ def cmd_rank(args) -> int:
             candidates=args.candidates,
             n_cells=args.cells,
             n_probe=args.probe,
+            index_path=args.index_path,
         )
         if args.edges_output:
             edges.write.mode("overwrite").parquet(args.edges_output)
@@ -929,15 +930,28 @@ def cmd_index(args) -> int:
 
     spark = _spark("lg-index")
     emb = spark.read.parquet(args.input)
-    cents = similarity.ivf_write_index(
-        emb,
-        args.output,
-        n_cells=args.cells,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-        portable=args.refine == 0,
-        refine_iterations=args.refine,
-    )
+    if args.graph:
+        # the k-NN graph's geometry: unit-sphere cells consumable by
+        # `lg rank --candidates ivf --index-path` (r9)
+        from lovdata_pipeline_spark.operators.graph import knn_write_ivf_index
+
+        cents = knn_write_ivf_index(
+            emb,
+            args.output,
+            n_cells=args.cells,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+    else:
+        cents = similarity.ivf_write_index(
+            emb,
+            args.output,
+            n_cells=args.cells,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            portable=args.refine == 0,
+            refine_iterations=args.refine,
+        )
     cells = {
         str(r["cell"]): r["n"]
         for r in spark.read.parquet(args.output)
@@ -1153,7 +1167,12 @@ def cmd_mine(args) -> int:
         F.col(args.vec_id_col).alias("tgt_id"), args.vec_col
     )
     pairs = bitext_margin_mine(
-        src, tgt, k=args.k, threshold=args.threshold, vec_col=args.vec_col
+        src,
+        tgt,
+        k=args.k,
+        threshold=args.threshold,
+        vec_col=args.vec_col,
+        buckets=args.buckets,
     )
     pairs.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
@@ -1530,6 +1549,12 @@ def main(argv: list[str] | None = None) -> int:
     rk.add_argument("--candidates", choices=["blocked", "ivf"], default="blocked", help="candidate stage: exact block-pair BLAS or sublinear IVF probing")
     rk.add_argument("--cells", type=int, default=16, help="ivf: number of cells")
     rk.add_argument("--probe", type=int, default=4, help="ivf: cells probed per source")
+    rk.add_argument(
+        "--index-path",
+        default=None,
+        help="ivf: read a knn_write_ivf_index layout (partition-pruned "
+        "probes; --input may be a subset of the indexed corpus)",
+    )
     rk.add_argument("--damping-pct", type=int, default=85)
     rk.add_argument("--iterations", type=int, default=3)
     rk.add_argument("--top", type=int, default=10, help="central nodes printed")
@@ -1542,6 +1567,12 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--output", required=True, help="index directory (cell-partitioned parquet + _ivf_params.json)")
     ix.add_argument("--cells", type=int, default=8)
     ix.add_argument("--refine", type=int, default=0, help="exact-integer Lloyd iterations (0 = portable seeds)")
+    ix.add_argument(
+        "--graph",
+        action="store_true",
+        help="build the k-NN GRAPH geometry (unit-sphere cells) for "
+        "`lg rank --index-path` instead of the raw-space search index",
+    )
     ix.add_argument("--id-col", default="vec_id")
     ix.add_argument("--vec-col", default="embedding")
     ix.set_defaults(func=cmd_index)
@@ -1593,6 +1624,13 @@ def main(argv: list[str] | None = None) -> int:
     mn.add_argument("--tgt-lang", required=True)
     mn.add_argument("--k", type=int, default=4)
     mn.add_argument("--threshold", type=float, default=1.0)
+    mn.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="LSH pre-bucketing (2**n buckets): corpus-scale approximate "
+        "path — exact when omitted",
+    )
     mn.add_argument("--vec-col", default="embedding")
     mn.add_argument("--vec-id-col", default="vec_id")
     mn.add_argument("--doc-id-col", default="doc_id")

@@ -68,3 +68,31 @@ def test_rank_ivf_candidates_path(emb_parquet, capsys):
 
 def test_rank_requires_input_or_edges(capsys):
     assert main(["rank", "--top", "3"]) == 2
+
+
+def test_rank_via_persisted_graph_index(spark, emb_parquet, tmp_path, capsys):
+    """`lg index --graph` + `lg rank --index-path` (r9): building from the
+    persisted unit-sphere geometry ranks the same top nodes as the
+    in-memory ivf build — no re-quantization per rank run."""
+    idx = str(tmp_path / "graph_idx")
+    rc = main(
+        ["index", "--input", emb_parquet, "--output", idx,
+         "--cells", "4", "--graph"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_cells"] == 4 and sum(summary["rows_per_cell"].values()) == 18
+
+    rc = main(
+        ["rank", "--input", emb_parquet, "-k", "3", "--candidates", "ivf",
+         "--probe", "4", "--index-path", idx, "--top", "5"]
+    )
+    assert rc == 0
+    via_idx = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rc = main(
+        ["rank", "--input", emb_parquet, "-k", "3", "--candidates", "ivf",
+         "--cells", "4", "--probe", "4", "--top", "5"]
+    )
+    assert rc == 0
+    in_mem = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert via_idx == in_mem
