@@ -244,3 +244,92 @@ def test_session_append_drain_holds_back_trailing_sessions(spark, tmp_path):
     assert (1, 2) in emitted  # first session of user 1 flushed
     assert (2, 1) in emitted  # user 2's session end precedes the watermark
     assert (1, 1) not in emitted  # user 1's trailing session held back
+
+
+def test_session_append_multibatch_with_heartbeat_equals_batch(spark, tmp_path):
+    """maxFilesPerTrigger=1 drain of the APPEND plan: a session spanning
+    two micro-batches merges in the state store, the watermark advances
+    per batch without late-dropping anything (files land in time order),
+    and the trailing sentinel flushes every real session exactly once —
+    the multi-batch pin the complete-mode row has, for the production
+    append form."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from lovdata_pipeline_spark.streaming.windows import session_windows
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    file_a = [(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=10)),
+              (3, 2, t0), (4, 3, t0 + dt.timedelta(minutes=20))]
+    # user 1's event here MERGES into the batch-1 session (gap 25 min);
+    # user 2 starts a new session (gap 110 min)
+    file_b = [(5, 1, t0 + dt.timedelta(minutes=35)),
+              (6, 2, t0 + dt.timedelta(minutes=120))]
+    sentinel = [(7, -999, t0 + dt.timedelta(hours=8))]
+    schema = "event_id long, user_id long, ts timestamp"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, rows) in enumerate((("a", file_a), ("b", file_b), ("zz", sentinel))):
+        d = tmp_path / f"_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        [part] = glob.glob(str(d / "part-*.parquet"))
+        link = str(src / f"{name}.parquet")
+        os.symlink(part, link)
+        # file source orders batches by (mtime, path): pin time order so
+        # no real event arrives behind the watermark
+        os.utime(part, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sess = session_windows(stream, gap="30 minutes", watermark="0 seconds")
+    out = tmp_path / "out"
+
+    def land(bdf, _bid):
+        bdf.write.mode("append").parquet(str(out))
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(
+                "user_id long, session_start timestamp, session_end timestamp, n_events long"
+            )
+            .parquet(str(out))
+            .filter("user_id <> -999")
+            .collect(),
+        )
+    )
+    batch = spark.createDataFrame(file_a + file_b, schema)
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(F2.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F2.count(F2.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F2.col("s.start").alias("session_start"),
+                F2.col("s.end").alias("session_end"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # the cross-batch merge really happened: user 1 has ONE 3-event session
+    assert (1,) == tuple({r[0] for r in got if r[3] == 3})
