@@ -135,9 +135,11 @@ HEADLINE = [
     "text_kn_trigram_surprisal",
     "hll_store_merged_counts",
     "streaming_interval_join_counts",
-    "streaming_session_append_counts",
     "knn_edges_ivf_embeddings",
     "bloom_token_membership",
+    # --- r9 additions ---
+    "streaming_session_append_counts",
+    "bitext_mine_margin_bucketed",
 ]
 
 

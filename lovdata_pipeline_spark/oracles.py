@@ -2898,6 +2898,108 @@ ORACLES["bitext_mine_margin"] = f"""
         ORDER BY src_id
 """
 
+def _bitext_bucketed_sql() -> str:
+    """Exact oracle for the 'approximate' SRP-pre-bucketed bitext mining
+    (r9 — the _ann_lsh_sql move applied to the bitext scale path): the
+    seed-42 planes are FIXED (ceil(log2(16)) = 4 planes over 64 dims —
+    the identical draw sequence queries/_srp_bits makes), so bucket
+    bits, the source side's own-plus-1-bit-flip probe set, the bucket
+    equi-join, and the neighborhood/margin/forward-max machinery over
+    the RESTRICTED pair set are all deterministic and SQL-expressible.
+    Plane literals inline via repr (shortest round-trip); sign-of-dot
+    is a sequential fold in both engines (the proven
+    ann_topk_lsh_bucketed parity). Every target lives in exactly one
+    bucket, so the probe join cannot duplicate a pair."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(4, 64)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bits(col):
+        return " || ".join(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr(planes[i])}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for i in range(4)
+        )
+
+    return f"""
+        WITH langed AS (
+          SELECT e.vec_id, e.embedding, d.lang
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        sa AS (
+          SELECT vec_id AS src_id, embedding, {bits('embedding')} AS sig
+          FROM langed
+          WHERE lang = 'en'
+            AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        ),
+        ta AS (
+          SELECT vec_id AS tgt_id, embedding, {bits('embedding')} AS sig
+          FROM langed
+          WHERE lang = 'zh'
+            AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        ),
+        probes AS (
+          SELECT src_id, embedding,
+                 CASE WHEN i = 0 THEN sig
+                      ELSE substr(sig, 1, i - 1)
+                           || (CASE WHEN substr(sig, i, 1) = '1'
+                                    THEN '0' ELSE '1' END)
+                           || substr(sig, i + 1)
+                 END AS psig
+          FROM sa CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+        ),
+        sc AS (
+          SELECT a.src_id, b.tgt_id, round({_COSINE}, 6) AS score
+          FROM probes a JOIN ta b ON b.sig = a.psig
+        ),
+        sk AS (
+          SELECT src_id, SUM(CAST(score AS DECIMAL(18,6))) AS ssum,
+                 count(*) AS scnt
+          FROM (SELECT src_id, score, row_number() OVER (
+                  PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rk
+                FROM sc)
+          WHERE rk <= 4 GROUP BY src_id
+        ),
+        tk AS (
+          SELECT tgt_id, SUM(CAST(score AS DECIMAL(18,6))) AS tsum,
+                 count(*) AS tcnt
+          FROM (SELECT tgt_id, score, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rk
+                FROM sc)
+          WHERE rk <= 4 GROUP BY tgt_id
+        ),
+        m AS (
+          SELECT sc.src_id, sc.tgt_id, sc.score,
+                 (CAST(sk.ssum AS DOUBLE) / sk.scnt
+                  + CAST(tk.tsum AS DOUBLE) / tk.tcnt) / 2.0 AS denom
+          FROM sc JOIN sk USING (src_id) JOIN tk USING (tgt_id)
+        ),
+        mm AS (
+          SELECT src_id, tgt_id, score, round(score / denom, 6) AS margin
+          FROM m WHERE denom > 0
+        ),
+        r AS (
+          SELECT src_id, tgt_id, score, margin,
+                 CAST(row_number() OVER (
+                   PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS INTEGER) AS rk
+          FROM mm
+        )
+        SELECT src_id, tgt_id, score, margin
+        FROM r WHERE rk = 1 AND margin >= 1.0
+        ORDER BY src_id
+"""
+
+
+try:  # same numpy gate as ann_topk_lsh_bucketed: without numpy the
+    # entry is absent and the driver records its rows-only fallback.
+    ORACLES["bitext_mine_margin_bucketed"] = _bitext_bucketed_sql()
+except ImportError:  # pragma: no cover - numpy is present here
+    pass
+
+
 # r7b: exact-count stratified split — within-stratum md5 rank (id
 # unique => order total), integer thresholds n*pct div 100. The Spark
 # side's two-phase prefix-sum rank is a physical detail; the oracle's

@@ -2511,6 +2511,35 @@ def bitext_mine_margin(spark, sf_dir):
     )
 
 
+def bitext_mine_margin_bucketed(spark, sf_dir):
+    """The bitext scale path GRADED end-to-end (new r9 — the
+    knn_edges_ivf move, for bitext): the same en/zh margin mining as
+    ``bitext_mine_margin``, but candidates come from the seed-42 SRP
+    LSH pre-bucketing (16 buckets, 1-bit multi-probe on the source
+    side) instead of the full cross join. The oracle replays the WHOLE
+    approximation in SQL — plane literals inlined (repr round-trip; the
+    sign-of-dot is a sequential fold in both engines, the proven
+    ann_topk_lsh_bucketed parity), the 1-bit-flip probe set, the
+    bucket equi-join, and then the identical neighborhood/margin/
+    forward-max machinery over the RESTRICTED pair set — certifying
+    the approximation itself is deterministic, not just plausible.
+    Every target lives in exactly one bucket, so no pair duplicates
+    and no dedup aggregate is needed."""
+    emb, docs = load(spark, sf_dir, "embeddings", "documents")
+    langed = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    src = langed.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = langed.filter(F.col("lang") == "zh").select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return similarity.bitext_margin_mine(
+        src, tgt, k=4, threshold=1.0, buckets=16, n_probe_bits=1
+    ).orderBy("src_id")
+
+
 def train_quality_classifier_documents(spark, sf_dir):
     """Distributed logistic-regression TRAINING graded bit-for-bit
     (r7): learn a 32-bucket hashed bag-of-words classifier for
@@ -3452,8 +3481,18 @@ QUERIES = {
     # + hll_store_merged_counts, and agg_distinct_counts is back
     # in-window via the r8 rotation.
     "events_retention_cohorts": events_retention_cohorts,
-    # --- r6-born operators still holding their at-birth window slot ---------
-    "boilerplate_strip_documents": boilerplate_strip_documents,
+    # bitext_mine_margin_bucketed (new r9) enters at birth: the bitext
+    # scale path graded end-to-end — the oracle replays the seed-42 SRP
+    # bucketing, the 1-bit probe set, the bucket equi-join, and the
+    # full margin machinery over the restricted pair set (the
+    # knn_edges_ivf move, for bitext; exact-path twin
+    # bitext_mine_margin stays in-window). Demoted in exchange:
+    # boilerplate_strip_documents (green r6+r7+r8; the line-level
+    # dedup family keeps dedup_keep_best_quality +
+    # dedup_incremental_minhash in-window with paragraph_dedup +
+    # dedup_remove_spans attested in the tail, and the strip machinery
+    # is driven end-to-end by the lg clean CLI tests).
+    "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,
     # embedding_outliers_by_label (new r7e) enters at birth: per-label
     # centroid outliers — cosine vs the quantized-integer sum vector
     # (scale-invariance elides the mean), two-phase ascending top-k.
@@ -3874,6 +3913,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4+r8; demoted r9 (phrase_search_documents keeps the search family graded)
     "text_language_id": text_language_id,                # green r1-r4+r8; demoted r9 (text_quality + text_repetition enter, same signal-scan family)
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail)
+    "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6+r7+r8; demoted r9 for bitext_mine_margin_bucketed's at-birth slot (line-level dedup family keeps keep_best_quality + incremental_minhash in-window; paragraph_dedup + remove_spans in tail; strip machinery driven by lg clean CLI tests)
     # --- r8 attestation-refresh demotions (each green r1+r2+r7 unless
     # --- noted; family twins named in the window block above) -------------
     "semi_join_processed": semi_join_processed,          # green r1+r2+r7; demoted r8 (not_exists_high_value keeps semi/anti family graded)

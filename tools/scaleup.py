@@ -19,6 +19,15 @@ embeddings (20 000 rows = 10× sf0.1): 64-dim UNIT float vectors
   (hash-uniform components, normalized — sf0.1 vectors are unit-norm),
   label ∈ 0..9.
 
+events (1 000 000 rows = 10× sf0.1, added r9 so the ladder can audit
+  the events/streaming family at a third decade):
+  * ts uniform over 30 days of Jan 2024 (microseconds, TIMESTAMP_NTZ —
+    the driver files' naive-timestamp semantics, so DuckDB's epoch()/
+    date_trunc see identical wall times), user_id ∈ 0..14 999 (10×
+    sf0.1's 1 500 users at the same ~67 events/user), event_type
+    uniform over view/click/purchase/signup/error, value ~ U[0,100]
+    to 2 dp, props = '{"k": N}' with N ∈ 0..99.
+
 Everything derives from xxhash64 of the row id — deterministic,
 generated entirely JVM-side from ``spark.range`` (no driver loops, no
 Python rows), so regenerating yields identical parquet values.
@@ -46,6 +55,8 @@ VOCAB = [
 
 N_DOCS = 50_000
 N_VECS = 20_000
+N_EVENTS = 1_000_000
+N_USERS = 15_000
 DIM = 64
 
 
@@ -126,15 +137,49 @@ def write_embeddings(spark, path: str) -> None:
     out.repartition(16).write.mode("overwrite").parquet(path)
 
 
+def write_events(spark, path: str) -> None:
+    base = spark.range(N_EVENTS).withColumnRenamed("id", "event_id")
+    span_us = 30 * 24 * 3600 * 1_000_000  # 30 days of microseconds
+    t0_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    ts = F.timestamp_micros(
+        F.lit(t0_us) + F.pmod(_h(F.col("event_id"), F.lit("ts")), F.lit(span_us))
+    ).cast("timestamp_ntz")  # NTZ: the driver files' naive semantics
+    etypes = F.array(
+        *[F.lit(x) for x in ("view", "click", "purchase", "signup", "error")]
+    )
+    out = base.select(
+        "event_id",
+        ts.alias("ts"),
+        F.pmod(_h(F.col("event_id"), F.lit("user")), F.lit(N_USERS)).alias("user_id"),
+        F.element_at(
+            etypes,
+            (F.pmod(_h(F.col("event_id"), F.lit("et")), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(_h(F.col("event_id"), F.lit("val")), F.lit(10_001)) / F.lit(100.0))
+        .alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(_h(F.col("event_id"), F.lit("pk")), F.lit(100)).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("scaleup-sf1")
     write_documents(spark, os.path.join(out_dir, "documents.parquet"))
     write_embeddings(spark, os.path.join(out_dir, "embeddings.parquet"))
+    write_events(spark, os.path.join(out_dir, "events.parquet"))
     d = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
     e = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
-    print(f"sf1 written to {out_dir}: documents={d.count()} embeddings={e.count()}")
+    v = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
+    print(
+        f"sf1 written to {out_dir}: documents={d.count()} "
+        f"embeddings={e.count()} events={v.count()}"
+    )
     spark.stop()
 
 

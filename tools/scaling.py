@@ -58,6 +58,12 @@ LADDER_QUERIES = {
     "text_repetition_signals": "documents",
     "dedup_ngram_jaccard": "documents",
     "bitext_mine_margin": "embeddings",
+    # --- events/streaming family (r9: sf1 events generated so this
+    # --- family gets its third decade too) ---------------------------
+    "scd2_user_event_intervals": "events",
+    "events_retention_cohorts": "events",
+    "events_funnel_counts": "events",
+    "streaming_interval_join_counts": "events",
 }
 
 SF_DIRS = [
@@ -72,7 +78,7 @@ MARK_END = "<!-- ladder:end -->"
 
 def _table_rows(spark, sf_dir):
     rows = {}
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         rows[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     return rows
 
@@ -306,8 +312,21 @@ def main() -> None:
     table_md = "\n".join(lines)
     print(table_md)
 
-    _merge_aux("scaling_ladder", results)
+    # per-query merge: a --queries subset must extend, not replace, the
+    # recorded ladder
+    bench_path = os.path.join(REPO, "BENCH_AUX.json")
+    prior = {}
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            prior = json.load(fh).get("scaling_ladder", {})
+    _merge_aux("scaling_ladder", {**prior, **results})
 
+    if set(names) != set(LADDER_QUERIES):
+        # a --queries subset must not clobber the full ladder table in
+        # SCALING.md; its numbers are printed and merged into BENCH_AUX
+        print("subset run: SCALING.md table left untouched "
+              "(full-set runs rewrite it)")
+        return
     scaling_path = os.path.join(REPO, "SCALING.md")
     content = open(scaling_path).read() if os.path.exists(scaling_path) else ""
     block = f"{MARK_BEGIN}\n{table_md}\n{MARK_END}"
