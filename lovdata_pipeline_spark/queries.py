@@ -44,6 +44,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _link_stream_source(sf_dir: str, table: str, prefix: str) -> str:
+    """Expose a parquet table as a directory of PLAIN FILES for the file
+    stream source (it lists, it does not recurse): the driver tables are
+    single files — one symlink; a Spark-written table (the generated sf1
+    ladder corpus) is a DIRECTORY of part files — link each part in
+    (found r9: symlinking the directory itself made the source list zero
+    files and the drain silently emit nothing at sf1)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, f), os.path.join(d, f"part{i:05d}.parquet")
+                )
+    else:
+        os.symlink(src, os.path.join(d, f"{table}.parquet"))
+    return d
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than cores. The single-file sf0.01/sf0.1 parquet tables arrive as one
@@ -2657,11 +2680,7 @@ def streaming_session_counts(spark, sf_dir):
     import tempfile
 
     ev = load_events(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="stream_sess_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
+    src_dir = _link_stream_source(sf_dir, "events", "stream_sess_src_")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
     if dict(raw.dtypes)["ts"] == "bigint":
@@ -2748,11 +2767,7 @@ def streaming_session_append_counts(spark, sf_dir):
 
     _ = load_events(spark, sf_dir)  # pins the nanosAsLong conf on pre-4.1 runtimes
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="stream_sessap_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
+    src_dir = _link_stream_source(sf_dir, "events", "stream_sessap_src_")
     # sentinel heartbeat: one event 90 min (3×gap) past the span, in the
     # source's own ts dtype; written to a scratch dir and its part file
     # symlinked in (the file source lists plain files in a directory)
@@ -2845,11 +2860,7 @@ def streaming_vocab_counts(spark, sf_dir):
     # the file stream source lists a DIRECTORY; the testdata table is a
     # single parquet file, so expose it through a symlinked temp dir
     # (zero copy — production corpora are directories already)
-    src_dir = tempfile.mkdtemp(prefix="stream_vocab_src_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src_dir, "documents.parquet"),
-    )
+    src_dir = _link_stream_source(sf_dir, "documents", "stream_vocab_src_")
     stream = spark.readStream.schema(batch_docs.schema).parquet(src_dir)
     # NoTimeout: a finite AvailableNow drain must terminate on its own
     # (ProcessingTimeTimeout keeps the query alive to fire evictions)
@@ -3146,11 +3157,7 @@ def streaming_dedup_counts(spark, sf_dir):
     from lovdata_pipeline_spark.streaming.windows import streaming_dedup
 
     ev = load_events(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="stream_dedup_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
+    src_dir = _link_stream_source(sf_dir, "events", "stream_dedup_src_")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
     if dict(raw.dtypes)["ts"] == "bigint":
@@ -3206,11 +3213,7 @@ def streaming_interval_join_counts(spark, sf_dir):
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def mk_stream(tag):
-        d = tempfile.mkdtemp(prefix=f"stream_ij_{tag}_")
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
+        d = _link_stream_source(sf_dir, "events", f"stream_ij_{tag}_")
         s = spark.readStream.schema(raw.schema).parquet(d)
         if dict(raw.dtypes)["ts"] == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

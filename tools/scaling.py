@@ -219,7 +219,10 @@ def run_correctness(names: list[str]) -> int:
     spark.stop()
     _merge_aux("scaling_correctness", {"sf": "sf1", "queries": out})
     n_dev = sum(1 for r in out.values() if "expected_deviation" in r)
-    print(f"\n{len(names) - len(failures) - n_dev}/{len(names)} hash-match at sf1"
+    n_skip = sum(1 for r in out.values() if "skipped" in r)
+    n_ok = sum(1 for r in out.values() if r.get("hash_match") is True)
+    print(f"\n{n_ok}/{len(names)} hash-match at sf1"
+          + (f" + {n_skip} named oracle skip(s)" if n_skip else "")
           + (f" + {n_dev} expected data-property deviation(s), documented"
              if n_dev else ""))
     return 1 if failures else 0
