@@ -928,6 +928,12 @@ def cmd_index(args) -> int:
 
     from lovdata_pipeline_spark.operators import similarity
 
+    if args.graph and args.refine:
+        print(
+            "error: --refine applies to the raw-space search index only; "
+            "the --graph geometry uses portable seeds (oracle-replayable)"
+        )
+        return 2
     spark = _spark("lg-index")
     emb = spark.read.parquet(args.input)
     if args.graph:

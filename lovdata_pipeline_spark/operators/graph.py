@@ -224,21 +224,33 @@ def knn_write_ivf_index(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Persist the k-NN graph's IVF candidate geometry (r8 VERDICT Next
-    #8): reuse ``similarity.ivf_write_index``'s layout — the corpus
-    partitioned by member cell plus the ``_ivf_params.json`` centroid
-    sidecar — but in the GRAPH's cosine geometry: vectors are unit-
-    normalized first (L2 on the sphere is monotone in cosine, so
-    ``ivf_assign``'s argmin-L2 member cell equals the in-memory
-    ``_ivf_candidates`` argmax-dot assignment, with the same lower-cell
-    tie rule via struct ordering), and the sidecar centroids are the
-    SAME portable md5-ordered seeds the in-memory stage draws, because
-    both pass the identical normalized frame to
-    ``deterministic_centroids``. ``knn_edges(candidates='ivf',
-    index_path=...)`` then reads cells back with PARTITION PRUNING
-    instead of re-quantizing per build — the incremental-graph story:
-    a daily batch of new documents probes only its own cells and the
-    scan never lists the rest of a 100 TB index."""
-    from lovdata_pipeline_spark.operators.similarity import ivf_write_index
+    #8): ``similarity.ivf_write_index``'s LAYOUT — the corpus
+    partitioned by member cell plus an ``_ivf_params.json`` centroid
+    sidecar, so probes become partition pruning — in the GRAPH's
+    cosine geometry end-to-end. The sidecar centroids are the SAME
+    portable md5-ordered unit-sphere seeds the in-memory stage draws
+    (identical normalized frame into ``deterministic_centroids``), and
+    the member cell is assigned with the SAME rule the probe stage
+    uses — 12-dp-rounded argmax dot, stable lower-cell ties — so a
+    near-tie can never put a vector in a cell its own probe #1 would
+    not name (r9 review: ``ivf_assign``'s unrounded L2 fold could
+    diverge from the rounded probe rule by ~1e-13 summation noise).
+    RAW vectors are stored (not normalized copies), so the downstream
+    exact re-score runs the identical expression as the in-memory
+    path. ``knn_edges(candidates='ivf', index_path=...)`` reads cells
+    back with PARTITION PRUNING instead of re-quantizing per build —
+    the incremental-graph story: a daily batch of new documents probes
+    only its own cells and the scan never lists the rest of a 100 TB
+    index. The sidecar carries ``geometry: 'knn-sphere-raw-v1'`` so
+    the reader rejects a raw-space search index (``lg index`` without
+    ``--graph``) passed by mistake."""
+    import json as _json
+    import os as _os
+
+    from lovdata_pipeline_spark.operators.similarity import (
+        IVF_INDEX_VERSION,
+        deterministic_centroids,
+    )
 
     v = (
         vectors.select(
@@ -246,28 +258,88 @@ def knn_write_ivf_index(
         )
         .withColumn("vn", _norm(F.col("vv")))
         .filter(F.col("vn") > 0)
-        .select(
-            "vid",
-            F.transform(F.col("vv"), lambda x: x / F.col("vn")).alias("uv"),
-        )
     )
-    return ivf_write_index(
-        v, path, n_cells=n_cells, id_col="vid", vec_col="uv", portable=True
+    u = v.select(
+        "vid", F.transform(F.col("vv"), lambda x: x / F.col("vn")).alias("uv")
+    )
+    cents = deterministic_centroids(
+        u, n_cells, id_col="vid", vec_col="uv", portable=True
+    )
+    assigned = _probe_cells(v.select("vid", "vv"), cents, n_probe=1)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(_os.path.join(path, "_ivf_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "version": IVF_INDEX_VERSION,
+                "n_cells": len(cents),
+                "portable": True,
+                "geometry": KNN_INDEX_GEOMETRY,
+                "centroids": cents,
+            },
+            fh,
+        )
+    return cents
+
+
+#: sidecar geometry tag for graph indexes; the reader rejects anything
+#: else (e.g. a raw-space `lg index` output passed by mistake).
+KNN_INDEX_GEOMETRY = "knn-sphere-raw-v1"
+
+
+def _probe_cells(v: DataFrame, cents, n_probe: int) -> DataFrame:
+    """(vid, vv, cell) × n_probe per input row: each vector's n_probe
+    nearest unit-sphere centroids — 12-dp-rounded argmax dot with
+    stable lower-cell ties, the rule BOTH the index writer (n_probe=1 →
+    the member cell) and the query-time prober share, so they can never
+    disagree on a near-tie. Vectors pass through RAW; normalization for
+    the centroid dots happens row-locally in numpy."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = v.schema["vid"].dataType.simpleString()
+    cmat = np.array(cents, dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    npb = min(n_probe, len(cmat))
+
+    def probe(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ cmat.T, 12)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy().repeat(npb),
+                    "vv": [vec for vec in pdf["vv"] for _ in range(npb)],
+                    "cell": order.ravel().astype("int32"),
+                }
+            )
+
+    return v.mapInPandas(
+        probe, schema=f"vid {id_type}, vv array<double>, cell int"
     )
 
 
 def _ivf_index_candidates(
     v: DataFrame, take: int, id_type: str, n_probe: int, index_path: str
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Candidate stage reading a ``knn_write_ivf_index`` layout: sources
-    probe their ``n_probe`` nearest sidecar centroids (the same 12-dp-
-    rounded stable-argsort rule as the in-memory stage), the probed
-    cell set — ≤ n_cells values, a bounded collect — prunes the index
-    scan to those partitions (``PartitionFilters``), and one BLAS
+    probe their ``n_probe`` nearest sidecar centroids (``_probe_cells``
+    — the identical rule the writer assigned member cells with), the
+    probed cell set — ≤ n_cells values, a bounded collect — prunes the
+    index scan to those partitions (``PartitionFilters``), and one BLAS
     ``applyInPandas`` group per cell scores probers × stored members.
     Sources need NOT be the whole indexed corpus: an incremental batch
     probes a few cells and the scan skips every other partition, which
-    is the point of persisting the geometry."""
+    is the point of persisting the geometry.
+
+    Returns ``(candidates, dst_side)`` — dst_side is the PRUNED member
+    frame (dst, bv, bn) for the exact re-score, so the verdict join
+    also reads only the probed partitions (r9 review: re-reading the
+    whole index for dst vectors would defeat the pruning) and scores
+    the same raw-vector expression as the in-memory path."""
     import json as _json
     import os as _os
 
@@ -277,48 +349,43 @@ def _ivf_index_candidates(
     spark = v.sparkSession
     with open(_os.path.join(index_path, "_ivf_params.json")) as fh:
         params = _json.load(fh)
-    cmat = np.array(params["centroids"], dtype=np.float64)
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    npb = min(n_probe, len(cmat))
+    from lovdata_pipeline_spark.operators.similarity import IVF_INDEX_VERSION
 
-    u = v.select(
-        "vid", F.transform(F.col("vv"), lambda x: x / F.col("vn")).alias("uv")
-    )
+    if params.get("version") != IVF_INDEX_VERSION:
+        raise ValueError(
+            f"knn ivf index version {params.get('version')} != "
+            f"{IVF_INDEX_VERSION} — rebuild with knn_write_ivf_index"
+        )
+    if params.get("geometry") != KNN_INDEX_GEOMETRY:
+        raise ValueError(
+            f"index at {index_path} has geometry "
+            f"{params.get('geometry')!r}, not {KNN_INDEX_GEOMETRY!r} — "
+            "this looks like a raw-space search index (lg index without "
+            "--graph); build the graph geometry with knn_write_ivf_index"
+        )
 
-    def probe(pdfs):
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            mat = np.array(pdf["uv"].tolist(), dtype=np.float64)
-            # same round-then-stable-argsort rule as _ivf_candidates —
-            # probe #1 is the member cell by construction
-            sims = np.round(mat @ cmat.T, 12)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["vid"].to_numpy().repeat(npb),
-                    "uv": [vec for vec in pdf["uv"] for _ in range(npb)],
-                    "cell": order.ravel().astype("int32"),
-                }
-            )
-
-    probes = u.mapInPandas(probe, schema=f"vid {id_type}, uv array<double>, cell int")
+    # consumed twice (probed-cell collect + the per-cell scoring join):
+    # scoped persist so the normalize+centroid matmul runs once — the
+    # bitext pair-score convention (lazy fill, released with the
+    # session's cache clearing; values deterministic so a miss
+    # recomputes identical bits)
+    probes = _probe_cells(v.select("vid", "vv"), params["centroids"], n_probe).persist()
     # bounded driver round-trip (≤ n_cells ints): the probed-cell list is
     # what turns the index read into partition pruning
     probed = sorted(r.cell for r in probes.select("cell").distinct().collect())
     members = (
         spark.read.parquet(index_path)
         .filter(F.col("cell").isin([int(c) for c in probed]))
-        .select("vid", "uv", F.col("cell").cast("int").alias("cell"))
+        .select("vid", "vv", F.col("cell").cast("int").alias("cell"))
     )
-    roles = probes.select("vid", "uv", "cell", F.lit(False).alias("is_m")).unionByName(
-        members.select("vid", "uv", "cell", F.lit(True).alias("is_m"))
+    roles = probes.select("vid", "vv", "cell", F.lit(False).alias("is_m")).unionByName(
+        members.select("vid", "vv", "cell", F.lit(True).alias("is_m"))
     )
 
     def find(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy()
-        mat = np.array(pdf["uv"].tolist(), dtype=np.float64)
+        mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         mm = pdf["is_m"].to_numpy().astype(bool)
         out_s, out_d = [], []
         if mm.any() and (~mm).any():
@@ -327,11 +394,16 @@ def _ivf_index_candidates(
             )
         return pd.DataFrame({"src": out_s, "dst": out_d})
 
-    return (
+    cand = (
         roles.groupBy("cell")
         .applyInPandas(find, schema=f"src {id_type}, dst {id_type}")
         .distinct()
     )
+    dst_side = (
+        members.select(F.col("vid").alias("dst"), F.col("vv").alias("bv"))
+        .withColumn("bn", _norm(F.col("bv")))
+    )
+    return cand, dst_side
 
 
 def knn_edges(
@@ -391,34 +463,27 @@ def knn_edges(
     )
     if candidates == "blocked":
         cand = _blocked_candidates(v.select("vid", "vv", "vn"), take, id_type, n_blocks)
+        dst_side = v.select(
+            F.col("vid").alias("dst"), F.col("vv").alias("bv"), F.col("vn").alias("bn")
+        )
     elif candidates == "ivf" and index_path:
-        # persisted geometry: centroids from the sidecar, members from
-        # the cell-partitioned index (n_cells is fixed at write time and
-        # ignored here). `vectors` may be a SUBSET of the indexed corpus
-        # — the incremental form: only its probed cells are read.
-        cand = _ivf_index_candidates(
-            v.select("vid", "vv", "vn"), take, id_type, n_probe, index_path
+        # persisted geometry: centroids from the sidecar, members (and
+        # the re-score's dst vectors — both reads pruned to the probed
+        # cells) from the cell-partitioned index (n_cells is fixed at
+        # write time and ignored here). `vectors` may be a SUBSET of
+        # the indexed corpus — the incremental form.
+        cand, dst_side = _ivf_index_candidates(
+            v.select("vid", "vv"), take, id_type, n_probe, index_path
         )
     elif candidates == "ivf":
         cand = _ivf_candidates(
             v.select("vid", "vv", "vn"), take, id_type, n_cells, n_probe
         )
-    else:
-        raise ValueError(f"knn_edges: unknown candidates={candidates!r}")
-    if index_path and candidates == "ivf":
-        # dst vectors come from the index (a subset build has no dst
-        # rows in `vectors`): stored unit vectors, so bn ≈ 1 and the
-        # 6-dp-rounded verdict equals the in-memory path's (pinned)
-        spark = vectors.sparkSession
-        dst_side = (
-            spark.read.parquet(index_path)
-            .select(F.col("vid").alias("dst"), F.col("uv").alias("bv"))
-            .withColumn("bn", _norm(F.col("bv")))
-        )
-    else:
         dst_side = v.select(
             F.col("vid").alias("dst"), F.col("vv").alias("bv"), F.col("vn").alias("bn")
         )
+    else:
+        raise ValueError(f"knn_edges: unknown candidates={candidates!r}")
     # exact re-score over candidates only (|V|·(k+slack)·groups rows,
     # never N²): the same fold + 6-dp round + dst tie-break as a full
     # exact scan, so the output is the exact k-NN graph restricted to

@@ -920,7 +920,14 @@ def bitext_margin_mine(
     pair_score = F.round(
         _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
     ).alias("score")
-    head = src.select(vec_col).first() if buckets else None
+    if buckets and n_probe_bits not in (0, 1):
+        raise ValueError(
+            f"n_probe_bits={n_probe_bits} not implemented: 0 (own bucket "
+            "only) or 1 (own + every 1-bit flip)"
+        )
+    # dim from the FILTERED frame: s excludes NULL/zero-norm vectors, so
+    # a NULL first raw row can't crash len() (r9 review)
+    head = s.select("sv").first() if buckets else None
     if buckets and head is not None:
         import math as _math
 

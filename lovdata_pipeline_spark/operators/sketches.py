@@ -291,7 +291,7 @@ def bloom_build(
     m-bit array packed into ceil(m/63) BIGINT words (Bloom 1970) — the
     MEMBERSHIP sketch completing the family (CMS = frequency, HLL =
     cardinality). Each token sets k bits, one per salted 60-bit md5
-    hash; the aggregate's key space is m/64 words, so every partition
+    hash; the aggregate's key space is ceil(m/63) words, so every partition
     collapses to a full filter map-side and the shuffle moves words,
     not tokens — and merging filters IS this bit_or aggregate over
     their union (the mergeable-sketch property, pinned in tests).

@@ -133,7 +133,7 @@ EXPECTED_SF1 = {
         "AT THE GRADED sf0.01 POINT (measured min recall 0.8 there). "
         "On the uniform-random synthetic corpus recall is a data "
         "property (the knn-IVF doctrine): at 20k vectors the fixed "
-        "pool=100 is 0.5%% of the corpus and mean recall@10 measures "
+        "pool=100 is 0.5% of the corpus and mean recall@10 measures "
         "0.449, with ~half the 199 queries under the floor; sweeping "
         "pool 100/250/500/1000 lifts mean hits 4.49/6.01/6.91/7.46 "
         "but min_hits stays 1/2/2/3 — NO fixed pool guarantees a "
