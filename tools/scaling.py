@@ -217,7 +217,14 @@ def run_correctness(names: list[str]) -> int:
               f"({out[name]['sec']}s) {'; '.join(problems)}", flush=True)
         spark.catalog.clearCache()
     spark.stop()
-    _merge_aux("scaling_correctness", {"sf": "sf1", "queries": out})
+    # per-query merge: a --queries subset extends, not replaces, the
+    # recorded block (the ladder-merge rule)
+    bench_path = os.path.join(REPO, "BENCH_AUX.json")
+    prior = {}
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            prior = json.load(fh).get("scaling_correctness", {}).get("queries", {})
+    _merge_aux("scaling_correctness", {"sf": "sf1", "queries": {**prior, **out}})
     n_dev = sum(1 for r in out.values() if "expected_deviation" in r)
     n_skip = sum(1 for r in out.values() if "skipped" in r)
     n_ok = sum(1 for r in out.values() if r.get("hash_match") is True)
