@@ -70,6 +70,57 @@ def main() -> None:
             "speedup": round(blocked / ivf, 2),
         }
         print(label, json.dumps(result[label]), flush=True)
+
+    # incremental story (r9): a daily batch needs edges AGAINST the
+    # indexed corpus — with a persisted index it probes its own cells
+    # and partition-prunes the rest; without one, the alternative is a
+    # full in-memory ivf rebuild. Measured at the larger point only
+    # (where the difference is the point).
+    import tempfile
+    import time as _t
+
+    from lovdata_pipeline_spark.operators.graph import knn_write_ivf_index
+
+    label, sf_dir, n_cells = POINTS[-1]
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    batch = emb.filter((emb.vec_id % 20) == 0)  # the 5% "daily batch"
+    idx = tempfile.mkdtemp(prefix="knn_idx_bench_")
+    t0 = _t.time()
+    knn_write_ivf_index(emb, idx, n_cells=n_cells)
+    write_sec = round(_t.time() - t0, 3)
+
+    def med(fn):
+        s = []
+        for _ in range(args.reps):
+            t0 = _t.time()
+            fn().write.format("noop").mode("overwrite").save()
+            s.append(_t.time() - t0)
+        s.sort()
+        return round(s[len(s) // 2], 3)
+
+    via_index = med(
+        lambda: knn_edges(batch, k=3, candidates="ivf", n_probe=4, index_path=idx)
+    )
+    full_rebuild = med(
+        lambda: knn_edges(emb, k=3, candidates="ivf", n_cells=n_cells, n_probe=4)
+    )
+    result["incremental"] = {
+        "note": (
+            "edges for a 5% daily batch against the indexed corpus: "
+            "index-path subset build (probes partition-prune the index) "
+            "vs the no-index alternative — a full in-memory ivf rebuild; "
+            "index write cost amortizes over every later batch"
+        ),
+        "sf": label,
+        "n_corpus": n,
+        "n_batch": batch.count(),
+        "index_write_sec": write_sec,
+        "batch_via_index_sec": via_index,
+        "full_ivf_rebuild_sec": full_rebuild,
+        "speedup": round(full_rebuild / via_index, 2),
+    }
+    print("incremental", json.dumps(result["incremental"]), flush=True)
     spark.stop()
     bench_path = os.path.join(REPO, "BENCH_AUX.json")
     bench = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
