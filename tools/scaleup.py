@@ -28,6 +28,17 @@ events (1 000 000 rows = 10× sf0.1, added r9 so the ladder can audit
     uniform over view/click/purchase/signup/error, value ~ U[0,100]
     to 2 dp, props = '{"k": N}' with N ∈ 0..99.
 
+relational family (added late r9 so q1/q3/q5 get their third decade —
+  every table family the engine queries is now laddered): customer
+  150 k / supplier 10 k / part 200 k / orders 1.5 M / lineitem ~6 M
+  (1–7 lines per order, mean 4 — the sf0.1 mean), all value
+  distributions matched to the driver shapes (acctbal U[−1000, 10000),
+  orderdate uniform 1995-01-01..2001-08-01 with shipdate = orderdate +
+  1..96 days, the q3-relevant joint structure; statuses/priorities/
+  segments/flags uniform over the driver's domains). region and nation
+  are FIXED dimensions (5 regions / 25 nations, regionkey = i mod 5) —
+  regenerated identical, not scaled.
+
 Everything derives from xxhash64 of the row id — deterministic,
 generated entirely JVM-side from ``spark.range`` (no driver loops, no
 Python rows), so regenerating yields identical parquet values.
@@ -166,6 +177,140 @@ def write_events(spark, path: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(path)
 
 
+N_CUST = 150_000
+N_SUPP = 10_000
+N_PART = 200_000
+N_ORDERS = 1_500_000
+
+#: 1995-01-01 .. 2001-08-01 = 2404 days (the driver's o_orderdate span)
+_ORDERDATE_EPOCH = 788_918_400  # 1995-01-01 00:00:00 UTC
+_ORDERDATE_DAYS = 2404
+
+
+def write_relational(spark, out_dir: str) -> None:
+    """customer/supplier/part/orders/lineitem at 10× sf0.1, plus the
+    fixed region/nation dimensions — shapes measured from the driver
+    data (see module docstring)."""
+
+    def elem(arr_vals, h):
+        arr = F.array(*[F.lit(x) for x in arr_vals])
+        return F.element_at(arr, (F.pmod(h, F.lit(len(arr_vals))) + 1).cast("int"))
+
+    # fixed dims
+    regions = [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+               (4, "MIDDLE EAST")]
+    spark.createDataFrame(regions, "r_regionkey long, r_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "region.parquet"))
+    nations = [(i, f"NATION_{i}", i % 5) for i in range(25)]
+    spark.createDataFrame(
+        nations, "n_nationkey long, n_name string, n_regionkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "nation.parquet")
+    )
+
+    cust = spark.range(N_CUST).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        F.pmod(_h(F.col("id"), F.lit("cn")), F.lit(25)).cast("int").alias("c_nationkey"),
+        (F.round(F.pmod(_h(F.col("id"), F.lit("cb")), F.lit(1_100_000)) / 100.0, 2)
+         - 1000.0).alias("c_acctbal"),
+        elem(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+             _h(F.col("id"), F.lit("cm"))).alias("c_mktsegment"),
+    )
+    cust.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
+    )
+
+    supp = spark.range(N_SUPP).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+        F.pmod(_h(F.col("id"), F.lit("sn")), F.lit(25)).cast("int").alias("s_nationkey"),
+        (F.round(F.pmod(_h(F.col("id"), F.lit("sb")), F.lit(1_100_000)) / 100.0, 2)
+         - 1000.0).alias("s_acctbal"),
+    )
+    supp.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "supplier.parquet")
+    )
+
+    part = spark.range(N_PART).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(
+            elem(["blue", "cold", "hot", "large", "new", "old", "red", "small"],
+                 _h(F.col("id"), F.lit("pa"))),
+            F.lit(" "),
+            elem(["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod",
+                  "widget"], _h(F.col("id"), F.lit("pn"))),
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"),
+                 F.pmod(_h(F.col("id"), F.lit("pb")), F.lit(25))).alias("p_brand"),
+        elem(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"],
+             _h(F.col("id"), F.lit("pt"))).alias("p_type"),
+        (F.pmod(_h(F.col("id"), F.lit("ps")), F.lit(50)) + 1).cast("int").alias("p_size"),
+        (F.lit(900.0) + F.round(
+            F.pmod(_h(F.col("id"), F.lit("pr")), F.lit(1000)) / 10.0, 1
+        )).alias("p_retailprice"),
+    )
+    part.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+
+    odate_days = F.pmod(_h(F.col("o_orderkey"), F.lit("od")), F.lit(_ORDERDATE_DAYS))
+    orders = spark.range(N_ORDERS).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(_h(F.col("id"), F.lit("oc")), F.lit(N_CUST)).alias("o_custkey"),
+        elem(["O", "P", "F"], _h(F.col("id"), F.lit("os"))).alias("o_orderstatus"),
+        (F.round(F.pmod(_h(F.col("id"), F.lit("op")), F.lit(49_900_000)) / 100.0, 2)
+         + 1000.0).alias("o_totalprice"),
+        elem(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+             _h(F.col("id"), F.lit("oy"))).alias("o_orderpriority"),
+    )
+    orders = orders.withColumn(
+        "o_orderdate",
+        F.timestamp_seconds(F.lit(_ORDERDATE_EPOCH) + odate_days * 86400)
+        .cast("timestamp_ntz"),
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    orders.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+    # lineitem derives from orders so shipdate stays AFTER its order's
+    # date (the q3 joint structure): 1..7 lines per order (mean 4 — the
+    # sf0.1 mean), shipdate = orderdate + 1..96 days
+    o = spark.read.parquet(os.path.join(out_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    ln = F.explode(
+        F.sequence(F.lit(1),
+                   (F.pmod(_h(F.col("o_orderkey"), F.lit("nl")), F.lit(7)) + 1)
+                   .cast("int"))
+    ).alias("l_linenumber")
+    li = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", ln)
+    hl = lambda tag: _h(F.col("l_orderkey"), F.col("l_linenumber"), F.lit(tag))
+    li = li.select(
+        "l_orderkey",
+        F.pmod(hl("lp"), F.lit(N_PART)).alias("l_partkey"),
+        F.pmod(hl("ls"), F.lit(N_SUPP)).alias("l_suppkey"),
+        F.col("l_linenumber").cast("int"),
+        (F.pmod(hl("lq"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        (F.lit(900.0) + F.round(F.pmod(hl("le"), F.lit(10_410_000)) / 100.0, 2))
+        .alias("l_extendedprice"),
+        (F.pmod(hl("ld"), F.lit(11)) / F.lit(100.0)).alias("l_discount"),
+        (F.pmod(hl("lt"), F.lit(9)) / F.lit(100.0)).alias("l_tax"),
+        elem(["A", "N", "R"], hl("lr")).alias("l_returnflag"),
+        elem(["F", "O"], hl("ll")).alias("l_linestatus"),
+        (F.col("o_orderdate")
+         + F.make_interval(days=(F.pmod(hl("lh"), F.lit(96)) + 1).cast("int")))
+        .cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     os.makedirs(out_dir, exist_ok=True)
@@ -173,13 +318,13 @@ def main() -> None:
     write_documents(spark, os.path.join(out_dir, "documents.parquet"))
     write_embeddings(spark, os.path.join(out_dir, "embeddings.parquet"))
     write_events(spark, os.path.join(out_dir, "events.parquet"))
-    d = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
-    e = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
-    v = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
-    print(
-        f"sf1 written to {out_dir}: documents={d.count()} "
-        f"embeddings={e.count()} events={v.count()}"
-    )
+    write_relational(spark, out_dir)
+    counts = {
+        t: spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
+        for t in ("documents", "embeddings", "events", "customer", "supplier",
+                  "part", "orders", "lineitem", "nation", "region")
+    }
+    print(f"sf1 written to {out_dir}: " + " ".join(f"{t}={n}" for t, n in counts.items()))
     spark.stop()
 
 

@@ -64,6 +64,11 @@ LADDER_QUERIES = {
     "events_retention_cohorts": "events",
     "events_funnel_counts": "events",
     "streaming_interval_join_counts": "events",
+    # --- relational family (late r9: sf1 TPC-H-shape tables generated —
+    # --- every table family the engine queries is now laddered) ------
+    "q1_pricing_summary": "lineitem",
+    "q3_top_unshipped": "lineitem",
+    "q5_region_revenue": "lineitem",
 }
 
 SF_DIRS = [
@@ -78,7 +83,7 @@ MARK_END = "<!-- ladder:end -->"
 
 def _table_rows(spark, sf_dir):
     rows = {}
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem"):
         rows[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     return rows
 
