@@ -888,6 +888,14 @@ def cmd_rank(args) -> int:
         if not args.input:
             print("error: need --input embeddings (or --edges saved-edge parquet)")
             return 2
+        if args.index_path and args.candidates != "ivf":
+            # r9 ADVICE: the default --candidates blocked would silently
+            # run the full exact build and never open the index
+            print(
+                "error: --index-path requires --candidates ivf "
+                f"(got --candidates {args.candidates})"
+            )
+            return 2
         emb = spark.read.parquet(args.input)
         edges = knn_edges(
             emb,
@@ -1181,6 +1189,11 @@ def cmd_mine(args) -> int:
         buckets=args.buckets,
     )
     pairs.write.mode("overwrite").parquet(args.output)
+    # bitext_margin_mine returns its result eagerly cached (so it could
+    # release the pair-score frame internally); this command is done
+    # with it after the write — release, so repeated `lg mine` calls in
+    # a long-lived session leave no pinned frames (r10 VERDICT Next #5)
+    pairs.unpersist()
     n = spark.read.parquet(args.output).count()
     print(
         json.dumps(

@@ -913,10 +913,13 @@ def bitext_margin_mine(
     )
     # the pair-score frame feeds THREE consumers (both k-NN neighborhood
     # passes and the margin join) — persist so the pair cosine pass
-    # runs once, not three times. Lazy fill (the first consumer
-    # materializes it); released with the session's cache clearing like
-    # the offsets cache, and values are 6-dp-rounded so a cache miss
-    # recomputes identical bits.
+    # runs once, not three times. Released before returning: the mined
+    # result is materialized eagerly (cache+count — the
+    # ngram_jaccard_pairs convention) while the pair scores are hot,
+    # then the big frame is unpersisted (r10 VERDICT Next #5: "released
+    # with the session's cache clearing" left it pinned forever once
+    # the CLI stopped blanket-clearing). Values are 6-dp-rounded so any
+    # recompute yields identical bits.
     pair_score = F.round(
         _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
     ).alias("score")
@@ -928,6 +931,24 @@ def bitext_margin_mine(
     # dim from the FILTERED frame: s excludes NULL/zero-norm vectors, so
     # a NULL first raw row can't crash len() (r9 review)
     head = s.select("sv").first() if buckets else None
+    if buckets and head is None:
+        # r9 ADVICE: buckets is set exactly when the caller is at the
+        # corpus scale where the exact fallback's broadcast of the FULL
+        # target side could OOM — for an inevitably empty result.
+        # Short-circuit with the output schema instead.
+        from pyspark.sql import types as T
+
+        return src.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    s.schema[src_id],
+                    t.schema[tgt_id],
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("margin", T.DoubleType()),
+                ]
+            ),
+        )
     if buckets and head is not None:
         import math as _math
 
@@ -993,9 +1014,19 @@ def bitext_margin_mine(
         .select(src_id, tgt_id, "score", "margin")
     )
     best = top_k_per_group(m, 1, src_id, "margin", tgt_id)
-    return best.filter(F.col("margin") >= threshold).select(
+    out = best.filter(F.col("margin") >= threshold).select(
         src_id, tgt_id, "score", "margin"
     )
+    # materialize the (one-best-pair-per-source, 4 narrow columns)
+    # result eagerly so the pair-score frame — the expensive, corpus-
+    # squared-shaped one — can be released before returning; cache, not
+    # localCheckpoint, keeps the lineage recoverable after executor
+    # loss. Callers that are done with the result (e.g. `lg mine` after
+    # its write) unpersist it — cmd_clean's track-and-release rule.
+    out = out.cache()
+    out.count()
+    scored.unpersist()
+    return out
 
 
 def label_centroid_outliers(

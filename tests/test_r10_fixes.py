@@ -1,0 +1,161 @@
+"""Round-10 hygiene fixes: the last two lazy scoped persists get
+release paths (r10 VERDICT Next #5), index_path misuse fails loud, and
+the bucketed-bitext empty-source case short-circuits instead of
+broadcasting the full target side (r9 ADVICE)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lovdata_pipeline_spark.cli import main
+from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
+
+from tests.test_r9_operators import _clustered_bitext
+
+
+def _n_pinned(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+class TestBitextPersistRelease:
+    def test_mine_releases_pair_scores_keeps_result_cached(self, spark):
+        """The corpus²-shaped pair-score frame is unpersisted before the
+        operator returns; the only surviving pin is the (small, eagerly
+        materialized) result itself, released by the caller."""
+        src, tgt = _clustered_bitext(spark)
+        before = _n_pinned(spark)
+        out = bitext_margin_mine(src, tgt, k=2, threshold=0.0, buckets=16)
+        assert _n_pinned(spark) == before + 1  # the cached result only
+        assert out.count() == 12
+        out.unpersist()
+        assert _n_pinned(spark) == before
+
+    def test_exact_path_also_releases(self, spark):
+        src, tgt = _clustered_bitext(spark, n_clusters=2, per_side=2)
+        before = _n_pinned(spark)
+        out = bitext_margin_mine(src, tgt, k=2, threshold=0.0)
+        assert _n_pinned(spark) == before + 1
+        out.unpersist()
+        assert _n_pinned(spark) == before
+
+    def test_bucketed_empty_source_short_circuits(self, spark):
+        """buckets set + empty (filtered) source side: the result is an
+        empty frame with the mined-pair schema — the exact fallback's
+        full-target broadcast never builds (r9 ADVICE #2)."""
+        src, tgt = _clustered_bitext(spark)
+        empty_src = src.filter(F.col("src_id") < 0)
+        before = _n_pinned(spark)
+        out = bitext_margin_mine(empty_src, tgt, k=2, threshold=0.0, buckets=16)
+        assert out.columns == ["src_id", "tgt_id", "score", "margin"]
+        assert out.count() == 0
+        # the short-circuit neither scores nor persists anything
+        assert _n_pinned(spark) == before
+        # and the physical plan contains no broadcast of the target side
+        assert "Broadcast" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_mine_cli_leaves_no_pins(self, spark, tmp_path, capsys):
+        """`lg mine --buckets` round-trip leaves getPersistentRDDs at its
+        pre-invocation level (compare against BEFORE — the shared test
+        session may hold documented caches from other tests)."""
+        rng_rows = []
+        for c in range(3):
+            base = [0.0] * 4
+            base[c] = 1.0
+            for i in range(2):
+                vec = [x + 0.001 * i for x in base]
+                rng_rows.append((c * 10 + i, "no", vec))
+                rng_rows.append((c * 10 + 5 + i, "en", vec))
+        emb = spark.createDataFrame(
+            [(r[0], r[2]) for r in rng_rows], "vec_id long, embedding array<double>"
+        )
+        docs = spark.createDataFrame(
+            [(r[0], r[1]) for r in rng_rows], "doc_id long, lang string"
+        )
+        emb_p, docs_p = str(tmp_path / "emb"), str(tmp_path / "docs")
+        emb.write.parquet(emb_p)
+        docs.write.parquet(docs_p)
+        before = _n_pinned(spark)
+        rc = main(
+            ["mine", "--embeddings", emb_p, "--documents", docs_p,
+             "--output", str(tmp_path / "pairs"), "--src-lang", "no",
+             "--tgt-lang", "en", "--k", "2", "--threshold", "0.0",
+             "--buckets", "8"]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mined_pairs"] > 0
+        assert _n_pinned(spark) == before
+
+
+class TestIndexPathGuards:
+    def test_knn_edges_index_path_requires_ivf(self, spark):
+        from lovdata_pipeline_spark.operators.graph import knn_edges
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="candidates='ivf'"):
+            knn_edges(emb, k=2, index_path="/nonexistent/idx")
+
+    def test_rank_cli_index_path_requires_ivf(self, spark, tmp_path, capsys):
+        emb_p = str(tmp_path / "emb")
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(emb_p)
+        rc = main(["rank", "--input", emb_p, "--index-path", "/tmp/whatever"])
+        assert rc == 2
+        assert "--candidates ivf" in capsys.readouterr().out
+
+    def test_knn_edges_index_path_leaves_no_pins(self, spark, tmp_path):
+        """The r9 probe persist is gone: building edges from a persisted
+        index leaves getPersistentRDDs at its pre-invocation level —
+        nothing in knn_edges persists anymore."""
+        from lovdata_pipeline_spark.operators.graph import knn_edges, knn_write_ivf_index
+
+        rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(10)] + [
+            (i, [math.cos(0.7 * i), math.sin(0.7 * i), 0.5]) for i in range(10, 18)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        idx = str(tmp_path / "op_idx")
+        knn_write_ivf_index(emb, idx, n_cells=4)
+        before = _n_pinned(spark)
+        edges = knn_edges(emb, k=3, candidates="ivf", n_probe=4, index_path=idx)
+        assert edges.count() > 0
+        assert _n_pinned(spark) == before
+
+    def test_rank_index_path_pins_only_checkpoints(self, spark, tmp_path, capsys):
+        """`lg rank --index-path` leaves exactly pagerank's n_iter+1
+        localCheckpoint blocks — ContextCleaner-owned (released when the
+        JVM GCs the dropped references; probed empirically), NOT
+        CacheManager entries, which are strong-referenced forever — the
+        leak class the r9 probe persist belonged to and which is now
+        zero."""
+        rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(10)] + [
+            (i, [math.cos(0.7 * i), math.sin(0.7 * i), 0.5]) for i in range(10, 18)
+        ]
+        emb_p, idx = str(tmp_path / "emb"), str(tmp_path / "idx")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.parquet(emb_p)
+        rc = main(
+            ["index", "--input", emb_p, "--output", idx, "--cells", "4",
+             "--graph"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        before = _n_pinned(spark)
+        rc = main(
+            ["rank", "--input", emb_p, "-k", "3", "--candidates", "ivf",
+             "--probe", "4", "--index-path", idx, "--top", "5"]
+        )
+        assert rc == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 5 and all(l["rank_q"] > 0 for l in lines)
+        # default n_iter=3 → 3 rank checkpoints + the node-set checkpoint
+        assert _n_pinned(spark) == before + 4

@@ -131,24 +131,12 @@ VACUOUS_SF1 = {
 
 #: EXPECTED sf1 deviations — the verdict column, not the engine,
 #: breaks at scale, with the measured cause. Reported as a named
-#: deviation, not a failure.
-EXPECTED_SF1 = {
-    "ann_pca_rerank_recall_embeddings": (
-        "the per-query recall_ok >= 0.5 floor is a contract CALIBRATED "
-        "AT THE GRADED sf0.01 POINT (measured min recall 0.8 there). "
-        "On the uniform-random synthetic corpus recall is a data "
-        "property (the knn-IVF doctrine): at 20k vectors the fixed "
-        "pool=100 is 0.5% of the corpus and mean recall@10 measures "
-        "0.449, with ~half the 199 queries under the floor; sweeping "
-        "pool 100/250/500/1000 lifts mean hits 4.49/6.01/6.91/7.46 "
-        "but min_hits stays 1/2/2/3 — NO fixed pool guarantees a "
-        "per-query floor across 199 draws on structureless vectors "
-        "(binomial tail), while clustered corpora hold it (pytest "
-        "fixture: >= 0.94 mean at 2/8 probing). The exactness arms "
-        "(query-id set, n_results) hash-match at sf1; only the "
-        "Spark-asserted recall verdict deviates."
-    ),
-}
+#: deviation, not a failure. EMPTY since r10: the one r9 entry
+#: (ann_pca_rerank_recall_embeddings' fixed-pool per-query floor) was
+#: fixed by making the contract scale-aware — pool = ceil(0.025·N) and
+#: a corpus-mean recall verdict — so the same registry row passes at
+#: every sf (r10 VERDICT Next #3).
+EXPECTED_SF1 = {}
 
 
 def run_correctness(names: list[str]) -> int:
@@ -173,9 +161,19 @@ def run_correctness(names: list[str]) -> int:
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute("SET max_temp_directory_size='20GB'")
     con.execute("SET memory_limit='48GB'")
+    substituted = []  # tables graded at sf0.1 because sf1 is missing
     for t in TABLES:
         p = os.path.join(sf1, f"{t}.parquet")
-        src = p if os.path.exists(p) else f"/root/testdata/sf0.1/{t}.parquet"
+        if os.path.exists(p):
+            src = p
+        else:
+            # r9 ADVICE: a silent fallback mislabels the scale evidence
+            # — record (and print) every substitution so a recorded
+            # 'sf1' match over a substituted table is visibly sf0.1
+            src = f"/root/testdata/sf0.1/{t}.parquet"
+            substituted.append(t)
+            print(f"WARN  table {t}: no sf1 parquet — grading sf0.1 data",
+                  flush=True)
         if os.path.isdir(src):  # Spark-written table = directory of parts
             src = os.path.join(src, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
@@ -229,7 +227,13 @@ def run_correctness(names: list[str]) -> int:
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
             prior = json.load(fh).get("scaling_correctness", {}).get("queries", {})
-    _merge_aux("scaling_correctness", {"sf": "sf1", "queries": {**prior, **out}})
+    block = {"sf": "sf1", "queries": {**prior, **out}}
+    if substituted:
+        # honest evidence: any recorded match touching these tables
+        # graded sf0.1 data on the oracle side (the Spark side would
+        # have failed outright on the missing sf1 path)
+        block["substituted_tables_sf0.1"] = substituted
+    _merge_aux("scaling_correctness", block)
     n_dev = sum(1 for r in out.values() if "expected_deviation" in r)
     n_skip = sum(1 for r in out.values() if "skipped" in r)
     n_ok = sum(1 for r in out.values() if r.get("hash_match") is True)
