@@ -48,6 +48,7 @@ HEADLINE = [
     "events_sessionize",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_simhash",

@@ -134,7 +134,8 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float, id_col: st
 
 
 def hashed_word_shingles(
-    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingle: bigint) distinct word-n-gram hashes per document.
 
@@ -145,6 +146,12 @@ def hashed_word_shingles(
     (``transform``+``slice``+``array_join``) falls back to interpreted
     expression eval. The distinct happens AFTER hashing, so the dedup
     shuffle carries 8-byte longs, never the n-gram strings.
+
+    ``portable=True`` swaps xxhash64 for the 60-bit md5-derived
+    ``portable_token_hash`` (the dedup_simhash convention): slower, but
+    a SQL oracle can replay the hash VALUES — which the capped SSJoin
+    grading needs, because ``max_df`` interacts with the prefix order's
+    hash tiebreak. xxhash64 stays the production fast path.
     """
     words = docs.select(
         F.col(id_col),
@@ -159,7 +166,14 @@ def hashed_word_shingles(
             leads[-1].alias("_last") if leads else F.col("w").alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .select(
+            F.col(id_col),
+            (
+                portable_token_hash(F.col("shingle"))
+                if portable
+                else F.xxhash64("shingle")
+            ).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -171,6 +185,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard).
 
@@ -205,11 +220,17 @@ def ngram_jaccard_pairs(
     sets), bounding every posting list. This trades exactness for
     scale: a pair whose shared shingles are ALL hotter than the cap is
     missed — the standard SSJoin stop-word escape hatch, opt-in and
-    off by default (the graded contract is the exact form). Capped ⊆
-    exact always; capped == exact whenever no posting exceeds the cap
-    (pinned in tests).
+    off by default. Capped ⊆ exact always; capped == exact whenever no
+    posting exceeds the cap (pinned in tests). Since r10 BOTH forms are
+    graded contracts: `dedup_ngram_jaccard` (exact) and
+    `dedup_ngram_jaccard_capped`, whose oracle replays the df filter
+    inside the prefix-candidate CTE — which is why ``portable`` exists:
+    the UNCAPPED result is prefix-order-independent (any total order
+    yields the exact answer), but the cap interacts with the prefix
+    rule's hash tiebreak, so the graded capped row uses the md5-derived
+    60-bit hash both engines compute identically.
     """
-    sh = hashed_word_shingles(docs, text_col, id_col, n).cache()
+    sh = hashed_word_shingles(docs, text_col, id_col, n, portable=portable).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     # global canonical order: rarest shingles first (smallest posting lists

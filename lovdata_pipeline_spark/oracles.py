@@ -541,6 +541,63 @@ ORACLES: dict[str, str] = {
         ORDER BY fingerprint
     """,
     "dedup_ngram_jaccard": _SHINGLE_CTE,
+    # the CAPPED SSJoin scale path (r10): unlike the exact twin — whose
+    # brute-force oracle is valid because prefix filtering is
+    # exactness-preserving — this one must REPLAY candidate generation:
+    # prefix = first (n_sh - ceil(0.8·n_sh) + 1) shingles by
+    # (global df, 60-bit md5 portable hash), rows with df > cap
+    # excluded from candidates only (cap = max(2, ceil(N/1000)), the
+    # query's scale-aware rule), size filter, then verification over
+    # the FULL shingle sets exactly like the exact form. The UBIGINT
+    # hex read of md5's first 15 digits equals Spark's
+    # conv(substr(md5,1,15),16,10) — the proven portable-hash identity.
+    "dedup_ngram_jaccard_capped": r"""
+        WITH nd AS (
+          SELECT greatest(2, CAST(ceil(count(*) / 1000.0) AS BIGINT)) AS cap
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), sw -> sw <> '') AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS h
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                             i -> array_to_string(w[i:i+2], ' '))) AS g
+                FROM words)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        dfs AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        pfx AS (
+          SELECT doc_id, h, n_sh FROM (
+            SELECT sh.doc_id, sh.h, sizes.n_sh, dfs.df,
+                   row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfs.df, sh.h) AS pos
+            FROM sh JOIN dfs USING (h) JOIN sizes USING (doc_id))
+          WHERE pos <= n_sh - ceil(0.8 * n_sh) + 1
+            AND df <= (SELECT cap FROM nd)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pfx a JOIN pfx b USING (h)
+          WHERE a.doc_id < b.doc_id
+            AND b.n_sh >= 0.8 * a.n_sh AND b.n_sh <= a.n_sh / 0.8
+        ),
+        co AS (
+          SELECT doc_a, doc_b, count(*) AS n_common
+          FROM cand
+          JOIN sh x ON x.doc_id = cand.doc_a
+          JOIN sh y ON y.doc_id = cand.doc_b AND y.h = x.h
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM co
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
     "dedup_minhash_lsh": _SHINGLE_CTE,  # LSH recall ≈ 1 at these params → same set
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": f"""

@@ -736,6 +736,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("doc_a", "doc_b")
 
 
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The SSJoin scale path graded end-to-end (r10 VERDICT Next #2,
+    the bitext_mine_margin_bucketed move): same corpus and threshold as
+    the exact twin `dedup_ngram_jaccard`, but with the `max_df` cap
+    that bounds every prefix posting list when the shingle space
+    saturates (the r9 audit measured 41.6 M candidates for 80 true
+    pairs at synthetic sf1 — SCALING.md "named causes"). The cap is
+    scale-aware like the PCA-rerank pool: ``max(2, ceil(N/1000))`` — it
+    BITES at every decade of this corpus (prefix dfs reach 3/10/97 at
+    sf0.01/0.1/1 against caps 2/5/50), so the graded row certifies the
+    approximation itself, not a no-op parameter. The oracle replays
+    the df filter inside the prefix-candidate CTE — prefix selection
+    orders by (global df, shingle hash), so the row uses the 60-bit
+    md5-derived portable hash both engines compute identically (the
+    dedup_simhash convention; xxhash64 stays the production path — the
+    UNCAPPED result is provably hash-order-independent, the capped one
+    is not). Capped ⊆ exact always (candidate generation only shrinks;
+    verification still scores full shingle sets): 23 of the exact 25
+    pairs at sf0.01, measured 2.6× over exact at sf1 where candidates
+    collapse from 41.6 M (recall there is a data property of the
+    30-token-vocabulary corpus — every shingle is hot — exactly like
+    the bucketed-bitext and knn-IVF rows)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n = docs.count()
+    cap = max(2, -((-n) // 1000))  # ceil(N/1000)
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, n=3, max_df=cap, portable=True
+    ).orderBy("doc_a", "doc_b")
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidates verified with exact jaccard. 16 bands × 2 rows
     → recall ≈ 1-3e-12 at jaccard 0.9, so the output equals the exact
@@ -3500,6 +3530,10 @@ QUERIES = {
     # the sketch family's graded anchors are now hll_distinct_by_source
     # + hll_store_merged_counts, and agg_distinct_counts is back
     # in-window via the r8 rotation.
+    # r10 update: hll_distinct_by_source cycles to the tail for the
+    # attestation refresh — the sketch family's graded anchor is
+    # hll_store_merged_counts, whose oracle replays the same registers
+    # as a strict superset (store write + MAX-merge + estimate).
     "events_retention_cohorts": events_retention_cohorts,
     # bitext_mine_margin_bucketed (new r9) enters at birth: the bitext
     # scale path graded end-to-end — the oracle replays the seed-42 SRP
@@ -3512,6 +3546,10 @@ QUERIES = {
     # dedup_incremental_minhash in-window with paragraph_dedup +
     # dedup_remove_spans attested in the tail, and the strip machinery
     # is driven end-to-end by the lg clean CLI tests).
+    # r10 update: dedup_keep_best_quality + dedup_incremental_minhash
+    # cycle to the tail for the attestation refresh — the dedup anchors
+    # are the re-promoted dedup_exact_groups / dedup_minhash_lsh /
+    # dedup_ngram_jaccard plus the new dedup_ngram_jaccard_capped.
     "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,
     # embedding_outliers_by_label (new r7e) enters at birth: per-label
     # centroid outliers — cosine vs the quantized-integer sum vector
@@ -3548,6 +3586,11 @@ QUERIES = {
     # ann_topk_lsh_bucketed re-entering via the r9 attestation refresh;
     # the PCA fit machinery is pytest-pinned and pca_variance_report
     # sits attested in the tail).
+    # r10 update: ann_pca_rerank_recall_embeddings re-enters the window
+    # (its recall contract changed), while ann_topk_ivf +
+    # ann_topk_lsh_bucketed cycle to the tail — the ANN anchors are
+    # ann_topk_ivf_index plus the re-promoted ann_cosine_topk and
+    # ann_topk_pq.
     "streaming_session_append_counts": streaming_session_append_counts,
     "bpe_learned_merges": bpe_learned_merges,
     # phrase_search_documents (new r7e) enters at birth: exact phrase
@@ -3566,17 +3609,12 @@ QUERIES = {
     # family — winnowing-anchor candidates → diagonal gaps-and-islands
     # → excision — stays graded via decontam_remove_spans, which
     # composes the same machinery against needle spans).
+    # r10 update: decontam_remove_spans cycles to the tail for the
+    # attestation refresh — the span-surgery anchors are the re-promoted
+    # decontaminate_benchmark_overlap / decontaminate_clean_set /
+    # dedup_shared_spans (the same anchor-gram + gaps-and-islands
+    # machinery).
     "streaming_session_counts": streaming_session_counts,
-    # hll_distinct_by_source (new r7d) enters at birth: portable
-    # HyperLogLog distinct-token estimates per source, registers AND
-    # estimate bit-replayed in SQL (integer smear+popcount rho, exact
-    # integer harmonic sum) — the cardinality-sketch row that
-    # approx_count_distinct's rows-only grade could never be. Demoted
-    # in exchange: ann_topk_sq8 (green r6; the ANN family keeps TWO
-    # in-window rows — ann_topk_ivf_index and
-    # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
-    # pinned by tests + the lg quantize CLI surface).
-    "hll_distinct_by_source": hll_distinct_by_source,
     # hll_store_merged_counts (new r8) enters at birth: the persisted
     # HLL register store's cross-day merge — day1 ∪ day2 registers
     # loaded from disk, MAXed, estimated, graded bit-for-bit against
@@ -3607,12 +3645,6 @@ QUERIES = {
     # --- per-group quota dicts pinned by pytest). -----------------------
     "streaming_vocab_counts": streaming_vocab_counts,
     "compression_band_report": compression_band_report,
-    # dedup_keep_best_quality (new r7) enters at birth: canonical
-    # survivor selection by quality instead of min-id — the
-    # Dolma/FineWeb policy. Demoted in exchange: bpe_pair_stats (green
-    # r5+r6; the pair-count aggregate is replayed at every iteration of
-    # the graded bpe_learned_merges oracle, and bpe_token_counts stays).
-    "dedup_keep_best_quality": dedup_keep_best_quality,
     # ann_topk_ivf_index (new r7) enters at birth: the persisted
     # partition-pruned IVF index layout, result-identical to
     # ann_topk_ivf (tail, green r3+r4) whose oracle it reuses verbatim.
@@ -3621,25 +3653,6 @@ QUERIES = {
     # 60-bit md5 machinery, and epoch/temperature/stratified twins sit
     # in the tail under diffcheck).
     "ann_topk_ivf_index": ann_topk_ivf_index,
-    # train_quality_classifier_documents (new r7) enters at birth: the
-    # distributed LR trainer, graded bit-for-bit via a 3-iteration SQL
-    # replay. Demoted in exchange: text_gopher_quality (green r5+r6;
-    # the gate verdict stays graded inside curation_report_by_source's
-    # gopher_pass cell sums and pretraining_pipeline's gate stage).
-    "train_quality_classifier_documents": train_quality_classifier_documents,
-    # dedup_incremental_minhash (new r7) enters at birth: the daily-
-    # batch dedup against a persisted signature store. Demoted in
-    # exchange: exact_contamination_documents (green r5+r6; the exact-
-    # substring flag stays graded via decontam_remove_spans, whose
-    # anchor-candidate machinery composes it, and the contamination
-    # REPORT family twin sits one slot down in the tail).
-    "dedup_incremental_minhash": dedup_incremental_minhash,
-    # --- NEW r7c operators (in-window at birth; the five demotions they
-    # --- displace are documented at the top of the dict) ------------------
-    # zipf_slope_by_source: per-source Zipf-law fit — integer-exact
-    # OLS over floor-quantized log coordinates; the corpus-health
-    # monitor next to vocab_drift (KL) and perplexity buckets.
-    "zipf_slope_by_source": zipf_slope_by_source,
     # collocation_pmi_bigrams: Church & Hanks PMI collocations — one
     # scan, two vocabulary-bounded aggregates, broadcast totals.
     "collocation_pmi_bigrams": collocation_pmi_bigrams,
@@ -3647,12 +3660,6 @@ QUERIES = {
     # 3-NN cosine graph — the first graph-centrality entry; iterative
     # join-agg family next to dedup_components.
     "pagerank_doc_graph": pagerank_doc_graph,
-    # scd2_user_event_intervals: gaps-and-islands SCD2 change history —
-    # the warehouse-history form of the state-store's latest-row upsert.
-    "scd2_user_event_intervals": scd2_user_event_intervals,
-    # filter_attrition_report: sequential curation-gate yield funnel in
-    # one conditional-aggregate scan + in-plan unpivot.
-    "filter_attrition_report": filter_attrition_report,
     # --- r8 attestation refresh (r7 VERDICT Next #1): the 12 entries last
     # --- driver-graded in r3 — the ledger's only remaining 4-round-stale
     # --- batch — cycle back through the window. Demoted in exchange, each
@@ -3740,41 +3747,6 @@ QUERIES = {
     "point_lookup": point_lookup,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "exists_agg_priority": exists_agg_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "knn_join_top3": knn_join_top3,
-    "shard_pack_documents": shard_pack_documents,
-    # --- r9 refresh, second half — the remaining r4-stale entries enter;
-    # --- demoted in exchange (each multiply-attested with r8 its latest
-    # --- green, family twin named):
-    # ---   dedup_simhash (r1-r4+r8)         -> near-dup family keeps
-    # ---                                       dedup_keep_best_quality +
-    # ---                                       dedup_incremental_minhash
-    # ---                                       + boilerplate_strip
-    # ---                                       in-window, and
-    # ---                                       dedup_embedding_cosine +
-    # ---                                       dedup_vocab_fingerprint_
-    # ---                                       groups ENTER
-    # ---   hybrid_search_rrf (r3+r4+r8)     -> phrase_search_documents
-    # ---                                       STAYS (search family);
-    # ---                                       bm25/tfidf twins in tail
-    # ---   text_language_id (r1-r4+r8)      -> text_quality +
-    # ---                                       text_repetition ENTER
-    # ---                                       (same per-doc signal-scan
-    # ---                                       family); quality_blend
-    # ---                                       STAYS
-    # --- (text_unigram_surprisal re-enters next to its graded step-ups
-    # --- text_kn_surprisal + text_kn_trigram_surprisal; sampling re-
-    # --- entries stratified_sample_orders + embedding_cluster_assign
-    # --- sit next to stratified_split_exact, which stays graded)
-    "stratified_sample_orders": stratified_sample_orders,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,
-    "embedding_cluster_assign": embedding_cluster_assign,
-    "ann_topk_ivf": ann_topk_ivf,
-    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,
-    "text_quality": text_quality,
-    "text_repetition": text_repetition,
-    "text_unigram_surprisal": text_unigram_surprisal,
     # --- r5-born entries still holding their window slot ---------------------
     # streaming_dedup_counts (new r7c) enters at birth in
     # pack_emit_sequences' former slot (that entry demoted to the tail,
@@ -3809,6 +3781,10 @@ QUERIES = {
     # r8 companions — dedup_simhash, hybrid_search_rrf, text_language_id
     # — demote for the r9 refresh (family twins documented in the
     # second-half block above).
+    # r10 note on the r8 table above: zipf_slope_by_source and
+    # hll_distinct_by_source cycle to the tail this round (twins
+    # collocation_pmi_bigrams / hll_store_merged_counts stay, as
+    # annotated on their demotion lines below).
     "multimodal_audio": multimodal_audio,
     "top3_orders_per_customer": top3_orders_per_customer,
     # streaming_interval_join_counts (new r8) enters at birth: the
@@ -3820,7 +3796,6 @@ QUERIES = {
     # ann_pca_rerank_recall_embeddings, with semantic-dedup twins
     # attested in the tail).
     "streaming_interval_join_counts": streaming_interval_join_counts,
-    "decontam_remove_spans": decontam_remove_spans,
     # quality_blend_documents (new r7b) enters at birth: per-source
     # min-max-normalized multi-signal blending + banding — the score-
     # combination step between raw quality signals and quota selection.
@@ -3838,13 +3813,6 @@ QUERIES = {
     # top-k rank machinery rides graded inside this very entry, both
     # directions).
     "bitext_mine_margin": bitext_mine_margin,
-    # events_funnel_counts (new r7b) enters at birth: the sequential
-    # view→click→purchase funnel, the order-gated aggregate the window
-    # family can't express. Demoted in exchange: events_rolling_1h
-    # (green r5+r6; the event-time window family keeps events_lag_gaps
-    # + events_hourly graded this round via the attestation refresh,
-    # and sessionize/asof twins sit attested in the tail).
-    "events_funnel_counts": events_funnel_counts,
     # stratified_split_exact (new r7b) enters at birth: exact-count
     # per-stratum splits via the two-phase prefix-sum rank — the
     # held-out contract the rate-based splits can't give. Demoted in
@@ -3862,6 +3830,125 @@ QUERIES = {
     # percentile_order_totals, rollup/pivot, semi_join, topk_limit —
     # and q1/q5 decimal-agg twins sit attested in the tail).
     "text_kn_surprisal": text_kn_surprisal,
+    # --- r10 rotation (VERDICT Next #1): the 19 entries whose latest
+    # driver grade was r5 re-enter the window below, plus the new
+    # dedup_ngram_jaccard_capped (at birth) and the changed
+    # ann_pca_rerank_recall_embeddings (scale-aware recall contract).
+    # The 21 demotions in exchange are all r9-green, each annotated
+    # inline with the family twin that stays graded. ----------------
+    "ann_cosine_topk": ann_cosine_topk,                  # green r1-r5; demoted r6 (exact cosine graded inside hard_negatives/semantic dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 (superset ann_topk_ivfpq attested r4-r6); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "anti_join_changed": anti_join_changed,              # green r1-r5; demoted r6 (anti-join shape graded inside both capstone decontamination cuts); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 (clean_set + contamination reports attested); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 (decontam cut inside pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations; re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "dedup_exact_groups": dedup_exact_groups,            # green r1-r5; demoted r6 (exact-fingerprint grouping graded inside curation_report/pretraining/paragraph_dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1-r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1-r5; demoted r6 (minhash-LSH verify runs the same exact-jaccard expression); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "events_asof_join": events_asof_join,                # green r1-r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "events_sessionize": events_sessionize,              # green r1-r5; demoted r6 (events_rolling_1h keeps the per-user-key window shape graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "pii_scan_documents": pii_scan_documents,            # green r3-r5; demoted r6 (PII gate fires inside graded pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "q1_pricing_summary": q1_pricing_summary,            # green r2-r5; demoted r6 (decimal-agg discipline graded via q3's revenue sum); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 (strict superset pack_emit_sequences graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 (portable-hash sampling family attested); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 (keep flag graded in curation_report; logit in pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    "text_winnowing": text_winnowing,                    # green r3-r5; demoted late-r6 (winnowing primitive graded inside span dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
+    # dedup_ngram_jaccard_capped (new r10) enters at birth: the SSJoin
+    # max_df scale path graded end-to-end (VERDICT Next #2, the
+    # bucketed-bitext move) — the oracle replays the df cap inside the
+    # prefix-candidate CTE over the portable md5-60-bit shingle hash,
+    # so the approximation itself is certified (capped ⊆ exact; 23 of
+    # 25 pairs at sf0.01 where the cap genuinely bites; 2.6× over
+    # exact at sf1). Exact twin dedup_ngram_jaccard re-enters the
+    # window this same round.
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail); re-promoted r10: the recall contract changed (scale-aware pool + corpus-mean verdict, VERDICT Next #3) — a changed query re-enters the graded window
+    # hll_distinct_by_source (new r7d) enters at birth: portable
+    # HyperLogLog distinct-token estimates per source, registers AND
+    # estimate bit-replayed in SQL (integer smear+popcount rho, exact
+    # integer harmonic sum) — the cardinality-sketch row that
+    # approx_count_distinct's rows-only grade could never be. Demoted
+    # in exchange: ann_topk_sq8 (green r6; the ANN family keeps TWO
+    # in-window rows — ann_topk_ivf_index and
+    # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
+    # pinned by tests + the lg quantize CLI surface).
+    "hll_distinct_by_source": hll_distinct_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin hll_store_merged_counts staying (superset: the store merge replays the same registers end-to-end))
+    # dedup_keep_best_quality (new r7) enters at birth: canonical
+    # survivor selection by quality instead of min-id — the
+    # Dolma/FineWeb policy. Demoted in exchange: bpe_pair_stats (green
+    # r5+r6; the pair-count aggregate is replayed at every iteration of
+    # the graded bpe_learned_merges oracle, and bpe_token_counts stays).
+    "dedup_keep_best_quality": dedup_keep_best_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twins dedup_exact_groups + dedup_minhash_lsh in-window; winner top-k pytest-pinned)
+    # train_quality_classifier_documents (new r7) enters at birth: the
+    # distributed LR trainer, graded bit-for-bit via a 3-iteration SQL
+    # replay. Demoted in exchange: text_gopher_quality (green r5+r6;
+    # the gate verdict stays graded inside curation_report_by_source's
+    # gopher_pass cell sums and pretraining_pipeline's gate stage).
+    "train_quality_classifier_documents": train_quality_classifier_documents,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_quality_classifier in-window (the apply side of the same LR weights))
+    # dedup_incremental_minhash (new r7) enters at birth: the daily-
+    # batch dedup against a persisted signature store. Demoted in
+    # exchange: exact_contamination_documents (green r5+r6; the exact-
+    # substring flag stays graded via decontam_remove_spans, whose
+    # anchor-candidate machinery composes it, and the contamination
+    # REPORT family twin sits one slot down in the tail).
+    "dedup_incremental_minhash": dedup_incremental_minhash,  # demoted r10 for the attestation-refresh rotation (green r9; twin dedup_minhash_lsh in-window (same banding + exact verify); store lifecycle pytest+CLI-driven)
+    # --- NEW r7c operators (in-window at birth; the five demotions they
+    # --- displace are documented at the top of the dict) ------------------
+    # zipf_slope_by_source: per-source Zipf-law fit — integer-exact
+    # OLS over floor-quantized log coordinates; the corpus-health
+    # monitor next to vocab_drift (KL) and perplexity buckets.
+    "zipf_slope_by_source": zipf_slope_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin collocation_pmi_bigrams staying (token-frequency aggregate family))
+    # scd2_user_event_intervals: gaps-and-islands SCD2 change history —
+    # the warehouse-history form of the state-store's latest-row upsert.
+    "scd2_user_event_intervals": scd2_user_event_intervals,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window (event-time ordering family); sf1-swept at 802,921 intervals)
+    # filter_attrition_report: sequential curation-gate yield funnel in
+    # one conditional-aggregate scan + in-plan unpivot.
+    "filter_attrition_report": filter_attrition_report,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window; funnel-step machinery pytest-pinned)
+    "q5_region_revenue": q5_region_revenue,  # demoted r10 for the attestation-refresh rotation (green r9; twin q1_pricing_summary in-window (decimal-agg + star-join family; q3 attested in tail); laddered at sf1)
+    "knn_join_top3": knn_join_top3,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk in-window (exact cosine top-k) + knn_edges_ivf_embeddings staying)
+    "shard_pack_documents": shard_pack_documents,  # demoted r10 for the attestation-refresh rotation (green r9; twin sequence_manifest_documents in-window (packing-manifest family))
+    # --- r9 refresh, second half — the remaining r4-stale entries enter;
+    # --- demoted in exchange (each multiply-attested with r8 its latest
+    # --- green, family twin named):
+    # ---   dedup_simhash (r1-r4+r8)         -> near-dup family keeps
+    # ---                                       dedup_keep_best_quality +
+    # ---                                       dedup_incremental_minhash
+    # ---                                       + boilerplate_strip
+    # ---                                       in-window, and
+    # ---                                       dedup_embedding_cosine +
+    # ---                                       dedup_vocab_fingerprint_
+    # ---                                       groups ENTER
+    # ---   hybrid_search_rrf (r3+r4+r8)     -> phrase_search_documents
+    # ---                                       STAYS (search family);
+    # ---                                       bm25/tfidf twins in tail
+    # ---   text_language_id (r1-r4+r8)      -> text_quality +
+    # ---                                       text_repetition ENTER
+    # ---                                       (same per-doc signal-scan
+    # ---                                       family); quality_blend
+    # ---                                       STAYS
+    # --- (text_unigram_surprisal re-enters next to its graded step-ups
+    # --- text_kn_surprisal + text_kn_trigram_surprisal; sampling re-
+    # --- entries stratified_sample_orders + embedding_cluster_assign
+    # --- sit next to stratified_split_exact, which stays graded)
+    "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + stratified_split_exact staying)
+    "dedup_embedding_cosine": dedup_embedding_cosine,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk (exact cosine) + dedup_components in-window)
+    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_fingerprints in-window (fingerprint family))
+    "embedding_cluster_assign": embedding_cluster_assign,  # demoted r10 for the attestation-refresh rotation (green r9; twin knn_edges_ivf_embeddings staying (same quantize/assign machinery))
+    "ann_topk_ivf": ann_topk_ivf,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_topk_ivf_index staying (same cell geometry + probe rule) + ann_topk_pq in-window)
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # demoted r10 for the attestation-refresh rotation (green r9; twin bitext_mine_margin_bucketed staying (the same seed-42 _srp_bits machinery) + ann_cosine_topk in-window)
+    "text_quality": text_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying (composes the same quality gates))
+    "text_repetition": text_repetition,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying; text_repetition_signals attested in tail + laddered at sf1)
+    "text_unigram_surprisal": text_unigram_surprisal,  # demoted r10 for the attestation-refresh rotation (green r9; twins text_kn_surprisal + text_kn_trigram_surprisal staying (same family, strict supersets of the unigram machinery))
+    "decontam_remove_spans": decontam_remove_spans,  # demoted r10 for the attestation-refresh rotation (green r9; twins decontaminate_benchmark_overlap + decontaminate_clean_set in-window; laddered at sf1)
+    # events_funnel_counts (new r7b) enters at birth: the sequential
+    # view→click→purchase funnel, the order-gated aggregate the window
+    # family can't express. Demoted in exchange: events_rolling_1h
+    # (green r5+r6; the event-time window family keeps events_lag_gaps
+    # + events_hourly graded this round via the attestation refresh,
+    # and sessionize/asof twins sit attested in the tail).
+    "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize in-window + events_retention_cohorts staying; laddered at sf1)
     # ------------------------------------------------------------------ tail
     "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; demoted r7c for streaming_dedup_counts' at-birth slot (packing family twins pack_sequences_documents r4-r6 + training_order_documents r5-r6 attested in tail)
     "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; demoted r7c (ETL-pipeline family stays graded via chunk_documents_pipeline + curation_pipeline; provider seam pytest-pinned)
@@ -3902,15 +3989,6 @@ QUERIES = {
     "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; demoted r7 (dedup_embedding_cosine_blocked graded this round, same blocked-matmul path)
     "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; demoted r7 for streaming_vocab_counts (ANN family: hard_negatives/sq8/pca_rerank graded)
     "quality_quota_by_source": quality_quota_by_source,  # green r5+r6; demoted r7 for compression_band_report (two-phase top-k family: weighted_sample/tfidf graded)
-    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations
-    "events_asof_join": events_asof_join,                # green r1-r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h)
-    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1-r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans)
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1-r5; demoted r6 (minhash-LSH verify runs the same exact-jaccard expression)
-    "events_sessionize": events_sessionize,              # green r1-r5; demoted r6 (events_rolling_1h keeps the per-user-key window shape graded)
-    "ann_cosine_topk": ann_cosine_topk,                  # green r1-r5; demoted r6 (exact cosine graded inside hard_negatives/semantic dedup)
-    "dedup_exact_groups": dedup_exact_groups,            # green r1-r5; demoted r6 (exact-fingerprint grouping graded inside curation_report/pretraining/paragraph_dedup)
-    "anti_join_changed": anti_join_changed,              # green r1-r5; demoted r6 (anti-join shape graded inside both capstone decontamination cuts)
-    "q1_pricing_summary": q1_pricing_summary,            # green r2-r5; demoted r6 (decimal-agg discipline graded via q3's revenue sum)
     # (the 13 r4-stale entries that sat here — ann_topk_ivf/lsh_bucketed,
     # text_repetition/quality/unigram_surprisal, exists_agg_priority,
     # dedup_embedding_cosine, dedup_vocab_fingerprint_groups,
@@ -3932,7 +4010,6 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,                      # green r1-r4+r8; demoted r9 (keep_best_quality + incremental_minhash + boilerplate_strip stay; embedding_cosine + vocab_fingerprint enter)
     "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4+r8; demoted r9 (phrase_search_documents keeps the search family graded)
     "text_language_id": text_language_id,                # green r1-r4+r8; demoted r9 (text_quality + text_repetition enter, same signal-scan family)
-    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail)
     "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6+r7+r8; demoted r9 for bitext_mine_margin_bucketed's at-birth slot (line-level dedup family keeps keep_best_quality + incremental_minhash in-window; paragraph_dedup + remove_spans in tail; strip machinery driven by lg clean CLI tests)
     # --- r8 attestation-refresh demotions (each green r1+r2+r7 unless
     # --- noted; family twins named in the window block above) -------------
@@ -3958,15 +4035,5 @@ QUERIES = {
     "vocab_drift_by_source": vocab_drift_by_source,      # green r6+r7; demoted r8 for the early attestation refresh (corpus-health family keeps zipf_slope + collocation_pmi)
     "validate_documents_expectations": validate_documents_expectations,  # green r6+r7; demoted r8 for the early attestation refresh (wide-mode HLL machinery graded via hll_distinct + hll_store rows; gate logic pytest-pinned)
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
-    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded)
-    "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup)
-    "text_winnowing": text_winnowing,                    # green r3-r5; demoted late-r6 (winnowing primitive graded inside span dedup)
-    "pii_scan_documents": pii_scan_documents,            # green r3-r5; demoted r6 (PII gate fires inside graded pretraining_pipeline)
-    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 (decontam cut inside pretraining_pipeline)
-    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 (keep flag graded in curation_report; logit in pretraining_pipeline)
-    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 (clean_set + contamination reports attested)
-    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 (portable-hash sampling family attested)
-    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 (strict superset pack_emit_sequences graded)
-    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 (superset ann_topk_ivfpq attested r4-r6)
 }
 

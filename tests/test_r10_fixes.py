@@ -91,6 +91,70 @@ class TestBitextPersistRelease:
         assert _n_pinned(spark) == before
 
 
+class TestPortableJaccard:
+    """ngram_jaccard_pairs(portable=True): the md5-60-bit hash variant
+    the graded capped row needs (the cap interacts with the prefix
+    order's hash tiebreak, so both engines must compute the SAME
+    order; the uncapped result is provably order-independent)."""
+
+    def _docs(self, spark):
+        from tests.test_r9_operators import TestJaccardDfCap
+
+        return TestJaccardDfCap()._docs(spark)
+
+    def test_portable_uncapped_equals_xxhash(self, spark):
+        """Without a cap, prefix filtering is exactness-preserving under
+        ANY total order — portable and xxhash forms emit the identical
+        pair set with identical jaccard values."""
+        from lovdata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        fast = sorted(map(tuple, ngram_jaccard_pairs(docs, 0.5).collect()))
+        port = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, 0.5, portable=True).collect())
+        )
+        assert fast == port and len(fast) >= 2
+
+    def test_portable_capped_subset_of_exact(self, spark):
+        from lovdata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        exact = set(map(tuple, ngram_jaccard_pairs(docs, 0.5).collect()))
+        capped = set(
+            map(
+                tuple,
+                ngram_jaccard_pairs(docs, 0.5, max_df=2, portable=True).collect(),
+            )
+        )
+        assert capped <= exact
+
+
+SF1_DIR = "/root/repo/.scale/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1_DIR),
+    reason="sf1 corpus not generated (tools/scaleup.py)",
+)
+def test_ivf_index_partition_pruning_holds_at_sf1(spark, tmp_path):
+    """r10 VERDICT Next #6: the persisted-IVF plan assertion re-run at
+    the 20k-vector sf1 corpus — probing 2 of 8 cells must read only
+    those partitions (PartitionFilters on `cell`) at every scale, not
+    just the sf0.01 fixture."""
+    from pyspark.sql import functions as F2
+
+    from lovdata_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "sf1_idx")
+    similarity.ivf_write_index(emb, idx, n_cells=8, portable=True)
+    query = list(emb.filter(F2.col("vec_id") == 0).first()["embedding"])
+    df = similarity.ivf_index_topk(spark, idx, query, k=10, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert df.count() == 10
+
+
 class TestIndexPathGuards:
     def test_knn_edges_index_path_requires_ivf(self, spark):
         from lovdata_pipeline_spark.operators.graph import knn_edges

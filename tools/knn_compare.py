@@ -84,7 +84,10 @@ def main() -> None:
     label, sf_dir, n_cells = POINTS[-1]
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
-    batch = emb.filter((emb.vec_id % 20) == 0)  # the 5% "daily batch"
+    # 1% "daily batch" (r10 VERDICT Next #8 — the r9 5% batch at 20k
+    # vectors was session-cost-dominated; 1% is the realistic recrawl
+    # ratio and lets the pruning term show)
+    batch = emb.filter((emb.vec_id % 100) == 0)
     idx = tempfile.mkdtemp(prefix="knn_idx_bench_")
     t0 = _t.time()
     knn_write_ivf_index(emb, idx, n_cells=n_cells)
@@ -105,6 +108,30 @@ def main() -> None:
     full_rebuild = med(
         lambda: knn_edges(emb, k=3, candidates="ivf", n_cells=n_cells, n_probe=4)
     )
+
+    # the pruning claim with a NUMBER (r10 VERDICT Next #8): execute the
+    # exact physical plan instance of one batch build and read the
+    # parquet scan metrics — files actually opened on the index path vs
+    # files the index holds. The plan string carries the
+    # PartitionFilters assert; the metrics carry the count.
+    import glob as _glob
+
+    edges = knn_edges(batch, k=3, candidates="ivf", n_probe=4, index_path=idx)
+    qe = edges._jdf.queryExecution()
+    qe.executedPlan().execute().count()  # run THIS plan instance
+    scanned = 0
+    leaves = qe.executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        try:
+            m = node.metrics()
+            if m.contains("numFiles") and "knn_idx_bench_" in node.toString():
+                scanned += int(m.apply("numFiles").value())
+        except Exception:
+            pass  # non-scan leaves carry no numFiles metric
+    total_files = len(_glob.glob(os.path.join(idx, "cell=*", "*.parquet")))
+    plan_str = qe.executedPlan().toString()
+
     result["incremental"] = {
         "note": (
             "edges for a 5% daily batch against the indexed corpus: "
@@ -119,6 +146,9 @@ def main() -> None:
         "batch_via_index_sec": via_index,
         "full_ivf_rebuild_sec": full_rebuild,
         "speedup": round(full_rebuild / via_index, 2),
+        "index_files_total": total_files,
+        "index_files_scanned": scanned,
+        "partition_filters_in_plan": "PartitionFilters" in plan_str,
     }
     print("incremental", json.dumps(result["incremental"]), flush=True)
     spark.stop()

@@ -12,7 +12,10 @@ documents (50 000 rows = 10× sf0.1):
   * text: 10–100 words (uniform), drawn uniformly from the same
     30-token vocabulary; ~5 % of docs carry one planted 'dup' token
     (250/5 000 at sf0.1); 80 exact-duplicate text pairs planted
-    proportionally (8 groups / 5 000 at sf0.1).
+    proportionally (8 groups / 5 000 at sf0.1). The benchmark slice
+    (doc_id % 97 == 0, the decontamination queries' split) draws from
+    a disjoint UPPERCASED copy of the vocabulary so the decontam gate
+    at sf1 excises genuine leaks instead of the whole corpus (r10).
   * lang ∈ {en de fr zh es}, source ∈ src0..src19, n_chars = len(text).
 
 embeddings (20 000 rows = 10× sf0.1): 64-dim UNIT float vectors
@@ -83,11 +86,24 @@ def write_documents(spark, path: str) -> None:
         F.pmod(F.col("doc_id"), F.lit(625)) == 624, F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
     n_words = (F.pmod(_h(eff, F.lit("nw")), F.lit(91)) + 10).cast("int")
+    # the decontamination queries' benchmark slice (queries._bench_split:
+    # doc_id % 97 == 0) draws from a DISJOINT vocabulary — the same 30
+    # tokens uppercased, so every length/frequency statistic matches but
+    # no 3-gram can cross the split. Without this the 515 bench docs'
+    # 3-grams saturate the shared 30-token 3-gram space and the
+    # decontamination gate annihilates all 49,484 train docs, making the
+    # sf1 pretraining_pipeline hash-match vacuous (0 == 0 — r10 VERDICT
+    # Next #4; the r9 sweep measured it). Keyed on eff, not doc_id, so
+    # planted duplicate pairs stay exact copies; a train doc whose
+    # planted twin IS a bench doc carries eval vocab and is correctly
+    # excised by the gate — the realistic leak shape.
     vocab = F.array(*[F.lit(w) for w in VOCAB])
+    evocab = F.array(*[F.lit(w.upper()) for w in VOCAB])
+    vsel = F.when(F.pmod(eff, F.lit(97)) == 0, evocab).otherwise(vocab)
     words = F.transform(
         F.sequence(F.lit(1), n_words),
         lambda j: F.element_at(
-            vocab, (F.pmod(_h(eff, j, F.lit("tok")), F.lit(len(VOCAB))) + 1).cast("int")
+            vsel, (F.pmod(_h(eff, j, F.lit("tok")), F.lit(len(VOCAB))) + 1).cast("int")
         ),
     )
     text = F.concat_ws(" ", words)

@@ -57,6 +57,9 @@ LADDER_QUERIES = {
     "dedup_components": "documents",
     "text_repetition_signals": "documents",
     "dedup_ngram_jaccard": "documents",
+    # the capped twin, laddered right under the exact form so the table
+    # shows the scale swap beating it at sf1 (r10 VERDICT Next #2)
+    "dedup_ngram_jaccard_capped": "documents",
     "bitext_mine_margin": "embeddings",
     # --- events/streaming family (r9: sf1 events generated so this
     # --- family gets its third decade too) ---------------------------
@@ -117,17 +120,13 @@ SKIP_SF1_ORACLE = {
 }
 
 #: queries whose sf1 hash match is VACUOUS (0 == 0 rows), with the
-#: measured data-property cause.
-VACUOUS_SF1 = {
-    "pretraining_pipeline": (
-        "0 rows BOTH engines at sf1: the 515-doc benchmark slice's "
-        "17,427 distinct 3-grams saturate the 30-token-vocabulary "
-        "3-gram space, so the decontamination gate removes all "
-        "49,484/49,484 train docs (measured) — a data property of the "
-        "bounded-vocabulary synthetic corpus, not an engine bug; the "
-        "same gate keeps 198 docs at sf0.1."
-    ),
-}
+#: measured data-property cause. EMPTY since r10: the one r9 entry
+#: (pretraining_pipeline — the 515-doc benchmark slice's 3-grams
+#: saturated the shared 30-token 3-gram space and the decontamination
+#: gate removed all 49,484 train docs) was fixed in tools/scaleup.py by
+#: drawing the benchmark slice from a disjoint uppercased vocabulary,
+#: so every pipeline stage keeps a non-empty frame (VERDICT Next #4).
+VACUOUS_SF1 = {}
 
 #: EXPECTED sf1 deviations — the verdict column, not the engine,
 #: breaks at scale, with the measured cause. Reported as a named
@@ -139,8 +138,12 @@ VACUOUS_SF1 = {
 EXPECTED_SF1 = {}
 
 
-def run_correctness(names: list[str]) -> int:
-    """Spark-vs-DuckDB hash check of the ladder queries at sf1."""
+def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
+    """Spark-vs-DuckDB hash check of the ladder queries at sf1 (or, with
+    ``--sf-dir``, any other decade — r10 VERDICT Next #7 grades
+    pagerank_doc_graph at sf0.1, where its N² oracle is feasible; such
+    records carry an explicit "sf" field so the evidence never
+    mislabels its scale)."""
     import duckdb
 
     from tools.diffcheck import _dtype_drift, canon
@@ -149,7 +152,8 @@ def run_correctness(names: list[str]) -> int:
     from lovdata_pipeline_spark.queries import QUERIES, TABLES
     from lovdata_pipeline_spark.session import get_spark
 
-    sf1 = dict(SF_DIRS)["sf1"]
+    sf1 = sf_dir or dict(SF_DIRS)["sf1"]
+    label = next((lbl for lbl, d in SF_DIRS if d == sf1), sf1)
     if not os.path.isdir(sf1):
         sys.exit(f"{sf1} missing — run tools/scaleup.py first")
     spark = get_spark("scaling-correctness")
@@ -180,7 +184,7 @@ def run_correctness(names: list[str]) -> int:
 
     out, failures = {}, []
     for name in names:
-        if name in SKIP_SF1_ORACLE:
+        if name in SKIP_SF1_ORACLE and label == "sf1":
             out[name] = {"hash_match": None, "skipped": SKIP_SF1_ORACLE[name]}
             print(f"skip  {name:36s} {SKIP_SF1_ORACLE[name][:60]}...", flush=True)
             continue
@@ -211,6 +215,7 @@ def run_correctness(names: list[str]) -> int:
             "rows": len(sdf),
             "hash_match": ok,
             "sec": round(time.time() - t0, 1),
+            **({"sf": label} if label != "sf1" else {}),
             **({"problems": problems} if problems else {}),
             **({"vacuous": VACUOUS_SF1[name]} if name in VACUOUS_SF1 and ok else {}),
             **({"expected_deviation": EXPECTED_SF1[name]} if expected else {}),
@@ -227,6 +232,10 @@ def run_correctness(names: list[str]) -> int:
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
             prior = json.load(fh).get("scaling_correctness", {}).get("queries", {})
+    if label != "sf1":
+        # keep the sf1 row (if any) intact: a mid-scale grade records
+        # under "<name>@<label>" alongside it
+        out = {f"{k}@{label}": v for k, v in out.items()}
     block = {"sf": "sf1", "queries": {**prior, **out}}
     if substituted:
         # honest evidence: any recorded match touching these tables
@@ -237,7 +246,7 @@ def run_correctness(names: list[str]) -> int:
     n_dev = sum(1 for r in out.values() if "expected_deviation" in r)
     n_skip = sum(1 for r in out.values() if "skipped" in r)
     n_ok = sum(1 for r in out.values() if r.get("hash_match") is True)
-    print(f"\n{n_ok}/{len(names)} hash-match at sf1"
+    print(f"\n{n_ok}/{len(names)} hash-match at {label}"
           + (f" + {n_skip} named oracle skip(s)" if n_skip else "")
           + (f" + {n_dev} expected data-property deviation(s), documented"
              if n_dev else ""))
@@ -252,6 +261,11 @@ def main() -> None:
         "--correctness",
         action="store_true",
         help="hash-check the ladder queries at sf1 instead of timing",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        help="with --correctness: grade against this decade's parquet dir "
+        "instead of the generated sf1 (records carry an explicit sf tag)",
     )
     args = ap.parse_args()
 
@@ -279,7 +293,7 @@ def main() -> None:
             )
 
     if args.correctness:
-        sys.exit(run_correctness(names))
+        sys.exit(run_correctness(names, sf_dir=args.sf_dir))
 
     spark = get_spark("scaling-ladder")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
