@@ -754,7 +754,7 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     UNCAPPED result is provably hash-order-independent, the capped one
     is not). Capped ⊆ exact always (candidate generation only shrinks;
     verification still scores full shingle sets): 23 of the exact 25
-    pairs at sf0.01, measured 2.6× over exact at sf1 where candidates
+    pairs at sf0.01, measured 2.0× over exact at sf1 where candidates
     collapse from 41.6 M (recall there is a data property of the
     30-token-vocabulary corpus — every shingle is hot — exactly like
     the bucketed-bitext and knn-IVF rows)."""

@@ -114,8 +114,10 @@ SKIP_SF1_ORACLE = {
     "pagerank_doc_graph": (
         "oracle replays the N^2 cosine graph in SQL — infeasible at "
         "20k vectors (DuckDB pair intermediate ~400 GB; filled the "
-        "container disk). Hash-graded at sf0.01; Spark-side "
-        "determinism pinned in tests."
+        "container disk). Hash-graded at sf0.01 AND at sf0.1 (r10, "
+        "via --sf-dir: 2k vectors = 4M oracle pairs, feasible — see "
+        "the pagerank_doc_graph@sf0.1 record); Spark-side determinism "
+        "pinned in tests."
     ),
 }
 
