@@ -266,7 +266,13 @@ def knn_write_ivf_index(
         u, n_cells, id_col="vid", vec_col="uv", portable=True
     )
     assigned = _probe_cells(v.select("vid", "vv"), cents, n_probe=1)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # one file per cell directory (the ivf_write_index discipline, r10):
+    # without the repartition every cell dir collects one fragment per
+    # assign task — 1024 files for a 20k-row/64-cell index, a listing
+    # explosion at scale
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     with open(_os.path.join(path, "_ivf_params.json"), "w") as fh:
         _json.dump(
             {
@@ -370,8 +376,14 @@ def _ivf_index_candidates(
     # long-lived session pinned executor storage). The second
     # evaluation re-runs one batch-sized centroid matmul — negligible
     # against the join it feeds, and exactly reproducible (12-dp round
-    # + stable argsort over a parquet source), so recompute beats an
-    # unreleasable pin. Nothing in this operator persists.
+    # + stable argsort), so recompute beats an unreleasable pin.
+    # PRECONDITION (r10 review): the two evaluations must see the SAME
+    # rows — `vectors` must have deterministic lineage (a parquet/table
+    # scan and deterministic transforms; every caller in this repo
+    # qualifies). A frame seeded with rand()/round-robin-repartition
+    # nondeterminism could land a row in a cell during the scoring
+    # evaluation that the collect never probed, silently dropping that
+    # source's edges — documented in knn_edges' docstring.
     probes = _probe_cells(v.select("vid", "vv"), params["centroids"], n_probe)
     # bounded driver round-trip (≤ n_cells ints): the probed-cell list is
     # what turns the index read into partition pruning
@@ -456,6 +468,15 @@ def knn_edges(
     Zero-norm vectors are excluded from both sides (cosine undefined;
     ANSI-mode division). Scores are rounded to 6 dp with ties broken
     on dst id — deterministic edges, hence deterministic pagerank.
+
+    With ``index_path``, ``vectors`` must have DETERMINISTIC lineage
+    (a table scan plus deterministic transforms — every caller here):
+    the probe frame is intentionally unpersisted (no leak-prone pin)
+    and evaluates once for the probed-cell collect and once for the
+    scoring join, so nondeterministic input (``rand()``, round-robin
+    ``repartition()`` feeding order-dependent ids) could assign a row
+    to a never-probed cell on the second pass and silently drop that
+    source's edges.
     """
     if index_path is not None and candidates != "ivf":
         # r9 ADVICE: `lg rank --index-path idx` with the default

@@ -251,7 +251,12 @@ def postings_write(
     ).withColumn(
         "tbucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
     )
-    postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
+    # one file per bucket directory (the ivf_write_index discipline,
+    # r10): without the repartition every bucket dir collects one
+    # fragment per explode task — a listing explosion at scale
+    postings.repartition(F.col("tbucket")).write.mode("overwrite").partitionBy(
+        "tbucket"
+    ).parquet(path)
     with open(_os.path.join(path, "_postings_params.json"), "w") as fh:
         _json.dump(
             {

@@ -17,8 +17,17 @@ from lovdata_pipeline_spark.operators.similarity import bitext_margin_mine
 from tests.test_r9_operators import _clustered_bitext
 
 
+def _pinned_ids(spark) -> set:
+    """Ids (not count) of currently persisted RDDs: assertions diff id
+    SETS so the ContextCleaner asynchronously releasing some OTHER
+    test's GC-owned localCheckpoint blocks mid-test can never flip a
+    verdict (count-based asserts were flaky under full-suite ordering)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
 def _n_pinned(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+    return len(_pinned_ids(spark))
 
 
 class TestBitextPersistRelease:
@@ -27,20 +36,20 @@ class TestBitextPersistRelease:
         operator returns; the only surviving pin is the (small, eagerly
         materialized) result itself, released by the caller."""
         src, tgt = _clustered_bitext(spark)
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         out = bitext_margin_mine(src, tgt, k=2, threshold=0.0, buckets=16)
-        assert _n_pinned(spark) == before + 1  # the cached result only
+        assert len(_pinned_ids(spark) - before) == 1  # the cached result only
         assert out.count() == 12
         out.unpersist()
-        assert _n_pinned(spark) == before
+        assert not (_pinned_ids(spark) - before)
 
     def test_exact_path_also_releases(self, spark):
         src, tgt = _clustered_bitext(spark, n_clusters=2, per_side=2)
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         out = bitext_margin_mine(src, tgt, k=2, threshold=0.0)
-        assert _n_pinned(spark) == before + 1
+        assert len(_pinned_ids(spark) - before) == 1
         out.unpersist()
-        assert _n_pinned(spark) == before
+        assert not (_pinned_ids(spark) - before)
 
     def test_bucketed_empty_source_short_circuits(self, spark):
         """buckets set + empty (filtered) source side: the result is an
@@ -48,12 +57,12 @@ class TestBitextPersistRelease:
         full-target broadcast never builds (r9 ADVICE #2)."""
         src, tgt = _clustered_bitext(spark)
         empty_src = src.filter(F.col("src_id") < 0)
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         out = bitext_margin_mine(empty_src, tgt, k=2, threshold=0.0, buckets=16)
         assert out.columns == ["src_id", "tgt_id", "score", "margin"]
         assert out.count() == 0
         # the short-circuit neither scores nor persists anything
-        assert _n_pinned(spark) == before
+        assert not (_pinned_ids(spark) - before)
         # and the physical plan contains no broadcast of the target side
         assert "Broadcast" not in out._jdf.queryExecution().executedPlan().toString()
 
@@ -78,7 +87,7 @@ class TestBitextPersistRelease:
         emb_p, docs_p = str(tmp_path / "emb"), str(tmp_path / "docs")
         emb.write.parquet(emb_p)
         docs.write.parquet(docs_p)
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         rc = main(
             ["mine", "--embeddings", emb_p, "--documents", docs_p,
              "--output", str(tmp_path / "pairs"), "--src-lang", "no",
@@ -88,7 +97,7 @@ class TestBitextPersistRelease:
         assert rc == 0
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["mined_pairs"] > 0
-        assert _n_pinned(spark) == before
+        assert not (_pinned_ids(spark) - before)
 
 
 class TestPortableJaccard:
@@ -188,10 +197,10 @@ class TestIndexPathGuards:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         idx = str(tmp_path / "op_idx")
         knn_write_ivf_index(emb, idx, n_cells=4)
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         edges = knn_edges(emb, k=3, candidates="ivf", n_probe=4, index_path=idx)
         assert edges.count() > 0
-        assert _n_pinned(spark) == before
+        assert not (_pinned_ids(spark) - before)
 
     def test_rank_index_path_pins_only_checkpoints(self, spark, tmp_path, capsys):
         """`lg rank --index-path` leaves exactly pagerank's n_iter+1
@@ -213,7 +222,7 @@ class TestIndexPathGuards:
         )
         assert rc == 0
         capsys.readouterr()
-        before = _n_pinned(spark)
+        before = _pinned_ids(spark)
         rc = main(
             ["rank", "--input", emb_p, "-k", "3", "--candidates", "ivf",
              "--probe", "4", "--index-path", idx, "--top", "5"]
@@ -222,4 +231,4 @@ class TestIndexPathGuards:
         lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
         assert len(lines) == 5 and all(l["rank_q"] > 0 for l in lines)
         # default n_iter=3 → 3 rank checkpoints + the node-set checkpoint
-        assert _n_pinned(spark) == before + 4
+        assert len(_pinned_ids(spark) - before) == 4

@@ -142,11 +142,11 @@ def main() -> None:
     # (a data property — real embedding batches cluster), so also
     # record the union at smaller batches, where the geometry's
     # pruning is visible as a file count, not just a plan assert
-    union_sweep = {}
+    # the 200-vector entry IS the measured batch — reuse its probed set
+    union_sweep = {"200": {"cells_probed": len(probed), "files_scanned": scanned}}
     for bsz, flt in (
         (1, emb.vec_id == 0),
         (10, emb.vec_id % 2000 == 0),
-        (200, emb.vec_id % 100 == 0),
     ):
         bv = emb.filter(flt).select(
             F.col("vec_id").alias("vid"),

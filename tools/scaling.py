@@ -231,19 +231,25 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
     # recorded block (the ladder-merge rule)
     bench_path = os.path.join(REPO, "BENCH_AUX.json")
     prior = {}
+    prior_subst = []
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
-            prior = json.load(fh).get("scaling_correctness", {}).get("queries", {})
+            prior_block = json.load(fh).get("scaling_correctness", {})
+        prior = prior_block.get("queries", {})
+        prior_subst = prior_block.get("substituted_tables_sf0.1", [])
     if label != "sf1":
         # keep the sf1 row (if any) intact: a mid-scale grade records
         # under "<name>@<label>" alongside it
         out = {f"{k}@{label}": v for k, v in out.items()}
     block = {"sf": "sf1", "queries": {**prior, **out}}
-    if substituted:
-        # honest evidence: any recorded match touching these tables
-        # graded sf0.1 data on the oracle side (the Spark side would
-        # have failed outright on the missing sf1 path)
-        block["substituted_tables_sf0.1"] = substituted
+    # honest evidence: any recorded match touching these tables graded
+    # sf0.1 data on the oracle side (the Spark side would have failed
+    # outright on the missing sf1 path). UNION with the prior run's
+    # disclosure — a later clean subset run must not silently drop the
+    # annotation qualifying records it kept (r10 review).
+    all_subst = sorted(set(prior_subst) | set(substituted))
+    if all_subst:
+        block["substituted_tables_sf0.1"] = all_subst
     _merge_aux("scaling_correctness", block)
     n_dev = sum(1 for r in out.values() if "expected_deviation" in r)
     n_skip = sum(1 for r in out.values() if "skipped" in r)
