@@ -2128,17 +2128,22 @@ def quality_blend(
     Each signal min-max normalizes WITHIN its source (a |groups|-row
     broadcast of per-source min/max — not a per-source percent_rank,
     which would funnel each source through one window task at scale);
-    a source-constant signal normalizes to the neutral 0.5. The blend
-    is the fixed-weight sum 0.4·stop + 0.2·alpha + 0.2·len + 0.2·size,
-    rounded 6 dp, banded high ≥ 0.66 > medium ≥ 0.33 > low.
+    a source-constant signal normalizes to the neutral 0.5 (500,000
+    micro-units). The blend is the fixed-weight sum 0.4·stop +
+    0.2·alpha + 0.2·len + 0.2·size computed in exact BIGINT
+    micro-units, banded high ≥ 0.66 > medium ≥ 0.33 > low on the
+    integer.
 
     Determinism: every signal is 6-dp-rounded BEFORE the min/max
-    aggregation (min/max of doubles is order-free), the normalization
-    is double arithmetic over those exact operands in a fixed order,
-    and band cuts compare the rounded blend — bit-stable on any
-    partitioning and engine. Plan shape: ONE text scan computes all
-    four signals; the only other costs are the |groups|-row aggregate
-    and its broadcast join back.
+    aggregation (min/max of doubles is order-free), each norm
+    quantizes via ``floor(x·1e6 + 0.5)`` — identical IEEE arithmetic
+    in both engines, unlike ``round()``, whose half-way behavior
+    differs exactly on the 2e-7 grid the weighted sum lives on (the
+    r10 sf1 sweep caught 5/50,000 rows off by 1e-6) — and band cuts
+    compare the exact integer. Bit-stable on any partitioning and
+    engine. Plan shape: ONE text scan computes all four signals; the
+    only other costs are the |groups|-row aggregate and its broadcast
+    join back.
     """
     e = _gopher_exprs(text_col)
     lwords = _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -2161,25 +2166,36 @@ def quality_blend(
     )
     joined = base.join(F.broadcast(stats), "_grp")
 
-    def norm(c):
+    # integer micro-unit blend (r10): the old form rounded a weighted
+    # sum of 6-dp-quantized norms to 6 dp — those sums live on the
+    # 2e-7 grid, so EXACT half-way points (…x5e-7) are common, and
+    # Spark's BigDecimal HALF_UP disagrees with DuckDB's double round
+    # there (first surfaced by the sf1 sweep: 5 of 50,000 rows off by
+    # exactly 1e-6). floor(x·1e6 + 0.5) sidesteps both engines' round()
+    # implementations — identical IEEE arithmetic on identical doubles
+    # — and the weighted sum becomes an exact BIGINT in micro-units.
+    def norm_q(c):
         mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
         return F.when(
-            mx > mn, F.round((F.col(c) - mn) / (mx - mn), 6)
-        ).otherwise(F.lit(0.5))
+            mx > mn,
+            F.floor(
+                (F.col(c) - mn) / (mx - mn) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(500000).cast("long"))
 
-    blend = F.round(
-        F.lit(0.4) * norm("s_stop")
-        + F.lit(0.2) * norm("s_alpha")
-        + F.lit(0.2) * norm("s_len")
-        + F.lit(0.2) * norm("s_size"),
-        6,
-    )
+    blend_q = (
+        F.lit(4) * norm_q("s_stop")
+        + F.lit(2) * norm_q("s_alpha")
+        + F.lit(2) * norm_q("s_len")
+        + F.lit(2) * norm_q("s_size")
+    )  # 0..10_000_000 exact integer; /1e7 is the same double both engines
+    blend = blend_q / F.lit(10000000.0)
     return joined.select(
         F.col(id_col),
         F.col(group_col),
         blend.alias("blend_score"),
-        F.when(blend >= 0.66, "high")
-        .when(blend >= 0.33, "medium")
+        F.when(blend_q >= 6600000, "high")
+        .when(blend_q >= 3300000, "medium")
         .otherwise("low")
         .alias("quality_band"),
     )

@@ -3117,16 +3117,22 @@ ORACLES["quality_blend_documents"] = rf"""
                  min(s_size) AS mn4, max(s_size) AS mx4
           FROM m GROUP BY grp),
         b AS (
+          -- integer micro-unit blend (r10): floor(x*1e6 + 0.5) replaces
+          -- round(x, 6) — the weighted sum of 6-dp-quantized norms sits
+          -- on the 2e-7 grid where exact half-way points make Spark's
+          -- HALF_UP and DuckDB's double round() disagree (5/50k rows at
+          -- sf1); floor on identical doubles is engine-independent and
+          -- the weighted sum is an exact BIGINT
           SELECT m.doc_id, m.source,
-                 round(0.4 * (CASE WHEN mx1 > mn1 THEN round((s_stop - mn1) / (mx1 - mn1), 6) ELSE 0.5 END)
-                     + 0.2 * (CASE WHEN mx2 > mn2 THEN round((s_alpha - mn2) / (mx2 - mn2), 6) ELSE 0.5 END)
-                     + 0.2 * (CASE WHEN mx3 > mn3 THEN round((s_len - mn3) / (mx3 - mn3), 6) ELSE 0.5 END)
-                     + 0.2 * (CASE WHEN mx4 > mn4 THEN round((s_size - mn4) / (mx4 - mn4), 6) ELSE 0.5 END), 6)
-                   AS blend_score
+                 4 * (CASE WHEN mx1 > mn1 THEN CAST(floor((s_stop - mn1) / (mx1 - mn1) * 1000000.0 + 0.5) AS BIGINT) ELSE 500000 END)
+               + 2 * (CASE WHEN mx2 > mn2 THEN CAST(floor((s_alpha - mn2) / (mx2 - mn2) * 1000000.0 + 0.5) AS BIGINT) ELSE 500000 END)
+               + 2 * (CASE WHEN mx3 > mn3 THEN CAST(floor((s_len - mn3) / (mx3 - mn3) * 1000000.0 + 0.5) AS BIGINT) ELSE 500000 END)
+               + 2 * (CASE WHEN mx4 > mn4 THEN CAST(floor((s_size - mn4) / (mx4 - mn4) * 1000000.0 + 0.5) AS BIGINT) ELSE 500000 END)
+                   AS blend_q
           FROM m JOIN g USING (grp))
-        SELECT doc_id, source, blend_score,
-               CASE WHEN blend_score >= 0.66 THEN 'high'
-                    WHEN blend_score >= 0.33 THEN 'medium'
+        SELECT doc_id, source, blend_q / 10000000.0 AS blend_score,
+               CASE WHEN blend_q >= 6600000 THEN 'high'
+                    WHEN blend_q >= 3300000 THEN 'medium'
                     ELSE 'low' END AS quality_band
         FROM b ORDER BY doc_id
 """

@@ -295,14 +295,22 @@ def write_relational(spark, out_dir: str) -> None:
 
     # lineitem derives from orders so shipdate stays AFTER its order's
     # date (the q3 joint structure): 1..7 lines per order (mean 4 — the
-    # sf0.1 mean), shipdate = orderdate + 1..96 days
+    # sf0.1 mean), EXCEPT ~1/54 of orders carry no lines at all — the
+    # driver data has 2,764/150,000 lineless orders at sf0.1 (1.84%),
+    # and without them the anti-join family is vacuous at sf1 (r10
+    # sweep finding: anti_join_changed matched 0 == 0 rows). explode
+    # drops the empty array, so lineless orders simply emit no rows.
     o = spark.read.parquet(os.path.join(out_dir, "orders.parquet")).select(
         "o_orderkey", "o_orderdate"
     )
+    n_lines = (F.pmod(_h(F.col("o_orderkey"), F.lit("nl")), F.lit(7)) + 1).cast("int")
+    lineless = F.pmod(_h(F.col("o_orderkey"), F.lit("nl0")), F.lit(54)) == 0
+    # sequence(1, 0) counts DOWN to [1, 0] — emit an explicit empty
+    # array for lineless orders instead (explode drops it)
     ln = F.explode(
-        F.sequence(F.lit(1),
-                   (F.pmod(_h(F.col("o_orderkey"), F.lit("nl")), F.lit(7)) + 1)
-                   .cast("int"))
+        F.when(lineless, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), n_lines)
+        )
     ).alias("l_linenumber")
     li = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", ln)
     hl = lambda tag: _h(F.col("l_orderkey"), F.col("l_linenumber"), F.lit(tag))

@@ -119,6 +119,15 @@ SKIP_SF1_ORACLE = {
         "the pagerank_doc_graph@sf0.1 record); Spark-side determinism "
         "pinned in tests."
     ),
+    "knn_edges_ivf_embeddings": (
+        "oracle replays probing + all probed-member candidate scores "
+        "in SQL — ~100M 64-d pair scores at 20k vectors; the 20GB "
+        "temp guard stopped it (fail-fast by design, the pagerank "
+        "class). Hash-graded at sf0.01 AND at sf0.1 (r10, via "
+        "--sf-dir — see the knn_edges_ivf_embeddings@sf0.1 record); "
+        "the Spark-side scale path itself is the partition-pruned "
+        "index, plan-asserted at sf1 in tests/test_r10_fixes.py."
+    ),
 }
 
 #: queries whose sf1 hash match is VACUOUS (0 == 0 rows), with the
