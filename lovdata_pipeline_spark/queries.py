@@ -3494,350 +3494,60 @@ def phrase_search_documents(spark, sf_dir):
 # quality_quota_by_source, bpe_pair_stats, hash_split_documents,
 # text_gopher_quality.
 QUERIES = {
-    # --- flagship ETL pipelines (exact oracles as of r3) --------------------
-    # r7c rotation: five NEW operators enter at birth (zipf slope,
-    # collocation PMI, pagerank, SCD2 intervals, attrition funnel —
-    # see their blocks below); the five demotions are the window's
-    # most-attested non-refresh entries, each with family twins named
-    # at its tail line: embed_documents_pipeline +
-    # enrich_documents_pipeline (green r3-r6; chunk_documents_pipeline
-    # and curation_pipeline keep the ETL-pipeline family graded, and
-    # the embedding provider seam + enrichment chain are pytest-pinned),
-    # multimodal_features (green r2-r6; twin multimodal_audio in tail),
-    # text_bm25_search (green r3-r6; twin hybrid_search_rrf in tail,
-    # tf/idf scoring also inside tfidf_keywords), and
-    # pretraining_pipeline (green r4-r6; capstone family stays graded
-    # via curation_pipeline, every stage has a standalone
-    # graded-or-tail twin). The sixth r7c operator,
-    # streaming_dedup_counts, also enters at birth (the no-query-
-    # unattested invariant admits nothing else for a never-graded
-    # entry); its sixth demotion is pack_emit_sequences (green r5+r6;
-    # packing family twins pack_sequences_documents r4-r6 and
-    # training_order_documents r5-r6 stay attested in the tail).
-    "chunk_documents_pipeline": chunk_documents_pipeline,
-    # cms_token_estimates (new r7d) enters at birth: count-min-sketch
-    # frequency estimates point-queried for the exact top-20 tokens —
-    # the sketch family's first hash-green frequency row (portable md5
-    # bucket hashes; every cell and min replayed in SQL). Demoted in
-    # exchange: curation_pipeline (green r2-r6, the window's most-
-    # attested entry; the capstone family stays graded via
-    # chunk_documents_pipeline, and every curation stage has a
-    # standalone graded-or-tail twin: quality gates, dedup, decontam,
-    # quota, packing).
-    "cms_token_estimates": cms_token_estimates,
-    # events_retention_cohorts (new r7b) enters at birth: the weekly
-    # cohort-retention matrix — first-event cohorting + distinct
-    # user-week activity, the remaining classic product-analytics
-    # aggregate the events family lacked. Demoted in exchange:
-    # agg_approx_stats (green r1–r6, the board's most-attested entry;
-    # the sketch family stays graded via
-    # validate_documents_expectations, whose wide-table mode runs the
-    # same HLL approx-distinct machinery, and the exact-distinct
-    # verdict twin agg_distinct_counts sits r1-r3-attested in the
-    # tail). r8 update: validate itself cycles to the tail this round —
-    # the sketch family's graded anchors are now hll_distinct_by_source
-    # + hll_store_merged_counts, and agg_distinct_counts is back
-    # in-window via the r8 rotation.
-    # r10 update: hll_distinct_by_source cycles to the tail for the
-    # attestation refresh — the sketch family's graded anchor is
-    # hll_store_merged_counts, whose oracle replays the same registers
-    # as a strict superset (store write + MAX-merge + estimate).
-    "events_retention_cohorts": events_retention_cohorts,
-    # bitext_mine_margin_bucketed (new r9) enters at birth: the bitext
-    # scale path graded end-to-end — the oracle replays the seed-42 SRP
+    # The driver grades the FIRST 50 keys; the tail is the attested
+    # ledger (every entry's grading history and the family twin that
+    # justified each demotion live on its own line — full rotation
+    # history in git). The blocks below describe only the entries
+    # currently holding a window slot.
+    #
+    # bitext_mine_margin_bucketed (new r9): the bitext scale path
+    # graded end-to-end — the oracle replays the seed-42 SRP
     # bucketing, the 1-bit probe set, the bucket equi-join, and the
     # full margin machinery over the restricted pair set (the
     # knn_edges_ivf move, for bitext; exact-path twin
-    # bitext_mine_margin stays in-window). Demoted in exchange:
-    # boilerplate_strip_documents (green r6+r7+r8; the line-level
-    # dedup family keeps dedup_keep_best_quality +
-    # dedup_incremental_minhash in-window with paragraph_dedup +
-    # dedup_remove_spans attested in the tail, and the strip machinery
-    # is driven end-to-end by the lg clean CLI tests).
-    # r10 update: dedup_keep_best_quality + dedup_incremental_minhash
-    # cycle to the tail for the attestation refresh — the dedup anchors
-    # are the re-promoted dedup_exact_groups / dedup_minhash_lsh /
-    # dedup_ngram_jaccard plus the new dedup_ngram_jaccard_capped.
+    # bitext_mine_margin below). Stays in-window r10: its
+    # persist-release path changed this round (eager materialize +
+    # unpersist), and a changed row re-grades.
     "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,
-    # embedding_outliers_by_label (new r7e) enters at birth: per-label
-    # centroid outliers — cosine vs the quantized-integer sum vector
-    # (scale-invariance elides the mean), two-phase ascending top-k.
-    # Demoted in exchange: hard_negatives_embeddings (green r6; same
-    # embedding family and the same per-anchor two-phase-rank machinery
-    # stays in-window via ann_pca_rerank_recall_embeddings, with
-    # knn_classify_embeddings r6-green in the tail).
-    "embedding_outliers_by_label": embedding_outliers_by_label,
-    # knn_edges_ivf_embeddings (new r8) enters at birth: the k-NN
-    # graph's sublinear IVF candidate path, graded end-to-end (the
-    # oracle replays sphere quantization, probing, and the exact
-    # re-score — certifying the approximation is deterministic).
-    # Demoted in exchange: mixture_plan_by_source (green r6+r7; the
-    # sampling/mixing family keeps stratified_split_exact graded, with
-    # epoch/temperature/weighted twins attested in the tail).
+    # knn_edges_ivf_embeddings (new r8): the k-NN graph's sublinear
+    # IVF candidate path, graded end-to-end (the oracle replays
+    # sphere quantization, probing, and the exact re-score —
+    # certifying the approximation is deterministic). Stays in-window
+    # r10: the index_path-vs-candidates validation and the probe
+    # persist release changed this round.
     "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,
-    # text_kn_trigram_surprisal (new r8) enters at birth: interpolated
-    # trigram Kneser–Ney — two back-off levels with continuation-count
-    # lower orders, the last step to a production CCNet-style LM
-    # filter. Demoted in exchange: token_length_band_documents (green
-    # r6+r7; the banding family keeps compression_band_report graded
-    # — with both KN surprisal rows carrying the LM-scoring side this
-    # round — and the token-count arithmetic rides inside
-    # greedy_token_buckets, graded this round).
-    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,
-    # streaming_session_append_counts (new r9) enters at birth: the
-    # PRODUCTION append-mode session-window drain — watermark heartbeat
-    # past the span, no-data batch flushes every real session, state
-    # bounded by active users. All five streaming shapes are now graded
-    # in their production mode. Demoted in exchange:
-    # ann_pca_rerank_recall_embeddings (green r6+r7+r8; the ANN family
-    # keeps ann_topk_ivf_index in-window with ann_topk_ivf +
-    # ann_topk_lsh_bucketed re-entering via the r9 attestation refresh;
-    # the PCA fit machinery is pytest-pinned and pca_variance_report
-    # sits attested in the tail).
-    # r10 update: ann_pca_rerank_recall_embeddings re-enters the window
-    # (its recall contract changed), while ann_topk_ivf +
-    # ann_topk_lsh_bucketed cycle to the tail — the ANN anchors are
-    # ann_topk_ivf_index plus the re-promoted ann_cosine_topk and
-    # ann_topk_pq.
+    # streaming_session_append_counts (new r9): the PRODUCTION
+    # append-mode session-window drain — watermark heartbeat past the
+    # span, no-data batch flushes every real session, state bounded
+    # by active users. Stays in-window r10: single prior attestation
+    # (r9) and the streaming family's graded anchor this round (its
+    # four complete/drain siblings cycle to the tail, each r8/r9
+    # multiply-green).
     "streaming_session_append_counts": streaming_session_append_counts,
-    "bpe_learned_merges": bpe_learned_merges,
-    # phrase_search_documents (new r7e) enters at birth: exact phrase
-    # retrieval over the positional inverted index — scan-filtered
-    # postings, (doc, pos+offset) equi-join chain. Demoted in
-    # exchange: bpe_token_counts (green r6; the BPE family's training
-    # row bpe_learned_merges stays in-window and certifies the merge
-    # machinery apply consumes; apply's segmentation + CLI round-trip
-    # are pytest-pinned).
+    # phrase_search_documents (new r7e): exact phrase retrieval over
+    # the positional inverted index — scan-filtered postings,
+    # (doc, pos+offset) equi-join chain. Stays in-window r10: the
+    # postings-index writer changed this round (one file per term
+    # bucket partition).
     "phrase_search_documents": phrase_search_documents,
-    # streaming_session_counts (new r7b) enters at birth: the SECOND
-    # driver-graded streaming row — native session_window over a real
-    # readStream drain, complete-mode availableNow == batch
-    # gaps-and-islands with the session_window boundary rule. Demoted
-    # in exchange: dedup_remove_spans (green r5+r6; the span-surgery
-    # family — winnowing-anchor candidates → diagonal gaps-and-islands
-    # → excision — stays graded via decontam_remove_spans, which
-    # composes the same machinery against needle spans).
-    # r10 update: decontam_remove_spans cycles to the tail for the
-    # attestation refresh — the span-surgery anchors are the re-promoted
-    # decontaminate_benchmark_overlap / decontaminate_clean_set /
-    # dedup_shared_spans (the same anchor-gram + gaps-and-islands
-    # machinery).
-    "streaming_session_counts": streaming_session_counts,
-    # hll_store_merged_counts (new r8) enters at birth: the persisted
-    # HLL register store's cross-day merge — day1 ∪ day2 registers
-    # loaded from disk, MAXed, estimated, graded bit-for-bit against
-    # the full-corpus SQL replay. Demoted in exchange:
-    # text_stopword_ratios (green r1+r2+r7; the stopword/quality
-    # arithmetic stays graded via quality_blend_documents, whose
-    # s_stop signal IS this ratio, with compression_band_report
-    # keeping the quality-band family graded).
-    "hll_store_merged_counts": hll_store_merged_counts,
-    # bloom_token_membership (new r8) enters at birth: the membership
-    # sketch completing the SQL-replayable family — deliberately
-    # narrow (m=128) so deterministic false positives are graded, not
-    # just the trivial all-hits case. Demoted in exchange:
-    # pca_variance_report_embeddings (green r6+r7; the PCA fit
-    # machinery — Gram partials, eigen solve, variance ratios — rides
-    # graded inside ann_pca_rerank_recall_embeddings, which composes
-    # pca_fit end-to-end; the report projection is pytest-pinned).
-    "bloom_token_membership": bloom_token_membership,
-    # --- NEW r7 operators (in-window at birth, per the attestation rule):
-    # --- the first driver-graded STREAMING row (readStream + AvailableNow
-    # --- + applyInPandasWithState, oracled against batch explode+count)
-    # --- and the compression-band report (bands/keep-gate/aggregation
-    # --- downstream of the literal-pinned zlib codec). Demoted in
-    # --- exchange: knn_classify_embeddings (green r5+r6; ANN family keeps
-    # --- hard_negatives + sq8 + pca_rerank graded, NULL-label exclusion
-    # --- pinned by pytest) and quality_quota_by_source (green r5+r6;
-    # --- weighted_sample + tfidf keep the two-phase top-k family graded,
-    # --- per-group quota dicts pinned by pytest). -----------------------
-    "streaming_vocab_counts": streaming_vocab_counts,
-    "compression_band_report": compression_band_report,
-    # ann_topk_ivf_index (new r7) enters at birth: the persisted
-    # partition-pruned IVF index layout, result-identical to
-    # ann_topk_ivf (tail, green r3+r4) whose oracle it reuses verbatim.
-    # Demoted in exchange: hash_split_documents (green r5+r6; the
-    # portable-hash split family stays graded via weighted_sample's
-    # 60-bit md5 machinery, and epoch/temperature/stratified twins sit
-    # in the tail under diffcheck).
-    "ann_topk_ivf_index": ann_topk_ivf_index,
-    # collocation_pmi_bigrams: Church & Hanks PMI collocations — one
-    # scan, two vocabulary-bounded aggregates, broadcast totals.
-    "collocation_pmi_bigrams": collocation_pmi_bigrams,
-    # pagerank_doc_graph: integer-exact damped power iteration over the
-    # 3-NN cosine graph — the first graph-centrality entry; iterative
-    # join-agg family next to dedup_components.
-    "pagerank_doc_graph": pagerank_doc_graph,
-    # --- r8 attestation refresh (r7 VERDICT Next #1): the 12 entries last
-    # --- driver-graded in r3 — the ledger's only remaining 4-round-stale
-    # --- batch — cycle back through the window. Demoted in exchange, each
-    # --- multiply-attested (green r1+r2 and refreshed green r7) with the
-    # --- family twin named inline:
-    # ---   semi_join_processed (r1+r2+r7)   -> not_exists_high_value ENTERS
-    # ---                                       (semi/anti-join family)
-    # ---   distinct_projection (r1+r2+r7)   -> agg_distinct_counts ENTERS
-    # ---                                       (distinct-agg family)
-    # ---   filter_like (r1+r2+r7)           -> status_counts + point_lookup
-    # ---                                       ENTER (predicate-scan family)
-    # ---   topk_limit (r1+r2+r7)            -> max_acctbal_supplier_per_
-    # ---                                       nation ENTERS (top-per-group)
-    # ---   rollup_priority (r1+r2+r7)       -> grouping_sets_status_priority
-    # ---   pivot_status (r1+r2+r7)             ENTERS (grouping-sets family
-    # ---                                       keeps exactly one graded row)
-    # ---   left_join_customer_orders (r1+r2+r7) -> events_range_join ENTERS
-    # ---                                       (non-equi/outer join family)
-    # ---   percentile_order_totals (r1+r2+r7) -> scalar_subquery_part_avg
-    # ---                                       ENTERS (scalar-agg family)
-    # ---   events_lag_gaps (r1+r2+r7)       -> events_json_props +
-    # ---   events_hourly (r1+r2+r7)            events_range_join ENTER
-    # ---                                       (events family keeps two
-    # ---                                       graded rows; funnel/retention/
-    # ---                                       SCD2 twins also in-window)
-    # ---   dedup_fingerprint_groups (r1+r2+r7) -> fingerprint grouping stays
-    # ---                                       graded via dedup_keep_best_
-    # ---                                       quality + dedup_simhash
-    # ---                                       (cycled in this round)
-    # ---   text_token_counts (r1+r2+r7)     -> greedy_token_buckets +
-    # ---                                       positional_ids ENTER (the
-    # ---                                       token-count machinery rides
-    # ---                                       inside both, and inside the
-    # ---                                       graded chunk pipeline)
-    # --- r9 attestation refresh (r8 VERDICT Next #1): the 13 entries last
-    # --- driver-graded in r4 — the ledger's oldest batch — cycle back
-    # --- through the window. point_lookup and grouping_sets_status_
-    # --- priority stay from the r8 refresh (predicate-scan and
-    # --- grouping-sets families each keep their one graded row — no
-    # --- refresh entry covers either). Demoted in exchange, each
-    # --- freshly multiply-attested (green r1+r2+r3 and refreshed green
-    # --- r8 unless noted) with the family twin named inline:
-    # ---   status_counts (r1+r2+r3+r8)      -> point_lookup STAYS
-    # ---                                       (predicate-scan family;
-    # ---                                       the status filter also
-    # ---                                       gates filter_attrition)
-    # ---   set_difference_validation (r1+r2+r3+r8) -> exists_agg_priority
-    # ---                                       ENTERS (EXISTS/anti
-    # ---                                       family; the anti-join cut
-    # ---                                       stays graded inside
-    # ---                                       decontam_remove_spans)
-    # ---   scalar_subquery_part_avg (r1+r2+r3+r8) -> filter_attrition_
-    # ---                                       report STAYS (broadcast
-    # ---                                       1-row scalar-agg gate);
-    # ---                                       q5_region_revenue ENTERS
-    # ---   agg_distinct_counts (r1+r2+r3+r8) -> streaming_dedup_counts
-    # ---                                       STAYS (exact COUNT
-    # ---                                       (DISTINCT) oracle teeth);
-    # ---                                       hll rows keep the
-    # ---                                       estimation side graded
-    # ---   max_acctbal_supplier_per_nation (r1+r2+r3+r8) ->
-    # ---                                       top3_orders_per_customer
-    # ---                                       STAYS (top-per-group);
-    # ---                                       knn_join_top3 ENTERS
-    # ---                                       (same per-group rank)
-    # ---   events_json_props (r1+r2+r3+r8)  -> events family keeps
-    # ---                                       scd2 + funnel + retention
-    # ---                                       graded in-window
-    # ---   events_range_join (r1+r2+r3+r8)  -> streaming_interval_join_
-    # ---                                       counts STAYS (the same
-    # ---                                       bounded-time theta join,
-    # ---                                       graded r8)
-    # ---   positional_ids (r1+r2+r3+r8)     -> chunk_documents_pipeline
-    # ---                                       STAYS (op-23 id
-    # ---                                       assignment rides inside
-    # ---                                       the graded pipeline)
-    # ---   greedy_token_buckets (r1+r2+r3+r8) -> chunk pipeline STAYS
-    # ---                                       (tier-2 grouping inside
-    # ---                                       it); shard_pack_documents
-    # ---                                       ENTERS (token-weighted
-    # ---                                       packing)
-    # ---   not_exists_high_value (r1+r2+r3+r8) -> exists_agg_priority
-    # ---                                       ENTERS (mirrored EXISTS
-    # ---                                       predicate, same family)
-    "point_lookup": point_lookup,
-    "grouping_sets_status_priority": grouping_sets_status_priority,
+    # exists_agg_priority (entered r9): EXISTS + NOT EXISTS folded
+    # into one conditional aggregate over the orders scan. Stays
+    # in-window r10: single prior attestation (r9).
     "exists_agg_priority": exists_agg_priority,
-    # --- r5-born entries still holding their window slot ---------------------
-    # streaming_dedup_counts (new r7c) enters at birth in
-    # pack_emit_sequences' former slot (that entry demoted to the tail,
-    # green r5+r6 with packing twins staying attested): the THIRD
-    # driver-graded streaming row — readStream →
-    # dropDuplicatesWithinWatermark → AvailableNow drain, hash-matched
-    # against batch COUNT(DISTINCT).
-    "streaming_dedup_counts": streaming_dedup_counts,
-    # --- r8 early attestation refresh (ahead of the r9 ask): five of the
-    # --- eighteen entries whose latest grade is r4 — five rounds stale
-    # --- after this round — cycle back through the window now so the
-    # --- ledger's next-oldest batch shrinks while the window has
-    # --- demotable multiply-attested entries. Demoted in exchange
-    # --- (each green r6+r7, family twin staying in-window):
-    # ---   paragraph_dedup_documents   -> dedup family keeps
-    # ---       dedup_keep_best_quality + dedup_incremental_minhash +
-    # ---       boilerplate_strip (the line-level twin); dedup_simhash
-    # ---       ENTERS as the family refresh
-    # ---   text_repetition_signals     -> quality/repetition family keeps
-    # ---       compression_band_report + quality_blend_documents
-    # ---   perplexity_buckets_by_source -> LM-scoring family keeps
-    # ---       text_kn_surprisal + text_kn_trigram_surprisal (new r8)
-    # ---   vocab_drift_by_source       -> corpus-health family keeps
-    # ---       zipf_slope_by_source + collocation_pmi_bigrams
-    # ---   validate_documents_expectations -> its wide-mode approx-distinct
-    # ---       machinery is graded via hll_distinct_by_source +
-    # ---       hll_store_merged_counts; the exact gate logic and the
-    # ---       32-column cap are pytest-pinned
-    # multimodal_audio and top3_orders_per_customer stay from the r8
-    # early refresh (the only graded multimodal row; the top-per-group
-    # anchor that justifies max_acctbal's demotion above); their three
-    # r8 companions — dedup_simhash, hybrid_search_rrf, text_language_id
-    # — demote for the r9 refresh (family twins documented in the
-    # second-half block above).
-    # r10 note on the r8 table above: zipf_slope_by_source and
-    # hll_distinct_by_source cycle to the tail this round (twins
-    # collocation_pmi_bigrams / hll_store_merged_counts stay, as
-    # annotated on their demotion lines below).
-    "multimodal_audio": multimodal_audio,
-    "top3_orders_per_customer": top3_orders_per_customer,
-    # streaming_interval_join_counts (new r8) enters at birth: the
-    # FOURTH driver-graded streaming row — a watermarked stream-stream
-    # interval join (purchases ⋈ preceding clicks), AvailableNow drain
-    # oracled against the batch theta join. Demoted in exchange:
-    # dedup_embedding_cosine_blocked (green r1+r7; the blocked-matmul
-    # path stays graded via embedding_outliers_by_label +
-    # ann_pca_rerank_recall_embeddings, with semantic-dedup twins
-    # attested in the tail).
-    "streaming_interval_join_counts": streaming_interval_join_counts,
-    # quality_blend_documents (new r7b) enters at birth: per-source
-    # min-max-normalized multi-signal blending + banding — the score-
-    # combination step between raw quality signals and quota selection.
-    # Demoted in exchange: curation_report_by_source (green r5+r6; its
-    # report cells stay graded inside BOTH capstones —
-    # curation_pipeline and pretraining_pipeline compose the same
-    # fingerprint/gopher/keep/contamination cell sums).
+    # quality_blend_documents (new r7b): per-source min-max-normalized
+    # multi-signal blending + banding — the score-combination step
+    # between raw quality signals and quota selection. Stays in-window
+    # r10: the blend moved to exact BIGINT micro-units this round (the
+    # sf1 sweep's half-way-rounding finding), so the changed row
+    # re-grades.
     "quality_blend_documents": quality_blend_documents,
-    # bitext_mine_margin (new r7b) enters at birth: margin-based
-    # parallel-corpus mining through the shared embedding space — the
-    # LASER/CCMatrix hubness-cancelling criterion, composing the
-    # two-phase top-k both directions. Demoted in exchange:
-    # tfidf_keywords_by_source (green r5+r6; tf/idf scoring stays
-    # graded via the text_bm25_search flagship, and the two-phase
-    # top-k rank machinery rides graded inside this very entry, both
-    # directions).
+    # bitext_mine_margin (new r7b): margin-based parallel-corpus
+    # mining through the shared embedding space — the LASER/CCMatrix
+    # hubness-cancelling criterion, composing the two-phase top-k both
+    # directions. Stays in-window r10: the exact path's persist
+    # release and the bucketed empty-source short-circuit changed this
+    # round.
     "bitext_mine_margin": bitext_mine_margin,
-    # stratified_split_exact (new r7b) enters at birth: exact-count
-    # per-stratum splits via the two-phase prefix-sum rank — the
-    # held-out contract the rate-based splits can't give. Demoted in
-    # exchange: weighted_sample_documents (green r5+r6; the
-    # md5-portable-hash ordering machinery it graded enters HERE, and
-    # the Efraimidis–Spirakis scoring stays pytest-pinned with the
-    # hash_split/epoch/temperature twins attested in the tail).
-    "stratified_split_exact": stratified_split_exact,
-    # text_kn_surprisal (new r7b) enters at birth: interpolated
-    # Kneser–Ney — the industry-standard LM smoothing stepping up the
-    # graded add-one bigram family. Demoted in exchange:
-    # q3_top_unshipped (green r1–r6, the most-attested entry on the
-    # board; the multi-join/agg/top-k relational families each keep an
-    # in-window twin this round — left_join_customer_orders,
-    # percentile_order_totals, rollup/pivot, semi_join, topk_limit —
-    # and q1/q5 decimal-agg twins sit attested in the tail).
-    "text_kn_surprisal": text_kn_surprisal,
     # --- r10 rotation (VERDICT Next #1): the 19 entries whose latest
     # driver grade was r5 re-enter the window below, plus the new
     # dedup_ngram_jaccard_capped (at birth) and the changed
@@ -3873,6 +3583,39 @@ QUERIES = {
     # window this same round.
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail); re-promoted r10: the recall contract changed (scale-aware pool + corpus-mean verdict, VERDICT Next #3) — a changed query re-enters the graded window
+    # --- r10 rotation, SECOND half (ahead of the r11 ask — the r8
+    # --- "early refresh" move): 22 of the 37 entries whose latest
+    # --- driver grade is r6 cycle back through the window now, so the
+    # --- ledger's next-oldest batch shrinks while the window holds
+    # --- demotable multiply-attested r9-green rows. The 22 demotions
+    # --- in exchange are annotated inline at the top of the tail;
+    # --- every r10-changed code path keeps its row in-window
+    # --- (quality_blend, both bitext rows, knn_edges_ivf,
+    # --- phrase_search, the capped SSJoin, the scale-aware PCA
+    # --- rerank), and streaming keeps its production append row
+    # --- graded. -----------------------------------------------------
+    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
+    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
+    "multimodal_features": multimodal_features,  # green r2-r6; re-promoted r10 second-half refresh (r6-stale)
+    "text_bm25_search": text_bm25_search,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
+    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale; sf1 de-vacuated this round)
+    "curation_pipeline": curation_pipeline,  # green r2-r6; re-promoted r10 second-half refresh (r6-stale)
+    "ann_topk_sq8": ann_topk_sq8,  # green r6; re-promoted r10 second-half refresh (r6-stale)
+    "bpe_token_counts": bpe_token_counts,  # green r6; re-promoted r10 second-half refresh (r6-stale)
+    "agg_approx_stats": agg_approx_stats,  # green r1-r6; re-promoted r10 second-half refresh (r6-stale)
+    "weighted_sample_documents": weighted_sample_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "events_rolling_1h": events_rolling_1h,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "hash_split_documents": hash_split_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "pack_sequences_documents": pack_sequences_documents,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale)
+    "ann_topk_ivfpq": ann_topk_ivfpq,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale)
+    "importance_score_documents": importance_score_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "text_bigram_surprisal": text_bigram_surprisal,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
     # hll_distinct_by_source (new r7d) enters at birth: portable
     # HyperLogLog distinct-token estimates per source, registers AND
     # estimate bit-replayed in SQL (integer smear+popcount rho, exact
@@ -3882,7 +3625,7 @@ QUERIES = {
     # in-window rows — ann_topk_ivf_index and
     # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
     # pinned by tests + the lg quantize CLI surface).
-    "hll_distinct_by_source": hll_distinct_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin hll_store_merged_counts staying (superset: the store merge replays the same registers end-to-end))
+    "hll_distinct_by_source": hll_distinct_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin hll_store_merged_counts r8/r9-green, cycled in the second-half refresh; sketch family's in-window anchor is the re-promoted agg_approx_stats)
     # dedup_keep_best_quality (new r7) enters at birth: canonical
     # survivor selection by quality instead of min-id — the
     # Dolma/FineWeb policy. Demoted in exchange: bpe_pair_stats (green
@@ -3907,7 +3650,7 @@ QUERIES = {
     # zipf_slope_by_source: per-source Zipf-law fit — integer-exact
     # OLS over floor-quantized log coordinates; the corpus-health
     # monitor next to vocab_drift (KL) and perplexity buckets.
-    "zipf_slope_by_source": zipf_slope_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin collocation_pmi_bigrams staying (token-frequency aggregate family))
+    "zipf_slope_by_source": zipf_slope_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; token-frequency family: collocation_pmi r7c-r9-green cycles in the second-half refresh; tfidf_keywords_by_source re-enters in-window)
     # scd2_user_event_intervals: gaps-and-islands SCD2 change history —
     # the warehouse-history form of the state-store's latest-row upsert.
     "scd2_user_event_intervals": scd2_user_event_intervals,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window (event-time ordering family); sf1-swept at 802,921 intervals)
@@ -3940,15 +3683,15 @@ QUERIES = {
     # --- text_kn_surprisal + text_kn_trigram_surprisal; sampling re-
     # --- entries stratified_sample_orders + embedding_cluster_assign
     # --- sit next to stratified_split_exact, which stays graded)
-    "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + stratified_split_exact staying)
+    "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + weighted_sample/hash_split/cluster_balanced re-entering; stratified_split_exact r7b-r9-green cycles in the second-half refresh)
     "dedup_embedding_cosine": dedup_embedding_cosine,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk (exact cosine) + dedup_components in-window)
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_fingerprints in-window (fingerprint family))
     "embedding_cluster_assign": embedding_cluster_assign,  # demoted r10 for the attestation-refresh rotation (green r9; twin knn_edges_ivf_embeddings staying (same quantize/assign machinery))
-    "ann_topk_ivf": ann_topk_ivf,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_topk_ivf_index staying (same cell geometry + probe rule) + ann_topk_pq in-window)
+    "ann_topk_ivf": ann_topk_ivf,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_topk_pq + ann_cosine_topk in-window, ivfpq + sq8 re-entering; ann_topk_ivf_index r7-r9-green cycles in the second-half refresh)
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # demoted r10 for the attestation-refresh rotation (green r9; twin bitext_mine_margin_bucketed staying (the same seed-42 _srp_bits machinery) + ann_cosine_topk in-window)
     "text_quality": text_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying (composes the same quality gates))
     "text_repetition": text_repetition,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying; text_repetition_signals attested in tail + laddered at sf1)
-    "text_unigram_surprisal": text_unigram_surprisal,  # demoted r10 for the attestation-refresh rotation (green r9; twins text_kn_surprisal + text_kn_trigram_surprisal staying (same family, strict supersets of the unigram machinery))
+    "text_unigram_surprisal": text_unigram_surprisal,  # demoted r10 for the attestation-refresh rotation (green r9; strict supersets text_kn_surprisal + text_kn_trigram_surprisal r9-green cycle in the second-half refresh; text_bigram_surprisal re-enters in-window (same family))
     "decontam_remove_spans": decontam_remove_spans,  # demoted r10 for the attestation-refresh rotation (green r9; twins decontaminate_benchmark_overlap + decontaminate_clean_set in-window; laddered at sf1)
     # events_funnel_counts (new r7b) enters at birth: the sequential
     # view→click→purchase funnel, the order-gated aggregate the window
@@ -3956,46 +3699,48 @@ QUERIES = {
     # (green r5+r6; the event-time window family keeps events_lag_gaps
     # + events_hourly graded this round via the attestation refresh,
     # and sessionize/asof twins sit attested in the tail).
-    "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize in-window + events_retention_cohorts staying; laddered at sf1)
+    "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window, events_rolling_1h re-entering; events_retention_cohorts r7b-r9-green cycles in the second-half refresh; laddered at sf1)
     # ------------------------------------------------------------------ tail
-    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; demoted r7c for streaming_dedup_counts' at-birth slot (packing family twins pack_sequences_documents r4-r6 + training_order_documents r5-r6 attested in tail)
-    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; demoted r7c (ETL-pipeline family stays graded via chunk_documents_pipeline + curation_pipeline; provider seam pytest-pinned)
-    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; demoted r7c (same family anchors; enrichment chain pytest-pinned)
-    "multimodal_features": multimodal_features,  # green r2-r6; demoted r7c (twin multimodal_audio in tail r2-r4-green; mapInPandas plumbing pytest-pinned)
-    "text_bm25_search": text_bm25_search,  # green r3-r6; demoted r7c (twin hybrid_search_rrf in tail; tf/idf scoring also graded-adjacent via tfidf_keywords)
-    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; demoted r7c (capstone family stays graded via chunk_documents_pipeline; every stage has a standalone graded twin)
-    "curation_pipeline": curation_pipeline,  # green r2-r6; demoted r7d for cms_token_estimates' at-birth slot (capstone family graded via chunk_documents_pipeline; stage twins standalone-graded)
-    "ann_topk_sq8": ann_topk_sq8,  # green r6; demoted r7d for hll_distinct_by_source's at-birth slot (ANN family keeps ann_topk_ivf_index + ann_pca_rerank in window; sq8 pytest+CLI pinned)
+    # --- r10 second-half-refresh demotions (each r9-green, family
+    # --- twin named inline) ------------------------------------------
+    "chunk_documents_pipeline": chunk_documents_pipeline,  # green r1-r9, the board's most-attested row; demoted r10 second-half refresh (ETL family gets FOUR freshly graded rows: embed/enrich/pretraining/curation re-enter; ops 2/9/23 ride pytest-pinned + r9-attested)
+    "cms_token_estimates": cms_token_estimates,  # green r7d-r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; every sketch row r8/r9-green)
+    "events_retention_cohorts": events_retention_cohorts,  # green r7b-r9; demoted r10 second-half refresh (events family keeps events_sessionize + events_asof_join in-window; events_rolling_1h re-enters)
+    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7e-r9; demoted r10 second-half refresh (blocked-matmul family: semantic_dedup_pairs re-enters; ann_pca_rerank in-window)
+    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8+r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; the KN machinery is its strict superset, r9-attested)
+    "bpe_learned_merges": bpe_learned_merges,  # green r7-r9; demoted r10 second-half refresh (bpe_token_counts re-enters — the apply side consuming the same merge table; train chain r9-attested)
+    "streaming_session_counts": streaming_session_counts,  # green r7b-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window — the production append form of this same session plan)
+    "hll_store_merged_counts": hll_store_merged_counts,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; registers bit-replayed r9)
+    "bloom_token_membership": bloom_token_membership,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; deterministic false positives r9-attested)
+    "streaming_vocab_counts": streaming_vocab_counts,  # green r7-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window)
+    "compression_band_report": compression_band_report,  # green r7-r9; demoted r10 second-half refresh (quality-band family: quality_blend_documents in-window; zlib codec literal-pinned in pytest)
+    "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9; demoted r10 second-half refresh (ANN keeps ann_cosine_topk + ann_topk_pq in-window; sq8 + ivfpq re-enter; PartitionFilters plan-asserted in tests at sf1)
+    "collocation_pmi_bigrams": collocation_pmi_bigrams,  # green r7c-r9; demoted r10 second-half refresh (token-frequency family: tfidf_keywords_by_source re-enters)
+    "pagerank_doc_graph": pagerank_doc_graph,  # green r7c-r9; demoted r10 second-half refresh (graph family keeps knn_edges_ivf_embeddings in-window; knn_classify re-enters; sf0.1 full-oracle hash match recorded in BENCH_AUX)
+    "point_lookup": point_lookup,  # green r8+r9; demoted r10 second-half refresh (predicate-scan family multiply-attested; the bucket-pruned lookup is plan-asserted in pytest)
+    "grouping_sets_status_priority": grouping_sets_status_priority,  # green r8+r9; demoted r10 second-half refresh (grouping family: rollup/pivot/cube twins tail-attested)
+    "streaming_dedup_counts": streaming_dedup_counts,  # green r7c-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window; exact COUNT(DISTINCT) teeth also in agg_approx_stats' oracle, re-entering)
+    "multimodal_audio": multimodal_audio,  # green r2-r4+r8+r9; demoted r10 second-half refresh (twin multimodal_features re-enters — the image side of the same mapInPandas plumbing)
+    "top3_orders_per_customer": top3_orders_per_customer,  # green r8+r9; demoted r10 second-half refresh (top-per-group family: knn_join_top3 in-window; sf1-swept at 449,539 rows)
+    "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8+r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window; the batch theta-join twin events_range_join r9-attested)
+    "stratified_split_exact": stratified_split_exact,  # green r7b-r9; demoted r10 second-half refresh (sampling family: temperature_mix_orders in-window; weighted_sample + hash_split + cluster_balanced re-enter)
+    "text_kn_surprisal": text_kn_surprisal,  # green r7b-r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; trigram sibling cycles alongside)
     "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6; demoted r7e for embedding_outliers_by_label's at-birth slot (embedding family + two-phase-rank machinery stay in-window via ann_pca_rerank; knn_classify r6-green in tail)
-    "bpe_token_counts": bpe_token_counts,  # green r6; demoted r7e for phrase_search_documents' at-birth slot (bpe_learned_merges stays in-window; apply segmentation + CLI round-trip pytest-pinned)
     # --- tail: every entry is driver-attested (green in prior rounds) or an
     # --- exact twin of a graded entry; diffcheck covers them all ------------
-    "agg_approx_stats": agg_approx_stats,                # green r1-r6; demoted r7b for events_retention_cohorts (HLL sketch family graded via validate_documents_expectations wide mode; exact-distinct twin in tail)
     "dedup_remove_spans": dedup_remove_spans,            # green r5+r6; demoted r7b for streaming_session_counts (span-surgery family graded via decontam_remove_spans)
     "q3_top_unshipped": q3_top_unshipped,                # green r1-r6; demoted r7b for text_kn_surprisal (join/agg/top-k families each keep an in-window twin; q1/q5 in tail)
     "curation_report_by_source": curation_report_by_source,  # green r5+r6; demoted r7b for quality_blend_documents (report cells graded inside both capstone pipelines)
-    "weighted_sample_documents": weighted_sample_documents,  # green r5+r6; demoted r7b for stratified_split_exact (the same md5-rank machinery enters graded; E-S scoring pytest-pinned)
-    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5+r6; demoted r7b for bitext_mine_margin (tf/idf scoring graded via the text_bm25_search flagship)
-    "events_rolling_1h": events_rolling_1h,              # green r5+r6; demoted r7b for events_funnel_counts (event-time family: events_lag_gaps + events_hourly graded this round)
     "exact_contamination_documents": exact_contamination_documents,  # green r5+r6; demoted r7 for dedup_incremental_minhash (exact-substring machinery composed inside graded decontam_remove_spans)
     "text_gopher_quality": text_gopher_quality,          # green r5+r6; demoted r7 for train_quality_classifier_documents (gopher_pass graded inside curation_report + pretraining_pipeline)
-    "hash_split_documents": hash_split_documents,        # green r5+r6; demoted r7 for ann_topk_ivf_index (portable-hash family graded via weighted_sample; epoch/temperature/stratified twins in tail)
     "bpe_pair_stats": bpe_pair_stats,                    # green r5+r6; demoted r7 for dedup_keep_best_quality (pair counting replayed inside the graded bpe_learned_merges oracle chain)
     "running_sum": running_sum,                          # green r1+r6 (refreshed r6); demoted r7 for the attestation refresh
     "cube_status_priority": cube_status_priority,        # green r1+r6 (refreshed r6); demoted r7 (rollup_priority + pivot_status graded this round)
     "set_ops_nations": set_ops_nations,                  # green r1+r6 (refreshed r6); demoted r7 (set_difference_validation twin in tail, r1-r3 green)
     "full_outer_order_presence": full_outer_order_presence,  # green r1+r6 (refreshed r6); demoted r7 (left_join_customer_orders graded this round)
-    "pack_sequences_documents": pack_sequences_documents,  # green r4+r5+r6; demoted r7 (packing family fully tail-attested after pack_emit's own late-r7c demotion)
     "benchmark_contamination_report": benchmark_contamination_report,  # green r4+r5+r6; demoted r7 (exact_contamination + decontam_remove_spans stay graded)
-    "ann_topk_ivfpq": ann_topk_ivfpq,                    # green r4+r5+r6; demoted r7 (ann_topk_sq8 + ann_pca_rerank stay graded)
-    "importance_score_documents": importance_score_documents,  # green r5+r6; demoted r7 (text_gopher_quality keeps quality scoring graded)
     "training_order_documents": training_order_documents,  # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
     "epoch_mix_documents": epoch_mix_documents,          # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
-    "text_bigram_surprisal": text_bigram_surprisal,      # green r5+r6; demoted r7 (perplexity_buckets composes the same LM scoring)
-    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5+r6; demoted r7 (weighted_sample keeps the sampling family graded)
-    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; demoted r7 (packing family fully tail-attested after pack_emit's own late-r7c demotion)
-    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; demoted r7 (dedup_embedding_cosine_blocked graded this round, same blocked-matmul path)
-    "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; demoted r7 for streaming_vocab_counts (ANN family: hard_negatives/sq8/pca_rerank graded)
     "quality_quota_by_source": quality_quota_by_source,  # green r5+r6; demoted r7 for compression_band_report (two-phase top-k family: weighted_sample/tfidf graded)
     # (the 13 r4-stale entries that sat here — ann_topk_ivf/lsh_bucketed,
     # text_repetition/quality/unigram_surprisal, exists_agg_priority,
