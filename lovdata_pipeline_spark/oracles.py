@@ -162,7 +162,7 @@ def _embed_pipeline_sql(dims: int = 16) -> str:
            {_TOKEN_COUNT.format(col="text")} AS token_count,
            CAST({dims} AS INTEGER) AS dims,
            round(CAST(CAST(vals[1] / sqrt(list_reduce(
-                 list_transform(vals, x -> x * x), (a, b) -> a + b)) AS FLOAT) AS DOUBLE), 4) AS e0
+                 list_transform(vals, x -> x * x), (a, b) -> a + b)) AS FLOAT) AS DOUBLE), 4) + 0.0 AS e0
     FROM v
     ORDER BY document_id, chunk_id
 """

@@ -1777,7 +1777,15 @@ def embed_documents_pipeline(spark, sf_dir):
         "document_id",
         "token_count",
         F.size("embedding").alias("dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        # + 0.0 normalizes IEEE signed zero: a component in (-5e-5, 0)
+        # rounds to -0.0 under DuckDB's double round but +0.0 under
+        # Spark's BigDecimal HALF_UP (no -0 in BigDecimal) — numerically
+        # equal, hash-different. -0.0 + 0.0 = +0.0 in both engines;
+        # every other double is unchanged. Surfaced by the r10 sf1
+        # sweep (1 of 50,000 docs); mirrored in the oracle.
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "e0"
+        ),
     ).orderBy("document_id", "chunk_id")
 
 
