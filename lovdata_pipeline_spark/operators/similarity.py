@@ -1112,8 +1112,17 @@ def label_centroid_outliers(
     scored = v.join(F.broadcast(cent), label_col).select(
         F.col(label_col),
         F.col(id_col),
-        F.round(
-            _dot(F.col("_vv"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")), 6
+        # + 0.0 normalizes IEEE signed zero (the embed-pipeline e0 class,
+        # r10 sf1 sweep): a cosine in (-5e-7, 0) rounds to -0.0 under
+        # DuckDB's double round but +0.0 under Spark's BigDecimal
+        # HALF_UP — the one exported cosine here whose domain crosses
+        # zero (ascending top-k can select near-orthogonal vectors).
+        # Mirrored in the oracle; every other double is unchanged.
+        (
+            F.round(
+                _dot(F.col("_vv"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")), 6
+            )
+            + F.lit(0.0)
         ).alias("cos_centroid"),
     )
     return top_k_per_group(

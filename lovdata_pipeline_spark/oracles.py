@@ -3801,7 +3801,7 @@ ORACLES["embedding_outliers_by_label"] = r"""
           WHERE sqrt(list_dot_product(cv, cv)) > 0),
         scored AS (
           SELECT a.label, a.vec_id,
-                 round(list_dot_product(a.vv, c.cv) / (a.n * c.cn), 6) AS cos_centroid
+                 round(list_dot_product(a.vv, c.cv) / (a.n * c.cn), 6) + 0.0 AS cos_centroid  -- +0.0: signed-zero normalization (the embed-pipeline e0 class)
           FROM vok a JOIN cn c ON c.label = a.label),
         ranked AS (
           SELECT label, vec_id, cos_centroid,

@@ -3592,17 +3592,19 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail); re-promoted r10: the recall contract changed (scale-aware pool + corpus-mean verdict, VERDICT Next #3) — a changed query re-enters the graded window
     # --- r10 rotation, SECOND half (ahead of the r11 ask — the r8
-    # --- "early refresh" move): 22 of the 37 entries whose latest
+    # --- "early refresh" move): 21 of the 37 entries whose latest
     # --- driver grade is r6 cycle back through the window now, so the
     # --- ledger's next-oldest batch shrinks while the window holds
-    # --- demotable multiply-attested r9-green rows. The 22 demotions
+    # --- demotable multiply-attested r9-green rows (plus the late-r10
+    # --- re-entry of the changed embedding_outliers_by_label). The 22
+    # --- demotions
     # --- in exchange are annotated inline at the top of the tail;
     # --- every r10-changed code path keeps its row in-window
     # --- (quality_blend, both bitext rows, knn_edges_ivf,
     # --- phrase_search, the capped SSJoin, the scale-aware PCA
     # --- rerank), and streaming keeps its production append row
     # --- graded. -----------------------------------------------------
-    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
+    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7e-r9; RE-ENTERS late-r10: its cos_centroid expression changed (signed-zero normalization) and a changed row re-grades — displacing pack_emit_sequences to the r11 refresh batch (packing family keeps sequence_manifest + pack_sequences + length_bucketed in-window)
     "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
     "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
     "multimodal_features": multimodal_features,  # green r2-r6; re-promoted r10 second-half refresh (r6-stale)
@@ -3711,10 +3713,10 @@ QUERIES = {
     # ------------------------------------------------------------------ tail
     # --- r10 second-half-refresh demotions (each r9-green, family
     # --- twin named inline) ------------------------------------------
+    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; was slated for the r10 second-half refresh but ceded its slot to the changed embedding_outliers_by_label (a changed row re-grades before a stale-but-unchanged one); defers to the r11 batch — packing family keeps sequence_manifest + pack_sequences + length_bucketed in-window
     "chunk_documents_pipeline": chunk_documents_pipeline,  # green r1-r9, the board's most-attested row; demoted r10 second-half refresh (ETL family gets FOUR freshly graded rows: embed/enrich/pretraining/curation re-enter; ops 2/9/23 ride pytest-pinned + r9-attested)
     "cms_token_estimates": cms_token_estimates,  # green r7d-r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; every sketch row r8/r9-green)
     "events_retention_cohorts": events_retention_cohorts,  # green r7b-r9; demoted r10 second-half refresh (events family keeps events_sessionize + events_asof_join in-window; events_rolling_1h re-enters)
-    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7e-r9; demoted r10 second-half refresh (blocked-matmul family: semantic_dedup_pairs re-enters; ann_pca_rerank in-window)
     "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8+r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; the KN machinery is its strict superset, r9-attested)
     "bpe_learned_merges": bpe_learned_merges,  # green r7-r9; demoted r10 second-half refresh (bpe_token_counts re-enters — the apply side consuming the same merge table; train chain r9-attested)
     "streaming_session_counts": streaming_session_counts,  # green r7b-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window — the production append form of this same session plan)
