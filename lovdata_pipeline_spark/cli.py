@@ -883,6 +883,17 @@ def cmd_rank(args) -> int:
 
     spark = _spark("lg-rank")
     if args.edges:
+        if args.index_path:
+            # same fail-loud contract as the --input branch below: saved
+            # edges are ranked as-is — an index (or --candidates/--k)
+            # cannot influence them, so silently accepting the flag
+            # would defeat the caller's incremental intent (r10 review)
+            print(
+                "error: --index-path has no effect with --edges "
+                "(saved edges are ranked as-is; rebuild with --input "
+                "to consult an index)"
+            )
+            return 2
         edges = spark.read.parquet(args.edges)
     else:
         if not args.input:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from lovdata_pipeline_spark.operators.indexwrite import write_one_file_per_partition
 from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 from lovdata_pipeline_spark.operators.similarity import _as_double, _dot, _norm
 
@@ -266,24 +267,20 @@ def knn_write_ivf_index(
         u, n_cells, id_col="vid", vec_col="uv", portable=True
     )
     assigned = _probe_cells(v.select("vid", "vv"), cents, n_probe=1)
-    # one file per cell directory (the ivf_write_index discipline, r10):
-    # without the repartition every cell dir collects one fragment per
-    # assign task — 1024 files for a 20k-row/64-cell index, a listing
-    # explosion at scale
-    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
-    with open(_os.path.join(path, "_ivf_params.json"), "w") as fh:
-        _json.dump(
-            {
-                "version": IVF_INDEX_VERSION,
-                "n_cells": len(cents),
-                "portable": True,
-                "geometry": KNN_INDEX_GEOMETRY,
-                "centroids": cents,
-            },
-            fh,
-        )
+    # one file per cell directory — the shared indexwrite discipline
+    write_one_file_per_partition(
+        assigned,
+        path,
+        "cell",
+        "_ivf_params.json",
+        {
+            "version": IVF_INDEX_VERSION,
+            "n_cells": len(cents),
+            "portable": True,
+            "geometry": KNN_INDEX_GEOMETRY,
+            "centroids": cents,
+        },
+    )
     return cents
 
 

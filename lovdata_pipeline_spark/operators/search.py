@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from lovdata_pipeline_spark.operators.indexwrite import write_one_file_per_partition
 from lovdata_pipeline_spark.operators.textstats import _clean_split
 
 
@@ -251,21 +252,18 @@ def postings_write(
     ).withColumn(
         "tbucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
     )
-    # one file per bucket directory (the ivf_write_index discipline,
-    # r10): without the repartition every bucket dir collects one
-    # fragment per explode task — a listing explosion at scale
-    postings.repartition(F.col("tbucket")).write.mode("overwrite").partitionBy(
-        "tbucket"
-    ).parquet(path)
-    with open(_os.path.join(path, "_postings_params.json"), "w") as fh:
-        _json.dump(
-            {
-                "version": POSTINGS_INDEX_VERSION,
-                "n_buckets": n_buckets,
-                "id_col": id_col,
-            },
-            fh,
-        )
+    # one file per bucket directory — the shared indexwrite discipline
+    write_one_file_per_partition(
+        postings,
+        path,
+        "tbucket",
+        "_postings_params.json",
+        {
+            "version": POSTINGS_INDEX_VERSION,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+        },
+    )
 
 
 def postings_phrase_counts(spark, path: str, phrase: str) -> DataFrame:

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lovdata_pipeline_spark.operators.indexwrite import write_one_file_per_partition
+
 
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -362,27 +364,21 @@ def ivf_write_index(
             vectors, cents, refine_iterations, id_col=id_col, vec_col=vec_col
         )
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
-    # one file per cell directory, not shuffle-partitions-many: without
-    # the repartition every cell dir collects a fragment from each of
-    # the assign scan's tasks (measured r10: 64 cells × 16 tasks = 1024
-    # files for 20k rows — a listing/open-cost explosion at real scale).
-    # Hash-partitioning ON the partition column makes each write task
-    # own whole cells. If single cells outgrow a healthy file size,
-    # split on (cell, pmod(hash(id), k)) — the chunk-store discipline.
-    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
-    with open(_os.path.join(path, "_ivf_params.json"), "w") as fh:
-        _json.dump(
-            {
-                "version": IVF_INDEX_VERSION,
-                "n_cells": len(cents),
-                "portable": portable,
-                "refine_iterations": refine_iterations,
-                "centroids": cents,
-            },
-            fh,
-        )
+    # one file per cell directory, not shuffle-partitions-many — the
+    # shared indexwrite discipline (rationale + measurements there)
+    write_one_file_per_partition(
+        assigned,
+        path,
+        "cell",
+        "_ivf_params.json",
+        {
+            "version": IVF_INDEX_VERSION,
+            "n_cells": len(cents),
+            "portable": portable,
+            "refine_iterations": refine_iterations,
+            "centroids": cents,
+        },
+    )
     return cents
 
 

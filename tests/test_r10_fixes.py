@@ -185,6 +185,19 @@ class TestIndexPathGuards:
         assert rc == 2
         assert "--candidates ivf" in capsys.readouterr().out
 
+    def test_rank_cli_edges_rejects_index_path(self, spark, tmp_path, capsys):
+        """The fail-loud guard covers the --edges branch too (r10 review):
+        saved edges are ranked as-is, so --index-path alongside them
+        would be silently ignored — the exact intent-defeat class the
+        --input guard exists for."""
+        edges_p = str(tmp_path / "edges")
+        spark.createDataFrame(
+            [(0, 1), (1, 0)], "src long, dst long"
+        ).write.parquet(edges_p)
+        rc = main(["rank", "--edges", edges_p, "--index-path", "/tmp/whatever"])
+        assert rc == 2
+        assert "no effect with --edges" in capsys.readouterr().out
+
     def test_knn_edges_index_path_leaves_no_pins(self, spark, tmp_path):
         """The r9 probe persist is gone: building edges from a persisted
         index leaves getPersistentRDDs at its pre-invocation level —
@@ -230,5 +243,13 @@ class TestIndexPathGuards:
         assert rc == 0
         lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
         assert len(lines) == 5 and all(l["rank_q"] > 0 for l in lines)
-        # default n_iter=3 → 3 rank checkpoints + the node-set checkpoint
-        assert len(_pinned_ids(spark) - before) == 4
+        # default n_iter=3 → AT MOST 3 rank checkpoints + the node-set
+        # checkpoint remain pinned. Upper bound, not equality: these
+        # blocks are ContextCleaner-owned and unreferenced once main()
+        # returns, so a JVM GC between the CLI call and this assert may
+        # legitimately release some early (the flake class _pinned_ids'
+        # docstring names — an == would race it). The leak REGRESSION
+        # this test guards (a strong persist() pin, e.g. the r9 probe
+        # frame) always shows as a 5th surviving id, which the bound
+        # still catches.
+        assert len(_pinned_ids(spark) - before) <= 4

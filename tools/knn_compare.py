@@ -123,6 +123,14 @@ def main() -> None:
 
     edges = knn_edges(batch, k=3, candidates="ivf", n_probe=4, index_path=idx)
     plan_str = edges._jdf.queryExecution().executedPlan().toString()
+    # fail loud, not just record: a pruning regression (e.g. a cast on
+    # the cell column defeating pushdown) must abort the tool rather
+    # than write partition_filters_in_plan: false into the permanent
+    # evidence with exit 0 (r10 review)
+    assert "PartitionFilters" in plan_str, (
+        "index scan lost its PartitionFilters — partition pruning "
+        "regressed; refusing to record scale evidence:\n" + plan_str[:2000]
+    )
     params = _json.load(open(os.path.join(idx, "_ivf_params.json")))
     v = batch.select(
         F.col("vec_id").alias("vid"),

@@ -93,13 +93,24 @@ def write_documents(spark, path: str) -> None:
     # 3-grams saturate the shared 30-token 3-gram space and the
     # decontamination gate annihilates all 49,484 train docs, making the
     # sf1 pretraining_pipeline hash-match vacuous (0 == 0 — r10 VERDICT
-    # Next #4; the r9 sweep measured it). Keyed on eff, not doc_id, so
-    # planted duplicate pairs stay exact copies; a train doc whose
+    # Next #4; the r9 sweep measured it). Keyed on eff OR doc_id: eff
+    # keeps planted duplicate pairs exact copies, and a train doc whose
     # planted twin IS a bench doc carries eval vocab and is correctly
-    # excised by the gate — the realistic leak shape.
+    # excised by the gate — the realistic leak shape (first such doc:
+    # 49,374, in the generated corpus). The doc_id side of the OR closes
+    # the converse hole (r10 review): a TWIN landing in the bench slice
+    # (doc_id % 625 == 624 ∧ doc_id % 97 == 0, first at 54,999 — beyond
+    # the current 50,000 docs, so today's bytes are unchanged) would
+    # otherwise draw TRAIN vocabulary and re-saturate the gate at any
+    # larger regeneration. Such a twin draws eval vocab and simply
+    # ceases to be a planted duplicate — pair counts are derived from
+    # the data by both engines, never from a fixed constant.
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     evocab = F.array(*[F.lit(w.upper()) for w in VOCAB])
-    vsel = F.when(F.pmod(eff, F.lit(97)) == 0, evocab).otherwise(vocab)
+    vsel = F.when(
+        (F.pmod(eff, F.lit(97)) == 0) | (F.pmod(F.col("doc_id"), F.lit(97)) == 0),
+        evocab,
+    ).otherwise(vocab)
     words = F.transform(
         F.sequence(F.lit(1), n_words),
         lambda j: F.element_at(

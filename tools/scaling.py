@@ -164,7 +164,15 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
     from lovdata_pipeline_spark.session import get_spark
 
     sf1 = sf_dir or dict(SF_DIRS)["sf1"]
-    label = next((lbl for lbl, d in SF_DIRS if d == sf1), sf1)
+    # realpath both sides: a relative spelling or trailing slash of the
+    # sf1 dir must still resolve to the "sf1" label, or the
+    # SKIP_SF1_ORACLE guard is bypassed and an infeasible oracle's
+    # guard-trip is recorded as a spurious FAIL under a mislabeled
+    # scale key (r10 review)
+    _real = os.path.realpath(sf1)
+    label = next(
+        (lbl for lbl, d in SF_DIRS if os.path.realpath(d) == _real), sf1
+    )
     if not os.path.isdir(sf1):
         sys.exit(f"{sf1} missing — run tools/scaleup.py first")
     spark = get_spark("scaling-correctness")
