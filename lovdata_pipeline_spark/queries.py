@@ -3711,8 +3711,8 @@ QUERIES = {
     # and sessionize/asof twins sit attested in the tail).
     "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window, events_rolling_1h re-entering; events_retention_cohorts r7b-r9-green cycles in the second-half refresh; laddered at sf1)
     # ------------------------------------------------------------------ tail
-    # --- r10 second-half-refresh demotions (each r9-green, family
-    # --- twin named inline) ------------------------------------------
+    # --- r10 second-half-refresh demotions (each r9-green unless its
+    # --- line notes otherwise, family twin named inline) --------------
     "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; was slated for the r10 second-half refresh but ceded its slot to the changed embedding_outliers_by_label (a changed row re-grades before a stale-but-unchanged one); defers to the r11 batch — packing family keeps sequence_manifest + pack_sequences + length_bucketed in-window
     "chunk_documents_pipeline": chunk_documents_pipeline,  # green r1-r9, the board's most-attested row; demoted r10 second-half refresh (ETL family gets FOUR freshly graded rows: embed/enrich/pretraining/curation re-enter; ops 2/9/23 ride pytest-pinned + r9-attested)
     "cms_token_estimates": cms_token_estimates,  # green r7d-r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; every sketch row r8/r9-green)
