@@ -1413,7 +1413,7 @@ def cmd_phrase(args) -> int:
 
 def cmd_migrate(args) -> int:
     from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
-    from lovdata_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+    from lovdata_pipeline_spark.sources.jsonl import migrate, read_jsonl, write_jsonl
 
     spark = _spark("lg-migrate")
     if args.source_format == "parquet":
@@ -1422,11 +1422,12 @@ def cmd_migrate(args) -> int:
         source = read_jsonl(spark, args.source).drop("_corrupt_record").filter(
             "chunk_id IS NOT NULL"
         )
-    n = source.count()
     if args.target_format == "jsonl":
-        write_jsonl(source, args.target)
+        n = migrate(source, lambda df: write_jsonl(df, args.target))
     else:
-        ChunkStore(spark, args.target).upsert_chunks(source)
+        n = migrate(
+            source, lambda df: ChunkStore(spark, args.target).upsert_chunks(df)
+        )
     print(json.dumps({"migrated": n}))
     return 0
 

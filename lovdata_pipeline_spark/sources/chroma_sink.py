@@ -60,9 +60,21 @@ def write_to_chroma(
             _flush(collection, batch)
 
     def _flush(collection, batch) -> None:
+        # fail loud on NULL embeddings: silently upserting [] would hand
+        # Chroma mixed-dimensionality vectors — a confusing mid-partition
+        # validation error at best, silently degraded search at worst
+        # (r10 review). Not-yet-embedded chunks must be filtered or
+        # embedded upstream.
+        missing = [r.chunk_id for r in batch if not r.embedding]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} chunk(s) reached the Chroma sink without "
+                f"an embedding (first: {missing[0]}); embed or filter "
+                "them before landing"
+            )
         collection.upsert(
             ids=[r.chunk_id for r in batch],
-            embeddings=[list(r.embedding or []) for r in batch],
+            embeddings=[list(r.embedding) for r in batch],
             documents=[r.content for r in batch],
             metadatas=[
                 {

@@ -39,11 +39,41 @@ _STORED_SCHEMA = T.StructType(
 
 
 class ChunkStore:
-    def __init__(self, spark: SparkSession, root: str | Path, n_buckets: int = 32):
+    def __init__(
+        self, spark: SparkSession, root: str | Path, n_buckets: int | None = None
+    ):
         self.spark = spark
         self.root = str(root)
-        self.n_buckets = n_buckets
         Path(self.root).mkdir(parents=True, exist_ok=True)
+        # bucket count is part of the on-disk layout: every bucket-pruned
+        # lookup, upsert and delete derives the bucket from
+        # pmod(hash, n_buckets), so reopening an existing store with a
+        # different modulus would silently miss lookups and duplicate
+        # reprocessed documents across old and new buckets (r10 review —
+        # CLI consumers were reopening 4-bucket test stores with the old
+        # default of 32; harmless for their read-only paths, corrupting
+        # for a mutation). The count persists in a sidecar on first
+        # write; ``n_buckets=None`` (the default) ADOPTS the stored
+        # layout (else 32), while an explicit mismatch fails loud —
+        # changing it requires a rebuild (read -> new store), exactly
+        # like re-bucketing a Hive table.
+        meta = Path(self.root) / "_store_meta.json"
+        stored = None
+        if meta.exists():
+            import json as _json
+
+            stored = _json.loads(meta.read_text()).get("n_buckets")
+        if n_buckets is None:
+            self.n_buckets = stored if stored is not None else 32
+        else:
+            if stored is not None and stored != n_buckets:
+                raise ValueError(
+                    f"chunk store at {self.root} was written with "
+                    f"n_buckets={stored}; reopening with n_buckets="
+                    f"{n_buckets} would corrupt the bucket layout — "
+                    "rebuild the store (read + rewrite) to change it"
+                )
+            self.n_buckets = n_buckets
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")
@@ -57,11 +87,15 @@ class ChunkStore:
             return self._empty()
         return self.spark.read.schema(_STORED_SCHEMA).parquet(self.root)
 
-    def _write_buckets(self, df: DataFrame) -> None:
+    def _write_buckets(self, df: DataFrame, materialized: bool = False) -> None:
         # The rewrite plan reads the same files it replaces, so cut lineage
         # first (localCheckpoint materializes the survivors); with Delta this
         # whole method is a single MERGE and the checkpoint disappears.
-        df = df.localCheckpoint(eager=True)
+        # ``materialized=True`` skips it when the caller already holds a
+        # checkpoint of ``df`` (delete_documents — checkpointing twice
+        # doubled every delete's materialization I/O, r10 review).
+        if not materialized:
+            df = df.localCheckpoint(eager=True)
         # Dynamic overwrite: only partitions present in `df` are replaced.
         (
             df.repartition(_BUCKET)
@@ -72,6 +106,11 @@ class ChunkStore:
         )
         # Session-wide FileStatusCache still lists the replaced files.
         self.spark.catalog.refreshByPath(self.root)
+        meta = Path(self.root) / "_store_meta.json"
+        if not meta.exists():
+            import json as _json
+
+            meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
 
     # -- mutations (op 24 upsert / op 26 delete) ------------------------------
 
@@ -116,7 +155,7 @@ class ChunkStore:
             .join(ids, "document_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        self._write_buckets(keep)
+        self._write_buckets(keep, materialized=True)
         # Dynamic overwrite never writes a partition that ended up empty, so
         # a fully-emptied bucket would keep its old files — drop it explicitly
         # (the analog of the reference unlinking emptied JSONL files,

@@ -18,6 +18,9 @@ from pyspark.sql import types as T
 from lovdata_pipeline_spark.schemas import ENRICHED_CHUNKS_SCHEMA
 
 # The flattened (ChromaDB-style) variant: arrays as delimited strings.
+# The shape flatten_metadata produces / unflatten_metadata consumes —
+# exported for callers reading pre-flattened JSONL with an explicit
+# schema (nothing in-repo reads flattened files today).
 FLAT_CHUNKS_SCHEMA = T.StructType(
     [
         f
@@ -79,8 +82,12 @@ def unflatten_metadata(flat: DataFrame) -> DataFrame:
 
 
 def migrate(source: DataFrame, writer, flatten: bool = False) -> int:
-    """Generic migration (op 33): read source → optional flatten/unflatten
-    → write via ``writer(df)``. Returns migrated row count."""
+    """Generic migration (op 33): source → optional ``flatten_metadata``
+    → write via ``writer(df)``. Returns migrated row count. (For the
+    inverse direction, pre-apply ``unflatten_metadata`` to ``source`` —
+    this helper only ever flattens.) The ``lg migrate`` CLI routes
+    through here — one implementation, not a CLI re-spelling (r10
+    review)."""
     df = flatten_metadata(source) if flatten else source
     n = df.count()
     writer(df)

@@ -76,7 +76,17 @@ def manifest_diff(current: DataFrame, previous: DataFrame) -> DataFrame:
     cur = current.select(
         "doc_id", "dataset_name", "relative_path", F.col("source_hash").alias("h_new")
     )
-    prev = previous.select("doc_id", F.col("source_hash").alias("h_old"))
+    # carry the previous manifest's location columns too: a removed file
+    # has NO current row, so without the coalesce below every "removed"
+    # row came out with NULL dataset_name/relative_path even when the
+    # previous manifest knew them (r10 review) — consumers grouping
+    # removals by dataset would silently misattribute them
+    prev = previous.select(
+        "doc_id",
+        F.col("dataset_name").alias("d_old"),
+        F.col("relative_path").alias("p_old"),
+        F.col("source_hash").alias("h_old"),
+    )
     joined = cur.join(prev, "doc_id", "full_outer")
     status = (
         F.when(F.col("h_old").isNull(), "added")
@@ -86,8 +96,8 @@ def manifest_diff(current: DataFrame, previous: DataFrame) -> DataFrame:
     )
     return joined.select(
         "doc_id",
-        "dataset_name",
-        "relative_path",
+        F.coalesce(F.col("dataset_name"), F.col("d_old")).alias("dataset_name"),
+        F.coalesce(F.col("relative_path"), F.col("p_old")).alias("relative_path"),
         F.coalesce(F.col("h_new"), F.col("h_old")).alias("source_hash"),
         status.alias("status"),
     )

@@ -51,7 +51,18 @@ def run_streaming_chunk_pipeline(
     params: ChunkParams | None = None,
 ):
     """Chunk every newly-arrived document and hand each micro-batch to
-    ``sink(batch_df, batch_id)`` (e.g. ChunkStore.upsert_chunks).
+    ``sink(batch_df, batch_id)``.
+
+    Batches carry the CHUNK schema (no embedding columns) and include
+    poison-document ``error`` rows, so ``ChunkStore.upsert_chunks`` is
+    NOT directly a valid sink (it unions against the stored ENRICHED
+    schema and would fail on the missing embedding columns — r10
+    review); a store-landing sink must embed (or null-pad) and filter
+    error rows first, the same adapter the batch ``pipeline.py`` is:
+
+        def sink(batch_df, _bid):
+            good = batch_df.filter(F.col("error").isNull())
+            store.upsert_chunks(embed_chunks_df(good, dims=...))
 
     Trigger.AvailableNow: drain everything currently available, then
     stop — the streaming analog of one incremental batch run, with

@@ -95,15 +95,23 @@ def interval_join(
     match only); this keeps ALL matches in the window, the standard
     streaming enrichment shape.
 
-    Column names: right's key/time columns must be pre-renamed to avoid
-    collision; this helper renames them to ``r_<name>`` itself.
+    Column names: this helper renames right's key/time columns to
+    ``r_<name>`` itself, and likewise any OTHER right column whose name
+    collides with a left column (both sides carrying the engine's
+    standard event shape — event_type/value — is the common case; an
+    un-renamed collision would make the join output ambiguous and fail
+    the first downstream select — r10 review).
     """
     l = left.withWatermark(left_time, watermark)
-    r = (
-        right.withColumnRenamed(on, f"r_{on}")
-        .withColumnRenamed(right_time, f"r_{right_time}")
-        .withWatermark(f"r_{right_time}", watermark)
+    r = right.withColumnRenamed(on, f"r_{on}").withColumnRenamed(
+        right_time, f"r_{right_time}"
     )
+    # key/time are already renamed away, so every remaining name shared
+    # with the left side is a genuine payload collision
+    for c in r.columns:
+        if c in left.columns:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    r = r.withWatermark(f"r_{right_time}", watermark)
     cond = (
         (F.col(on) == F.col(f"r_{on}"))
         & (F.col(f"r_{right_time}") <= F.col(left_time))
@@ -195,9 +203,9 @@ def streaming_token_counts(
 ) -> DataFrame:
     """Streaming vocabulary counter — the heavy-hitters face of the
     batch token aggregates: per token, a running occurrence count over
-    a DOCUMENT stream (tokenize is the scan-local `_clean_split` the
-    batch operators share (codegen `_clean_split`), so phantom '' tokens never enter the state
-    store). Downstream consumers filter ``n_occurrences >= k`` for the
+    a DOCUMENT stream. Tokenization is the scan-local ``_clean_split``
+    the batch operators share, so phantom '' tokens never enter the
+    state store. Downstream consumers filter ``n_occurrences >= k`` for the
     heavy-hitter set, or join the counts as a streaming stopword/
     boilerplate-vocabulary signal.
 

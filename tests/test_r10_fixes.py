@@ -253,3 +253,72 @@ class TestIndexPathGuards:
         # frame) always shows as a 5th surviving id, which the bound
         # still catches.
         assert len(_pinned_ids(spark) - before) <= 4
+
+
+class TestLateR10ReviewFixes:
+    """Pins for the late-r10 review pass over sources/ and streaming/."""
+
+    def test_chunk_store_rejects_mismatched_n_buckets(self, spark, tmp_path):
+        """The bucket count is part of the on-disk layout: reopening with
+        a different modulus must fail loud, not silently miss lookups
+        and duplicate reprocessed documents across buckets."""
+        from lovdata_pipeline_spark.schemas import ENRICHED_CHUNKS_SCHEMA
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        root = str(tmp_path / "store")
+        store = ChunkStore(spark, root, n_buckets=4)
+        row = {f.name: None for f in ENRICHED_CHUNKS_SCHEMA.fields}
+        row.update(
+            chunk_id="d1_chunk_0",
+            document_id="d1",
+            chunk_pos=0,
+            content="x",
+            token_count=1,
+        )
+        store.upsert_chunks(
+            spark.createDataFrame([tuple(row[f.name] for f in ENRICHED_CHUNKS_SCHEMA.fields)], ENRICHED_CHUNKS_SCHEMA)
+        )
+        # same modulus reopens fine
+        assert ChunkStore(spark, root, n_buckets=4).count() == 1
+        # the default ADOPTS the persisted layout (CLI consumers reopen
+        # stores without knowing their bucket count)
+        assert ChunkStore(spark, root).n_buckets == 4
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            ChunkStore(spark, root, n_buckets=8)
+
+    def test_interval_join_renames_colliding_payload_columns(self, spark):
+        """Both sides carrying the engine's standard event shape must not
+        produce ambiguous duplicate columns in the join output."""
+        from lovdata_pipeline_spark.streaming.windows import interval_join
+
+        left = spark.createDataFrame(
+            [], "ts timestamp, user_id long, event_type string, value double"
+        )
+        right = spark.createDataFrame(
+            [], "ts timestamp, user_id long, event_type string, value double, click_id long"
+        )
+        out = interval_join(left, right)
+        assert sorted(out.columns) == sorted(
+            [
+                "ts", "user_id", "event_type", "value",
+                "r_ts", "r_user_id", "r_event_type", "r_value", "click_id",
+            ]
+        )
+
+    def test_manifest_diff_removed_rows_keep_location(self, spark):
+        """A removed file has no current row — its dataset_name and
+        relative_path must come from the PREVIOUS manifest, not NULL."""
+        from lovdata_pipeline_spark.sources.xml_corpus import manifest_diff
+
+        cols = "doc_id string, dataset_name string, relative_path string, source_hash string"
+        cur = spark.createDataFrame([("a", "ds1", "ds1/a.xml", "h1")], cols)
+        prev = spark.createDataFrame(
+            [("a", "ds1", "ds1/a.xml", "h1"), ("gone", "ds2", "ds2/g.xml", "h2")],
+            cols,
+        )
+        rows = {r.doc_id: r for r in manifest_diff(cur, prev).collect()}
+        assert rows["gone"].status == "removed"
+        assert rows["gone"].dataset_name == "ds2"
+        assert rows["gone"].relative_path == "ds2/g.xml"
+        assert rows["gone"].source_hash == "h2"
+        assert rows["a"].status == "unchanged"
