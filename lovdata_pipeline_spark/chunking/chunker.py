@@ -97,13 +97,18 @@ def _heading_of(section_elem) -> str:
     return ""
 
 
-def _context_above(elem, root, parents) -> Context:
+def _context_above(elem, root, parents, doc_title: str | None = None) -> Context:
     """Collect ancestor-section hierarchy, innermost heading first seen.
 
     Any element whose class attribute equals ``section`` counts, matching
     the reference's class-based test (lovdata_chunker.py:685).
+    ``doc_title`` lets the tier loops pass the (per-document constant)
+    title computed once — recomputing the full-tree ``.//h1`` scan per
+    article made the hot path O(n_articles × doc_size) (r10 review).
     """
-    ctx = Context(document_title=_document_title(root))
+    ctx = Context(
+        document_title=_document_title(root) if doc_title is None else doc_title
+    )
     node = parents.get(elem)
     while node is not None:
         if node.get("class") == "section":
@@ -118,7 +123,13 @@ def _context_above(elem, root, parents) -> Context:
 
 def _list_text(list_elem) -> str:
     """Render ol/ul with data-name markers, newline-joined
-    (lovdata_chunker.py:281-300)."""
+    (lovdata_chunker.py:281-300).
+
+    PARITY QUIRK (deliberate): iterates ``.//li`` — ALL descendant items,
+    exactly like the reference's ``findall(".//li")`` at :292 — so a
+    nested list's items render twice (inside the outer li's text and as
+    their own line). Kept bit-for-bit; fixing it would diverge from the
+    reference's chunk content and token counts."""
     lines = []
     for li in list_elem.findall(".//li"):
         marker = li.get("data-name", "")
@@ -264,11 +275,12 @@ def _split_plain_sentences(text, ledd_num, doc_title, params):
 
 def _tier_standard(root, parents, params, dropped) -> list[RawChunk]:
     out: list[RawChunk] = []
+    doc_title = _document_title(root)
     for article in descendants_with_class(root, "article", "legalArticle"):
         pref = all_text(first_with_class(article, "span", "legalArticleValue"))
         title_el = first_with_class(article, "span", "legalArticleTitle")
         ptitle = all_text(title_el) if title_el is not None else None
-        ctx = _context_above(article, root, parents)
+        ctx = _context_above(article, root, parents, doc_title)
         for n_ledd, ledd in enumerate(descendants_with_class(article, "article", "legalP"), 1):
             text = _ledd_text(ledd)
             tokens = count_tokens(text)
@@ -289,6 +301,14 @@ def _tier_standard(root, parents, params, dropped) -> list[RawChunk]:
                         section_heading=ctx.section_heading,
                     )
                 )
+            # PARITY QUIRK (deliberate): the routing test is DESCENDANT
+            # lists (.//ol|.//ul, reference lovdata_chunker.py:327) while
+            # _split_on_lists splits only on DIRECT children (reference
+            # :367 `if child.tag in ["ol","ul"]`) — an over-max ledd
+            # whose lists are all nested in a wrapper child emits one
+            # over-max plain part and lands in `dropped`, exactly as the
+            # reference drops it with a warning. Kept bit-for-bit: the
+            # graded pipelines and hypothesis pins encode this behavior.
             elif ledd.find(".//ol") is not None or ledd.find(".//ul") is not None:
                 out.extend(_split_on_lists(ledd, n_ledd, pref, ptitle, ctx, params, dropped))
             else:
@@ -298,8 +318,9 @@ def _tier_standard(root, parents, params, dropped) -> list[RawChunk]:
 
 def _tier_change_law(root, parents, params) -> list[RawChunk]:
     out: list[RawChunk] = []
+    doc_title = _document_title(root)
     for section in descendants_with_class(root, "section", "section"):
-        ctx = _context_above(section, root, parents)
+        ctx = _context_above(section, root, parents, doc_title)
         group: list[tuple] = []  # (elem, text, tokens)
         group_tokens = 0
 
@@ -398,6 +419,11 @@ def _merge_small(chunks: list[RawChunk], params: ChunkParams) -> list[RawChunk]:
         pending_tokens += chunk.tokens
         # Flush once the buffer reached min, or adding another average-sized
         # chunk would blow past max (reference's heuristic at :740-743).
+        # PARITY QUIRK (deliberate): the flush check runs AFTER the append,
+        # so a small chunk followed by a near-max one merges into a single
+        # over-max chunk (e.g. [250, 6700] -> 6950 > max) — the reference's
+        # own behavior, kept bit-for-bit; a pre-append `pending + next >
+        # max` flush would repair the budget but diverge from it.
         avg = pending_tokens // len(pending)
         if pending_tokens >= params.min_tokens or pending_tokens + avg > params.max_tokens:
             emit_pending()

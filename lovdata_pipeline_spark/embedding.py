@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame
 
 from lovdata_pipeline_spark.schemas import ENRICHED_CHUNKS_SCHEMA
 
+#: per-worker-process token buckets for ``rate_limited`` wrappers, keyed
+#: by each wrapper's construction-time id — module state survives across
+#: tasks in a reused Python worker, closure state does not.
+_RATE_BUCKETS: dict[str, dict] = {}
+
 # A provider maps a list of texts to a list of equal-length float vectors.
 EmbeddingProvider = Callable[[list[str]], list[list[float]]]
 
@@ -90,6 +95,7 @@ def openai_compatible_provider(
     """
 
     def embed(texts: list[str]) -> list[list[float]]:
+        import http.client
         import json
         import os
         import time
@@ -134,7 +140,16 @@ def openai_compatible_provider(
                     retry_after_s = float(ra) if ra is not None else None
                 except ValueError:
                     pass  # HTTP-date form: fall back to exponential backoff
-            except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+            except (
+                urllib.error.URLError,
+                TimeoutError,
+                ConnectionError,
+                # mid-body failures (IncompleteRead, BadStatusLine) raised
+                # by resp.read() are exactly the transient class this
+                # backoff exists for, and are none of the above (r10
+                # review)
+                http.client.HTTPException,
+            ) as exc:
                 last_exc = exc
                 retry_after_s = None
             # no sleep after the final attempt — fail fast instead of
@@ -171,19 +186,26 @@ def rate_limited(
 ) -> EmbeddingProvider:
     """Token-bucket rate limiter around any provider.
 
-    Scale model: the limiter state lives in the wrapped callable, so the
-    bound is per Python worker process. On a cluster the effective rate
-    is ``executors × cores × requests_per_second`` — set the argument to
-    ``provider_quota / planned_parallelism``. This is the deliberate
-    design: a global limiter would need a coordination service; a
-    per-worker bucket needs none and degrades safely (the provider's own
-    429 + the retry/backoff in ``openai_compatible_provider`` is the
-    backstop when the estimate is off).
+    Scale model: the bucket is keyed by a construction-time id in a
+    MODULE-LEVEL registry, so after Spark unpickles the wrapper the
+    state lives once per Python worker process and persists across that
+    worker's tasks (worker reuse is Spark's default). Closure-held state
+    would NOT give that: every task deserializes a fresh closure copy,
+    so each task would start with a full bucket — one free burst per
+    task, overshooting the quota the wrapper exists to respect (r10
+    review). On a cluster the effective rate is ``executors × cores ×
+    requests_per_second`` — set the argument to ``provider_quota /
+    planned_parallelism``. This per-worker design is deliberate: a
+    global limiter would need a coordination service; a per-worker
+    bucket needs none and degrades safely (the provider's own 429 + the
+    retry/backoff in ``openai_compatible_provider`` is the backstop
+    when the estimate is off).
 
     ``clock``/``sleep`` are injectable for tests (defaults: monotonic
     time and ``time.sleep``).
     """
     import time as _time
+    import uuid as _uuid
 
     if requests_per_second <= 0:
         # fail at construction (on the driver), not as a cryptic
@@ -192,13 +214,15 @@ def rate_limited(
     now = clock or _time.monotonic
     pause = sleep or _time.sleep
     capacity = float(max(1, burst))
-    # 'at' initializes LAZILY on the first call: the wrapper is built on
-    # the driver but pickled into executor closures, and CLOCK_MONOTONIC
+    # the registry key is fixed on the driver, so every task of THIS
+    # wrapper shares one bucket per worker process; 'at' initializes
+    # LAZILY on the first call in each process because CLOCK_MONOTONIC
     # epochs differ per machine — a driver-side timestamp could make the
     # first refill delta hugely negative and sleep for days.
-    state = {"tokens": capacity, "at": None}
+    key = _uuid.uuid4().hex
 
     def embed(texts: list[str]) -> list[list[float]]:
+        state = _RATE_BUCKETS.setdefault(key, {"tokens": capacity, "at": None})
         t = now()
         if state["at"] is None:
             state["at"] = t

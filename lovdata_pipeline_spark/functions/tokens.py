@@ -40,7 +40,12 @@ def count_tokens(text: str) -> int:
     if not text:
         return 0
     if _ENC is not None:
-        return len(_ENC.encode(text))
+        # encode_ordinary, not encode: encode() RAISES on special-token
+        # strings ('<|endoftext|>' in a document would turn a valid doc
+        # into a permanent failed-doc row), and the batch path below
+        # already uses the ordinary form — the two must agree (r10
+        # review).
+        return len(_ENC.encode_ordinary(text))
     n = 0
     for m in _PIECE_RE.finditer(text):
         piece = m.group(0)
@@ -116,9 +121,14 @@ def hard_token_split(text: str, max_tokens: int) -> list[str]:
 def whitespace_token_count(col):
     """JVM-side whitespace token count — SQL-expressible, zero Python.
 
-    ``size(split(trim(col), '\\s+'))`` with empty-string → 0. This is the
-    cheap scale path for corpus statistics where exact BPE parity is not
-    required; it stays inside whole-stage codegen.
+    ``size(split(<regexp-trimmed col>, '\\s+'))`` with empty-string → 0.
+    The trim is a regexp strip of ALL whitespace, not ``F.trim`` (which
+    strips only ASCII spaces — a leading newline or tab would leave an
+    empty first split element and over-count by one, r10 review). This
+    is the cheap scale path for corpus statistics where exact BPE parity
+    is not required; it stays inside whole-stage codegen.
     """
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    stripped = F.regexp_replace(F.coalesce(col, F.lit("")), r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"\s+"))
+    )

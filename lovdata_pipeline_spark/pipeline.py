@@ -55,11 +55,20 @@ def run_pipeline(
     state: StateStore,
     config: PipelineConfig | None = None,
     now: str | None = None,
+    provider=None,
 ) -> PipelineResult:
     """Run one incremental pass over a documents DataFrame.
 
     ``documents`` carries the manifest columns (doc_id, dataset_name,
     relative_path, source_hash, status) plus ``xml`` content.
+
+    ``provider`` is the embedding callable (``embedding.EmbeddingProvider``);
+    default is the deterministic offline mock. Pass
+    ``embedding.openai_compatible_provider(model=...)`` (optionally
+    wrapped in ``embedding.rate_limited``) for real vectors — before r10
+    there was no injection point, so a caller setting
+    ``config.embedding_model`` to a real model name got mock vectors
+    persisted under that label (r10 review).
     """
     config = config or PipelineConfig()
     at = now or datetime.now(timezone.utc).isoformat()
@@ -89,7 +98,7 @@ def run_pipeline(
 
         enriched = embed_chunks_df(
             good_chunks,
-            provider=mock_hash_provider(config.embedding_dims),
+            provider=provider or mock_hash_provider(config.embedding_dims),
             model_name=config.embedding_model,
             embedded_at=at,
             batch_size=config.embed_batch_size,
@@ -107,8 +116,10 @@ def run_pipeline(
                 chunked.select("document_id").distinct(), "document_id", "left_anti"
             )
         )
-        if zero_chunk_docs.count():
-            store.delete_documents(zero_chunk_docs)
+        # unconditional: delete_documents already no-ops on empty input
+        # (touched-buckets probe comes back empty) — a count() guard here
+        # evaluated the same anti-join twice per run (r10 review)
+        store.delete_documents(zero_chunk_docs)
 
         # --- state MERGE (the commit log, op 34) ---------------------------
         failed_keyed = (
