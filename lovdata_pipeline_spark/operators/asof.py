@@ -39,15 +39,34 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
-    lhs = left.withColumn("_t", F.col(left_time).cast("double")).withColumn(
-        "_side", F.lit(1)
-    )
+    # Order-key dtype (r10 review): when both time columns share a dtype,
+    # compare them NATIVELY — the old unconditional cast("double") loses
+    # precision above 2^53, so int64 nanosecond epochs (~1.7e18, ~512 ns
+    # double granularity) could collapse distinct times or flip the ≤
+    # boundary. Mixed integral dtypes widen to long (exact); only a
+    # genuinely mixed numeric/timestamp pair falls back to double, where
+    # the caller should pre-align the types.
+    lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    if lt == rt:
+        _key = lambda c: F.col(c)
+    elif lt in _integral and rt in _integral:
+        _key = lambda c: F.col(c).cast("long")
+    else:
+        _key = lambda c: F.col(c).cast("double")
+
+    lhs = left.withColumn("_t", _key(left_time)).withColumn("_side", F.lit(1))
     # The whole right row rides as ONE struct: last(_r, ignorenulls) then
     # picks atomically, so a NULL inside a carried column can never be
     # back-filled from an older right row (which would synthesize a row
     # that never existed).
+    # NULL right_time rows are excluded: NULLS FIRST ascending would sort
+    # them before every real row and last(ignorenulls) would carry them
+    # as "matches" ASOF semantics exclude (DuckDB ASOF JOIN and pandas
+    # merge_asof both produce no match — r10 review).
     rhs = (
-        right.withColumn("_t", F.col(right_time).cast("double"))
+        right.filter(F.col(right_time).isNotNull())
+        .withColumn("_t", _key(right_time))
         .withColumn("_side", F.lit(0))
         .select(
             F.col(on),
@@ -78,10 +97,13 @@ def asof_join(
 
     # Right rows sort before left rows at equal time (side 0 < 1), so a
     # right row at exactly left_time is visible to the left row — ≤
-    # semantics.
+    # semantics. "_r" is the deterministic tiebreak for equal-time right
+    # rows (struct comparison; the greatest full row wins) — without it
+    # the carried row depended on partition-internal sort stability and
+    # could differ across runs (r10 review).
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

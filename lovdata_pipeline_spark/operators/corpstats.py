@@ -114,42 +114,57 @@ def collocation_pmi(
     over the bigram total and unigram probabilities over the token
     total.
 
-    Plan shape: the token array is built once per row and feeds BOTH
-    the unigram explode and the bigram zip_with explode (one scan, two
-    hash aggregates — vocabulary-bounded outputs). The two scalar
-    totals ride 1-row broadcast crossJoins; the unigram re-attach is a
-    plain equi-join per side (vocabulary-sized, AQE picks broadcast
-    when it fits). ``min_count`` prunes the bigram table BEFORE the
-    joins, and the final top-k is Spark's TakeOrdered (per-partition
-    top-k + k-row driver merge — no full sort).
+    Plan shape (single scan, r10): each row explodes ONE tagged entry
+    array — its unigrams (kind=0, w2 NULL) concatenated with its
+    adjacent bigrams (kind=1, from zip_with) — into ONE hash aggregate
+    keyed (kind, w1, w2); the unigram and bigram tables are filters
+    over that vocabulary-bounded aggregate, so Spark's ReusedExchange
+    executes the corpus scan + partial aggregation once (the previous
+    two-branch form documented "one scan" but its two independent
+    explode branches each re-read and re-tokenized the corpus — r10
+    review). The two scalar totals ride 1-row broadcast crossJoins; the
+    unigram re-attach is a plain equi-join per side (vocabulary-sized,
+    AQE picks broadcast when it fits). ``min_count`` prunes the bigram
+    table BEFORE the joins, and the final top-k is Spark's TakeOrdered
+    (per-partition top-k + k-row driver merge — no full sort).
 
     Determinism: all counts are exact int64 < 2^53, cast to double and
     combined in ONE fixed expression tree — ln((cb/Tb) / ((c1/Tu)·
     (c2/Tu))) — identical on any engine; 6-dp round; ties break on
     (w1, w2).
     """
+    _ENTRY_T = "array<struct<kind:int,w1:string,w2:string>>"
     toks = docs.select(textstats._words(text_col).alias("w"))
-    uni = (
-        toks.select(F.explode("w").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    grams = toks.select(
-        F.when(F.size("w") < 2, F.array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(
-            F.zip_with(
-                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(1))),
-                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(1))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    entries = toks.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "w",
+                    lambda t: F.struct(
+                        F.lit(0).alias("kind"), t.alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                    ),
+                ).cast(_ENTRY_T),
+                F.when(F.size("w") < 2, F.array().cast(_ENTRY_T)).otherwise(
+                    F.zip_with(
+                        F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(1))),
+                        F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(1))),
+                        lambda a, b: F.struct(
+                            F.lit(1).alias("kind"), a.alias("w1"), b.alias("w2")
+                        ),
+                    ).cast(_ENTRY_T)
+                ),
             )
-        )
-        .alias("g")
+        ).alias("p")
     )
-    big = (
-        grams.select(F.explode("g").alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    counts = entries.groupBy("p.kind", "p.w1", "p.w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni = counts.filter(F.col("kind") == 0).select(
+        F.col("w1").alias("term"), F.col("c").alias("cu")
+    )
+    big = counts.filter(F.col("kind") == 1).select(
+        "w1", "w2", F.col("c").alias("cb")
     )
     tot_u = uni.agg(F.sum("cu").alias("tu"))
     tot_b = big.agg(F.sum("cb").alias("tb"))

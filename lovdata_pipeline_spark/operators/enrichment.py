@@ -70,8 +70,16 @@ def references_info(df: DataFrame) -> dict[str, Column]:
     of href-derived refs (chunker) and lov/-pattern matches in the text
     (op 19's stricter variant), deduplicated."""
     text_refs = F.regexp_extract_all(F.coalesce(F.col("content"), F.lit("")), F.lit(_LAW_REF), 1)
-    href_refs = F.filter(
-        F.coalesce(F.col("cross_refs"), F.array()), lambda r: r.startswith("/lov/") | r.startswith("lov/")
+    # normalize the href form to the text-regex form (strip the leading
+    # '/') BEFORE the distinct-union — '/lov/2020-06-19-44' and
+    # 'lov/2020-06-19-44' are the same statute, and without this the
+    # "deduplicated" union double-counted it (r10 review)
+    href_refs = F.transform(
+        F.filter(
+            F.coalesce(F.col("cross_refs"), F.array()),
+            lambda r: r.startswith("/lov/") | r.startswith("lov/"),
+        ),
+        lambda r: F.regexp_replace(r, "^/", ""),
     )
     return {
         "law_references": F.array_distinct(F.array_union(href_refs, text_refs)),
@@ -104,12 +112,19 @@ def enrich(df: DataFrame, enrichers: list[tuple[str, Enricher]] | None = None) -
     (missing column, bad expression) is skipped wholesale — the chain
     continues, matching the reference's per-enricher isolation; row-level
     expression failures already yield SQL nulls."""
+    import logging
+
     out = df
-    for _name, enricher in enrichers or DEFAULT_ENRICHERS:
+    for name, enricher in enrichers or DEFAULT_ENRICHERS:
         try:
             candidate = out.withColumns(enricher(out))
             candidate.schema  # force analysis so binding errors surface here
-        except Exception:
+        except Exception as exc:
+            # log-and-continue, matching the reference's per-enricher
+            # isolation (metadata_enrichment_service.py:124-139) — a
+            # silently skipped enricher surfaces as missing columns far
+            # downstream, so name it here (r10 review)
+            logging.getLogger(__name__).warning("enricher %s skipped: %s", name, exc)
             continue  # skip this enricher, keep the chain going
         out = candidate
     return out

@@ -82,6 +82,14 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _with_id(schema: T.StructType, blobs: DataFrame, id_col: str) -> T.StructType:
+    """Output schema with the CALLER's id field (name + dtype) in place
+    of the default first field: the fixed 'doc_id long' schemas crashed
+    on string ids (forced astype('int64')) and silently renamed
+    non-default id columns, breaking downstream joins (r10 review)."""
+    return T.StructType([blobs.schema[id_col]] + list(schema.fields[1:]))
+
+
 def resize_images(
     blobs: DataFrame,
     width: int,
@@ -98,7 +106,7 @@ def resize_images(
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "payload": [
                         resize_image(p if p is not None else b"", width, height)
                         for p in payloads
@@ -108,7 +116,7 @@ def resize_images(
                 }
             )
 
-    return blobs.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+    return blobs.select(id_col, payload_col).mapInPandas(run, schema=_with_id(RESIZED_SCHEMA, blobs, id_col))
 
 
 def extract_audio_features(
@@ -123,13 +131,13 @@ def extract_audio_features(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "sample_rate": [r for r, _ in decoded],
                     "duration_s": [d for _, d in decoded],
                 }
             )
 
-    return blobs.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+    return blobs.select(id_col, payload_col).mapInPandas(run, schema=_with_id(AUDIO_SCHEMA, blobs, id_col))
 
 
 def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -141,7 +149,7 @@ def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str 
             dims = [decode_image(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "byte_len": [len(p) if p is not None else 0 for p in payloads],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
@@ -151,4 +159,4 @@ def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str 
                 }
             )
 
-    return blobs.select(id_col, payload_col).mapInPandas(run, schema=FEATURES_SCHEMA)
+    return blobs.select(id_col, payload_col).mapInPandas(run, schema=_with_id(FEATURES_SCHEMA, blobs, id_col))

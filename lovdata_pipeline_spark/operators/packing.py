@@ -337,15 +337,28 @@ def training_order(
     rows to the driver, partition-local windows. The only extra cost vs
     the naive plan is one join back on the 32-char hash key. md5 output
     is unique per distinct key in practice, making the order total;
-    reshuffle with a new ``seed`` for a different epoch order.
+    reshuffle with a new ``seed`` for a different epoch order. CACHE
+    NOTE: the rank frame is session-cached via ``_RETAINED`` — call
+    ``release_offsets_caches()`` between waves in long-lived sessions.
+
+    PRECONDITION: ``key_col`` values must be unique — duplicate keys
+    share one hash, so their relative order is undefined. The rank frame
+    aggregates to one rank per key below, so duplicate-key rows all
+    receive that key's smallest rank (ranks then not dense) instead of
+    the old behavior, where the join back multiplied each duplicate
+    group quadratically (r10 review).
     """
     keyed = df.withColumn(
         "_shuffle_key",
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))),
     )
-    ranks = global_token_offsets(
-        keyed.withColumn("_one", F.lit(1)), id_col="_shuffle_key", token_col="_one"
-    ).select("_shuffle_key", F.col("tok_start").alias("shuffle_rank"))
+    ranks = (
+        global_token_offsets(
+            keyed.withColumn("_one", F.lit(1)), id_col="_shuffle_key", token_col="_one"
+        )
+        .groupBy("_shuffle_key")
+        .agg(F.min("tok_start").alias("shuffle_rank"))
+    )
     return keyed.join(ranks, "_shuffle_key").drop("_shuffle_key")
 
 
@@ -378,13 +391,39 @@ def length_bucketed_batches(
                 "fixed-width sort key is zero-padded decimal, which is only "
                 "order-preserving for non-negative integers"
             )
+    # order-preserving ONLY for 0 <= n_tokens < 10^10 and 0 <= id <
+    # 10^12: negatives would reverse order as strings and widths beyond
+    # the padding would break it. Enforced at EXECUTION with raise_error
+    # inside the key expression (zero extra Spark actions — a min/max
+    # pre-scan would cost a full corpus pass at scale); previously only
+    # the dtype was validated and an out-of-range value silently
+    # mis-batched (r10 review).
+    in_range = (
+        (F.col(token_col) >= 0)
+        & (F.col(token_col) < F.lit(10**10))
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(10**12))
+    )
     keyed = df.select(
         F.col(id_col),
         F.col(token_col),
-        # order-preserving ONLY for 0 <= n_tokens < 10^10 and 0 <= id <
-        # 10^12 (validated integral above; negatives would reverse order
-        # as strings, widths beyond the padding would break it silently)
-        F.format_string("%010d-%012d", F.col(token_col), F.col(id_col)).alias("_bkey"),
+        F.when(
+            in_range,
+            F.format_string("%010d-%012d", F.col(token_col), F.col(id_col)),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "length_bucketed_batches: (%s=%s, %s=%s) outside the "
+                    "fixed-width sortable key range [0,1e10)x[0,1e12)",
+                    F.lit(token_col),
+                    F.col(token_col).cast("string"),
+                    F.lit(id_col),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .alias("_bkey"),
     )
     ranks = global_token_offsets(
         keyed.withColumn("_one", F.lit(1)), id_col="_bkey", token_col="_one"
