@@ -120,7 +120,11 @@ class TestEnrichment:
         rows = {r.document_id: r for r in out.collect()}
         r1 = rows["lov-2020-05-05-7"]
         assert r1.law_date == "2020-05-05"
-        assert "/lov/2020/§5" in r1.law_references
+        # href refs are normalized to the text-regex spelling (leading
+        # '/' stripped) before the distinct-union, so the same statute
+        # arriving via href AND text counts once (r10)
+        assert "lov/2020/§5" in r1.law_references
+        assert "/lov/2020/§5" not in r1.law_references
         assert r1.n_references >= 2
         assert rows["lov-2021-06-06-8"].is_amendment is True
         assert r1.is_amendment is False
