@@ -158,7 +158,13 @@ def scd2_intervals(
         .groupBy(key_col, attr_col, "_grp")
         .agg(
             F.min(ts_col).alias("valid_from"),
-            F.min(tie_col).alias("first_tie"),
+            # The tie of the island's chronologically FIRST event in
+            # (ts, tie) order — NOT min(tie) over the island: when
+            # timestamps tie across islands, an island could inherit a
+            # smaller tie from a LATER event and interleave wrongly in
+            # the w_island ordering below (breaking valid_to chains and
+            # is_current placement).
+            F.min_by(tie_col, F.struct(ts_col, tie_col)).alias("first_tie"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

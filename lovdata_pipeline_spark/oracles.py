@@ -3416,12 +3416,22 @@ ORACLES["scd2_user_event_intervals"] = """
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
           FROM events),
+        -- first_tie = event_id of the island's chronologically FIRST
+        -- event in (ts, event_id) order (mirrors Spark's
+        -- min_by(tie, struct(ts, tie))), NOT min(event_id) over the
+        -- island — min() could inherit a smaller id from a later tied
+        -- event and interleave islands wrongly in the lead() ordering.
+        it AS (
+          SELECT *, first_value(event_id) OVER (
+                   PARTITION BY user_id, event_type, grp
+                   ORDER BY ts, event_id) AS ft
+          FROM i),
         isl AS (
           SELECT user_id, event_type, grp,
                  min(ts) AS valid_from,
-                 min(event_id) AS first_tie,
+                 min(ft) AS first_tie,
                  CAST(count(*) AS BIGINT) AS n_events
-          FROM i GROUP BY user_id, event_type, grp),
+          FROM it GROUP BY user_id, event_type, grp),
         iv AS (
           SELECT user_id, event_type, valid_from,
                  lead(valid_from) OVER (

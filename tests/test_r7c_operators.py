@@ -429,6 +429,52 @@ def test_scd2_intervals_partition_each_keys_history(spark, log):
             assert prev.event_type != cur.event_type
 
 
+def test_scd2_intervals_tied_timestamps_pinned(spark):
+    """Pinned (non-hypothesis) regression for the r10 tied-timestamp
+    bug: ``first_tie`` was ``min(tie)`` over the island instead of the
+    tie of the island's chronologically FIRST event, so an island whose
+    first event has a large id could inherit a smaller id from a LATER
+    tied event and sort before an earlier island — breaking valid_to
+    chains and putting is_current on the wrong interval.
+
+    Events (eid, ts_day, attr): (0,0,B) (1,1,B) (2,0,A) (3,0,B).
+    (ts, eid) order: B@t0, A@t0, B@t0 — the final B-island spans
+    {eid3@t0, eid1@t1} and must get first_tie=3 (NOT min(3,1)=1), so
+    the island order is B(ft0) → A(ft2) → B(ft3, open). The broken
+    code sorted the final B-island (ft=1) BEFORE the A-island and left
+    A as is_current although the log's latest state is B.
+
+    Pinned deterministically because the hypothesis DB is git-ignored:
+    found counterexamples die with the session otherwise.
+    """
+    import datetime
+
+    from lovdata_pipeline_spark.operators.incremental import scd2_intervals
+
+    log = [(0, 0, "B"), (0, 1, "B"), (0, 0, "A"), (0, 0, "B")]
+    rows = [
+        (key, datetime.datetime(2024, 1, 1 + ts_day), eid, attr)
+        for eid, (key, ts_day, attr) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = sorted(
+        scd2_intervals(ev, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r.valid_from, r.first_tie),
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    assert [
+        (r.event_type, r.valid_from, r.valid_to, r.first_tie, r.n_events, r.is_current)
+        for r in out
+    ] == [
+        ("B", t0, t0, 0, 1, False),
+        ("A", t0, t0, 2, 1, False),
+        ("B", t0, None, 3, 2, True),
+    ]
+
+
 _ctok = st.sampled_from(["x", "y", "z", "w"])
 _ctext = st.lists(_ctok, min_size=2, max_size=8).map(" ".join)
 
