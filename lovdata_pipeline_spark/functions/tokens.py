@@ -11,6 +11,17 @@ all semantics (split/merge thresholds) stay well-defined and testable.
 The fallback rule: one token per word-piece match, where long
 alphanumeric runs cost ``ceil(len/4)`` tokens — mirroring BPE's ~4
 chars/token average on natural text.
+
+DECLARED PARITY DEVIATION (deliberate, r10): when tiktoken IS present
+we count with ``encode_ordinary``, while the reference's
+``token_counter.py:34`` uses ``encoding.encode()``, which RAISES on
+special-token strings — a document containing ``'<|endoftext|>'``
+gets a token count here but a permanent failed-doc row under the
+reference. Kept: counting is the safer behavior, and the scalar and
+batch paths must agree (``encode_ordinary_batch`` is the only batch
+form). Every other chunker quirk is preserved bit-for-bit (see
+``chunking/chunker.py`` module docstring); this is the one deliberate
+improvement over reference behavior in the tokenizer seam.
 """
 
 from __future__ import annotations

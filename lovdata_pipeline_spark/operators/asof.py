@@ -48,7 +48,12 @@ def asof_join(
     # the caller should pre-align the types.
     lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
     _integral = {"tinyint", "smallint", "int", "bigint"}
-    if lt == rt:
+    if lt == rt == "string":
+        # String time columns compare lexicographically, which orders
+        # unpadded numeric strings wrong ("10" < "9") — keep the
+        # pre-r10 double cast for string/string (r10 ADVICE).
+        _key = lambda c: F.col(c).cast("double")
+    elif lt == rt:
         _key = lambda c: F.col(c)
     elif lt in _integral and rt in _integral:
         _key = lambda c: F.col(c).cast("long")
@@ -100,10 +105,26 @@ def asof_join(
     # semantics. "_r" is the deterministic tiebreak for equal-time right
     # rows (struct comparison; the greatest full row wins) — without it
     # the carried row depended on partition-internal sort stability and
-    # could differ across runs (r10 review).
+    # could differ across runs (r10 review). When the struct is not
+    # orderable (a carried column contains a MapType), struct comparison
+    # would raise AnalysisException, so fall back to ordering by its
+    # JSON rendering — still a deterministic function of the row bytes
+    # (r10 ADVICE).
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
+    _tb = F.col("_r") if _orderable(rhs.schema["_r"].dataType) else F.to_json("_r")
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side", "_r")
+        .orderBy("_t", "_side", _tb)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -74,6 +74,29 @@ class ChunkStore:
                     "rebuild the store (read + rewrite) to change it"
                 )
             self.n_buckets = n_buckets
+        # Legacy stores (pre-sidecar, non-empty) get the sidecar pinned ON
+        # OPEN, not on the next mutation — otherwise a later open with an
+        # explicit wrong modulus still slips past the mismatch guard and
+        # silently corrupts the layout (r10 ADVICE). The adopted count is
+        # sanity-checked against the directories actually on disk first.
+        if stored is None:
+            on_disk = [
+                int(p.name.split("=", 1)[1])
+                for p in Path(self.root).glob(f"{_BUCKET}=*")
+                if p.is_dir() and p.name.split("=", 1)[1].isdigit()
+            ]
+            if on_disk:
+                if max(on_disk) >= self.n_buckets:
+                    raise ValueError(
+                        f"chunk store at {self.root} has bucket directories "
+                        f"up to {max(on_disk)} but was opened with n_buckets="
+                        f"{self.n_buckets}; the layout was written with a "
+                        "larger modulus — open with the original n_buckets "
+                        "or rebuild the store"
+                    )
+                import json as _json
+
+                meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")

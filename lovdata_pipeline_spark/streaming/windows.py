@@ -103,14 +103,26 @@ def interval_join(
     the first downstream select — r10 review).
     """
     l = left.withWatermark(left_time, watermark)
-    r = right.withColumnRenamed(on, f"r_{on}").withColumnRenamed(
-        right_time, f"r_{right_time}"
-    )
+
+    # withColumnRenamed does NOT guard against an existing target name,
+    # so renaming c -> r_<c> when the right frame already carries a
+    # column literally named r_<c> would silently produce duplicate
+    # column names (r10 ADVICE) — fail loud instead.
+    def _rename(df: DataFrame, src: str, dst: str) -> DataFrame:
+        if dst in df.columns:
+            raise ValueError(
+                f"interval_join cannot rename right column {src!r} to "
+                f"{dst!r}: the right frame already has a column named "
+                f"{dst!r} — rename it upstream"
+            )
+        return df.withColumnRenamed(src, dst)
+
+    r = _rename(_rename(right, on, f"r_{on}"), right_time, f"r_{right_time}")
     # key/time are already renamed away, so every remaining name shared
     # with the left side is a genuine payload collision
     for c in r.columns:
         if c in left.columns:
-            r = r.withColumnRenamed(c, f"r_{c}")
+            r = _rename(r, c, f"r_{c}")
     r = r.withWatermark(f"r_{right_time}", watermark)
     cond = (
         (F.col(on) == F.col(f"r_{on}"))

@@ -1,0 +1,155 @@
+"""Regression tests for the r10 ADVICE items fixed in round 11.
+
+- asof_join: MapType carried columns no longer break the tiebreak
+  ordering; string/string time columns compare numerically again.
+- ChunkStore: legacy (pre-sidecar) non-empty stores get the sidecar
+  pinned on OPEN, so a later wrong-modulus open fails loud.
+- interval_join: a right column colliding with an existing ``r_<c>``
+  raises instead of silently duplicating column names.
+"""
+
+import datetime
+import json
+import os
+import tempfile
+
+import pytest
+
+
+class TestAsofAdviceFixes:
+    def test_map_typed_carried_column_is_joinable(self, spark):
+        """r10 ADVICE: orderBy on the full right struct raised
+        AnalysisException when a carried column is non-orderable
+        (MapType). The tiebreak now falls back to to_json."""
+        from lovdata_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20)], "k int, t int"
+        )
+        right = spark.createDataFrame(
+            [(1, 5, {"a": 1}), (1, 15, {"b": 2})],
+            "k int, rt int, payload map<string,int>",
+        )
+        out = {
+            r.t: (r.rt_asof, dict(r.payload_asof))
+            for r in asof_join(left, right, "k", "t", "rt").collect()
+        }
+        assert out == {10: (5, {"a": 1}), 20: (15, {"b": 2})}
+
+    def test_map_tiebreak_is_partition_independent(self, spark):
+        """Equal-time right rows with map payloads must still carry a
+        deterministic winner across physical layouts."""
+        from lovdata_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 5, {"a": 1}), (1, 5, {"z": 9})],
+            "k int, rt int, payload map<string,int>",
+        )
+        picks = set()
+        for nparts in (1, 2, 4):
+            rows = asof_join(
+                left, right.repartition(nparts), "k", "t", "rt"
+            ).collect()
+            assert len(rows) == 1
+            picks.add(json.dumps(dict(rows[0].payload_asof), sort_keys=True))
+        assert len(picks) == 1
+
+    def test_string_time_columns_compare_numerically(self, spark):
+        """r10 ADVICE: string/string time columns regressed to
+        lexicographic comparison ("10" < "9"); the double cast is back."""
+        from lovdata_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, "10")], "k int, t string")
+        right = spark.createDataFrame(
+            [(1, "9", "early"), (1, "10", "exact")], "k int, rt string, v string"
+        )
+        rows = asof_join(left, right, "k", "t", "rt").collect()
+        # lexicographically "9" > "10" would leave no match at all;
+        # numerically both qualify and the latest ("10") wins
+        assert len(rows) == 1 and rows[0].v_asof == "exact"
+
+
+class TestChunkStoreLegacySidecar:
+    def _legacy_store(self, spark, tmp):
+        """Build a store, then delete its sidecar to simulate pre-r10."""
+        from lovdata_pipeline_spark.chunking import chunk_documents_df
+        from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
+        from lovdata_pipeline_spark.embedding import embed_chunks_df
+        from lovdata_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+        from tests import fixtures
+
+        cfg = PipelineConfig(chunk=ChunkParams(100, 500, 300, 0.15), embedding_dims=8)
+        docs = spark.createDataFrame(
+            [("d1", "ds", "p", fixtures.simple_law(), "h1", "added")],
+            DOCUMENTS_SCHEMA,
+        )
+        store = ChunkStore(spark, tmp, n_buckets=4)
+        store.upsert_chunks(embed_chunks_df(chunk_documents_df(docs, cfg.chunk), dims=8))
+        os.remove(os.path.join(tmp, "_store_meta.json"))
+        return store
+
+    def test_sidecar_pinned_on_open(self, spark):
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_store_")
+        self._legacy_store(spark, tmp)
+        ChunkStore(spark, tmp, n_buckets=4)  # open only, no mutation
+        meta = os.path.join(tmp, "_store_meta.json")
+        assert os.path.exists(meta)
+        assert json.load(open(meta))["n_buckets"] == 4
+        # the pinned sidecar now rejects a wrong-modulus reopen
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            ChunkStore(spark, tmp, n_buckets=32)
+
+    def test_open_with_modulus_smaller_than_layout_fails(self, spark):
+        """A legacy store whose directories prove a larger modulus must
+        refuse the open instead of pinning a wrong sidecar."""
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_store_big_")
+        self._legacy_store(spark, tmp)
+        os.makedirs(os.path.join(tmp, "bucket=17"), exist_ok=True)
+        with pytest.raises(ValueError, match="bucket directories"):
+            ChunkStore(spark, tmp, n_buckets=4)
+
+    def test_empty_dir_open_writes_no_sidecar(self, spark):
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="empty_store_")
+        ChunkStore(spark, tmp)
+        assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
+
+
+class TestIntervalJoinRenameGuard:
+    def test_existing_target_name_raises(self, spark):
+        """r10 ADVICE: colliding column c with an existing r_<c> on the
+        right frame used to silently produce duplicate names."""
+        from lovdata_pipeline_spark.streaming.windows import interval_join
+
+        t0 = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0, "x")], "user_id int, ts timestamp, value string"
+        )
+        right = spark.createDataFrame(
+            [(1, t0, "y", "z")],
+            "user_id int, ts timestamp, value string, r_value string",
+        )
+        with pytest.raises(ValueError, match="r_value"):
+            interval_join(left, right)
+
+    def test_plain_collision_still_renamed(self, spark):
+        from lovdata_pipeline_spark.streaming.windows import interval_join
+
+        t0 = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0, "x")], "user_id int, ts timestamp, value string"
+        )
+        right = spark.createDataFrame(
+            [(1, t0, "y")], "user_id int, ts timestamp, value string"
+        )
+        out = interval_join(left, right)
+        assert out.columns.count("r_value") == 1
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].value == "x" and rows[0].r_value == "y"

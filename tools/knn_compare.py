@@ -127,10 +127,14 @@ def main() -> None:
     # the cell column defeating pushdown) must abort the tool rather
     # than write partition_filters_in_plan: false into the permanent
     # evidence with exit 0 (r10 review)
-    assert "PartitionFilters" in plan_str, (
-        "index scan lost its PartitionFilters — partition pruning "
-        "regressed; refusing to record scale evidence:\n" + plan_str[:2000]
-    )
+    # RuntimeError, not a bare assert: asserts are stripped under
+    # `python -O`, which would silently drop this fail-loud evidence
+    # gate in optimized runs (r10 ADVICE)
+    if "PartitionFilters" not in plan_str:
+        raise RuntimeError(
+            "index scan lost its PartitionFilters — partition pruning "
+            "regressed; refusing to record scale evidence:\n" + plan_str[:2000]
+        )
     params = _json.load(open(os.path.join(idx, "_ivf_params.json")))
     v = batch.select(
         F.col("vec_id").alias("vid"),
