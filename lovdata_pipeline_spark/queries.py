@@ -3508,191 +3508,131 @@ QUERIES = {
     # history in git). The blocks below describe only the entries
     # currently holding a window slot.
     #
-    # bitext_mine_margin_bucketed (new r9): the bitext scale path
-    # graded end-to-end — the oracle replays the seed-42 SRP
-    # bucketing, the 1-bit probe set, the bucket equi-join, and the
-    # full margin machinery over the restricted pair set (the
-    # knn_edges_ivf move, for bitext; exact-path twin
-    # bitext_mine_margin below). Stays in-window r10: its
-    # persist-release path changed this round (eager materialize +
-    # unpersist), and a changed row re-grades.
-    "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,
-    # knn_edges_ivf_embeddings (new r8): the k-NN graph's sublinear
-    # IVF candidate path, graded end-to-end (the oracle replays
-    # sphere quantization, probing, and the exact re-score —
-    # certifying the approximation is deterministic). Stays in-window
-    # r10: the index_path-vs-candidates validation and the probe
-    # persist release changed this round.
-    "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,
-    # streaming_session_append_counts (new r9): the PRODUCTION
-    # append-mode session-window drain — watermark heartbeat past the
-    # span, no-data batch flushes every real session, state bounded
-    # by active users. Stays in-window r10: single prior attestation
-    # (r9) and the streaming family's graded anchor this round (its
-    # four complete/drain siblings cycle to the tail, each r8/r9
-    # multiply-green).
-    "streaming_session_append_counts": streaming_session_append_counts,
-    # phrase_search_documents (new r7e): exact phrase retrieval over
-    # the positional inverted index — scan-filtered postings,
-    # (doc, pos+offset) equi-join chain. Stays in-window r10: the
-    # postings-index writer changed this round (one file per term
-    # bucket partition).
-    "phrase_search_documents": phrase_search_documents,
-    # exists_agg_priority (entered r9): EXISTS + NOT EXISTS folded
-    # into one conditional aggregate over the orders scan. Stays
-    # in-window r10: single prior attestation (r9).
-    "exists_agg_priority": exists_agg_priority,
-    # quality_blend_documents (new r7b): per-source min-max-normalized
-    # multi-signal blending + banding — the score-combination step
-    # between raw quality signals and quota selection. Stays in-window
-    # r10: the blend moved to exact BIGINT micro-units this round (the
-    # sf1 sweep's half-way-rounding finding), so the changed row
-    # re-grades.
-    "quality_blend_documents": quality_blend_documents,
-    # bitext_mine_margin (new r7b): margin-based parallel-corpus
-    # mining through the shared embedding space — the LASER/CCMatrix
-    # hubness-cancelling criterion, composing the two-phase top-k both
-    # directions. Stays in-window r10: the exact path's persist
-    # release and the bucketed empty-source short-circuit changed this
-    # round.
-    "bitext_mine_margin": bitext_mine_margin,
-    # --- r10 rotation (VERDICT Next #1): the 19 entries whose latest
-    # driver grade was r5 re-enter the window below, plus the new
-    # dedup_ngram_jaccard_capped (at birth) and the changed
-    # ann_pca_rerank_recall_embeddings (scale-aware recall contract).
-    # The 21 demotions in exchange are all r9-green, each annotated
-    # inline with the family twin that stays graded. ----------------
-    "ann_cosine_topk": ann_cosine_topk,                  # green r1-r5; demoted r6 (exact cosine graded inside hard_negatives/semantic dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "ann_topk_pq": ann_topk_pq,                          # green r4+r5; demoted r6 (superset ann_topk_ivfpq attested r4-r6); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "anti_join_changed": anti_join_changed,              # green r1-r5; demoted r6 (anti-join shape graded inside both capstone decontamination cuts); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4+r5; demoted r6 (clean_set + contamination reports attested); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "decontaminate_clean_set": decontaminate_clean_set,  # green r4+r5; demoted r6 (decontam cut inside pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "dedup_components": dedup_components,                # green r3+r4+r5; demoted late-r6 for validate_documents_expectations; re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "dedup_exact_groups": dedup_exact_groups,            # green r1-r5; demoted r6 (exact-fingerprint grouping graded inside curation_report/pretraining/paragraph_dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "dedup_minhash_lsh": dedup_minhash_lsh,              # green r1-r5; demoted late-r6 for ann_topk_sq8 (shingle + exact-jaccard verify stay graded via dedup_remove_spans); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,          # green r1-r5; demoted r6 (minhash-LSH verify runs the same exact-jaccard expression); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "dedup_shared_spans": dedup_shared_spans,            # green r4+r5; demoted late-r6 (strict superset dedup_remove_spans stays graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "events_asof_join": events_asof_join,                # green r1-r5; demoted late-r6 for decontam_remove_spans (event-time family stays graded via events_rolling_1h); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "events_sessionize": events_sessionize,              # green r1-r5; demoted r6 (events_rolling_1h keeps the per-user-key window shape graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "pii_scan_documents": pii_scan_documents,            # green r3-r5; demoted r6 (PII gate fires inside graded pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "q1_pricing_summary": q1_pricing_summary,            # green r2-r5; demoted r6 (decimal-agg discipline graded via q3's revenue sum); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "sequence_manifest_documents": sequence_manifest_documents,  # green r4+r5; demoted r6 (strict superset pack_emit_sequences graded); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "temperature_mix_orders": temperature_mix_orders,    # green r4+r5; demoted r6 (portable-hash sampling family attested); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "text_fingerprints": text_fingerprints,              # green r1-r5; demoted late-r6 (fingerprint expression graded inside curation_report + exact dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "text_quality_classifier": text_quality_classifier,  # green r4+r5; demoted r6 (keep flag graded in curation_report; logit in pretraining_pipeline); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    "text_winnowing": text_winnowing,                    # green r3-r5; demoted late-r6 (winnowing primitive graded inside span dedup); re-promoted r10 (r5-stale attestation refresh, VERDICT Next #1)
-    # dedup_ngram_jaccard_capped (new r10) enters at birth: the SSJoin
-    # max_df scale path graded end-to-end (VERDICT Next #2, the
-    # bucketed-bitext move) — the oracle replays the df cap inside the
-    # prefix-candidate CTE over the portable md5-60-bit shingle hash,
-    # so the approximation itself is certified (capped ⊆ exact; 23 of
-    # 25 pairs at sf0.01 where the cap genuinely bites; 2.0× over
-    # exact at sf1). Exact twin dedup_ngram_jaccard re-enters the
-    # window this same round.
-    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
-    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6+r7+r8; demoted r9 for streaming_session_append_counts' at-birth slot (ann_topk_ivf_index stays; ann_topk_ivf + lsh_bucketed enter; PCA fit pytest-pinned, pca_variance_report in tail); re-promoted r10: the recall contract changed (scale-aware pool + corpus-mean verdict, VERDICT Next #3) — a changed query re-enters the graded window
-    # --- r10 rotation, SECOND half (ahead of the r11 ask — the r8
-    # --- "early refresh" move): 21 of the 37 entries whose latest
-    # --- driver grade is r6 cycle back through the window now, so the
-    # --- ledger's next-oldest batch shrinks while the window holds
-    # --- demotable multiply-attested r9-green rows (plus the late-r10
-    # --- re-entry of the changed embedding_outliers_by_label). The 22
-    # --- demotions
-    # --- in exchange are annotated inline at the top of the tail;
-    # --- every r10-changed code path keeps its row in-window
-    # --- (quality_blend, both bitext rows, knn_edges_ivf,
-    # --- phrase_search, the capped SSJoin, the scale-aware PCA
-    # --- rerank), and streaming keeps its production append row
-    # --- graded. -----------------------------------------------------
-    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7e-r9; RE-ENTERS late-r10: its cos_centroid expression changed (signed-zero normalization) and a changed row re-grades — displacing pack_emit_sequences to the r11 refresh batch (packing family keeps sequence_manifest + pack_sequences + length_bucketed in-window)
-    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
-    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
-    "multimodal_features": multimodal_features,  # green r2-r6; re-promoted r10 second-half refresh (r6-stale)
-    "text_bm25_search": text_bm25_search,  # green r3-r6; re-promoted r10 second-half refresh (r6-stale)
-    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale; sf1 de-vacuated this round)
-    "curation_pipeline": curation_pipeline,  # green r2-r6; re-promoted r10 second-half refresh (r6-stale)
-    "ann_topk_sq8": ann_topk_sq8,  # green r6; re-promoted r10 second-half refresh (r6-stale)
-    "bpe_token_counts": bpe_token_counts,  # green r6; re-promoted r10 second-half refresh (r6-stale)
-    "agg_approx_stats": agg_approx_stats,  # green r1-r6; re-promoted r10 second-half refresh (r6-stale)
-    "weighted_sample_documents": weighted_sample_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "events_rolling_1h": events_rolling_1h,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "hash_split_documents": hash_split_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "pack_sequences_documents": pack_sequences_documents,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale)
-    "ann_topk_ivfpq": ann_topk_ivfpq,  # green r4-r6; re-promoted r10 second-half refresh (r6-stale)
-    "importance_score_documents": importance_score_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "text_bigram_surprisal": text_bigram_surprisal,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    "knn_classify_embeddings": knn_classify_embeddings,  # green r5+r6; re-promoted r10 second-half refresh (r6-stale)
-    # hll_distinct_by_source (new r7d) enters at birth: portable
-    # HyperLogLog distinct-token estimates per source, registers AND
-    # estimate bit-replayed in SQL (integer smear+popcount rho, exact
-    # integer harmonic sum) — the cardinality-sketch row that
-    # approx_count_distinct's rows-only grade could never be. Demoted
-    # in exchange: ann_topk_sq8 (green r6; the ANN family keeps TWO
-    # in-window rows — ann_topk_ivf_index and
-    # ann_pca_rerank_recall_embeddings — and sq8's fit/encode/ADC is
-    # pinned by tests + the lg quantize CLI surface).
+    # --- r11 window (VERDICT Next #1/#2): three rows whose operator
+    # --- code changed THIS round (scd2 first_tie fix, asof tiebreak,
+    # --- interval_join rename guard), the nine rows the late-r10
+    # --- hardening touched after their last grade, the 16-entry
+    # --- r6-stale batch, and 21 of the 22-entry r7-latest batch
+    # --- (percentile_order_totals defers to r12 — twin agg_approx_stats
+    # --- r10-green — to make room for the single-attest keep
+    # --- dedup_ngram_jaccard_capped). 48 demotions in exchange, every
+    # --- one r10-green and multiply-attested, family twin inline. ----
+    #
+    # -- changed-code rows (r11 edits re-grade at birth) --------------
+    "scd2_user_event_intervals": scd2_user_event_intervals,  # green r7-r9; RE-ENTERS r11 at the top: its first_tie computation changed this round (min_by over (ts,tie) — the r10 judge's tied-timestamp bug, VERDICT Next #1), the oracle mirrored, and a changed row re-grades; falsifying example pinned in tests/test_r7c_operators.py
+    "events_asof_join": events_asof_join,  # green r1-r5+r10; STAYS in-window r11: asof_join's tiebreak (to_json fallback for map-typed carried columns) and string-time handling changed this round (r10 ADVICE) — changed code keeps its row graded
+    "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8-r9; re-enters r11: interval_join grew the collision-rename target guard this round (r10 ADVICE) — changed code re-grades; also one of the four non-append streaming rows the late-r10 hardening touched
+    # -- single-attest keep -------------------------------------------
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,  # green r10; STAYS in-window r11: single r10 (at-birth) attestation — the single-attest-keep precedent (streaming_session_append/exists_agg in r10); exact twin dedup_ngram_jaccard demotes r10-green
+    # -- late-r10-hardening-touched re-attestations (VERDICT Next #2) -
+    "collocation_pmi_bigrams": collocation_pmi_bigrams,  # green r7-r9; re-promoted r11: the late-r10 single-scan restructure changed its operator code AFTER its last grade (VERDICT Next #2 priority list)
+    "zipf_slope_by_source": zipf_slope_by_source,  # green r7-r9; re-promoted r11: late-r10 hardening touched its operator code after its last grade (VERDICT Next #2 priority list)
+    "chunk_documents_pipeline": chunk_documents_pipeline,  # green r3-r9; re-promoted r11: the late-r10 chunker-parity hardening touched its code after its last grade (VERDICT Next #2 priority list); the board's most-attested row
+    "streaming_session_counts": streaming_session_counts,  # green r7-r9; re-promoted r11: non-append streaming row whose shared session-window code the late-r10 hardening touched (VERDICT Next #2 priority list)
+    "streaming_vocab_counts": streaming_vocab_counts,  # green r7-r9; re-promoted r11: non-append streaming row touched by the late-r10 hardening (VERDICT Next #2 priority list)
+    "streaming_dedup_counts": streaming_dedup_counts,  # green r7-r9; re-promoted r11: non-append streaming row touched by the late-r10 hardening (VERDICT Next #2 priority list)
+    "hybrid_search_rrf": hybrid_search_rrf,  # green r3-r4+r8; re-promoted r11: late-r10 hardening touched the RRF path after its last grade (VERDICT Next #2 priority list); also the registry's only r8-latest search row
+    "shard_pack_documents": shard_pack_documents,  # green r3-r4+r9; re-promoted r11: late-r10 hardening touched its code after its last grade (VERDICT Next #2 priority list)
+    "pagerank_doc_graph": pagerank_doc_graph,  # green r7-r9; re-promoted r11: late-r10 hardening touched graph.py after its last grade (VERDICT Next #2 priority list); sf0.1 full-oracle hash match in BENCH_AUX
+    # -- r6-stale attestation-refresh batch (deferred from r10) -------
+    "pack_emit_sequences": pack_emit_sequences,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "dedup_remove_spans": dedup_remove_spans,  # green r4-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "q3_top_unshipped": q3_top_unshipped,  # green r1-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "curation_report_by_source": curation_report_by_source,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "exact_contamination_documents": exact_contamination_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "text_gopher_quality": text_gopher_quality,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "bpe_pair_stats": bpe_pair_stats,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "running_sum": running_sum,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "cube_status_priority": cube_status_priority,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "set_ops_nations": set_ops_nations,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "full_outer_order_presence": full_outer_order_presence,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "benchmark_contamination_report": benchmark_contamination_report,  # green r4-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "training_order_documents": training_order_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2; ALSO late-r10-hardening-touched — the duplicate-key guard)
+    "epoch_mix_documents": epoch_mix_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    "quality_quota_by_source": quality_quota_by_source,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
+    # -- r7-latest attestation-refresh batch --------------------------
+    "semi_join_processed": semi_join_processed,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "distinct_projection": distinct_projection,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "filter_like": filter_like,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "topk_limit": topk_limit,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "rollup_priority": rollup_priority,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "pivot_status": pivot_status,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "left_join_customer_orders": left_join_customer_orders,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "events_lag_gaps": events_lag_gaps,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "events_hourly": events_hourly,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "text_token_counts": text_token_counts,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "text_stopword_ratios": text_stopword_ratios,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "token_length_band_documents": token_length_band_documents,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "mixture_plan_by_source": mixture_plan_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "text_repetition_signals": text_repetition_signals,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "perplexity_buckets_by_source": perplexity_buckets_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "vocab_drift_by_source": vocab_drift_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "validate_documents_expectations": validate_documents_expectations,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    # ------------------------------------------------------------------ tail
+    # --- r11 attestation-refresh demotions (each r10-green and
+    # --- multiply-attested; family twin named inline) ----------------
+    "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,  # green r9-r10; demoted r11 (two-phase cosine top-k machinery re-enters via hard_negatives_embeddings; SRP bucket twin ann_topk_lsh_bucketed r9-green in tail)
+    "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,  # green r8-r10; demoted r11 (consumer twin pagerank_doc_graph re-enters (composes knn_edges end-to-end); IVF geometry plan-asserted in tests)
+    "streaming_session_append_counts": streaming_session_append_counts,  # green r9-r10; demoted r11 (streaming family gets ALL FOUR non-append rows re-graded this round; the append drain is the same session plan as streaming_session_counts)
+    "phrase_search_documents": phrase_search_documents,  # green r7-r10; demoted r11 (search family twin hybrid_search_rrf re-enters; postings-index writer pytest-pinned)
+    "exists_agg_priority": exists_agg_priority,  # green r1-r4+r9-r10; demoted r11 (predicate-join family: semi_join_processed + full_outer_order_presence re-enter; not_exists_high_value r8-green in tail)
+    "quality_blend_documents": quality_blend_documents,  # green r7-r10; demoted r11 (quality-gate family: text_gopher_quality + curation_report_by_source re-enter (the same gates it blends))
+    "bitext_mine_margin": bitext_mine_margin,  # green r7-r10; demoted r11 (exact twin of the bucketed row demoting alongside; margin criterion pytest-pinned; hard_negatives_embeddings re-enters (two-phase top-k family))
+    "ann_cosine_topk": ann_cosine_topk,  # green r1-r5+r10; demoted r11 (exact-cosine machinery re-enters inside hard_negatives_embeddings; knn_join_top3 r9-green in tail)
+    "ann_topk_pq": ann_topk_pq,  # green r4-r5+r10; demoted r11 (ANN quantization twins ann_topk_ivfpq + ann_topk_sq8 demote r10-green alongside; ADC tables pytest-pinned; dedup_embedding_cosine_blocked re-enters (vector family))
+    "anti_join_changed": anti_join_changed,  # green r1-r5+r10; demoted r11 (anti-join cut re-enters graded via exact_contamination_documents + benchmark_contamination_report)
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
+    "decontaminate_clean_set": decontaminate_clean_set,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
+    "dedup_components": dedup_components,  # green r3-r5+r10; demoted r11 (span/graph dedup family: dedup_remove_spans re-enters; label propagation pytest-pinned)
+    "dedup_exact_groups": dedup_exact_groups,  # green r1-r5+r10; demoted r11 (exact-grouping twin dedup_fingerprint_groups re-enters)
+    "dedup_minhash_lsh": dedup_minhash_lsh,  # green r1-r5+r10; demoted r11 (shingle+jaccard family: dedup_remove_spans re-enters; incremental twin dedup_incremental_minhash r9-green in tail)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,  # green r1-r5+r10; demoted r11 (exact twin of dedup_ngram_jaccard_capped, which STAYS in-window (same SSJoin algebra, cap replayed in its oracle))
+    "dedup_shared_spans": dedup_shared_spans,  # green r4-r5+r10; demoted r11 (strict superset dedup_remove_spans re-enters)
+    "events_sessionize": events_sessionize,  # green r1-r5+r10; demoted r11 (event-time family: scd2_user_event_intervals + events_lag_gaps + events_hourly re-enter)
+    "pii_scan_documents": pii_scan_documents,  # green r3-r5+r10; demoted r11 (gate-scan family: curation_report_by_source re-enters; PII gate also fires inside pretraining_pipeline (r10-green))
+    "q1_pricing_summary": q1_pricing_summary,  # green r2-r5+r10; demoted r11 (decimal-agg family: q3_top_unshipped re-enters)
+    "sequence_manifest_documents": sequence_manifest_documents,  # green r5+r10; demoted r11 (strict superset pack_emit_sequences re-enters)
+    "temperature_mix_orders": temperature_mix_orders,  # green r4-r5+r10; demoted r11 (mixing family: epoch_mix_documents + quality_quota_by_source re-enter)
+    "text_fingerprints": text_fingerprints,  # green r2-r5+r10; demoted r11 (fingerprint family: dedup_fingerprint_groups re-enters)
+    "text_quality_classifier": text_quality_classifier,  # green r4-r5+r10; demoted r11 (quality family: text_gopher_quality re-enters; LR apply side shares train_quality_classifier_documents' weights (r9-green in tail))
+    "text_winnowing": text_winnowing,  # green r2-r5+r10; demoted r11 (winnowing primitive composed inside dedup_remove_spans, re-entering)
+    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; demoted r11 (PCA fit family: pca_variance_report_embeddings re-enters (same fit machinery); recall contract sf0.01+sf1 hash-green r10)
+    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7-r10; demoted r11 (centroid-cosine family: hard_negatives_embeddings re-enters; signed-zero discipline pinned in the oracle)
+    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
+    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
+    "multimodal_features": multimodal_features,  # green r2-r6+r10; demoted r11 (image/audio plumbing multiply-attested (r2-r6+r10); twin multimodal_audio r9-green in tail)
+    "text_bm25_search": text_bm25_search,  # green r3-r6+r10; demoted r11 (search family: hybrid_search_rrf re-enters (its BM25 arm is this row's expression))
+    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + benchmark_contamination_report + training_order + epoch_mix; sf1 row de-vacuated r10 (31,067 rows))
+    "curation_pipeline": curation_pipeline,  # green r2-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + text_gopher_quality)
+    "ann_topk_sq8": ann_topk_sq8,  # green r6+r10; demoted r11 (ANN quantization family demotes together r10-green (pq/ivfpq); fit/encode/ADC pytest-pinned)
+    "bpe_token_counts": bpe_token_counts,  # green r6+r10; demoted r11 (BPE family: bpe_pair_stats re-enters; learned-merges chain r9-green in tail)
+    "agg_approx_stats": agg_approx_stats,  # green r4-r6+r10; demoted r11 (sketch family r8-r10 green throughout the tail (hll/cms/bloom); wide-mode HLL re-enters via validate_documents_expectations)
+    "weighted_sample_documents": weighted_sample_documents,  # green r5-r6+r10; demoted r11 (portable-hash sampling family: training_order_documents + epoch_mix_documents re-enter)
+    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5-r6+r10; demoted r11 (token-frequency family: collocation_pmi_bigrams + zipf_slope_by_source re-enter)
+    "events_rolling_1h": events_rolling_1h,  # green r5-r6+r10; demoted r11 (event-time window family: events_hourly + events_lag_gaps re-enter)
+    "hash_split_documents": hash_split_documents,  # green r5-r6+r10; demoted r11 (portable-hash family: training_order_documents + epoch_mix_documents re-enter)
+    "pack_sequences_documents": pack_sequences_documents,  # green r4-r6+r10; demoted r11 (packing family: pack_emit_sequences re-enters (strict superset manifest))
+    "ann_topk_ivfpq": ann_topk_ivfpq,  # green r4-r6+r10; demoted r11 (ANN quantization family demotes together r10-green (pq/sq8); coarse+PQ chain replayed in its oracle r10)
+    "importance_score_documents": importance_score_documents,  # green r5-r6+r10; demoted r11 (scoring family: quality_quota_by_source re-enters)
+    "text_bigram_surprisal": text_bigram_surprisal,  # green r5-r6+r10; demoted r11 (LM family: perplexity_buckets_by_source re-enters; KN step-ups r9-green in tail)
+    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5-r6+r10; demoted r11 (sampling family: training_order_documents re-enters; cluster assign twin embedding_cluster_assign r9-green in tail)
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; demoted r11 (packing family: pack_emit_sequences + token_length_band_documents re-enter)
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; demoted r11 (same pairing machinery re-enters via dedup_embedding_cosine_blocked)
+    "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; demoted r11 (knn-consumer family: pagerank_doc_graph re-enters; exact top-k twin knn_join_top3 r9-green in tail)
+    # --- earlier-round demotions (comments carried forward; rotation
+    # --- narrative for r7-r10 in git history) ------------------------
     "hll_distinct_by_source": hll_distinct_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin hll_store_merged_counts r8/r9-green, cycled in the second-half refresh; sketch family's in-window anchor is the re-promoted agg_approx_stats)
-    # dedup_keep_best_quality (new r7) enters at birth: canonical
-    # survivor selection by quality instead of min-id — the
-    # Dolma/FineWeb policy. Demoted in exchange: bpe_pair_stats (green
-    # r5+r6; the pair-count aggregate is replayed at every iteration of
-    # the graded bpe_learned_merges oracle, and bpe_token_counts stays).
     "dedup_keep_best_quality": dedup_keep_best_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twins dedup_exact_groups + dedup_minhash_lsh in-window; winner top-k pytest-pinned)
-    # train_quality_classifier_documents (new r7) enters at birth: the
-    # distributed LR trainer, graded bit-for-bit via a 3-iteration SQL
-    # replay. Demoted in exchange: text_gopher_quality (green r5+r6;
-    # the gate verdict stays graded inside curation_report_by_source's
-    # gopher_pass cell sums and pretraining_pipeline's gate stage).
     "train_quality_classifier_documents": train_quality_classifier_documents,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_quality_classifier in-window (the apply side of the same LR weights))
-    # dedup_incremental_minhash (new r7) enters at birth: the daily-
-    # batch dedup against a persisted signature store. Demoted in
-    # exchange: exact_contamination_documents (green r5+r6; the exact-
-    # substring flag stays graded via decontam_remove_spans, whose
-    # anchor-candidate machinery composes it, and the contamination
-    # REPORT family twin sits one slot down in the tail).
     "dedup_incremental_minhash": dedup_incremental_minhash,  # demoted r10 for the attestation-refresh rotation (green r9; twin dedup_minhash_lsh in-window (same banding + exact verify); store lifecycle pytest+CLI-driven)
-    # --- NEW r7c operators (in-window at birth; the five demotions they
-    # --- displace are documented at the top of the dict) ------------------
-    # zipf_slope_by_source: per-source Zipf-law fit — integer-exact
-    # OLS over floor-quantized log coordinates; the corpus-health
-    # monitor next to vocab_drift (KL) and perplexity buckets.
-    "zipf_slope_by_source": zipf_slope_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; token-frequency family: collocation_pmi r7c-r9-green cycles in the second-half refresh; tfidf_keywords_by_source re-enters in-window)
-    # scd2_user_event_intervals: gaps-and-islands SCD2 change history —
-    # the warehouse-history form of the state-store's latest-row upsert.
-    "scd2_user_event_intervals": scd2_user_event_intervals,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window (event-time ordering family); sf1-swept at 802,921 intervals)
-    # filter_attrition_report: sequential curation-gate yield funnel in
-    # one conditional-aggregate scan + in-plan unpivot.
     "filter_attrition_report": filter_attrition_report,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window; funnel-step machinery pytest-pinned)
     "q5_region_revenue": q5_region_revenue,  # demoted r10 for the attestation-refresh rotation (green r9; twin q1_pricing_summary in-window (decimal-agg + star-join family; q3 attested in tail); laddered at sf1)
     "knn_join_top3": knn_join_top3,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk in-window (exact cosine top-k) + knn_edges_ivf_embeddings staying)
-    "shard_pack_documents": shard_pack_documents,  # demoted r10 for the attestation-refresh rotation (green r9; twin sequence_manifest_documents in-window (packing-manifest family))
-    # --- r9 refresh, second half — the remaining r4-stale entries enter;
-    # --- demoted in exchange (each multiply-attested with r8 its latest
-    # --- green, family twin named):
-    # ---   dedup_simhash (r1-r4+r8)         -> near-dup family keeps
-    # ---                                       dedup_keep_best_quality +
-    # ---                                       dedup_incremental_minhash
-    # ---                                       + boilerplate_strip
-    # ---                                       in-window, and
-    # ---                                       dedup_embedding_cosine +
-    # ---                                       dedup_vocab_fingerprint_
-    # ---                                       groups ENTER
-    # ---   hybrid_search_rrf (r3+r4+r8)     -> phrase_search_documents
-    # ---                                       STAYS (search family);
-    # ---                                       bm25/tfidf twins in tail
-    # ---   text_language_id (r1-r4+r8)      -> text_quality +
-    # ---                                       text_repetition ENTER
-    # ---                                       (same per-doc signal-scan
-    # ---                                       family); quality_blend
-    # ---                                       STAYS
-    # --- (text_unigram_surprisal re-enters next to its graded step-ups
-    # --- text_kn_surprisal + text_kn_trigram_surprisal; sampling re-
-    # --- entries stratified_sample_orders + embedding_cluster_assign
-    # --- sit next to stratified_split_exact, which stays graded)
     "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + weighted_sample/hash_split/cluster_balanced re-entering; stratified_split_exact r7b-r9-green cycles in the second-half refresh)
     "dedup_embedding_cosine": dedup_embedding_cosine,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk (exact cosine) + dedup_components in-window)
     "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_fingerprints in-window (fingerprint family))
@@ -3703,100 +3643,35 @@ QUERIES = {
     "text_repetition": text_repetition,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying; text_repetition_signals attested in tail + laddered at sf1)
     "text_unigram_surprisal": text_unigram_surprisal,  # demoted r10 for the attestation-refresh rotation (green r9; strict supersets text_kn_surprisal + text_kn_trigram_surprisal r9-green cycle in the second-half refresh; text_bigram_surprisal re-enters in-window (same family))
     "decontam_remove_spans": decontam_remove_spans,  # demoted r10 for the attestation-refresh rotation (green r9; twins decontaminate_benchmark_overlap + decontaminate_clean_set in-window; laddered at sf1)
-    # events_funnel_counts (new r7b) enters at birth: the sequential
-    # view→click→purchase funnel, the order-gated aggregate the window
-    # family can't express. Demoted in exchange: events_rolling_1h
-    # (green r5+r6; the event-time window family keeps events_lag_gaps
-    # + events_hourly graded this round via the attestation refresh,
-    # and sessionize/asof twins sit attested in the tail).
     "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window, events_rolling_1h re-entering; events_retention_cohorts r7b-r9-green cycles in the second-half refresh; laddered at sf1)
-    # ------------------------------------------------------------------ tail
-    # --- r10 second-half-refresh demotions (each r9-green unless its
-    # --- line notes otherwise, family twin named inline) --------------
-    "pack_emit_sequences": pack_emit_sequences,  # green r5+r6; was slated for the r10 second-half refresh but ceded its slot to the changed embedding_outliers_by_label (a changed row re-grades before a stale-but-unchanged one); defers to the r11 batch — packing family keeps sequence_manifest + pack_sequences + length_bucketed in-window
-    "chunk_documents_pipeline": chunk_documents_pipeline,  # green r1-r9, the board's most-attested row; demoted r10 second-half refresh (ETL family gets FOUR freshly graded rows: embed/enrich/pretraining/curation re-enter; ops 2/9/23 ride pytest-pinned + r9-attested)
     "cms_token_estimates": cms_token_estimates,  # green r7d-r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; every sketch row r8/r9-green)
     "events_retention_cohorts": events_retention_cohorts,  # green r7b-r9; demoted r10 second-half refresh (events family keeps events_sessionize + events_asof_join in-window; events_rolling_1h re-enters)
     "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8+r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; the KN machinery is its strict superset, r9-attested)
     "bpe_learned_merges": bpe_learned_merges,  # green r7-r9; demoted r10 second-half refresh (bpe_token_counts re-enters — the apply side consuming the same merge table; train chain r9-attested)
-    "streaming_session_counts": streaming_session_counts,  # green r7b-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window — the production append form of this same session plan)
     "hll_store_merged_counts": hll_store_merged_counts,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; registers bit-replayed r9)
     "bloom_token_membership": bloom_token_membership,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; deterministic false positives r9-attested)
-    "streaming_vocab_counts": streaming_vocab_counts,  # green r7-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window)
     "compression_band_report": compression_band_report,  # green r7-r9; demoted r10 second-half refresh (quality-band family: quality_blend_documents in-window; zlib codec literal-pinned in pytest)
     "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9; demoted r10 second-half refresh (ANN keeps ann_cosine_topk + ann_topk_pq in-window; sq8 + ivfpq re-enter; PartitionFilters plan-asserted in tests at sf1)
-    "collocation_pmi_bigrams": collocation_pmi_bigrams,  # green r7c-r9; demoted r10 second-half refresh (token-frequency family: tfidf_keywords_by_source re-enters)
-    "pagerank_doc_graph": pagerank_doc_graph,  # green r7c-r9; demoted r10 second-half refresh (graph family keeps knn_edges_ivf_embeddings in-window; knn_classify re-enters; sf0.1 full-oracle hash match recorded in BENCH_AUX)
     "point_lookup": point_lookup,  # green r8+r9; demoted r10 second-half refresh (predicate-scan family multiply-attested; the bucket-pruned lookup is plan-asserted in pytest)
     "grouping_sets_status_priority": grouping_sets_status_priority,  # green r8+r9; demoted r10 second-half refresh (grouping family: rollup/pivot/cube twins tail-attested)
-    "streaming_dedup_counts": streaming_dedup_counts,  # green r7c-r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window; exact COUNT(DISTINCT) teeth also in agg_approx_stats' oracle, re-entering)
     "multimodal_audio": multimodal_audio,  # green r2-r4+r8+r9; demoted r10 second-half refresh (twin multimodal_features re-enters — the image side of the same mapInPandas plumbing)
     "top3_orders_per_customer": top3_orders_per_customer,  # green r8+r9; demoted r10 second-half refresh (top-per-group family: knn_join_top3 in-window; sf1-swept at 449,539 rows)
-    "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8+r9; demoted r10 second-half refresh (streaming keeps streaming_session_append_counts in-window; the batch theta-join twin events_range_join r9-attested)
     "stratified_split_exact": stratified_split_exact,  # green r7b-r9; demoted r10 second-half refresh (sampling family: temperature_mix_orders in-window; weighted_sample + hash_split + cluster_balanced re-enter)
     "text_kn_surprisal": text_kn_surprisal,  # green r7b-r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; trigram sibling cycles alongside)
-    "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6; demoted r7e for embedding_outliers_by_label's at-birth slot (embedding family + two-phase-rank machinery stay in-window via ann_pca_rerank; knn_classify r6-green in tail)
-    # --- tail: every entry is driver-attested (green in prior rounds) or an
-    # --- exact twin of a graded entry; diffcheck covers them all ------------
-    "dedup_remove_spans": dedup_remove_spans,            # green r5+r6; demoted r7b for streaming_session_counts (span-surgery family graded via decontam_remove_spans)
-    "q3_top_unshipped": q3_top_unshipped,                # green r1-r6; demoted r7b for text_kn_surprisal (join/agg/top-k families each keep an in-window twin; q1/q5 in tail)
-    "curation_report_by_source": curation_report_by_source,  # green r5+r6; demoted r7b for quality_blend_documents (report cells graded inside both capstone pipelines)
-    "exact_contamination_documents": exact_contamination_documents,  # green r5+r6; demoted r7 for dedup_incremental_minhash (exact-substring machinery composed inside graded decontam_remove_spans)
-    "text_gopher_quality": text_gopher_quality,          # green r5+r6; demoted r7 for train_quality_classifier_documents (gopher_pass graded inside curation_report + pretraining_pipeline)
-    "bpe_pair_stats": bpe_pair_stats,                    # green r5+r6; demoted r7 for dedup_keep_best_quality (pair counting replayed inside the graded bpe_learned_merges oracle chain)
-    "running_sum": running_sum,                          # green r1+r6 (refreshed r6); demoted r7 for the attestation refresh
-    "cube_status_priority": cube_status_priority,        # green r1+r6 (refreshed r6); demoted r7 (rollup_priority + pivot_status graded this round)
-    "set_ops_nations": set_ops_nations,                  # green r1+r6 (refreshed r6); demoted r7 (set_difference_validation twin in tail, r1-r3 green)
-    "full_outer_order_presence": full_outer_order_presence,  # green r1+r6 (refreshed r6); demoted r7 (left_join_customer_orders graded this round)
-    "benchmark_contamination_report": benchmark_contamination_report,  # green r4+r5+r6; demoted r7 (exact_contamination + decontam_remove_spans stay graded)
-    "training_order_documents": training_order_documents,  # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
-    "epoch_mix_documents": epoch_mix_documents,          # green r5+r6; demoted r7 (hash_split keeps the portable-hash family graded)
-    "quality_quota_by_source": quality_quota_by_source,  # green r5+r6; demoted r7 for compression_band_report (two-phase top-k family: weighted_sample/tfidf graded)
-    # (the 13 r4-stale entries that sat here — ann_topk_ivf/lsh_bucketed,
-    # text_repetition/quality/unigram_surprisal, exists_agg_priority,
-    # dedup_embedding_cosine, dedup_vocab_fingerprint_groups,
-    # shard_pack_documents, stratified_sample_orders,
-    # embedding_cluster_assign, q5_region_revenue, knn_join_top3 —
-    # re-entered the window via the r9 attestation refresh)
-    # --- r9 attestation-refresh demotions (family twins named in the
-    # --- window blocks above) ----------------------------------------------
-    "status_counts": status_counts,                      # green r1+r2+r3+r8; demoted r9 (point_lookup keeps the predicate-scan family graded)
+    "status_counts": status_counts,  # green r1+r2+r3+r8; demoted r9 (point_lookup keeps the predicate-scan family graded)
     "set_difference_validation": set_difference_validation,  # green r1+r2+r3+r8; demoted r9 (exists_agg_priority enters; decontam anti-join cut stays graded)
     "scalar_subquery_part_avg": scalar_subquery_part_avg,  # green r1+r2+r3+r8; demoted r9 (filter_attrition_report's broadcast scalar gate stays; q5 enters)
-    "agg_distinct_counts": agg_distinct_counts,          # green r1+r2+r3+r8; demoted r9 (streaming_dedup_counts' COUNT(DISTINCT) oracle + hll rows stay)
+    "agg_distinct_counts": agg_distinct_counts,  # green r1+r2+r3+r8; demoted r9 (streaming_dedup_counts' COUNT(DISTINCT) oracle + hll rows stay)
     "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3+r8; demoted r9 (top3_orders_per_customer stays; knn_join_top3 enters)
-    "events_json_props": events_json_props,              # green r1+r2+r3+r8; demoted r9 (events family keeps scd2 + funnel + retention graded)
-    "events_range_join": events_range_join,              # green r1+r2+r3+r8; demoted r9 (streaming_interval_join_counts keeps the bounded-time theta join graded)
-    "positional_ids": positional_ids,                    # green r1+r2+r3+r8; demoted r9 (op-23 id assignment rides inside the graded chunk pipeline)
-    "greedy_token_buckets": greedy_token_buckets,        # green r1+r2+r3+r8; demoted r9 (tier-2 grouping inside the chunk pipeline; shard_pack enters)
-    "not_exists_high_value": not_exists_high_value,      # green r1+r2+r3+r8; demoted r9 (exists_agg_priority enters, mirrored EXISTS predicate)
-    "dedup_simhash": dedup_simhash,                      # green r1-r4+r8; demoted r9 (keep_best_quality + incremental_minhash + boilerplate_strip stay; embedding_cosine + vocab_fingerprint enter)
-    "hybrid_search_rrf": hybrid_search_rrf,              # green r3+r4+r8; demoted r9 (phrase_search_documents keeps the search family graded)
-    "text_language_id": text_language_id,                # green r1-r4+r8; demoted r9 (text_quality + text_repetition enter, same signal-scan family)
+    "events_json_props": events_json_props,  # green r1+r2+r3+r8; demoted r9 (events family keeps scd2 + funnel + retention graded)
+    "events_range_join": events_range_join,  # green r1+r2+r3+r8; demoted r9 (streaming_interval_join_counts keeps the bounded-time theta join graded)
+    "positional_ids": positional_ids,  # green r1+r2+r3+r8; demoted r9 (op-23 id assignment rides inside the graded chunk pipeline)
+    "greedy_token_buckets": greedy_token_buckets,  # green r1+r2+r3+r8; demoted r9 (tier-2 grouping inside the chunk pipeline; shard_pack enters)
+    "not_exists_high_value": not_exists_high_value,  # green r1+r2+r3+r8; demoted r9 (exists_agg_priority enters, mirrored EXISTS predicate)
+    "dedup_simhash": dedup_simhash,  # green r1-r4+r8; demoted r9 (keep_best_quality + incremental_minhash + boilerplate_strip stay; embedding_cosine + vocab_fingerprint enter)
+    "text_language_id": text_language_id,  # green r1-r4+r8; demoted r9 (text_quality + text_repetition enter, same signal-scan family)
     "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6+r7+r8; demoted r9 for bitext_mine_margin_bucketed's at-birth slot (line-level dedup family keeps keep_best_quality + incremental_minhash in-window; paragraph_dedup + remove_spans in tail; strip machinery driven by lg clean CLI tests)
-    # --- r8 attestation-refresh demotions (each green r1+r2+r7 unless
-    # --- noted; family twins named in the window block above) -------------
-    "semi_join_processed": semi_join_processed,          # green r1+r2+r7; demoted r8 (not_exists_high_value keeps semi/anti family graded)
-    "distinct_projection": distinct_projection,          # green r1+r2+r7; demoted r8 (agg_distinct_counts graded this round)
-    "filter_like": filter_like,                          # green r1+r2+r7; demoted r8 (status_counts + point_lookup graded this round)
-    "topk_limit": topk_limit,                            # green r1+r2+r7; demoted r8 (max_acctbal top-per-group graded this round)
-    "rollup_priority": rollup_priority,                  # green r1+r2+r7; demoted r8 (grouping_sets_status_priority graded this round)
-    "pivot_status": pivot_status,                        # green r1+r2+r7; demoted r8 (grouping_sets_status_priority graded this round)
-    "left_join_customer_orders": left_join_customer_orders,  # green r1+r2+r7; demoted r8 (events_range_join keeps the join family graded)
     "percentile_order_totals": percentile_order_totals,  # green r1+r2+r7; demoted r8 (scalar_subquery_part_avg graded this round)
-    "events_lag_gaps": events_lag_gaps,                  # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
-    "events_hourly": events_hourly,                      # green r1+r2+r7; demoted r8 (events family: json_props + range_join graded)
-    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1+r2+r7; demoted r8 (fingerprint grouping graded via dedup_keep_best_quality; dedup_simhash cycled in this round)
-    "text_token_counts": text_token_counts,              # green r1+r2+r7; demoted r8 (token-count machinery graded via greedy_token_buckets + positional_ids + chunk pipeline)
-    "text_stopword_ratios": text_stopword_ratios,        # green r1+r2+r7; demoted r8 for hll_store_merged_counts' at-birth slot (stopword arithmetic graded via quality_blend_documents' s_stop signal; quality bands via compression_band_report)
-    "token_length_band_documents": token_length_band_documents,  # green r6+r7; demoted r8 for text_kn_trigram_surprisal's at-birth slot (banding family graded via compression_band_report; token counts via greedy_token_buckets)
-    "mixture_plan_by_source": mixture_plan_by_source,    # green r6+r7; demoted r8 for knn_edges_ivf_embeddings' at-birth slot (sampling/mixing family graded via stratified_split_exact; epoch/temperature/weighted twins in tail)
-    "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6+r7; demoted r8 for bloom_token_membership's at-birth slot (PCA fit machinery graded end-to-end inside ann_pca_rerank_recall_embeddings; report projection pytest-pinned)
-    "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6+r7; demoted r8 for the early attestation refresh (dedup family keeps keep_best_quality + incremental_minhash + boilerplate_strip in-window; dedup_simhash enters)
-    "text_repetition_signals": text_repetition_signals,  # green r6+r7; demoted r8 for the early attestation refresh (quality family keeps compression_band_report + quality_blend_documents)
-    "perplexity_buckets_by_source": perplexity_buckets_by_source,  # green r6+r7; demoted r8 for the early attestation refresh (LM family keeps both KN rows graded this round)
-    "vocab_drift_by_source": vocab_drift_by_source,      # green r6+r7; demoted r8 for the early attestation refresh (corpus-health family keeps zipf_slope + collocation_pmi)
-    "validate_documents_expectations": validate_documents_expectations,  # green r6+r7; demoted r8 for the early attestation refresh (wide-mode HLL machinery graded via hll_distinct + hll_store rows; gate logic pytest-pinned)
-    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; demoted r8 for streaming_interval_join_counts' at-birth slot (blocked-matmul path graded via embedding_outliers + pca_rerank; semantic twins in tail)
 }
+
 

@@ -1,0 +1,197 @@
+"""Per-query source fingerprints — the changed-code-stays-in-window gate.
+
+Each registry query gets a fingerprint hashing every piece of source
+that determines its result:
+
+- the query function's own source (and, recursively, any queries.py
+  module-level helper it references),
+- the FULL source of every ``lovdata_pipeline_spark`` module in the
+  transitive import closure of the function body (queries import their
+  operators locally, so the function AST names its direct deps),
+- its DuckDB oracle SQL.
+
+``QUERY_FINGERPRINTS.json`` (committed) records each query's
+fingerprint as of its last attestation. The doctrine test
+(tests/test_window_doctrine.py) fails when a query's fingerprint
+changed but the query is neither in the graded window (first 50 keys —
+it will re-attest this round) nor covered by a recorded diffcheck run
+carrying the CURRENT fingerprint in BENCH_AUX.json's ``diffcheck``
+block (tools/diffcheck.py --record). This makes the r10 failure mode —
+late hardening commits touching operator code after the round's grade,
+with only a commit-message claim of re-verification — a mechanically
+detected violation (r10 VERDICT Next #4/#7).
+
+Usage:
+    python tools/fingerprints.py            # print drift vs manifest
+    python tools/fingerprints.py --write    # rewrite the manifest
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import inspect
+import json
+import os
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "lovdata_pipeline_spark"
+MANIFEST = os.path.join(REPO, "QUERY_FINGERPRINTS.json")
+
+
+def _module_path(mod: str) -> str | None:
+    """Dotted package module name -> source file path (static, no import)."""
+    rel = mod.replace(".", os.sep)
+    for cand in (
+        os.path.join(REPO, rel + ".py"),
+        os.path.join(REPO, rel, "__init__.py"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _imports_of_source(src: str) -> set[str]:
+    """Package-internal module names imported anywhere in ``src``."""
+    out: set[str] = set()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    out.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if not node.module.startswith(PKG):
+                continue
+            # `from pkg.mod import name` -> pkg.mod, unless the imported
+            # name is itself a submodule (`from pkg import embedding`)
+            if _module_path(node.module) is not None:
+                out.add(node.module)
+            for a in node.names:
+                sub = f"{node.module}.{a.name}"
+                if _module_path(sub) is not None:
+                    out.add(sub)
+    return out
+
+
+def _closure(mods: set[str], cache: dict[str, set[str]]) -> set[str]:
+    """Transitive package-import closure over module names."""
+    seen: set[str] = set()
+    todo = list(mods)
+    while todo:
+        m = todo.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        if m not in cache:
+            path = _module_path(m)
+            cache[m] = (
+                _imports_of_source(open(path).read()) if path is not None else set()
+            )
+        todo.extend(cache[m] - seen)
+    return seen
+
+
+def _queries_module_helpers(fn_src: str, qmod) -> list[str]:
+    """Sources of queries.py module-level callables the function references
+    (recursively) — changes to a shared helper must move every dependent
+    query's fingerprint, not just the helper's own."""
+    sources: dict[str, str] = {}
+
+    def visit(src: str) -> None:
+        for node in ast.walk(ast.parse(textwrap.dedent(src))):
+            if not isinstance(node, ast.Name):
+                continue
+            obj = getattr(qmod, node.id, None)
+            if obj is None or node.id in sources:
+                continue
+            if getattr(obj, "__module__", None) == qmod.__name__ and (
+                inspect.isfunction(obj) or inspect.isclass(obj)
+            ):
+                try:
+                    hsrc = inspect.getsource(obj)
+                except (OSError, TypeError):  # pragma: no cover
+                    continue
+                sources[node.id] = hsrc
+                visit(hsrc)
+
+    visit(fn_src)
+    return [sources[k] for k in sorted(sources)]
+
+
+def compute_fingerprints() -> dict[str, str]:
+    import lovdata_pipeline_spark.queries as qmod
+    from lovdata_pipeline_spark.oracles import ORACLES
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    cache: dict[str, set[str]] = {}
+    out: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        fn_src = inspect.getsource(fn)
+        helpers = _queries_module_helpers(fn_src, qmod)
+        mods = _imports_of_source(textwrap.dedent(fn_src))
+        for h in helpers:
+            mods |= _imports_of_source(textwrap.dedent(h))
+        h = hashlib.sha256()
+        h.update(fn_src.encode())
+        for src in helpers:
+            h.update(src.encode())
+        for m in sorted(_closure(mods, cache)):
+            path = _module_path(m)
+            if path is not None:
+                h.update(m.encode())
+                h.update(open(path, "rb").read())
+        h.update(ORACLES.get(name, "").encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def load_manifest() -> dict[str, str]:
+    if not os.path.exists(MANIFEST):
+        return {}
+    return json.load(open(MANIFEST))
+
+
+def check_window_doctrine(
+    fps_now: dict[str, str],
+    manifest: dict[str, str],
+    window: set[str],
+    diffcheck_records: dict[str, dict],
+) -> list[str]:
+    """Return doctrine violations: queries whose source fingerprint
+    changed since the committed manifest while sitting OUTSIDE the
+    graded window, with no recorded diffcheck run attesting the
+    current fingerprint. Empty list = compliant tree."""
+    violations = []
+    for name, fp in fps_now.items():
+        if manifest.get(name) == fp:
+            continue  # unchanged since last attestation
+        if name in window:
+            continue  # re-grades this round
+        rec = diffcheck_records.get(name)
+        if rec and rec.get("fingerprint") == fp and rec.get("pass"):
+            continue  # re-verified after the change, record committed
+        violations.append(name)
+    return violations
+
+
+def main(argv: list[str]) -> int:
+    fps = compute_fingerprints()
+    if "--write" in argv:
+        json.dump(fps, open(MANIFEST, "w"), indent=1, sort_keys=True)
+        print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
+        return 0
+    old = load_manifest()
+    drift = [k for k in fps if old.get(k) != fps[k]]
+    for k in drift:
+        print(f"CHANGED {k}")
+    print(f"{len(drift)} changed / {len(fps)} total")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
