@@ -1,0 +1,84 @@
+"""The changed-code-stays-in-window doctrine, as a test (r10 VERDICT
+Next #7): a query whose source fingerprint changed since the committed
+manifest must either sit in the graded window (first 50 registry keys
+— it re-attests this round) or carry a recorded diffcheck entry in
+BENCH_AUX.json attesting the CURRENT fingerprint. A late hardening
+commit that touches an out-of-window query's operator code without a
+committed re-verification record now fails the suite instead of riding
+on a commit-message claim.
+
+No Spark session needed — fingerprints are static source hashes.
+"""
+
+import json
+import os
+
+from tools.fingerprints import (
+    MANIFEST,
+    check_window_doctrine,
+    compute_fingerprints,
+    load_manifest,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _window() -> set[str]:
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    return set(list(QUERIES)[:50])
+
+
+def _diffcheck_records() -> dict:
+    aux_path = os.path.join(REPO, "BENCH_AUX.json")
+    if not os.path.exists(aux_path):
+        return {}
+    return json.load(open(aux_path)).get("diffcheck", {}).get("records", {})
+
+
+def test_manifest_exists_and_covers_registry():
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    manifest = load_manifest()
+    assert os.path.exists(MANIFEST), "QUERY_FINGERPRINTS.json missing"
+    missing = set(QUERIES) - set(manifest)
+    assert not missing, (
+        f"manifest lacks {sorted(missing)} — run "
+        "`python tools/fingerprints.py --write` at round end"
+    )
+
+
+def test_changed_code_stays_in_window_or_carries_record():
+    fps_now = compute_fingerprints()
+    violations = check_window_doctrine(
+        fps_now, load_manifest(), _window(), _diffcheck_records()
+    )
+    assert not violations, (
+        "queries whose source changed since the manifest but sit outside "
+        f"the graded window with no recorded diffcheck: {violations} — "
+        "either put them in the window, or run "
+        "`python tools/diffcheck.py --record <sf_dir> <names...>` and "
+        "commit BENCH_AUX.json, or (if this IS the round-end tree) "
+        "refresh the manifest with `python tools/fingerprints.py --write`"
+    )
+
+
+def test_synthetic_violation_trips_the_checker():
+    """The checker itself must catch a fabricated violation — a tail
+    query whose fingerprint drifted with no record."""
+    fps_now = {"a": "fp1", "b": "fp2", "c": "fp3", "d": "fp4"}
+    manifest = {"a": "fp1", "b": "OLD", "c": "OLD", "d": "OLD"}
+    window = {"b"}  # b changed but re-grades in-window
+    records = {  # c changed but carries a passing record at the new fp
+        "c": {"fingerprint": "fp3", "pass": True},
+        # d's record is stale (attests a different fingerprint)
+        "d": {"fingerprint": "STALE", "pass": True},
+    }
+    assert check_window_doctrine(fps_now, manifest, window, records) == ["d"]
+
+
+def test_synthetic_failed_record_does_not_attest():
+    fps_now = {"x": "fp"}
+    manifest = {"x": "OLD"}
+    records = {"x": {"fingerprint": "fp", "pass": False}}
+    assert check_window_doctrine(fps_now, manifest, set(), records) == ["x"]

@@ -4,7 +4,17 @@ Approximates the driver's t2 gate: row count, column names, and an
 order-insensitive value comparison (rows sorted, floats compared after
 round-trip through strings). Run:
 
-    python tools/diffcheck.py [sf_dir]
+    python tools/diffcheck.py [sf_dir] [query ...]
+    python tools/diffcheck.py --record [sf_dir] [query ...]
+
+``--record`` additionally merges an auditable per-query record into
+BENCH_AUX.json's ``diffcheck`` block — tree SHA, sf_dir, pass/fail,
+row count, a sha256 of the canonical result, and the query's source
+fingerprint (tools/fingerprints.py) at run time. This is the committed
+re-verification artifact the r10 VERDICT asked for (Next #4): when a
+graded query's operator code changes while the query sits outside the
+window, the record — not a commit-message claim — is what the
+doctrine test (tests/test_window_doctrine.py) and the judge replay.
 """
 
 from __future__ import annotations
@@ -71,7 +81,39 @@ def _dtype_drift(sdf, odf) -> list[str]:
     return out
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def _record_results(sf_dir: str, results: dict[str, dict]) -> None:
+    """Merge per-query records into BENCH_AUX.json's diffcheck block."""
+    import hashlib
+    import json
+    import subprocess
+
+    from tools.fingerprints import compute_fingerprints
+
+    aux_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BENCH_AUX.json")
+    aux = json.load(open(aux_path)) if os.path.exists(aux_path) else {}
+    block = aux.setdefault("diffcheck", {"records": {}})
+    sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    fps = compute_fingerprints()
+    for name, r in results.items():
+        block["records"][name] = {
+            "tree_sha": sha,
+            "sf_dir": sf_dir,
+            "pass": r["pass"],
+            "rows": r["rows"],
+            "result_sha256": r["result_sha256"],
+            "fingerprint": fps.get(name),
+        }
+    json.dump(aux, open(aux_path, "w"), indent=1)
+    print(f"recorded {len(results)} diffcheck entries into BENCH_AUX.json "
+          f"(tree {sha[:12]})")
+
+
+def main(sf_dir: str, only: list[str] | None = None, record: bool = False) -> int:
+    import hashlib
+
     spark = get_spark("diffcheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -79,6 +121,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     todo = QUERIES if not only else {n: QUERIES[n] for n in only}
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in todo.items():
         t0 = time.time()
         try:
@@ -111,17 +154,26 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         status = "ok   " if not problems else "FAIL "
         if problems:
             failures.append(name)
+        results[name] = {
+            "pass": not problems,
+            "rows": len(sdf),
+            "result_sha256": hashlib.sha256(repr(canon(sdf)).encode()).hexdigest(),
+        }
         print(f"{status} {name:32s} {len(sdf):7d} rows  ({time.time()-t0:.1f}s)  {'; '.join(problems)}")
 
     print(f"\n{len(todo) - len(failures)}/{len(todo)} passed")
     spark.stop()
+    if record and results:
+        _record_results(sf_dir, results)
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--record"]
     sys.exit(
         main(
-            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-            sys.argv[2:] or None,
+            argv[0] if argv else "/root/testdata/sf0.01",
+            argv[1:] or None,
+            record="--record" in sys.argv[1:],
         )
     )
