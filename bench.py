@@ -256,6 +256,21 @@ def main() -> None:
         timings[name], spreads[name] = _measure(run_once, reps)
 
     total = round(sum(timings.values()), 3)
+    # stamp the tree this record describes (r10 VERDICT Next #3: the
+    # round-end bench must be mechanically attributable to the final
+    # tree — "+dirty" marks uncommitted changes at run time)
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True
+        ).stdout.strip()
+        tree_sha = sha + ("+dirty" if dirty else "")
+    except Exception:  # pragma: no cover - git always present here
+        tree_sha = "unknown"
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -263,6 +278,7 @@ def main() -> None:
         # per-query MEDIANS over reps (spread = trimmed max-min); the e2e
         # pipeline entry is measured FIRST in the fresh JVM — see above
         "stat": "median",
+        "tree_sha": tree_sha,
         "queries": timings,
         "spread": spreads,
         "pipeline_docs_per_sec": pipeline_docs_per_sec,

@@ -122,6 +122,54 @@ class TestChunkStoreLegacySidecar:
         assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_t_or_null = st.one_of(st.none(), st.integers(0, 4))
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), _t_or_null), min_size=1, max_size=8
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), _t_or_null, st.integers(0, 3)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_python_oracle(spark, left, right):
+    """Property (r10 VERDICT Next #8): asof_join vs an exact python
+    oracle over random logs with tied and NULL timestamps — ties and
+    NULLs are where this family hides bugs (the scd2 episode). Oracle
+    semantics: per left row, the right row with the greatest
+    (rt, payload) among rt ≤ lt in the same key group; NULL right
+    times match nothing; NULL left times get no match."""
+    from lovdata_pipeline_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, t long",
+    )
+    rdf = spark.createDataFrame(right, "k long, rt long, v long")
+
+    def _key(rt, v):
+        return (rt, (v is not None, v))
+
+    expected = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, v) for (rk, rt, v) in right
+            if rk == k and rt is not None and t is not None and rt <= t
+        ]
+        expected[i] = max(cands, key=lambda c: _key(*c)) if cands else (None, None)
+
+    out = asof_join(ldf, rdf, "k", "t", "rt").collect()
+    assert len(out) == len(left)
+    got = {r.lid: (r.rt_asof, r.v_asof) for r in out}
+    assert got == expected
+
+
 class TestIntervalJoinRenameGuard:
     def test_existing_target_name_raises(self, spark):
         """r10 ADVICE: colliding column c with an existing r_<c> on the

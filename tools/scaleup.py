@@ -204,6 +204,63 @@ def write_events(spark, path: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(path)
 
 
+def write_clustered_batch(spark, out_dir: str, n_batch: int = 300) -> None:
+    """A locality-CLUSTERED daily batch (r10 VERDICT Next #5): real
+    recrawl batches cluster around a few topics, so their probe union
+    covers a small fraction of the IVF index — the uniform-random 1%
+    batch's 64/64-cell union is an artifact of the synthetic corpus,
+    not of the index design. Batch vectors are drawn near 3 anchor
+    vectors from the corpus (vec_id 0/7/13): unit-normalized
+    anchor + 0.02·U[-1,1]^64 perturbations (≈5° angular spread —
+    tight topical clusters; on this uniform-random corpus the 2nd-4th
+    nearest centroids are near-equidistant, so looser spreads inflate
+    the probe union far faster than they would on clustered corpora), ids offset by 10M so they never collide
+    with corpus ids. Deterministic (xxhash64 of the row id), written
+    next to the sf1 tables as daily_batch_clustered.parquet."""
+    emb = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+    anchors = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin(0, 7, 13)).collect()
+    }
+    anchor_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in anchors[k]])
+            for k in sorted(anchors)
+        ]
+    )
+    base = spark.range(n_batch).withColumnRenamed("id", "bid")
+    anchor = F.element_at(anchor_arr, (F.pmod(F.col("bid"), F.lit(3)) + 1).cast("int"))
+    perturbed = F.zip_with(
+        anchor,
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda a, j: a
+        + F.lit(0.02)
+        * (
+            F.pmod(_h(F.col("bid"), j, F.lit("pert")), F.lit(2_000_001))
+            / F.lit(1_000_000.0)
+            - F.lit(1.0)
+        ),
+    )
+
+    def _unit(r):
+        return F.element_at(
+            F.transform(
+                F.array(F.sqrt(F.aggregate(r, F.lit(0.0), lambda s, y: s + y * y))),
+                lambda nrm: F.transform(r, lambda x: (x / nrm).cast("float")),
+            ),
+            1,
+        )
+
+    out = base.select(
+        (F.col("bid") + F.lit(10_000_000)).alias("vec_id"),
+        F.element_at(F.transform(F.array(perturbed), _unit), 1).alias("embedding"),
+        F.pmod(_h(F.col("bid"), F.lit("blabel")), F.lit(10)).cast("int").alias("label"),
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "daily_batch_clustered.parquet")
+    )
+
+
 N_CUST = 150_000
 N_SUPP = 10_000
 N_PART = 200_000
@@ -352,6 +409,7 @@ def main() -> None:
     spark = get_spark("scaleup-sf1")
     write_documents(spark, os.path.join(out_dir, "documents.parquet"))
     write_embeddings(spark, os.path.join(out_dir, "embeddings.parquet"))
+    write_clustered_batch(spark, out_dir)
     write_events(spark, os.path.join(out_dir, "events.parquet"))
     write_relational(spark, out_dir)
     counts = {

@@ -128,6 +128,35 @@ SKIP_SF1_ORACLE = {
         "the Spark-side scale path itself is the partition-pruned "
         "index, plan-asserted at sf1 in tests/test_r10_fixes.py."
     ),
+    # --- r11 (VERDICT Next #6 — fence the remaining sweep): the same
+    # --- N²-oracle class, each carrying a genuine @sf0.1 full-oracle
+    # --- grade recorded alongside -------------------------------------
+    "dedup_embedding_cosine": (
+        "oracle scores ALL vec_id<vec_id pairs in SQL — ~200M 64-d dot "
+        "products at 20k vectors (the pagerank class). Hash-graded at "
+        "sf0.01 AND at sf0.1 (r11, via --sf-dir — 2M pairs, feasible); "
+        "the Spark scale swap is the LSH/blocked family, graded "
+        "separately."
+    ),
+    "dedup_embedding_cosine_blocked": (
+        "same N² pair oracle as dedup_embedding_cosine (~200M pairs at "
+        "20k vectors). Hash-graded at sf0.01 AND at sf0.1 (r11, via "
+        "--sf-dir); the blocked-matmul execution is the Spark-side "
+        "difference, not the algebra."
+    ),
+    "hard_negatives_embeddings": (
+        "oracle scores every cross-label pair in SQL — ~0.9·N² ≈ 360M "
+        "64-d dot products at 20k vectors. Hash-graded at sf0.01 AND "
+        "at sf0.1 (r11, via --sf-dir — ~3.6M pairs, feasible)."
+    ),
+    "dedup_simhash": (
+        "oracle compares all doc_id<doc_id signature pairs — ~1.25B "
+        "hamming evaluations at 50k docs (DuckDB plans the inequality "
+        "join as a filtered cross product). Hash-graded at sf0.01 AND "
+        "at sf0.1 (r11, via --sf-dir — ~12.5M pairs, feasible); the "
+        "Spark path bands signatures into equi-join buckets and never "
+        "materializes the quadratic pair set."
+    ),
 }
 
 #: queries whose sf1 hash match is VACUOUS (0 == 0 rows), with the
@@ -258,6 +287,22 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
         # keep the sf1 row (if any) intact: a mid-scale grade records
         # under "<name>@<label>" alongside it
         out = {f"{k}@{label}": v for k, v in out.items()}
+    # stamp the tree each record batch describes (r10 VERDICT Next #3) —
+    # per-record, since the block merges across runs/trees
+    import subprocess
+
+    try:
+        _sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        _dirty = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True
+        ).stdout.strip()
+        _tree = _sha + ("+dirty" if _dirty else "")
+    except Exception:  # pragma: no cover
+        _tree = "unknown"
+    for v in out.values():
+        v["tree_sha"] = _tree
     block = {"sf": "sf1", "queries": {**prior, **out}}
     # honest evidence: any recorded match touching these tables graded
     # sf0.1 data on the oracle side (the Spark side would have failed
