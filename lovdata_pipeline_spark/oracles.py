@@ -531,7 +531,7 @@ ORACLES: dict[str, str] = {
         FROM corpus GROUP BY md5(text) HAVING count(*) > 1
         ORDER BY content_hash
     """,
-    # vocab-fingerprint dedup; the r2 key "dedup_fingerprint_groups" is kept
+    # vocab-fingerprint dedup; the r2 alias key "dedup_fingerprint_groups" was removed r11
     # as a registry alias (see queries.py) so the r2→r3 rename is visible
     "dedup_vocab_fingerprint_groups": f"""
         SELECT md5(array_to_string(list_sort(list_distinct(
@@ -1002,7 +1002,6 @@ ORACLES["text_unigram_surprisal"] = r"""
 
 # Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
 # oracle so cross-round comparisons see both names (see queries.py registry).
-ORACLES["dedup_fingerprint_groups"] = ORACLES["dedup_vocab_fingerprint_groups"]
 
 # Dedup clusters: transitive closure of the MinHash pair graph via a
 # recursive CTE (reach(n, m) = m reachable from n), component id = min

@@ -719,8 +719,10 @@ def dedup_vocab_fingerprint_groups(spark, sf_dir):
     md5-of-normalized-text in r1 and vocabulary sets from r2 on — the
     rename makes that change visible in the grading artifacts instead of
     silently comparing different computations across rounds. The r2 key
-    ``dedup_fingerprint_groups`` stays registered (tail) as an alias so
-    both names appear in the registry."""
+    ``dedup_fingerprint_groups`` remained registered as an alias through
+    r10; r11 removed it — the alias mapped the same function to an
+    identical oracle string, double-counting one computation in the
+    registry (its grading history r1-r2+r7 belongs to THIS query)."""
     (docs,) = load(spark, sf_dir, "documents")
     fp = textstats.vocab_fingerprints(docs)
     return (
@@ -3561,7 +3563,7 @@ QUERIES = {
     "left_join_customer_orders": left_join_customer_orders,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
     "events_lag_gaps": events_lag_gaps,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
     "events_hourly": events_hourly,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "dedup_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1-r2+r7 (as the pre-rename alias key) + r9; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2) — takes the slot its removed r2 alias key "dedup_fingerprint_groups" held: the alias mapped the SAME function to an IDENTICAL oracle, double-counting one computation in the registry, so r11 deletes it (registry 144 -> 143; rename rationale preserved in the function docstring + git)
     "text_token_counts": text_token_counts,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
     "text_stopword_ratios": text_stopword_ratios,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
     "token_length_band_documents": token_length_band_documents,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
@@ -3589,7 +3591,7 @@ QUERIES = {
     "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
     "decontaminate_clean_set": decontaminate_clean_set,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
     "dedup_components": dedup_components,  # green r3-r5+r10; demoted r11 (span/graph dedup family: dedup_remove_spans re-enters; label propagation pytest-pinned)
-    "dedup_exact_groups": dedup_exact_groups,  # green r1-r5+r10; demoted r11 (exact-grouping twin dedup_fingerprint_groups re-enters)
+    "dedup_exact_groups": dedup_exact_groups,  # green r1-r5+r10; demoted r11 (exact-grouping twin dedup_vocab_fingerprint_groups re-enters)
     "dedup_minhash_lsh": dedup_minhash_lsh,  # green r1-r5+r10; demoted r11 (shingle+jaccard family: dedup_remove_spans re-enters; incremental twin dedup_incremental_minhash r9-green in tail)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # green r1-r5+r10; demoted r11 (exact twin of dedup_ngram_jaccard_capped, which STAYS in-window (same SSJoin algebra, cap replayed in its oracle))
     "dedup_shared_spans": dedup_shared_spans,  # green r4-r5+r10; demoted r11 (strict superset dedup_remove_spans re-enters)
@@ -3598,7 +3600,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,  # green r2-r5+r10; demoted r11 (decimal-agg family: q3_top_unshipped re-enters)
     "sequence_manifest_documents": sequence_manifest_documents,  # green r5+r10; demoted r11 (strict superset pack_emit_sequences re-enters)
     "temperature_mix_orders": temperature_mix_orders,  # green r4-r5+r10; demoted r11 (mixing family: epoch_mix_documents + quality_quota_by_source re-enter)
-    "text_fingerprints": text_fingerprints,  # green r2-r5+r10; demoted r11 (fingerprint family: dedup_fingerprint_groups re-enters)
+    "text_fingerprints": text_fingerprints,  # green r2-r5+r10; demoted r11 (fingerprint family: dedup_vocab_fingerprint_groups re-enters)
     "text_quality_classifier": text_quality_classifier,  # green r4-r5+r10; demoted r11 (quality family: text_gopher_quality re-enters; LR apply side shares train_quality_classifier_documents' weights (r9-green in tail))
     "text_winnowing": text_winnowing,  # green r2-r5+r10; demoted r11 (winnowing primitive composed inside dedup_remove_spans, re-entering)
     "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; demoted r11 (PCA fit family: pca_variance_report_embeddings re-enters (same fit machinery); recall contract sf0.01+sf1 hash-green r10)
@@ -3635,7 +3637,6 @@ QUERIES = {
     "knn_join_top3": knn_join_top3,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk in-window (exact cosine top-k) + knn_edges_ivf_embeddings staying)
     "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + weighted_sample/hash_split/cluster_balanced re-entering; stratified_split_exact r7b-r9-green cycles in the second-half refresh)
     "dedup_embedding_cosine": dedup_embedding_cosine,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk (exact cosine) + dedup_components in-window)
-    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_fingerprints in-window (fingerprint family))
     "embedding_cluster_assign": embedding_cluster_assign,  # demoted r10 for the attestation-refresh rotation (green r9; twin knn_edges_ivf_embeddings staying (same quantize/assign machinery))
     "ann_topk_ivf": ann_topk_ivf,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_topk_pq + ann_cosine_topk in-window, ivfpq + sq8 re-entering; ann_topk_ivf_index r7-r9-green cycles in the second-half refresh)
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # demoted r10 for the attestation-refresh rotation (green r9; twin bitext_mine_margin_bucketed staying (the same seed-42 _srp_bits machinery) + ann_cosine_topk in-window)
