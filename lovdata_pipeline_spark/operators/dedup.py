@@ -931,11 +931,18 @@ def remove_duplicated_spans(
     with substring + an order-pinned array_join. Nothing ever shuffles
     except by doc id, and docs without spans pass through a left join.
     """
+    # distinct (r11): removal ranges are a SET — the same doc_b range
+    # arriving from several doc_a partners is one removal. Exact
+    # duplicate (s, e) rows also make the window ordering below
+    # tie-ambiguous; Spark evaluates both window functions over ONE
+    # sort so it never flapped here, but the DuckDB oracle's two
+    # independent window passes did (r11 sf1 sweep finding) — both
+    # engines now merge the same deduplicated set.
     b = spans.select(
         F.col("doc_b").alias(id_col),
         F.col("b_start").alias("s"),
         F.col("b_end").alias("e"),
-    )
+    ).distinct()
     # merge overlapping/adjacent removal ranges: island = #starts seen
     # that open past the running max end so far (gaps-and-islands)
     ord_w = Window.partitionBy(id_col).orderBy("s", "e")

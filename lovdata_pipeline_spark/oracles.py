@@ -1128,7 +1128,17 @@ ORACLES["dedup_shared_spans"] = f"""
 # untouched docs hash their original text through the left join.
 ORACLES["dedup_remove_spans"] = f"""
         WITH {_SPAN_CTES},
-        rb AS (SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
+        -- DISTINCT (r11): removal ranges are a SET — the same doc_b
+        -- range arriving from several doc_a partners is one removal.
+        -- Without it, exact-duplicate (s, e) rows make the ordd→risl
+        -- window chain ORDER BY (s, e) tie-AMBIGUOUS, and DuckDB's two
+        -- window passes re-sort independently (parallel, unstable), so
+        -- the pme=NULL marker and the cumulative island sum could land
+        -- on DIFFERENT physical duplicates run to run — the r11 sf1
+        -- sweep caught the flap (islands [1,1] vs [0,1] for the same
+        -- doc). Spark is single-pass over one sort, but mirrors the
+        -- DISTINCT so both engines merge the same set.
+        rb AS (SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
         ordd AS (
           SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme

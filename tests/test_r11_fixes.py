@@ -122,6 +122,40 @@ class TestChunkStoreLegacySidecar:
         assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
 
 
+class TestRemoveSpansDuplicateRanges:
+    def test_duplicate_ranges_merge_to_one_region(self, spark):
+        """r11 sf1 sweep finding: the same doc_b range arriving from
+        SEVERAL doc_a partners is one removal — duplicate (s, e) rows
+        must not inflate n_cut_regions or n_chars_removed, and (the
+        oracle side of the same fix) must not make the interval-merge
+        window chain tie-ambiguous."""
+        from lovdata_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 50), (2, "b" * 50)], "doc_id long, text string"
+        )
+        spans = spark.createDataFrame(
+            [  # doc 1's range [11,20] reported by two partners + an
+                # overlapping [15,25]; doc 2 untouched
+                (100, 1, 0, 9, 11, 20),
+                (200, 1, 0, 9, 11, 20),
+                (300, 1, 0, 9, 15, 25),
+            ],
+            "doc_a long, doc_b long, a_start long, a_end long, "
+            "b_start long, b_end long",
+        )
+        out = {r.doc_id: r for r in remove_duplicated_spans(docs, spans).collect()}
+        assert out[1].n_cut_regions == 1
+        assert out[1].n_chars_removed == 15  # [11,25] merged once
+        assert out[2].n_cut_regions == 0 and out[2].n_chars_removed == 0
+        import hashlib
+
+        expect_clean = "a" * 10 + "a" * 25  # chars 1-10 + 26-50
+        assert out[1].clean_hash == hashlib.md5(expect_clean.encode()).hexdigest()
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
