@@ -259,18 +259,9 @@ def main() -> None:
     # stamp the tree this record describes (r10 VERDICT Next #3: the
     # round-end bench must be mechanically attributable to the final
     # tree — "+dirty" marks uncommitted changes at run time)
-    import subprocess
+    from tools.gitinfo import tree_sha as _tree_sha
 
-    try:
-        sha = subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "status", "--porcelain"], capture_output=True, text=True
-        ).stdout.strip()
-        tree_sha = sha + ("+dirty" if dirty else "")
-    except Exception:  # pragma: no cover - git always present here
-        tree_sha = "unknown"
+    tree_sha = _tree_sha()
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,

@@ -49,10 +49,30 @@ def asof_join(
     lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
     _integral = {"tinyint", "smallint", "int", "bigint"}
     if lt == rt == "string":
-        # String time columns compare lexicographically, which orders
-        # unpadded numeric strings wrong ("10" < "9") — keep the
-        # pre-r10 double cast for string/string (r10 ADVICE).
-        _key = lambda c: F.col(c).cast("double")
+        # String time columns (r10 ADVICE + r11 review): a bare native
+        # compare orders unpadded NUMERIC strings wrong ("10" < "9"),
+        # while an unconditional cast("double") NULLs out non-numeric
+        # strings (ISO dates!) and silently degrades the join. Layered
+        # key instead: numeric-parseable strings order numerically and
+        # sort BEFORE non-parseable ones; non-parseable (e.g. ISO-8601)
+        # order lexicographically — which IS chronological for a
+        # consistently-formatted column. Mixed parseability within one
+        # column has no right answer; the order is then at least
+        # deterministic and documented. NULL originals stay NULL
+        # (whole-struct NULL sorts first → no match), preserving the
+        # NULL-time semantics below.
+        def _key(c):
+            # try_cast, not cast: ANSI mode (Spark 4 default) makes
+            # cast("double") RAISE on non-numeric strings
+            d = F.col(c).try_cast("double")
+            return F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    d.isNull().cast("int").alias("nn"),
+                    d.alias("d"),
+                    F.col(c).alias("s"),
+                ),
+            )
     elif lt == rt:
         _key = lambda c: F.col(c)
     elif lt in _integral and rt in _integral:

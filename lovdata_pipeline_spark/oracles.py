@@ -1000,8 +1000,9 @@ ORACLES["text_unigram_surprisal"] = r"""
         FROM per GROUP BY doc_id ORDER BY doc_id
 """
 
-# Registry alias: the r2 key for the vocab-fingerprint dedup query keeps its
-# oracle so cross-round comparisons see both names (see queries.py registry).
+# (The r2 alias key "dedup_fingerprint_groups" and its duplicate oracle
+# were removed in r11 — one computation, one registry entry; see the
+# dedup_vocab_fingerprint_groups entry above and queries.py.)
 
 # Dedup clusters: transitive closure of the MinHash pair graph via a
 # recursive CTE (reach(n, m) = m reachable from n), component id = min

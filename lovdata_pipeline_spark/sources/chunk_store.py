@@ -77,8 +77,14 @@ class ChunkStore:
         # Legacy stores (pre-sidecar, non-empty) get the sidecar pinned ON
         # OPEN, not on the next mutation — otherwise a later open with an
         # explicit wrong modulus still slips past the mismatch guard and
-        # silently corrupts the layout (r10 ADVICE). The adopted count is
-        # sanity-checked against the directories actually on disk first.
+        # silently corrupts the layout (r10 ADVICE). Only an EXPLICIT
+        # n_buckets may pin: the bucket directories alone cannot confirm
+        # a modulus (max dir < n is necessary, not sufficient), so
+        # pinning the 32 DEFAULT onto, say, a legacy 4-bucket store would
+        # itself be the corruption — and even read paths are unsafe under
+        # a guessed modulus, because chunks_for_document PRUNES to the
+        # computed bucket and silently misses (r11 review). A default
+        # open of an ambiguous legacy store therefore fails loud.
         if stored is None:
             on_disk = [
                 int(p.name.split("=", 1)[1])
@@ -86,6 +92,15 @@ class ChunkStore:
                 if p.is_dir() and p.name.split("=", 1)[1].isdigit()
             ]
             if on_disk:
+                if n_buckets is None:
+                    raise ValueError(
+                        f"chunk store at {self.root} predates the "
+                        "_store_meta.json sidecar and its bucket modulus "
+                        "cannot be inferred from the directories — open it "
+                        "once with the explicit original n_buckets (this "
+                        "pins the sidecar); even bucket-pruned reads are "
+                        "wrong under a guessed modulus"
+                    )
                 if max(on_disk) >= self.n_buckets:
                     raise ValueError(
                         f"chunk store at {self.root} has bucket directories "
@@ -96,7 +111,12 @@ class ChunkStore:
                     )
                 import json as _json
 
-                meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
+                try:
+                    meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
+                except OSError:
+                    # read-only mount: the validation above still ran;
+                    # pinning simply waits for a writable open
+                    pass
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")

@@ -105,23 +105,32 @@ def interval_join(
     l = left.withWatermark(left_time, watermark)
 
     # withColumnRenamed does NOT guard against an existing target name,
-    # so renaming c -> r_<c> when the right frame already carries a
-    # column literally named r_<c> would silently produce duplicate
-    # column names (r10 ADVICE) — fail loud instead.
+    # so renaming c -> r_<c> when either frame already carries a column
+    # literally named r_<c> would silently produce duplicate column
+    # names in the right frame or the joined output (r10 ADVICE + r11
+    # review) — fail loud instead.
     def _rename(df: DataFrame, src: str, dst: str) -> DataFrame:
-        if dst in df.columns:
+        if dst in df.columns or dst in left.columns:
+            where = "right frame" if dst in df.columns else "left frame"
             raise ValueError(
                 f"interval_join cannot rename right column {src!r} to "
-                f"{dst!r}: the right frame already has a column named "
+                f"{dst!r}: the {where} already has a column named "
                 f"{dst!r} — rename it upstream"
             )
         return df.withColumnRenamed(src, dst)
 
-    r = _rename(_rename(right, on, f"r_{on}"), right_time, f"r_{right_time}")
+    reserved = (f"r_{on}", f"r_{right_time}")
+    r = _rename(_rename(right, on, reserved[0]), right_time, reserved[1])
     # key/time are already renamed away, so every remaining name shared
-    # with the left side is a genuine payload collision
+    # with the left side is a genuine payload collision. SKIP the two
+    # reserved join-key names just created: without the skip, a left
+    # frame already carrying r_<on> (e.g. the output of a previous
+    # interval_join) made this loop rename the right JOIN KEY to
+    # r_r_<on>, and the join condition's F.col(f"r_{on}") then bound to
+    # the LEFT frame's column — a silently wrong near-cross join (r11
+    # review). That left-side collision now raises in _rename above.
     for c in r.columns:
-        if c in left.columns:
+        if c in left.columns and c not in reserved:
             r = _rename(r, c, f"r_{c}")
     r = r.withWatermark(f"r_{right_time}", watermark)
     cond = (

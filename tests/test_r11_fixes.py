@@ -56,18 +56,44 @@ class TestAsofAdviceFixes:
         assert len(picks) == 1
 
     def test_string_time_columns_compare_numerically(self, spark):
-        """r10 ADVICE: string/string time columns regressed to
-        lexicographic comparison ("10" < "9"); the double cast is back."""
+        """r10 ADVICE: string/string NUMERIC time columns must order
+        numerically ("9" before "10"), not lexicographically."""
         from lovdata_pipeline_spark.operators.asof import asof_join
 
-        left = spark.createDataFrame([(1, "10")], "k int, t string")
+        left = spark.createDataFrame([(1, "10"), (1, "2")], "k int, t string")
         right = spark.createDataFrame(
             [(1, "9", "early"), (1, "10", "exact")], "k int, rt string, v string"
         )
+        rows = {r.t: r.v_asof for r in asof_join(left, right, "k", "t", "rt").collect()}
+        # lexicographically "9" > "10" would leave t="10" unmatched and
+        # t="2" matched to "10"; numerically "10" matches "10" exactly
+        # and "2" precedes both rights (no match)
+        assert rows == {"10": "exact", "2": None}
+
+    def test_iso_string_time_columns_stay_chronological(self, spark):
+        """r11 review: an unconditional cast("double") NULLed out
+        NON-numeric time strings (ISO dates) and silently matched every
+        left row to the max-struct right row — ISO strings must keep
+        their (lexicographic == chronological) ordering."""
+        from lovdata_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, "2024-03-01")], "k int, t string")
+        right = spark.createDataFrame(
+            [(1, "2024-01-01", "jan"), (1, "2024-06-01", "jun")],
+            "k int, rt string, v string",
+        )
         rows = asof_join(left, right, "k", "t", "rt").collect()
-        # lexicographically "9" > "10" would leave no match at all;
-        # numerically both qualify and the latest ("10") wins
-        assert len(rows) == 1 and rows[0].v_asof == "exact"
+        assert len(rows) == 1 and rows[0].v_asof == "jan"  # not jun!
+
+    def test_null_string_left_time_matches_nothing(self, spark):
+        from lovdata_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, None)], "k int, t string")
+        right = spark.createDataFrame(
+            [(1, "2024-01-01", "jan")], "k int, rt string, v string"
+        )
+        rows = asof_join(left, right, "k", "t", "rt").collect()
+        assert len(rows) == 1 and rows[0].v_asof is None
 
 
 class TestChunkStoreLegacySidecar:
@@ -119,6 +145,21 @@ class TestChunkStoreLegacySidecar:
 
         tmp = tempfile.mkdtemp(prefix="empty_store_")
         ChunkStore(spark, tmp)
+        assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
+
+    def test_default_open_of_legacy_store_fails_loud(self, spark):
+        """r11 review: the bucket dirs cannot CONFIRM a modulus (max
+        dir < n is necessary, not sufficient), so a default open of a
+        legacy store must not pin 32 onto, say, a 4-bucket layout —
+        and even bucket-pruned reads are wrong under a guessed
+        modulus. Fail loud instead."""
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_default_")
+        self._legacy_store(spark, tmp)
+        with pytest.raises(ValueError, match="cannot be inferred"):
+            ChunkStore(spark, tmp)  # default n_buckets=None
+        # sidecar must NOT have been written by the failed open
         assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
 
 
@@ -219,6 +260,25 @@ class TestIntervalJoinRenameGuard:
             "user_id int, ts timestamp, value string, r_value string",
         )
         with pytest.raises(ValueError, match="r_value"):
+            interval_join(left, right)
+
+    def test_left_frame_reserved_name_raises(self, spark):
+        """r11 review: a left frame already carrying r_<on> (e.g. the
+        output of a previous interval_join) made the collision loop
+        rename the right JOIN KEY to r_r_<on>, and the join condition
+        then bound r_<on> to the LEFT column — a silently wrong
+        near-cross join. Must raise instead."""
+        from lovdata_pipeline_spark.streaming.windows import interval_join
+
+        t0 = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0, "x", 2)],
+            "user_id int, ts timestamp, value string, r_user_id int",
+        )
+        right = spark.createDataFrame(
+            [(1, t0, "y")], "user_id int, ts timestamp, value string"
+        )
+        with pytest.raises(ValueError, match="left frame"):
             interval_join(left, right)
 
     def test_plain_collision_still_renamed(self, spark):

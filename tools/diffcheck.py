@@ -83,19 +83,16 @@ def _dtype_drift(sdf, odf) -> list[str]:
 
 def _record_results(sf_dir: str, results: dict[str, dict]) -> None:
     """Merge per-query records into BENCH_AUX.json's diffcheck block."""
-    import hashlib
     import json
-    import subprocess
 
     from tools.fingerprints import compute_fingerprints
+    from tools.gitinfo import tree_sha
 
     aux_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "BENCH_AUX.json")
     aux = json.load(open(aux_path)) if os.path.exists(aux_path) else {}
     block = aux.setdefault("diffcheck", {"records": {}})
-    sha = subprocess.run(
-        ["git", "rev-parse", "HEAD"], capture_output=True, text=True
-    ).stdout.strip()
+    sha = tree_sha()
     fps = compute_fingerprints()
     for name, r in results.items():
         block["records"][name] = {

@@ -182,7 +182,7 @@ def main() -> None:
     # random synthetic corpus, not of the index — real recrawl batches
     # cluster. tools/scaleup.py now generates a deterministic
     # locality-clustered batch (300 vectors near 3 corpus anchors,
-    # ≈13° spread); measure its probe union, the files the scan
+    # ≈5° spread); measure its probe union, the files the scan
     # admits, and the wall-time at the HEADLINE batch size.
     cb_path = os.path.join(sf_dir, "daily_batch_clustered.parquet")
     if not os.path.exists(cb_path):

@@ -289,18 +289,9 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
         out = {f"{k}@{label}": v for k, v in out.items()}
     # stamp the tree each record batch describes (r10 VERDICT Next #3) —
     # per-record, since the block merges across runs/trees
-    import subprocess
+    from tools.gitinfo import tree_sha
 
-    try:
-        _sha = subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
-        ).stdout.strip()
-        _dirty = subprocess.run(
-            ["git", "status", "--porcelain"], capture_output=True, text=True
-        ).stdout.strip()
-        _tree = _sha + ("+dirty" if _dirty else "")
-    except Exception:  # pragma: no cover
-        _tree = "unknown"
+    _tree = tree_sha()
     for v in out.values():
         v["tree_sha"] = _tree
     block = {"sf": "sf1", "queries": {**prior, **out}}
