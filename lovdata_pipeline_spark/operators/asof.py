@@ -63,14 +63,20 @@ def asof_join(
         # NULL-time semantics below.
         def _key(c):
             # try_cast, not cast: ANSI mode (Spark 4 default) makes
-            # cast("double") RAISE on non-numeric strings
+            # cast("double") RAISE on non-numeric strings. The raw
+            # string rides in the struct ONLY for non-parseable values:
+            # an unconditional third field would re-order numerically
+            # EQUAL but textually different spellings ("10" vs "10.0")
+            # and silently break the <= boundary — the right row at
+            # exactly-equal time must tie here so _side decides
+            # (r11 review, confirmed live).
             d = F.col(c).try_cast("double")
             return F.when(
                 F.col(c).isNotNull(),
                 F.struct(
                     d.isNull().cast("int").alias("nn"),
                     d.alias("d"),
-                    F.col(c).alias("s"),
+                    F.when(d.isNull(), F.col(c)).alias("s"),
                 ),
             )
     elif lt == rt:

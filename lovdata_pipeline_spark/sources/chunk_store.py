@@ -109,14 +109,20 @@ class ChunkStore:
                         "larger modulus — open with the original n_buckets "
                         "or rebuild the store"
                     )
+                import errno
                 import json as _json
 
                 try:
                     meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
-                except OSError:
-                    # read-only mount: the validation above still ran;
-                    # pinning simply waits for a writable open
-                    pass
+                except OSError as exc:
+                    # ONLY the read-only cases pass silently (validation
+                    # above still ran; pinning waits for a writable
+                    # open). Swallowing e.g. ENOSPC would silently leave
+                    # a WRITABLE store unpinned and revive the slip-past
+                    # corruption path this guard exists to close (r11
+                    # review).
+                    if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
+                        raise
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")

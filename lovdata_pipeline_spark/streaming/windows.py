@@ -100,46 +100,44 @@ def interval_join(
     collides with a left column (both sides carrying the engine's
     standard event shape — event_type/value — is the common case; an
     un-renamed collision would make the join output ambiguous and fail
-    the first downstream select — r10 review).
+    the first downstream select — r10 review). When the preferred
+    ``r_<name>`` is itself taken on EITHER side (e.g. the left frame is
+    the output of a previous interval_join and already carries
+    ``r_user_id``), the rename falls through to ``r2_<name>``,
+    ``r3_<name>``, … — so joins CHAIN instead of raising, and the join
+    condition binds with frame-qualified references so a left-side
+    ``r_<on>`` can never capture the key comparison (r11 review: the
+    string-bound F.col used to bind to the LEFT column, producing a
+    silently wrong near-cross join).
     """
     l = left.withWatermark(left_time, watermark)
 
-    # withColumnRenamed does NOT guard against an existing target name,
-    # so renaming c -> r_<c> when either frame already carries a column
-    # literally named r_<c> would silently produce duplicate column
-    # names in the right frame or the joined output (r10 ADVICE + r11
-    # review) — fail loud instead.
-    def _rename(df: DataFrame, src: str, dst: str) -> DataFrame:
-        if dst in df.columns or dst in left.columns:
-            where = "right frame" if dst in df.columns else "left frame"
-            raise ValueError(
-                f"interval_join cannot rename right column {src!r} to "
-                f"{dst!r}: the {where} already has a column named "
-                f"{dst!r} — rename it upstream"
-            )
-        return df.withColumnRenamed(src, dst)
+    # Deterministic fresh-name pick: withColumnRenamed does NOT guard
+    # against an existing target name (r10 ADVICE), and a fixed r_
+    # prefix cannot serve chained joins (r11 review) — walk r_, r2_,
+    # r3_, … until the name is free on both sides.
+    def _fresh(df: DataFrame, base: str) -> str:
+        dst, i = f"r_{base}", 2
+        while dst in df.columns or dst in left.columns:
+            dst, i = f"r{i}_{base}", i + 1
+        return dst
 
-    reserved = (f"r_{on}", f"r_{right_time}")
-    r = _rename(_rename(right, on, reserved[0]), right_time, reserved[1])
+    kcol = _fresh(right, on)
+    r = right.withColumnRenamed(on, kcol)
+    tcol = _fresh(r, right_time)
+    r = r.withColumnRenamed(right_time, tcol)
     # key/time are already renamed away, so every remaining name shared
-    # with the left side is a genuine payload collision. SKIP the two
-    # reserved join-key names just created: without the skip, a left
-    # frame already carrying r_<on> (e.g. the output of a previous
-    # interval_join) made this loop rename the right JOIN KEY to
-    # r_r_<on>, and the join condition's F.col(f"r_{on}") then bound to
-    # the LEFT frame's column — a silently wrong near-cross join (r11
-    # review). That left-side collision now raises in _rename above.
+    # with the left side is a genuine payload collision
     for c in r.columns:
-        if c in left.columns and c not in reserved:
-            r = _rename(r, c, f"r_{c}")
-    r = r.withWatermark(f"r_{right_time}", watermark)
+        if c in left.columns and c not in (kcol, tcol):
+            r = r.withColumnRenamed(c, _fresh(r, c))
+    r = r.withWatermark(tcol, watermark)
+    # frame-qualified references: immune to same-name columns on the
+    # other side by construction
     cond = (
-        (F.col(on) == F.col(f"r_{on}"))
-        & (F.col(f"r_{right_time}") <= F.col(left_time))
-        & (
-            F.col(f"r_{right_time}")
-            >= F.col(left_time) - F.expr(f"INTERVAL {lookback}")
-        )
+        (l[on] == r[kcol])
+        & (r[tcol] <= l[left_time])
+        & (r[tcol] >= l[left_time] - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "inner")
 

@@ -246,9 +246,10 @@ def test_asof_join_matches_python_oracle(spark, left, right):
 
 
 class TestIntervalJoinRenameGuard:
-    def test_existing_target_name_raises(self, spark):
+    def test_existing_target_name_gets_fresh_suffix(self, spark):
         """r10 ADVICE: colliding column c with an existing r_<c> on the
-        right frame used to silently produce duplicate names."""
+        right frame used to silently produce duplicate names — the
+        rename now walks to r2_<c>."""
         from lovdata_pipeline_spark.streaming.windows import interval_join
 
         t0 = datetime.datetime(2024, 1, 1)
@@ -259,27 +260,41 @@ class TestIntervalJoinRenameGuard:
             [(1, t0, "y", "z")],
             "user_id int, ts timestamp, value string, r_value string",
         )
-        with pytest.raises(ValueError, match="r_value"):
-            interval_join(left, right)
+        out = interval_join(left, right)
+        assert sorted(c for c in out.columns if c.endswith("value")) == [
+            "r2_value", "r_value", "value",
+        ]
+        rows = out.collect()
+        assert len(rows) == 1
+        assert (rows[0].value, rows[0].r_value, rows[0].r2_value) == ("x", "z", "y")
 
-    def test_left_frame_reserved_name_raises(self, spark):
-        """r11 review: a left frame already carrying r_<on> (e.g. the
-        output of a previous interval_join) made the collision loop
-        rename the right JOIN KEY to r_r_<on>, and the join condition
-        then bound r_<on> to the LEFT column — a silently wrong
-        near-cross join. Must raise instead."""
+    def test_chained_interval_join_binds_keys_correctly(self, spark):
+        """r11 review: a left frame already carrying r_<on> (the output
+        of a previous interval_join) made the collision loop rename the
+        right JOIN KEY to r_r_<on>, and the string-bound join condition
+        then compared two LEFT columns — a silently wrong near-cross
+        join. The key now renames to a fresh r2_<on> and the condition
+        binds frame-qualified, so chaining works and keys stay keyed."""
         from lovdata_pipeline_spark.streaming.windows import interval_join
 
         t0 = datetime.datetime(2024, 1, 1)
         left = spark.createDataFrame(
-            [(1, t0, "x", 2)],
+            # r_user_id deliberately DIFFERS from user_id: the broken
+            # binding (user_id == r_user_id on the left frame) would
+            # drop this row; the correct key binding keeps it
+            [(1, t0, "x", 99)],
             "user_id int, ts timestamp, value string, r_user_id int",
         )
         right = spark.createDataFrame(
-            [(1, t0, "y")], "user_id int, ts timestamp, value string"
+            [(1, t0, "y"), (2, t0, "z")],
+            "user_id int, ts timestamp, value string",
         )
-        with pytest.raises(ValueError, match="left frame"):
-            interval_join(left, right)
+        out = interval_join(left, right)
+        rows = out.collect()
+        assert len(rows) == 1  # joined to right user 1 only, not user 2
+        assert rows[0].r_user_id == 99  # left's own column untouched
+        assert rows[0].r2_user_id == 1  # right key under the fresh name
+        assert rows[0].r_value == "y"  # plain collision keeps r_ prefix
 
     def test_plain_collision_still_renamed(self, spark):
         from lovdata_pipeline_spark.streaming.windows import interval_join

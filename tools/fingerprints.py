@@ -182,6 +182,32 @@ def check_window_doctrine(
 def main(argv: list[str]) -> int:
     fps = compute_fingerprints()
     if "--write" in argv:
+        # The manifest is the doctrine test's baseline, so rewriting it
+        # in the same change that touches an out-of-window query's code
+        # would make the gate vacuous (r11 review). Refuse unless every
+        # drifted out-of-window query carries a passing diffcheck
+        # record at its NEW fingerprint; --force overrides (e.g. for a
+        # deliberate re-baseline, which should say so in the commit).
+        if "--force" not in argv:
+            from lovdata_pipeline_spark.queries import QUERIES
+
+            aux_path = os.path.join(REPO, "BENCH_AUX.json")
+            records = {}
+            if os.path.exists(aux_path):
+                records = (
+                    json.load(open(aux_path)).get("diffcheck", {}).get("records", {})
+                )
+            violations = check_window_doctrine(
+                fps, load_manifest(), set(list(QUERIES)[:50]), records
+            )
+            if violations:
+                print(
+                    "REFUSING --write: out-of-window queries drifted with no "
+                    f"passing diffcheck record at the new fingerprint: {violations}\n"
+                    "run `python tools/diffcheck.py --record <sf_dir> <names...>` "
+                    "first (or --force for a deliberate re-baseline)"
+                )
+                return 1
         json.dump(fps, open(MANIFEST, "w"), indent=1, sort_keys=True)
         print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
         return 0
