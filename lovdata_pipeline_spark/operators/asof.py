@@ -63,14 +63,18 @@ def asof_join(
         # NULL-time semantics below.
         def _key(c):
             # try_cast, not cast: ANSI mode (Spark 4 default) makes
-            # cast("double") RAISE on non-numeric strings. The raw
-            # string rides in the struct ONLY for non-parseable values:
-            # an unconditional third field would re-order numerically
-            # EQUAL but textually different spellings ("10" vs "10.0")
-            # and silently break the <= boundary — the right row at
-            # exactly-equal time must tie here so _side decides
-            # (r11 review, confirmed live).
-            d = F.col(c).try_cast("double")
+            # cast RAISE on non-numeric strings. DECIMAL(38,18), not
+            # double: double ties distinct int64-nanosecond epochs
+            # (ULP at 1.7e18 is 256 — a right row 1 ns in the future
+            # would tie and match); decimal keeps 20 integer digits
+            # exact AND equates different spellings of the same number
+            # ("10" vs "10.0"). The raw string rides in the struct
+            # ONLY for non-parseable values: an unconditional third
+            # field would re-order those equal spellings and silently
+            # break the <= boundary — the right row at exactly-equal
+            # time must tie here so _side decides (r11 review,
+            # confirmed live).
+            d = F.col(c).try_cast("decimal(38,18)")
             return F.when(
                 F.col(c).isNotNull(),
                 F.struct(

@@ -83,6 +83,7 @@ def interval_join(
     right_time: str = "ts",
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
+    names_out: dict | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event joined to
     right events for the same key within ``[left_time - lookback,
@@ -108,7 +109,13 @@ def interval_join(
     condition binds with frame-qualified references so a left-side
     ``r_<on>`` can never capture the key comparison (r11 review: the
     string-bound F.col used to bind to the LEFT column, producing a
-    silently wrong near-cross join).
+    silently wrong near-cross join). Because the chosen names are
+    schema-dependent, callers that select the renamed columns by name
+    should pass ``names_out={}`` — it is filled with the
+    ``{right_source_name: output_name}`` mapping actually used —
+    rather than assume the ``r_`` spelling (r11 review: a left frame
+    coincidentally carrying ``r_<c>`` would otherwise be silently
+    selected where the right column was expected).
     """
     l = left.withWatermark(left_time, watermark)
 
@@ -126,11 +133,17 @@ def interval_join(
     r = right.withColumnRenamed(on, kcol)
     tcol = _fresh(r, right_time)
     r = r.withColumnRenamed(right_time, tcol)
+    if names_out is not None:
+        names_out[on] = kcol
+        names_out[right_time] = tcol
     # key/time are already renamed away, so every remaining name shared
     # with the left side is a genuine payload collision
     for c in r.columns:
         if c in left.columns and c not in (kcol, tcol):
-            r = r.withColumnRenamed(c, _fresh(r, c))
+            dst = _fresh(r, c)
+            r = r.withColumnRenamed(c, dst)
+            if names_out is not None:
+                names_out[c] = dst
     r = r.withWatermark(tcol, watermark)
     # frame-qualified references: immune to same-name columns on the
     # other side by construction

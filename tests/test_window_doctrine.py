@@ -13,27 +13,20 @@ No Spark session needed — fingerprints are static source hashes.
 import json
 import os
 
+# the window/records definitions are IMPORTED from the tool so the
+# doctrine test and fingerprints.py's --write gate enforce with
+# mechanically identical inputs (r11 review: two inline copies could
+# silently diverge)
 from tools.fingerprints import (
     MANIFEST,
     check_window_doctrine,
     compute_fingerprints,
+    graded_window as _window,
+    load_diffcheck_records as _diffcheck_records,
     load_manifest,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _window() -> set[str]:
-    from lovdata_pipeline_spark.queries import QUERIES
-
-    return set(list(QUERIES)[:50])
-
-
-def _diffcheck_records() -> dict:
-    aux_path = os.path.join(REPO, "BENCH_AUX.json")
-    if not os.path.exists(aux_path):
-        return {}
-    return json.load(open(aux_path)).get("diffcheck", {}).get("records", {})
 
 
 def test_manifest_exists_and_covers_registry():

@@ -156,6 +156,25 @@ def load_manifest() -> dict[str, str]:
     return json.load(open(MANIFEST))
 
 
+def graded_window() -> set[str]:
+    """The driver's graded window: the FIRST 50 registry keys. One
+    definition shared by the doctrine test and the --write gate — two
+    inline copies could silently diverge (r11 review)."""
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    return set(list(QUERIES)[:50])
+
+
+def load_diffcheck_records() -> dict[str, dict]:
+    """BENCH_AUX.json's committed diffcheck records (see
+    tools/diffcheck.py --record). Shared by the doctrine test and the
+    --write gate."""
+    aux_path = os.path.join(REPO, "BENCH_AUX.json")
+    if not os.path.exists(aux_path):
+        return {}
+    return json.load(open(aux_path)).get("diffcheck", {}).get("records", {})
+
+
 def check_window_doctrine(
     fps_now: dict[str, str],
     manifest: dict[str, str],
@@ -189,16 +208,8 @@ def main(argv: list[str]) -> int:
         # record at its NEW fingerprint; --force overrides (e.g. for a
         # deliberate re-baseline, which should say so in the commit).
         if "--force" not in argv:
-            from lovdata_pipeline_spark.queries import QUERIES
-
-            aux_path = os.path.join(REPO, "BENCH_AUX.json")
-            records = {}
-            if os.path.exists(aux_path):
-                records = (
-                    json.load(open(aux_path)).get("diffcheck", {}).get("records", {})
-                )
             violations = check_window_doctrine(
-                fps, load_manifest(), set(list(QUERIES)[:50]), records
+                fps, load_manifest(), graded_window(), load_diffcheck_records()
             )
             if violations:
                 print(

@@ -1,17 +1,22 @@
 """Shared provenance stamp for evidence records (r11 review).
 
-One implementation of the tree-SHA+dirty stamp that bench.py,
+One implementation of the source-state stamp that bench.py,
 tools/scaling.py and tools/diffcheck.py all write into their records —
 the three inline copies had already diverged (the diffcheck copy lost
 the '+dirty' marker), and subprocess.run without a returncode check
 made the 'unknown' fallback dead code (a non-repo export stamped '').
 
-The stamp is a GENUINE git tree object hash (``git rev-parse
-HEAD^{tree}``), matching the "tree_sha" field name the records carry:
-two commits with identical source trees stamp the SAME value, which is
-exactly the attribution evidence wants (the record is valid for any
-commit whose tree matches). Map a stamped tree back to its commits
-with ``git log --format='%H %T' | grep <tree>``.
+The stamp is '<HEAD commit sha>[+dirty]'. A pure tree-object hash was
+tried and rejected (r11 review): evidence is produced record-then-
+commit, so the stamped tree never equals any committed tree (the
+commit adds the evidence file itself) and the stamp would be
+structurally unverifiable. The verification convention instead: all
+SOURCE commits land before the evidence run, so a round-end stamp is
+'<final source commit>+dirty' where the dirt is the evidence files
+being written — checkable by confirming the evidence commit's diff
+touches only evidence artifacts (BENCH_*.json, SCALING.md,
+QUERY_FINGERPRINTS.json). Fine-grained attribution rests on the
+per-query source fingerprints recorded alongside (tools/fingerprints).
 """
 
 from __future__ import annotations
@@ -20,12 +25,13 @@ import subprocess
 
 
 def tree_sha() -> str:
-    """'<HEAD tree object sha>' plus '+dirty' when the working tree has
+    """'<HEAD commit sha>' plus '+dirty' when the working tree has
     uncommitted changes; 'unknown' when git is unavailable or the
-    directory is not a repository."""
+    directory is not a repository. (Field name kept as tree_sha in the
+    records for continuity; see module docstring for semantics.)"""
     try:
         head = subprocess.run(
-            ["git", "rev-parse", "HEAD^{tree}"], capture_output=True, text=True
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
         )
         if head.returncode != 0 or not head.stdout.strip():
             return "unknown"
