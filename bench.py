@@ -280,12 +280,13 @@ def main() -> None:
     # Also persist the full per-query dump locally (r5 VERDICT #5): the
     # driver's tail capture keeps only the compact last line, which made
     # round-over-round per-query comparison require a solo re-bench.
-    with open(
+    from tools.gitinfo import atomic_json_dump
+
+    atomic_json_dump(
+        payload,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as fh:
-        json.dump(payload, fh, indent=1)
-        fh.write("\n")
+        indent=1,
+    )
     # Compact second line: r4's full dump exceeded the driver's tail capture
     # (BENCH_r04.json recorded "parsed": null). The driver takes the last
     # parseable JSON line, so keep this one short and headline-only.

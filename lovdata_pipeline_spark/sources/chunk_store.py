@@ -109,20 +109,29 @@ class ChunkStore:
                         "larger modulus — open with the original n_buckets "
                         "or rebuild the store"
                     )
-                import errno
-                import json as _json
+                # Pin ONLY when the directories fully confirm the claim
+                # (every bucket 0..n-1 present): max(on_disk) < n is
+                # necessary, not sufficient — a legacy 4-bucket store
+                # opened once with n_buckets=8 would otherwise bake the
+                # WRONG modulus into the sidecar permanently (r11
+                # review). A sparse store skips the pin (this session
+                # still validates + uses the explicit count; the pin
+                # waits for a fuller open or the first mutation).
+                if set(range(self.n_buckets)) <= set(on_disk):
+                    import errno
+                    import json as _json
 
-                try:
-                    meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
-                except OSError as exc:
-                    # ONLY the read-only cases pass silently (validation
-                    # above still ran; pinning waits for a writable
-                    # open). Swallowing e.g. ENOSPC would silently leave
-                    # a WRITABLE store unpinned and revive the slip-past
-                    # corruption path this guard exists to close (r11
-                    # review).
-                    if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
-                        raise
+                    try:
+                        meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
+                    except OSError as exc:
+                        # ONLY the read-only cases pass silently
+                        # (validation above still ran; pinning waits for
+                        # a writable open). Swallowing e.g. ENOSPC would
+                        # silently leave a WRITABLE store unpinned and
+                        # revive the slip-past corruption path this
+                        # guard exists to close (r11 review).
+                        if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
+                            raise
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")

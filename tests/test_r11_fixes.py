@@ -97,8 +97,10 @@ class TestAsofAdviceFixes:
 
 
 class TestChunkStoreLegacySidecar:
-    def _legacy_store(self, spark, tmp):
-        """Build a store, then delete its sidecar to simulate pre-r10."""
+    def _legacy_store(self, spark, tmp, n_docs=16):
+        """Build a store, then delete its sidecar to simulate pre-r10.
+        16 distinct doc ids fill all 4 bucket directories (asserted),
+        so explicit re-opens can fully CONFIRM the modulus and pin."""
         from lovdata_pipeline_spark.chunking import chunk_documents_df
         from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
         from lovdata_pipeline_spark.embedding import embed_chunks_df
@@ -108,11 +110,17 @@ class TestChunkStoreLegacySidecar:
 
         cfg = PipelineConfig(chunk=ChunkParams(100, 500, 300, 0.15), embedding_dims=8)
         docs = spark.createDataFrame(
-            [("d1", "ds", "p", fixtures.simple_law(), "h1", "added")],
+            [
+                (f"d{i}", "ds", "p", fixtures.simple_law(), f"h{i}", "added")
+                for i in range(n_docs)
+            ],
             DOCUMENTS_SCHEMA,
         )
         store = ChunkStore(spark, tmp, n_buckets=4)
         store.upsert_chunks(embed_chunks_df(chunk_documents_df(docs, cfg.chunk), dims=8))
+        if n_docs >= 16:
+            dirs = {p for p in os.listdir(tmp) if p.startswith("bucket=")}
+            assert dirs == {f"bucket={b}" for b in range(4)}, dirs
         os.remove(os.path.join(tmp, "_store_meta.json"))
         return store
 
@@ -128,6 +136,21 @@ class TestChunkStoreLegacySidecar:
         # the pinned sidecar now rejects a wrong-modulus reopen
         with pytest.raises(ValueError, match="n_buckets=4"):
             ChunkStore(spark, tmp, n_buckets=32)
+
+    def test_larger_wrong_modulus_is_not_pinned(self, spark):
+        """r11 review: a legacy 4-bucket store opened with n_buckets=8
+        passes the max-dir check (necessary, not sufficient) — it must
+        NOT pin 8 into the sidecar, or the wrong modulus becomes
+        permanent."""
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_store_8_")
+        self._legacy_store(spark, tmp)
+        ChunkStore(spark, tmp, n_buckets=8)  # dirs 0..3 can't confirm 8
+        assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
+        # the CORRECT open still confirms (all 4 dirs present) and pins
+        ChunkStore(spark, tmp, n_buckets=4)
+        assert json.load(open(os.path.join(tmp, "_store_meta.json")))["n_buckets"] == 4
 
     def test_open_with_modulus_smaller_than_layout_fails(self, spark):
         """A legacy store whose directories prove a larger modulus must

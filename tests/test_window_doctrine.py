@@ -70,6 +70,29 @@ def test_synthetic_violation_trips_the_checker():
     assert check_window_doctrine(fps_now, manifest, window, records) == ["d"]
 
 
+def test_fingerprint_closure_reaches_module_level_operator_imports():
+    """r11 review (mutation-confirmed): queries calling operators via
+    queries.py's MODULE-LEVEL imports (``dedup.remove_duplicated_spans``
+    with ``from ...operators import dedup`` at the top) were invisible
+    to the function-body import scan — a dedup.py edit moved zero
+    dedup-family fingerprints and the doctrine gate passed on an
+    unverified tree. Pin the closure's reach for one query per import
+    style."""
+    from tools.fingerprints import query_dependency_modules
+
+    # module-level binding style
+    deps = query_dependency_modules("dedup_remove_spans")
+    assert "lovdata_pipeline_spark.operators.dedup" in deps
+    # function-body import style
+    deps = query_dependency_modules("events_asof_join")
+    assert "lovdata_pipeline_spark.operators.asof" in deps
+    # and the closure must NOT collapse into the whole package via
+    # queries.py itself (every fingerprint would move on any edit)
+    deps = query_dependency_modules("q1_pricing_summary")
+    assert "lovdata_pipeline_spark.operators.dedup" not in deps
+    assert "lovdata_pipeline_spark.queries" not in deps
+
+
 def test_synthetic_failed_record_does_not_attest():
     fps_now = {"x": "fp"}
     manifest = {"x": "OLD"}

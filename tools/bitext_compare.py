@@ -111,8 +111,9 @@ def main() -> None:
     bench_path = os.path.join(REPO, "BENCH_AUX.json")
     bench = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
     bench["bitext_bucketed_compare"] = result
-    with open(bench_path, "w") as fh:
-        json.dump(bench, fh, indent=2)
+    from tools.gitinfo import atomic_json_dump
+
+    atomic_json_dump(bench, bench_path, indent=2)
 
 
 if __name__ == "__main__":

@@ -103,7 +103,9 @@ def _record_results(sf_dir: str, results: dict[str, dict]) -> None:
             "result_sha256": r["result_sha256"],
             "fingerprint": fps.get(name),
         }
-    json.dump(aux, open(aux_path, "w"), indent=1)
+    from tools.gitinfo import atomic_json_dump
+
+    atomic_json_dump(aux, aux_path, indent=1)
     print(f"recorded {len(results)} diffcheck entries into BENCH_AUX.json "
           f"(tree {sha[:12]})")
 
@@ -167,10 +169,12 @@ def main(sf_dir: str, only: list[str] | None = None, record: bool = False) -> in
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--record"]
-    sys.exit(
-        main(
-            argv[0] if argv else "/root/testdata/sf0.01",
-            argv[1:] or None,
-            record="--record" in sys.argv[1:],
-        )
-    )
+    # sf_dir really is optional (r11 review): a first positional that is
+    # not a directory is a QUERY NAME, not a mistyped sf_dir — without
+    # this, `diffcheck.py --record <query>` ran the full suite against
+    # views under '<query>/…' instead of recording one query
+    if argv and not os.path.isdir(argv[0]):
+        sf_dir, names = "/root/testdata/sf0.01", argv
+    else:
+        sf_dir, names = (argv[0] if argv else "/root/testdata/sf0.01"), argv[1:]
+    sys.exit(main(sf_dir, names or None, record="--record" in sys.argv[1:]))

@@ -123,6 +123,52 @@ def _queries_module_helpers(fn_src: str, qmod) -> list[str]:
     return [sources[k] for k in sorted(sources)]
 
 
+def _module_level_deps(src: str, qmod) -> set[str]:
+    """Package modules reached through queries.py MODULE-LEVEL bindings
+    referenced by ``src`` — e.g. ``dedup.remove_duplicated_spans(...)``
+    where queries.py has ``from ...operators import dedup`` at the top.
+    The function-body import scan alone misses these (~51 call sites),
+    which silently exempted the whole dedup/textstats family from the
+    changed-code doctrine gate (r11 review, mutation-confirmed)."""
+    import types
+
+    mods: set[str] = set()
+    for node in ast.walk(ast.parse(textwrap.dedent(src))):
+        if not isinstance(node, ast.Name):
+            continue
+        obj = getattr(qmod, node.id, None)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            modname = getattr(obj, "__name__", "")
+        else:
+            modname = getattr(obj, "__module__", "") or ""
+        # queries.py itself is EXCLUDED: its helpers are hashed
+        # source-wise by _queries_module_helpers, and admitting it here
+        # would closure in the whole package (queries.py imports every
+        # operator module), collapsing all fingerprints into one
+        if modname.startswith(PKG) and modname != qmod.__name__:
+            mods.add(modname)
+    return mods
+
+
+def query_dependency_modules(name: str) -> set[str]:
+    """The closed set of package modules a query's fingerprint hashes —
+    exposed so the doctrine test can pin the closure's reach (the
+    module-level-import hole was invisible until mutation-tested)."""
+    import lovdata_pipeline_spark.queries as qmod
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    fn_src = inspect.getsource(QUERIES[name])
+    helpers = _queries_module_helpers(fn_src, qmod)
+    mods = _imports_of_source(textwrap.dedent(fn_src))
+    mods |= _module_level_deps(fn_src, qmod)
+    for h in helpers:
+        mods |= _imports_of_source(textwrap.dedent(h))
+        mods |= _module_level_deps(h, qmod)
+    return _closure(mods, {})
+
+
 def compute_fingerprints() -> dict[str, str]:
     import lovdata_pipeline_spark.queries as qmod
     from lovdata_pipeline_spark.oracles import ORACLES
@@ -134,8 +180,10 @@ def compute_fingerprints() -> dict[str, str]:
         fn_src = inspect.getsource(fn)
         helpers = _queries_module_helpers(fn_src, qmod)
         mods = _imports_of_source(textwrap.dedent(fn_src))
+        mods |= _module_level_deps(fn_src, qmod)
         for h in helpers:
             mods |= _imports_of_source(textwrap.dedent(h))
+            mods |= _module_level_deps(h, qmod)
         h = hashlib.sha256()
         h.update(fn_src.encode())
         for src in helpers:

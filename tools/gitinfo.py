@@ -21,7 +21,16 @@ per-query source fingerprints recorded alongside (tools/fingerprints).
 
 from __future__ import annotations
 
+import json
+import os
 import subprocess
+import tempfile
+
+#: the repo THIS file lives in — the stamp must describe the code being
+#: measured, not the caller's cwd (r11 review: every tool supports
+#: any-cwd invocation, so `cd /tmp && python /root/repo/tools/... `
+#: used to stamp 'unknown', or a foreign repo's HEAD)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def tree_sha() -> str:
@@ -31,14 +40,37 @@ def tree_sha() -> str:
     records for continuity; see module docstring for semantics.)"""
     try:
         head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, cwd=_REPO,
         )
         if head.returncode != 0 or not head.stdout.strip():
             return "unknown"
         status = subprocess.run(
-            ["git", "status", "--porcelain"], capture_output=True, text=True
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=_REPO,
         )
         dirty = status.returncode == 0 and bool(status.stdout.strip())
         return head.stdout.strip() + ("+dirty" if dirty else "")
     except Exception:  # pragma: no cover - git missing entirely
         return "unknown"
+
+
+def atomic_json_dump(obj, path: str, indent: int = 2) -> None:
+    """Write JSON via a same-directory temp file + os.replace — a plain
+    open(path, 'w') truncates BEFORE the dump streams, so an interrupt
+    mid-write destroys the file. BENCH_AUX.json holds EVERY committed
+    evidence record in one file; it must never be half-written
+    (r11 review)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(obj, fh, indent=indent)
+            fh.write("\n")
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise

@@ -99,8 +99,9 @@ def _merge_aux(key: str, value) -> None:
     else:
         bench = {}
     bench[key] = value
-    with open(bench_path, "w") as fh:
-        json.dump(bench, fh, indent=2)
+    from tools.gitinfo import atomic_json_dump
+
+    atomic_json_dump(bench, bench_path, indent=2)
 
 
 #: oracles that cannot run at sf1 in this container, with the named
