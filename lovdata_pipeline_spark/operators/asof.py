@@ -74,6 +74,17 @@ def asof_join(
             # break the <= boundary — the right row at exactly-equal
             # time must tie here so _side decides (r11 review,
             # confirmed live).
+            #
+            # Stated bounds of DECIMAL(38,18) (r11 ADVICE): numeric
+            # strings with MORE THAN 20 integer digits overflow
+            # try_cast to NULL and silently fall into the
+            # lexicographic (non-parseable) class — int64 epochs in
+            # any unit (<= 19 digits) and every realistic numeric
+            # timestamp fit, but a column of 21+-digit numerics would
+            # order as strings. Strings differing only BEYOND 18
+            # fractional digits round to the same decimal and tie
+            # (then _side decides, i.e. they match as simultaneous) —
+            # sub-attosecond text precision is not distinguished.
             d = F.col(c).try_cast("decimal(38,18)")
             return F.when(
                 F.col(c).isNotNull(),

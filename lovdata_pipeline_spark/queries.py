@@ -635,6 +635,44 @@ def events_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def events_asof_join_string_time(spark, sf_dir):
+    """As-of join over ISO-8601 STRING time keys (new r12, r11 VERDICT
+    Next #5): the same purchase↔latest-click pairing as
+    events_asof_join, but both time columns arrive as
+    'yyyy-MM-dd HH:mm:ss.SSSSSS' strings — the layered string-key path
+    in operators/asof.py (non-numeric-parseable → lexicographic
+    ordering, which IS chronological for consistently-formatted
+    ISO-8601). The r11 asof rework added this key class but the graded
+    row only exercised native timestamps; this row grades it against
+    DuckDB's native ASOF JOIN on the identically-formatted VARCHAR
+    (microsecond spellings verified byte-equal: Spark date_format
+    SSSSSS == DuckDB strftime %f)."""
+    from lovdata_pipeline_spark.operators.asof import asof_join
+
+    events = load_events(spark, sf_dir).withColumn(
+        "ts_s", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts_s", right_time="ts_s",
+        right_cols=["click_event_id"], suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.col("ts_s_click").alias("click_ts"),
+        F.col("click_event_id_click").alias("click_event_id"),
+    ).orderBy("event_id")
+
+
 VALUE_BANDS = [
     (0.0, 10.0, "micro"),
     (10.0, 50.0, "small"),

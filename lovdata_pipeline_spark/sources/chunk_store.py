@@ -109,29 +109,49 @@ class ChunkStore:
                         "larger modulus — open with the original n_buckets "
                         "or rebuild the store"
                     )
-                # Pin ONLY when the directories fully confirm the claim
-                # (every bucket 0..n-1 present): max(on_disk) < n is
-                # necessary, not sufficient — a legacy 4-bucket store
-                # opened once with n_buckets=8 would otherwise bake the
-                # WRONG modulus into the sidecar permanently (r11
-                # review). A sparse store skips the pin (this session
-                # still validates + uses the explicit count; the pin
-                # waits for a fuller open or the first mutation).
-                if set(range(self.n_buckets)) <= set(on_disk):
-                    import errno
-                    import json as _json
+                # Directory names alone cannot confirm a modulus — not
+                # even all-of-0..n-1-present (r12, r11 ADVICE: a legacy
+                # store written with a LARGER modulus whose populated
+                # dirs happen to be exactly 0..n-1 would pin the wrong
+                # count permanently). Confirm by DATA instead: every
+                # stored document_id must hash into the directory that
+                # holds it under the claimed modulus. One column-pruned
+                # scan of (document_id, bucket), only ever on the
+                # one-time legacy-pin path; a full pass proves the
+                # layout IS a valid n-bucket store going forward
+                # (lookups/deletes/upserts under n all agree with the
+                # on-disk placement), so the pin no longer waits for
+                # every directory to exist and a provably-wrong
+                # explicit modulus fails loud instead of silently
+                # mis-pruning this session's reads.
+                mismatched = (
+                    self.read()
+                    .where(F.col(_BUCKET) != self._bucket_col())
+                    .limit(1)
+                    .count()
+                )
+                if mismatched:
+                    raise ValueError(
+                        f"chunk store at {self.root} holds documents that "
+                        f"do not hash into their bucket directories under "
+                        f"n_buckets={self.n_buckets} — the layout was "
+                        "written with a different modulus; open with the "
+                        "original n_buckets or rebuild the store"
+                    )
+                import errno
+                import json as _json
 
-                    try:
-                        meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
-                    except OSError as exc:
-                        # ONLY the read-only cases pass silently
-                        # (validation above still ran; pinning waits for
-                        # a writable open). Swallowing e.g. ENOSPC would
-                        # silently leave a WRITABLE store unpinned and
-                        # revive the slip-past corruption path this
-                        # guard exists to close (r11 review).
-                        if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
-                            raise
+                try:
+                    meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
+                except OSError as exc:
+                    # ONLY the read-only cases pass silently
+                    # (validation above still ran; pinning waits for
+                    # a writable open). Swallowing e.g. ENOSPC would
+                    # silently leave a WRITABLE store unpinned and
+                    # revive the slip-past corruption path this
+                    # guard exists to close (r11 review).
+                    if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
+                        raise
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64("document_id"), F.lit(self.n_buckets)).cast("int")

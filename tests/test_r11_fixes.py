@@ -137,20 +137,60 @@ class TestChunkStoreLegacySidecar:
         with pytest.raises(ValueError, match="n_buckets=4"):
             ChunkStore(spark, tmp, n_buckets=32)
 
-    def test_larger_wrong_modulus_is_not_pinned(self, spark):
-        """r11 review: a legacy 4-bucket store opened with n_buckets=8
-        passes the max-dir check (necessary, not sufficient) — it must
-        NOT pin 8 into the sidecar, or the wrong modulus becomes
-        permanent."""
+    def test_larger_wrong_modulus_fails_the_data_check(self, spark):
+        """r11 review + r12 (r11 ADVICE): a legacy 4-bucket store opened
+        with n_buckets=8 passes the max-dir check (necessary, not
+        sufficient). The r11 fix merely skipped the pin; the r12
+        data-confirmed pin goes further — some stored document hashes
+        into a different bucket under modulus 8, so the open itself
+        fails loud (reads under the wrong modulus would silently
+        mis-prune), and nothing is pinned."""
         from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
 
         tmp = tempfile.mkdtemp(prefix="legacy_store_8_")
         self._legacy_store(spark, tmp)
-        ChunkStore(spark, tmp, n_buckets=8)  # dirs 0..3 can't confirm 8
+        with pytest.raises(ValueError, match="do not hash into"):
+            ChunkStore(spark, tmp, n_buckets=8)
         assert not os.path.exists(os.path.join(tmp, "_store_meta.json"))
-        # the CORRECT open still confirms (all 4 dirs present) and pins
+        # the CORRECT open passes the data check and pins
         ChunkStore(spark, tmp, n_buckets=4)
         assert json.load(open(os.path.join(tmp, "_store_meta.json")))["n_buckets"] == 4
+
+    def test_sparse_store_pins_when_data_confirms(self, spark):
+        """r12 (r11 ADVICE): the pin is confirmed by data, not by
+        directory names — a genuinely sparse store (modulus 8, only a
+        few buckets populated) opened with the CORRECT n_buckets=8 now
+        pins immediately instead of waiting for every directory, while
+        the ADVICE's poison case (populated dirs exactly 0..n-1 under a
+        larger modulus) is caught by the same per-document check in
+        test_larger_wrong_modulus_fails_the_data_check."""
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_sparse_8_")
+        self._legacy_store(spark, tmp, n_docs=4)  # few docs -> sparse dirs
+        # rebuild as an 8-bucket store with the same few docs
+        import shutil
+
+        shutil.rmtree(tmp)
+        from lovdata_pipeline_spark.chunking import chunk_documents_df
+        from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
+        from lovdata_pipeline_spark.embedding import embed_chunks_df
+        from lovdata_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+        from tests import fixtures
+
+        cfg = PipelineConfig(chunk=ChunkParams(100, 500, 300, 0.15), embedding_dims=8)
+        docs = spark.createDataFrame(
+            [("dA", "ds", "p", fixtures.simple_law(), "hA", "added"),
+             ("dB", "ds", "p", fixtures.simple_law(), "hB", "added")],
+            DOCUMENTS_SCHEMA,
+        )
+        store = ChunkStore(spark, tmp, n_buckets=8)
+        store.upsert_chunks(embed_chunks_df(chunk_documents_df(docs, cfg.chunk), dims=8))
+        dirs = [p for p in os.listdir(tmp) if p.startswith("bucket=")]
+        assert 0 < len(dirs) < 8, dirs  # genuinely sparse
+        os.remove(os.path.join(tmp, "_store_meta.json"))
+        ChunkStore(spark, tmp, n_buckets=8)  # open only, no mutation
+        assert json.load(open(os.path.join(tmp, "_store_meta.json")))["n_buckets"] == 8
 
     def test_open_with_modulus_smaller_than_layout_fails(self, spark):
         """A legacy store whose directories prove a larger modulus must

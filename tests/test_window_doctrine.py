@@ -93,6 +93,59 @@ def test_fingerprint_closure_reaches_module_level_operator_imports():
     assert "lovdata_pipeline_spark.queries" not in deps
 
 
+def test_fingerprint_closure_reaches_module_level_constants():
+    """r11 ADVICE (the same bypass class as the module-level-import
+    hole): queries.py module-level CONSTANTS referenced by query
+    functions (BM25_TERMS, VALUE_BANDS, SAMPLE_RATES) determine
+    results, so their assignment source must ride in the fingerprint.
+    Pin the constant leg's reach for each named constant."""
+    from tools.fingerprints import query_constant_bindings
+
+    assert "BM25_TERMS" in query_constant_bindings("text_bm25_search")
+    assert "VALUE_BANDS" in query_constant_bindings("events_range_join")
+    assert "SAMPLE_RATES" in query_constant_bindings("stratified_sample_orders")
+    # and no false positives: a query that references none of them
+    assert not query_constant_bindings("q1_pricing_summary") & {
+        "BM25_TERMS", "VALUE_BANDS", "SAMPLE_RATES"
+    }
+
+
+def test_constant_mutation_moves_the_fingerprint_inputs(tmp_path):
+    """Mutation-style check: editing a module-level constant's VALUE
+    changes the hashed inputs (the pre-r12 closure hashed nothing for
+    constants, so this exact mutation was invisible to the gate)."""
+    import importlib.util
+    import inspect as _inspect
+
+    from tools.fingerprints import _constant_assignments, _queries_module_refs
+
+    def inputs(tag: str, thresh: int):
+        src = (
+            f"THRESH = {thresh}\n"
+            "OTHER = 99\n"
+            "def helper(x):\n"
+            "    return x + THRESH\n"
+            "def q(spark, sf):\n"
+            "    return helper(1)\n"
+        )
+        p = tmp_path / f"qmod_{tag}.py"
+        p.write_text(src)
+        spec = importlib.util.spec_from_file_location(f"qmod_{tag}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cmap = _constant_assignments(mod)
+        return _queries_module_refs(_inspect.getsource(mod.q), mod, cmap)
+
+    helpers_a, consts_a = inputs("a", 3)
+    helpers_b, consts_b = inputs("b", 4)
+    # the constant is reached THROUGH the helper (recursion), and only
+    # the referenced constant is hashed — OTHER stays out
+    assert consts_a == ["THRESH = 3"]
+    assert consts_b == ["THRESH = 4"]
+    assert helpers_a == helpers_b  # helper source itself unchanged
+    assert consts_a != consts_b  # the mutation moves the hashed inputs
+
+
 def test_synthetic_failed_record_does_not_attest():
     fps_now = {"x": "fp"}
     manifest = {"x": "OLD"}

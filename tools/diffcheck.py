@@ -174,6 +174,14 @@ if __name__ == "__main__":
     # this, `diffcheck.py --record <query>` ran the full suite against
     # views under '<query>/…' instead of recording one query
     if argv and not os.path.isdir(argv[0]):
+        # a first positional that LOOKS like a path (contains a
+        # separator) but is not a directory is a typo'd/missing sf_dir,
+        # not a query name — error loudly instead of reinterpreting it
+        # (r11 ADVICE: `/root/testdata/sf0.O1` used to raise KeyError
+        # as if it were an unknown query)
+        if os.sep in argv[0]:
+            print(f"error: sf_dir {argv[0]!r} is not a directory", file=sys.stderr)
+            sys.exit(2)
         sf_dir, names = "/root/testdata/sf0.01", argv
     else:
         sf_dir, names = (argv[0] if argv else "/root/testdata/sf0.01"), argv[1:]

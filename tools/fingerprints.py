@@ -96,18 +96,57 @@ def _closure(mods: set[str], cache: dict[str, set[str]]) -> set[str]:
     return seen
 
 
-def _queries_module_helpers(fn_src: str, qmod) -> list[str]:
-    """Sources of queries.py module-level callables the function references
-    (recursively) — changes to a shared helper must move every dependent
-    query's fingerprint, not just the helper's own."""
-    sources: dict[str, str] = {}
+_MISSING = object()
+
+
+def _constant_assignments(qmod) -> dict[str, str]:
+    """queries.py module-level assignment source per target name — the
+    raw ``NAME = <expr>`` segment. Feeds the constant leg of
+    ``_queries_module_refs``; kept separate so it is computed once per
+    manifest run, not once per query."""
+    src = inspect.getsource(qmod)
+    tree = ast.parse(src)
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            targets = [t for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            targets = [node.target]
+        else:
+            continue
+        seg = ast.get_source_segment(src, node)
+        if seg is None:  # pragma: no cover - synthesized source only
+            continue
+        for t in targets:
+            out[t.id] = seg
+    return out
+
+
+def _queries_module_refs(
+    fn_src: str, qmod, const_map: dict[str, str]
+) -> tuple[list[str], list[str]]:
+    """(helper sources, constant assignment sources) of queries.py
+    module-level bindings the function references, recursively through
+    both helpers and constants — changes to a shared helper OR a
+    module-level constant (BM25_TERMS, VALUE_BANDS, SAMPLE_RATES …)
+    change query results, so they must move every dependent query's
+    fingerprint. The constant leg closes the r11 ADVICE bypass: editing
+    a referenced constant used to produce zero fingerprint drift, the
+    same hole class as the module-level-import miss."""
+    import types
+
+    helpers: dict[str, str] = {}
+    consts: dict[str, str] = {}
 
     def visit(src: str) -> None:
         for node in ast.walk(ast.parse(textwrap.dedent(src))):
             if not isinstance(node, ast.Name):
                 continue
-            obj = getattr(qmod, node.id, None)
-            if obj is None or node.id in sources:
+            nid = node.id
+            if nid in helpers or nid in consts:
+                continue
+            obj = getattr(qmod, nid, _MISSING)
+            if obj is _MISSING:
                 continue
             if getattr(obj, "__module__", None) == qmod.__name__ and (
                 inspect.isfunction(obj) or inspect.isclass(obj)
@@ -116,11 +155,20 @@ def _queries_module_helpers(fn_src: str, qmod) -> list[str]:
                     hsrc = inspect.getsource(obj)
                 except (OSError, TypeError):  # pragma: no cover
                     continue
-                sources[node.id] = hsrc
+                helpers[nid] = hsrc
                 visit(hsrc)
+            elif nid in const_map and not isinstance(obj, types.ModuleType):
+                # module bindings are the _module_level_deps leg; a
+                # non-callable, non-module module-level binding is a
+                # constant — hash its assignment source
+                consts[nid] = const_map[nid]
+                visit(const_map[nid])
 
     visit(fn_src)
-    return [sources[k] for k in sorted(sources)]
+    return (
+        [helpers[k] for k in sorted(helpers)],
+        [consts[k] for k in sorted(consts)],
+    )
 
 
 def _module_level_deps(src: str, qmod) -> set[str]:
@@ -152,6 +200,21 @@ def _module_level_deps(src: str, qmod) -> set[str]:
     return mods
 
 
+def _query_inputs(
+    fn_src: str, qmod, const_map: dict[str, str]
+) -> tuple[list[str], list[str], set[str]]:
+    """(helper sources, constant sources, direct module deps) — the
+    three legs every fingerprint hashes, shared by compute_fingerprints
+    and the doctrine-test introspection hooks."""
+    helpers, consts = _queries_module_refs(fn_src, qmod, const_map)
+    mods = _imports_of_source(textwrap.dedent(fn_src))
+    mods |= _module_level_deps(fn_src, qmod)
+    for s in helpers + consts:
+        mods |= _imports_of_source(textwrap.dedent(s))
+        mods |= _module_level_deps(s, qmod)
+    return helpers, consts, mods
+
+
 def query_dependency_modules(name: str) -> set[str]:
     """The closed set of package modules a query's fingerprint hashes —
     exposed so the doctrine test can pin the closure's reach (the
@@ -160,13 +223,23 @@ def query_dependency_modules(name: str) -> set[str]:
     from lovdata_pipeline_spark.queries import QUERIES
 
     fn_src = inspect.getsource(QUERIES[name])
-    helpers = _queries_module_helpers(fn_src, qmod)
-    mods = _imports_of_source(textwrap.dedent(fn_src))
-    mods |= _module_level_deps(fn_src, qmod)
-    for h in helpers:
-        mods |= _imports_of_source(textwrap.dedent(h))
-        mods |= _module_level_deps(h, qmod)
+    _, _, mods = _query_inputs(fn_src, qmod, _constant_assignments(qmod))
     return _closure(mods, {})
+
+
+def query_constant_bindings(name: str) -> set[str]:
+    """Names of queries.py module-level CONSTANTS a query's fingerprint
+    hashes — exposed so the doctrine test can pin the constant leg's
+    reach (r11 ADVICE: this leg did not exist, so constant edits were
+    invisible to the gate)."""
+    import lovdata_pipeline_spark.queries as qmod
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    const_map = _constant_assignments(qmod)
+    fn_src = inspect.getsource(QUERIES[name])
+    _, consts = _queries_module_refs(fn_src, qmod, const_map)
+    rev = {v: k for k, v in const_map.items()}
+    return {rev[c] for c in consts}
 
 
 def compute_fingerprints() -> dict[str, str]:
@@ -175,18 +248,16 @@ def compute_fingerprints() -> dict[str, str]:
     from lovdata_pipeline_spark.queries import QUERIES
 
     cache: dict[str, set[str]] = {}
+    const_map = _constant_assignments(qmod)
     out: dict[str, str] = {}
     for name, fn in QUERIES.items():
         fn_src = inspect.getsource(fn)
-        helpers = _queries_module_helpers(fn_src, qmod)
-        mods = _imports_of_source(textwrap.dedent(fn_src))
-        mods |= _module_level_deps(fn_src, qmod)
-        for h in helpers:
-            mods |= _imports_of_source(textwrap.dedent(h))
-            mods |= _module_level_deps(h, qmod)
+        helpers, consts, mods = _query_inputs(fn_src, qmod, const_map)
         h = hashlib.sha256()
         h.update(fn_src.encode())
         for src in helpers:
+            h.update(src.encode())
+        for src in consts:
             h.update(src.encode())
         for m in sorted(_closure(mods, cache)):
             path = _module_path(m)
@@ -267,7 +338,12 @@ def main(argv: list[str]) -> int:
                     "first (or --force for a deliberate re-baseline)"
                 )
                 return 1
-        json.dump(fps, open(MANIFEST, "w"), indent=1, sort_keys=True)
+        # atomic: the manifest is the doctrine test's committed
+        # baseline — an interrupt mid-write must not truncate it
+        # (r11 ADVICE; plain open(,'w') truncates before the dump)
+        from tools.gitinfo import atomic_json_dump
+
+        atomic_json_dump(fps, MANIFEST, indent=1, sort_keys=True)
         print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
         return 0
     old = load_manifest()

@@ -55,7 +55,7 @@ def tree_sha() -> str:
         return "unknown"
 
 
-def atomic_json_dump(obj, path: str, indent: int = 2) -> None:
+def atomic_json_dump(obj, path: str, indent: int = 2, sort_keys: bool = False) -> None:
     """Write JSON via a same-directory temp file + os.replace — a plain
     open(path, 'w') truncates BEFORE the dump streams, so an interrupt
     mid-write destroys the file. BENCH_AUX.json holds EVERY committed
@@ -65,7 +65,7 @@ def atomic_json_dump(obj, path: str, indent: int = 2) -> None:
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
-            json.dump(obj, fh, indent=indent)
+            json.dump(obj, fh, indent=indent, sort_keys=sort_keys)
             fh.write("\n")
         os.replace(tmp, path)
     except BaseException:

@@ -112,23 +112,13 @@ def _merge_aux(key: str, value) -> None:
 #: the Spark-side partition-independence pins carry it; the Spark sf1
 #: RUN is still timed in the ladder.
 SKIP_SF1_ORACLE = {
-    "pagerank_doc_graph": (
-        "oracle replays the N^2 cosine graph in SQL — infeasible at "
-        "20k vectors (DuckDB pair intermediate ~400 GB; filled the "
-        "container disk). Hash-graded at sf0.01 AND at sf0.1 (r10, "
-        "via --sf-dir: 2k vectors = 4M oracle pairs, feasible — see "
-        "the pagerank_doc_graph@sf0.1 record); Spark-side determinism "
-        "pinned in tests."
-    ),
-    "knn_edges_ivf_embeddings": (
-        "oracle replays probing + all probed-member candidate scores "
-        "in SQL — ~100M 64-d pair scores at 20k vectors; the 20GB "
-        "temp guard stopped it (fail-fast by design, the pagerank "
-        "class). Hash-graded at sf0.01 AND at sf0.1 (r10, via "
-        "--sf-dir — see the knn_edges_ivf_embeddings@sf0.1 record); "
-        "the Spark-side scale path itself is the partition-pruned "
-        "index, plan-asserted at sf1 in tests/test_r10_fixes.py."
-    ),
+    # r12: pagerank_doc_graph and knn_edges_ivf_embeddings moved OUT of
+    # this skip table — their full N² oracles stay infeasible at sf1
+    # (pagerank's ~400 GB pair intermediate filled the disk once; knn's
+    # ~100M pair scores tripped the 20GB temp guard), but each now
+    # carries a SAMPLED deterministic sf1 verdict instead of a skip
+    # (r11 VERDICT Next #3): see SAMPLED_SF1_RUNNERS below and
+    # oracles.SAMPLED_SF1_ORACLES for the sampling rule.
     # --- r11 (VERDICT Next #6 — fence the remaining sweep): the same
     # --- N²-oracle class, each carrying a genuine @sf0.1 full-oracle
     # --- grade recorded alongside -------------------------------------
@@ -177,6 +167,107 @@ VACUOUS_SF1 = {}
 #: a corpus-mean recall verdict — so the same registry row passes at
 #: every sf (r10 VERDICT Next #3).
 EXPECTED_SF1 = {}
+
+
+def _cmp(sdf, odf) -> list[str]:
+    """diffcheck's compare (rowcount, columns, dtype drift, canonical
+    values) as a reusable helper for the sampled runners."""
+    from tools.diffcheck import _dtype_drift, canon
+
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        problems.append("columns differ")
+    else:
+        problems.extend(_dtype_drift(sdf, odf))
+    if not problems and canon(sdf) != canon(odf):
+        problems.append("values differ")
+    return problems
+
+
+def _sampled_knn_edges_ivf(spark, con, sf_dir: str) -> dict:
+    """Sampled sf1 verdict for knn_edges_ivf_embeddings: the FULL
+    production query runs, its output is restricted to the
+    deterministic source sample (src % 97 = 0 — per-src top-k makes
+    the restriction exact), and the oracle replays seeding/assignment
+    over ALL vectors but probes/scores only the sampled sources."""
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.oracles import SAMPLED_SF1_ORACLES
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    spec = SAMPLED_SF1_ORACLES["knn_edges_ivf_embeddings"]
+    sdf = (
+        QUERIES["knn_edges_ivf_embeddings"](spark, sf_dir)
+        .where(F.col("src") % 97 == 0)
+        .toPandas()
+    )
+    odf = con.execute(spec["sql"]).df()
+    problems = _cmp(sdf, odf)
+    return {
+        "rows": len(sdf),
+        "hash_match": not problems,
+        "sampled": spec["rule"],
+        **({"problems": problems} if problems else {}),
+    }
+
+
+def _sampled_pagerank(spark, con, sf_dir: str) -> dict:
+    """Sampled+staged sf1 verdict for pagerank_doc_graph. Rank is a
+    global fixpoint, so node sampling cannot grade it directly; two
+    deterministic stages compose instead: (A) the exact 3-NN edge
+    build — the super-linear half — hash-checked for sampled sources
+    (src % 97 = 0) against ALL candidates; (B) the registry query's
+    top-20 ranks hash-checked against the 3-iteration integer replay
+    in SQL over the FULL Spark-built edge set."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lovdata_pipeline_spark.operators.graph import knn_edges
+    from lovdata_pipeline_spark.oracles import SAMPLED_SF1_ORACLES
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    spec = SAMPLED_SF1_ORACLES["pagerank_doc_graph"]
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # one blocked O(N²/B) build feeds BOTH stages (checkpoint cuts the
+    # lineage so stage B's parquet write doesn't re-run it)
+    edges = knn_edges(emb, k=3).localCheckpoint(eager=True)
+    # stage A: sampled exact edge build
+    sdf = edges.where(F.col("src") % 97 == 0).orderBy("src", "rk").toPandas()
+    odf = con.execute(spec["sql_edges"]).df()
+    problems = [f"edges: {p}" for p in _cmp(sdf, odf)]
+    # stage B: full rank replay over the Spark edges
+    tmp = tempfile.mkdtemp(prefix="pr_sf1_edges_")
+    try:
+        edges.select("src", "dst").write.mode("overwrite").parquet(tmp)
+        con.execute(
+            "CREATE OR REPLACE VIEW spark_knn_edges AS "
+            f"SELECT * FROM '{tmp}/*.parquet'"
+        )
+        sdf2 = QUERIES["pagerank_doc_graph"](spark, sf_dir).toPandas()
+        odf2 = con.execute(spec["sql_ranks"]).df()
+        problems += [f"ranks: {p}" for p in _cmp(sdf2, odf2)]
+    finally:
+        con.execute("DROP VIEW IF EXISTS spark_knn_edges")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows": len(sdf) + len(sdf2),
+        "hash_match": not problems,
+        "sampled": spec["rule"],
+        **({"problems": problems} if problems else {}),
+    }
+
+
+#: registry rows whose sf1 verdict is a SAMPLED deterministic check
+#: because the full oracle is N²-infeasible (r11 VERDICT Next #3); the
+#: sampling rule rides in the record and in oracles.SAMPLED_SF1_ORACLES
+SAMPLED_SF1_RUNNERS = {
+    "knn_edges_ivf_embeddings": _sampled_knn_edges_ivf,
+    "pagerank_doc_graph": _sampled_pagerank,
+}
 
 
 def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
@@ -233,6 +324,25 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
 
     out, failures = {}, []
     for name in names:
+        if name in SAMPLED_SF1_RUNNERS and label == "sf1":
+            t0 = time.time()
+            try:
+                rec = SAMPLED_SF1_RUNNERS[name](spark, con, sf1)
+            except Exception as exc:
+                rec = {"hash_match": False, "error": str(exc)[:300]}
+            rec["sec"] = round(time.time() - t0, 1)
+            if rec.get("hash_match") is not True:
+                failures.append(name)
+            out[name] = rec
+            tag = "ok(s)" if rec.get("hash_match") else "FAIL "
+            print(
+                f"{tag} {name:36s} {rec.get('rows', 0):7d} rows "
+                f"({rec['sec']}s) sampled verdict"
+                + ("; " + "; ".join(rec["problems"]) if rec.get("problems") else ""),
+                flush=True,
+            )
+            spark.catalog.clearCache()
+            continue
         if name in SKIP_SF1_ORACLE and label == "sf1":
             out[name] = {"hash_match": None, "skipped": SKIP_SF1_ORACLE[name]}
             print(f"skip  {name:36s} {SKIP_SF1_ORACLE[name][:60]}...", flush=True)
