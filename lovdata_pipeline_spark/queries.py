@@ -3548,74 +3548,123 @@ QUERIES = {
     # history in git). The blocks below describe only the entries
     # currently holding a window slot.
     #
-    # --- r11 window (VERDICT Next #1/#2): three rows whose operator
-    # --- code changed THIS round (scd2 first_tie fix, asof tiebreak,
-    # --- interval_join rename guard), the nine rows the late-r10
-    # --- hardening touched after their last grade, the 16-entry
-    # --- r6-stale batch, and 21 of the 22-entry r7-latest batch
-    # --- (percentile_order_totals defers to r12 — twin agg_approx_stats
-    # --- r10-green — to make room for the single-attest keep
-    # --- dedup_ngram_jaccard_capped). 48 demotions in exchange, every
-    # --- one r10-green and multiply-attested, family twin inline. ----
+    # --- r12 window (r11 VERDICT Next #1/#2/#5 + ADVICE): the new
+    # --- string-time asof row (born in-window), the five rows whose
+    # --- fingerprints drifted this round (asof digit-bound docs +
+    # --- the new constant leg hashing BM25_TERMS/VALUE_BANDS/
+    # --- SAMPLE_RATES), the complete <=r8 stale-attestation drain
+    # --- (14 rows, oldest percentile_order_totals at r7), the FULL
+    # --- 30-row r9-latest refresh batch, and the bench-drift watch
+    # --- row. After this round no entry's latest grade is older
+    # --- than r10. 48 demotions in exchange, every one r11-green
+    # --- and multiply-attested, family twin inline. ----------------
     #
-    # -- changed-code rows (r11 edits re-grade at birth) --------------
-    "scd2_user_event_intervals": scd2_user_event_intervals,  # green r7-r9; RE-ENTERS r11 at the top: its first_tie computation changed this round (min_by over (ts,tie) — the r10 judge's tied-timestamp bug, VERDICT Next #1), the oracle mirrored, and a changed row re-grades; falsifying example pinned in tests/test_r7c_operators.py
-    "events_asof_join": events_asof_join,  # green r1-r5+r10; STAYS in-window r11: asof_join's tiebreak (to_json fallback for map-typed carried columns) and string-time handling changed this round (r10 ADVICE) — changed code keeps its row graded
-    "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8-r9; re-enters r11: interval_join grew the collision-rename target guard this round (r10 ADVICE) — changed code re-grades; also one of the four non-append streaming rows the late-r10 hardening touched
-    # -- single-attest keep -------------------------------------------
-    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,  # green r10; STAYS in-window r11: single r10 (at-birth) attestation — the single-attest-keep precedent (streaming_session_append/exists_agg in r10); exact twin dedup_ngram_jaccard demotes r10-green
-    # -- late-r10-hardening-touched re-attestations (VERDICT Next #2) -
-    "collocation_pmi_bigrams": collocation_pmi_bigrams,  # green r7-r9; re-promoted r11: the late-r10 single-scan restructure changed its operator code AFTER its last grade (VERDICT Next #2 priority list)
-    "zipf_slope_by_source": zipf_slope_by_source,  # green r7-r9; re-promoted r11: late-r10 hardening touched its operator code after its last grade (VERDICT Next #2 priority list)
-    "chunk_documents_pipeline": chunk_documents_pipeline,  # green r3-r9; re-promoted r11: the late-r10 chunker-parity hardening touched its code after its last grade (VERDICT Next #2 priority list); the board's most-attested row
-    "streaming_session_counts": streaming_session_counts,  # green r7-r9; re-promoted r11: non-append streaming row whose shared session-window code the late-r10 hardening touched (VERDICT Next #2 priority list)
-    "streaming_vocab_counts": streaming_vocab_counts,  # green r7-r9; re-promoted r11: non-append streaming row touched by the late-r10 hardening (VERDICT Next #2 priority list)
-    "streaming_dedup_counts": streaming_dedup_counts,  # green r7-r9; re-promoted r11: non-append streaming row touched by the late-r10 hardening (VERDICT Next #2 priority list)
-    "hybrid_search_rrf": hybrid_search_rrf,  # green r3-r4+r8; re-promoted r11: late-r10 hardening touched the RRF path after its last grade (VERDICT Next #2 priority list); also the registry's only r8-latest search row
-    "shard_pack_documents": shard_pack_documents,  # green r3-r4+r9; re-promoted r11: late-r10 hardening touched its code after its last grade (VERDICT Next #2 priority list)
-    "pagerank_doc_graph": pagerank_doc_graph,  # green r7-r9; re-promoted r11: late-r10 hardening touched graph.py after its last grade (VERDICT Next #2 priority list); sf0.1 full-oracle hash match in BENCH_AUX
-    # -- r6-stale attestation-refresh batch (deferred from r10) -------
-    "pack_emit_sequences": pack_emit_sequences,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "dedup_remove_spans": dedup_remove_spans,  # green r4-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "q3_top_unshipped": q3_top_unshipped,  # green r1-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "curation_report_by_source": curation_report_by_source,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "exact_contamination_documents": exact_contamination_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "text_gopher_quality": text_gopher_quality,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "bpe_pair_stats": bpe_pair_stats,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "running_sum": running_sum,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "cube_status_priority": cube_status_priority,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "set_ops_nations": set_ops_nations,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "full_outer_order_presence": full_outer_order_presence,  # green r1+r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "benchmark_contamination_report": benchmark_contamination_report,  # green r4-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "training_order_documents": training_order_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2; ALSO late-r10-hardening-touched — the duplicate-key guard)
-    "epoch_mix_documents": epoch_mix_documents,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    "quality_quota_by_source": quality_quota_by_source,  # green r5-r6; re-promoted r11 (r6-stale attestation refresh, VERDICT Next #2)
-    # -- r7-latest attestation-refresh batch --------------------------
-    "semi_join_processed": semi_join_processed,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "distinct_projection": distinct_projection,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "filter_like": filter_like,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "topk_limit": topk_limit,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "rollup_priority": rollup_priority,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "pivot_status": pivot_status,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "left_join_customer_orders": left_join_customer_orders,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "events_lag_gaps": events_lag_gaps,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "events_hourly": events_hourly,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r1-r2+r7 (as the pre-rename alias key) + r9; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2) — takes the slot its removed r2 alias key "dedup_fingerprint_groups" held: the alias mapped the SAME function to an IDENTICAL oracle, double-counting one computation in the registry, so r11 deletes it (registry 144 -> 143; rename rationale preserved in the function docstring + git)
-    "text_token_counts": text_token_counts,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "text_stopword_ratios": text_stopword_ratios,  # green r1-r2+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "token_length_band_documents": token_length_band_documents,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "mixture_plan_by_source": mixture_plan_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "text_repetition_signals": text_repetition_signals,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "perplexity_buckets_by_source": perplexity_buckets_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "vocab_drift_by_source": vocab_drift_by_source,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "validate_documents_expectations": validate_documents_expectations,  # green r6-r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
-    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7; re-promoted r11 (r7-latest attestation refresh, VERDICT Next #2)
+    # -- changed/new rows (re-grade at birth / on drift) --------------
+    "events_asof_join_string_time": events_asof_join_string_time,  # NEW r12 (r11 VERDICT Next #5): the ISO-8601 STRING time-key asof row — grades the layered string-key path the r11 asof rework added (operators/asof.py non-parseable class) against DuckDB VARCHAR ASOF; born in-window
+    "events_asof_join": events_asof_join,  # green r1-r5+r10-r11; STAYS in-window r12: asof.py gained the decimal(38,18) digit-bound documentation this round (r11 ADVICE) — fingerprint drift re-grades; the string-key sibling events_asof_join_string_time enters alongside
+    "hybrid_search_rrf": hybrid_search_rrf,  # green r3-r4+r8+r11; STAYS in-window r12: the fingerprint constant leg (r11 ADVICE) now hashes BM25_TERMS into this row — algorithm-driven drift re-grades in-window
+    "text_bm25_search": text_bm25_search,  # green r3-r6+r10; re-enters r12: constant-leg fingerprint drift (BM25_TERMS now hashed, r11 ADVICE)
+    "stratified_sample_orders": stratified_sample_orders,  # green r3-r4+r9; re-enters r12: constant-leg fingerprint drift (SAMPLE_RATES now hashed, r11 ADVICE); also the r9-latest sampling row
+    # -- <=r8 stale-attestation drain (r11 VERDICT Next #1) -----------
+    "percentile_order_totals": percentile_order_totals,  # green r1-r2+r7; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first; the registry's OLDEST grade (deferred from r11 for the single-attest keep; twin agg_approx_stats r10-green))
+    "status_counts": status_counts,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "set_difference_validation": set_difference_validation,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "agg_distinct_counts": agg_distinct_counts,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "events_json_props": events_json_props,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "events_range_join": events_range_join,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first; also constant-leg fingerprint drift (VALUE_BANDS now hashed, r11 ADVICE))
+    "positional_ids": positional_ids,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "greedy_token_buckets": greedy_token_buckets,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "not_exists_high_value": not_exists_high_value,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "dedup_simhash": dedup_simhash,  # green r1-r4+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "text_language_id": text_language_id,  # green r1-r4+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6-r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
+    # -- r9-latest attestation-refresh batch (drains r9 to zero) ------
+    "hll_distinct_by_source": hll_distinct_by_source,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "dedup_keep_best_quality": dedup_keep_best_quality,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "train_quality_classifier_documents": train_quality_classifier_documents,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "dedup_incremental_minhash": dedup_incremental_minhash,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "filter_attrition_report": filter_attrition_report,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "q5_region_revenue": q5_region_revenue,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "knn_join_top3": knn_join_top3,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "dedup_embedding_cosine": dedup_embedding_cosine,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "embedding_cluster_assign": embedding_cluster_assign,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "ann_topk_ivf": ann_topk_ivf,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "text_quality": text_quality,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "text_repetition": text_repetition,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "text_unigram_surprisal": text_unigram_surprisal,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "decontam_remove_spans": decontam_remove_spans,  # green r6-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "events_funnel_counts": events_funnel_counts,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "cms_token_estimates": cms_token_estimates,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "events_retention_cohorts": events_retention_cohorts,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "bpe_learned_merges": bpe_learned_merges,  # green r6-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "hll_store_merged_counts": hll_store_merged_counts,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "bloom_token_membership": bloom_token_membership,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "compression_band_report": compression_band_report,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "point_lookup": point_lookup,  # green r1-r3+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "grouping_sets_status_priority": grouping_sets_status_priority,  # green r1-r3+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "multimodal_audio": multimodal_audio,  # green r2-r4+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "top3_orders_per_customer": top3_orders_per_customer,  # green r1-r4+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "stratified_split_exact": stratified_split_exact,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    "text_kn_surprisal": text_kn_surprisal,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    # -- bench-drift watch row (r11 VERDICT watch item #1) ------------
+    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; re-enters r12: the r11 VERDICT bench-drift watch item (#1, local median 4.0s->6.9s) — a fresh driver grade + bench row settles whether the drift is environment or code
     # ------------------------------------------------------------------ tail
-    # --- r11 attestation-refresh demotions (each r10-green and
+    # --- r12 attestation-refresh demotions (each r11-green and
     # --- multiply-attested; family twin named inline) ----------------
+    "scd2_user_event_intervals": scd2_user_event_intervals,  # green r7-r9+r11; demoted r12 (event-time family: events_funnel_counts + events_retention_cohorts re-enter; the r11 first_tie fix graded green at birth)
+    "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8-r9+r11; demoted r12 (interval semantics now property-pinned (tests/test_tie_properties.py, duplicate-ts multiset vs brute force); range-predicate twin events_range_join re-enters)
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,  # green r10-r11; demoted r12 (the r11 single-attest keep is now double-attested (r10+r11); SSJoin exactness property-pinned (test_dedup_properties); dedup family re-enters via dedup_simhash + dedup_incremental_minhash + dedup_embedding_cosine)
+    "collocation_pmi_bigrams": collocation_pmi_bigrams,  # green r7-r9+r11; demoted r12 (integer-accumulation textstats family: text_kn_trigram_surprisal + text_unigram_surprisal re-enter)
+    "zipf_slope_by_source": zipf_slope_by_source,  # green r7-r9+r11; demoted r12 (fixed-point log-coordinate family: text_kn_surprisal + text_quality re-enter)
+    "chunk_documents_pipeline": chunk_documents_pipeline,  # green r3-r9+r11; demoted r12 (the board's most-attested row; chunker family re-enters via positional_ids + greedy_token_buckets)
+    "streaming_session_counts": streaming_session_counts,  # green r7-r9+r11; demoted r12 (r11-green x2 attestations; session-window machinery pytest-pinned; the streaming family rotates out together this round (all five rows r11-green))
+    "streaming_vocab_counts": streaming_vocab_counts,  # green r7-r9+r11; demoted r12 (r11-green x2; streaming family rotates out together (all five rows r11-green))
+    "streaming_dedup_counts": streaming_dedup_counts,  # green r7-r9+r11; demoted r12 (r11-green x2; streaming family rotates out together (all five rows r11-green))
+    "shard_pack_documents": shard_pack_documents,  # green r3-r4+r9+r11; demoted r12 (packing family: stratified_split_exact re-enters; prefix-sum packing property-pinned (test_tie_properties))
+    "pagerank_doc_graph": pagerank_doc_graph,  # green r7-r9+r11; demoted r12 (gains the SAMPLED sf1 full-pipeline verdict this round (tools/scaling.py SAMPLED_SF1_RUNNERS); ANN family re-enters via ann_topk_ivf + ann_topk_ivf_index)
+    "pack_emit_sequences": pack_emit_sequences,  # green r5-r6+r11; demoted r12 (packing prefix-sum property-pinned (test_tie_properties pack_token_sequences); split twin stratified_split_exact re-enters)
+    "hard_negatives_embeddings": hard_negatives_embeddings,  # green r6+r11; demoted r12 (two-phase top-k family: knn_join_top3 + ann_topk_ivf re-enter)
+    "dedup_remove_spans": dedup_remove_spans,  # green r4-r6+r11; demoted r12 (winnowing-anchor twin decontam_remove_spans re-enters (same span machinery, decontam side); r11 sweep-hardened)
+    "q3_top_unshipped": q3_top_unshipped,  # green r1-r6+r11; demoted r12 (TPC-H family: q5_region_revenue re-enters; also an r11 VERDICT noise-watch row (bench confirms at r12))
+    "curation_report_by_source": curation_report_by_source,  # green r5-r6+r11; demoted r12 (gate family: filter_attrition_report re-enters)
+    "exact_contamination_documents": exact_contamination_documents,  # green r5-r6+r11; demoted r12 (contamination family: decontam_remove_spans re-enters)
+    "text_gopher_quality": text_gopher_quality,  # green r5-r6+r11; demoted r12 (gopher gates re-graded inside filter_attrition_report (re-enters) + text_quality re-enters)
+    "bpe_pair_stats": bpe_pair_stats,  # green r5-r6+r11; demoted r12 (BPE family: bpe_learned_merges re-enters (the downstream consumer of these pair stats))
+    "running_sum": running_sum,  # green r1+r6+r11; demoted r12 (window-function family: top3_orders_per_customer re-enters)
+    "cube_status_priority": cube_status_priority,  # green r1+r6+r11; demoted r12 (grouping family: grouping_sets_status_priority re-enters (the superset form))
+    "set_ops_nations": set_ops_nations,  # green r1+r6+r11; demoted r12 (set-op family: set_difference_validation re-enters)
+    "full_outer_order_presence": full_outer_order_presence,  # green r1+r6+r11; demoted r12 (presence-predicate family: not_exists_high_value re-enters)
+    "benchmark_contamination_report": benchmark_contamination_report,  # green r4-r6+r11; demoted r12 (contamination family: decontam_remove_spans re-enters)
+    "training_order_documents": training_order_documents,  # green r5-r6+r11; demoted r12 (training-layout family: stratified_split_exact re-enters)
+    "epoch_mix_documents": epoch_mix_documents,  # green r5-r6+r11; demoted r12 (sampling/mixture family: stratified_sample_orders stays in-window)
+    "quality_quota_by_source": quality_quota_by_source,  # green r5-r6+r11; demoted r12 (gate/quota family: filter_attrition_report re-enters)
+    "semi_join_processed": semi_join_processed,  # green r1-r2+r7+r11; demoted r12 (semi/anti predicate family: not_exists_high_value re-enters)
+    "distinct_projection": distinct_projection,  # green r1-r2+r7+r11; demoted r12 (distinct-agg family: agg_distinct_counts re-enters)
+    "filter_like": filter_like,  # green r1-r2+r7+r11; demoted r12 (predicate family: not_exists_high_value + events_json_props re-enter)
+    "topk_limit": topk_limit,  # green r1-r2+r7+r11; demoted r12 (top-k family: top3_orders_per_customer re-enters)
+    "rollup_priority": rollup_priority,  # green r1-r2+r7+r11; demoted r12 (grouping family: grouping_sets_status_priority re-enters)
+    "pivot_status": pivot_status,  # green r1-r2+r7+r11; demoted r12 (status-agg family: status_counts re-enters)
+    "left_join_customer_orders": left_join_customer_orders,  # green r1-r2+r7+r11; demoted r12 (join-agg family: max_acctbal_supplier_per_nation re-enters)
+    "events_lag_gaps": events_lag_gaps,  # green r1-r2+r7+r11; demoted r12 (event-time family: events_funnel_counts + events_retention_cohorts re-enter)
+    "events_hourly": events_hourly,  # green r1-r2+r7+r11; demoted r12 (time-bucket family: events_retention_cohorts re-enters)
+    "dedup_vocab_fingerprint_groups": dedup_vocab_fingerprint_groups,  # green r3-r4+r9+r11; demoted r12 (signature family: dedup_simhash re-enters (+ earlier grades lived under the removed r2 alias key, see r11 note in git))
+    "text_token_counts": text_token_counts,  # green r1-r2+r7+r11; demoted r12 (token-count path re-graded via greedy_token_buckets + text_language_id re-enters)
+    "text_stopword_ratios": text_stopword_ratios,  # green r1-r2+r7+r11; demoted r12 (ratio family: text_quality re-enters)
+    "token_length_band_documents": token_length_band_documents,  # green r6-r7+r11; demoted r12 (banding family: compression_band_report re-enters)
+    "mixture_plan_by_source": mixture_plan_by_source,  # green r6-r7+r11; demoted r12 (mixture family: stratified_sample_orders stays in-window)
+    "pca_variance_report_embeddings": pca_variance_report_embeddings,  # green r6-r7+r11; demoted r12 (PCA consumer ann_pca_rerank_recall_embeddings enters (the bench-drift watch row))
+    "paragraph_dedup_documents": paragraph_dedup_documents,  # green r6-r7+r11; demoted r12 (property-pinned this round vs a reference model + partition independence (test_tie_properties); dedup family in-window)
+    "text_repetition_signals": text_repetition_signals,  # green r6-r7+r11; demoted r12 (signal subset twin text_repetition re-enters)
+    "perplexity_buckets_by_source": perplexity_buckets_by_source,  # green r6-r7+r11; demoted r12 (its surprisal inputs re-enter: text_kn_surprisal + text_unigram_surprisal)
+    "vocab_drift_by_source": vocab_drift_by_source,  # green r6-r7+r11; demoted r12 (token-frequency family: cms_token_estimates + hll_distinct_by_source re-enter)
+    "validate_documents_expectations": validate_documents_expectations,  # green r6-r7+r11; demoted r12 (validation family: set_difference_validation re-enters)
+    "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7+r11; demoted r12 (exact-algebra twin dedup_embedding_cosine re-enters (blocked execution is the only difference))
+    # --- earlier demotions (r11 and before; annotations preserved) ---
     "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,  # green r9-r10; demoted r11 (two-phase cosine top-k machinery re-enters via hard_negatives_embeddings; SRP bucket twin ann_topk_lsh_bucketed r9-green in tail)
     "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,  # green r8-r10; demoted r11 (consumer twin pagerank_doc_graph re-enters (composes knn_edges end-to-end); IVF geometry plan-asserted in tests)
     "streaming_session_append_counts": streaming_session_append_counts,  # green r9-r10; demoted r11 (streaming family gets ALL FOUR non-append rows re-graded this round; the append drain is the same session plan as streaming_session_counts)
@@ -3641,12 +3690,10 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,  # green r2-r5+r10; demoted r11 (fingerprint family: dedup_vocab_fingerprint_groups re-enters)
     "text_quality_classifier": text_quality_classifier,  # green r4-r5+r10; demoted r11 (quality family: text_gopher_quality re-enters; LR apply side shares train_quality_classifier_documents' weights (r9-green in tail))
     "text_winnowing": text_winnowing,  # green r2-r5+r10; demoted r11 (winnowing primitive composed inside dedup_remove_spans, re-entering)
-    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; demoted r11 (PCA fit family: pca_variance_report_embeddings re-enters (same fit machinery); recall contract sf0.01+sf1 hash-green r10)
     "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7-r10; demoted r11 (centroid-cosine family: hard_negatives_embeddings re-enters; signed-zero discipline pinned in the oracle)
     "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
     "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
     "multimodal_features": multimodal_features,  # green r2-r6+r10; demoted r11 (image/audio plumbing multiply-attested (r2-r6+r10); twin multimodal_audio r9-green in tail)
-    "text_bm25_search": text_bm25_search,  # green r3-r6+r10; demoted r11 (search family: hybrid_search_rrf re-enters (its BM25 arm is this row's expression))
     "pretraining_pipeline": pretraining_pipeline,  # green r4-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + benchmark_contamination_report + training_order + epoch_mix; sf1 row de-vacuated r10 (31,067 rows))
     "curation_pipeline": curation_pipeline,  # green r2-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + text_gopher_quality)
     "ann_topk_sq8": ann_topk_sq8,  # green r6+r10; demoted r11 (ANN quantization family demotes together r10-green (pq/ivfpq); fit/encode/ADC pytest-pinned)
@@ -3664,53 +3711,6 @@ QUERIES = {
     "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; demoted r11 (packing family: pack_emit_sequences + token_length_band_documents re-enter)
     "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; demoted r11 (same pairing machinery re-enters via dedup_embedding_cosine_blocked)
     "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; demoted r11 (knn-consumer family: pagerank_doc_graph re-enters; exact top-k twin knn_join_top3 r9-green in tail)
-    # --- earlier-round demotions (comments carried forward; rotation
-    # --- narrative for r7-r10 in git history) ------------------------
-    "hll_distinct_by_source": hll_distinct_by_source,  # demoted r10 for the attestation-refresh rotation (green r9; twin hll_store_merged_counts r8/r9-green, cycled in the second-half refresh; sketch family's in-window anchor is the re-promoted agg_approx_stats)
-    "dedup_keep_best_quality": dedup_keep_best_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twins dedup_exact_groups + dedup_minhash_lsh in-window; winner top-k pytest-pinned)
-    "train_quality_classifier_documents": train_quality_classifier_documents,  # demoted r10 for the attestation-refresh rotation (green r9; twin text_quality_classifier in-window (the apply side of the same LR weights))
-    "dedup_incremental_minhash": dedup_incremental_minhash,  # demoted r10 for the attestation-refresh rotation (green r9; twin dedup_minhash_lsh in-window (same banding + exact verify); store lifecycle pytest+CLI-driven)
-    "filter_attrition_report": filter_attrition_report,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window; funnel-step machinery pytest-pinned)
-    "q5_region_revenue": q5_region_revenue,  # demoted r10 for the attestation-refresh rotation (green r9; twin q1_pricing_summary in-window (decimal-agg + star-join family; q3 attested in tail); laddered at sf1)
-    "knn_join_top3": knn_join_top3,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk in-window (exact cosine top-k) + knn_edges_ivf_embeddings staying)
-    "stratified_sample_orders": stratified_sample_orders,  # demoted r10 for the attestation-refresh rotation (green r9; twins temperature_mix_orders in-window + weighted_sample/hash_split/cluster_balanced re-entering; stratified_split_exact r7b-r9-green cycles in the second-half refresh)
-    "dedup_embedding_cosine": dedup_embedding_cosine,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_cosine_topk (exact cosine) + dedup_components in-window)
-    "embedding_cluster_assign": embedding_cluster_assign,  # demoted r10 for the attestation-refresh rotation (green r9; twin knn_edges_ivf_embeddings staying (same quantize/assign machinery))
-    "ann_topk_ivf": ann_topk_ivf,  # demoted r10 for the attestation-refresh rotation (green r9; twins ann_topk_pq + ann_cosine_topk in-window, ivfpq + sq8 re-entering; ann_topk_ivf_index r7-r9-green cycles in the second-half refresh)
-    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # demoted r10 for the attestation-refresh rotation (green r9; twin bitext_mine_margin_bucketed staying (the same seed-42 _srp_bits machinery) + ann_cosine_topk in-window)
-    "text_quality": text_quality,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying (composes the same quality gates))
-    "text_repetition": text_repetition,  # demoted r10 for the attestation-refresh rotation (green r9; twin quality_blend_documents staying; text_repetition_signals attested in tail + laddered at sf1)
-    "text_unigram_surprisal": text_unigram_surprisal,  # demoted r10 for the attestation-refresh rotation (green r9; strict supersets text_kn_surprisal + text_kn_trigram_surprisal r9-green cycle in the second-half refresh; text_bigram_surprisal re-enters in-window (same family))
-    "decontam_remove_spans": decontam_remove_spans,  # demoted r10 for the attestation-refresh rotation (green r9; twins decontaminate_benchmark_overlap + decontaminate_clean_set in-window; laddered at sf1)
-    "events_funnel_counts": events_funnel_counts,  # demoted r10 for the attestation-refresh rotation (green r9; twins events_sessionize + events_asof_join in-window, events_rolling_1h re-entering; events_retention_cohorts r7b-r9-green cycles in the second-half refresh; laddered at sf1)
-    "cms_token_estimates": cms_token_estimates,  # green r7d-r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; every sketch row r8/r9-green)
-    "events_retention_cohorts": events_retention_cohorts,  # green r7b-r9; demoted r10 second-half refresh (events family keeps events_sessionize + events_asof_join in-window; events_rolling_1h re-enters)
-    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8+r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; the KN machinery is its strict superset, r9-attested)
-    "bpe_learned_merges": bpe_learned_merges,  # green r7-r9; demoted r10 second-half refresh (bpe_token_counts re-enters — the apply side consuming the same merge table; train chain r9-attested)
-    "hll_store_merged_counts": hll_store_merged_counts,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; registers bit-replayed r9)
-    "bloom_token_membership": bloom_token_membership,  # green r8+r9; demoted r10 second-half refresh (sketch family: agg_approx_stats re-enters; deterministic false positives r9-attested)
-    "compression_band_report": compression_band_report,  # green r7-r9; demoted r10 second-half refresh (quality-band family: quality_blend_documents in-window; zlib codec literal-pinned in pytest)
-    "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9; demoted r10 second-half refresh (ANN keeps ann_cosine_topk + ann_topk_pq in-window; sq8 + ivfpq re-enter; PartitionFilters plan-asserted in tests at sf1)
-    "point_lookup": point_lookup,  # green r8+r9; demoted r10 second-half refresh (predicate-scan family multiply-attested; the bucket-pruned lookup is plan-asserted in pytest)
-    "grouping_sets_status_priority": grouping_sets_status_priority,  # green r8+r9; demoted r10 second-half refresh (grouping family: rollup/pivot/cube twins tail-attested)
-    "multimodal_audio": multimodal_audio,  # green r2-r4+r8+r9; demoted r10 second-half refresh (twin multimodal_features re-enters — the image side of the same mapInPandas plumbing)
-    "top3_orders_per_customer": top3_orders_per_customer,  # green r8+r9; demoted r10 second-half refresh (top-per-group family: knn_join_top3 in-window; sf1-swept at 449,539 rows)
-    "stratified_split_exact": stratified_split_exact,  # green r7b-r9; demoted r10 second-half refresh (sampling family: temperature_mix_orders in-window; weighted_sample + hash_split + cluster_balanced re-enter)
-    "text_kn_surprisal": text_kn_surprisal,  # green r7b-r9; demoted r10 second-half refresh (LM family: text_bigram_surprisal re-enters; trigram sibling cycles alongside)
-    "status_counts": status_counts,  # green r1+r2+r3+r8; demoted r9 (point_lookup keeps the predicate-scan family graded)
-    "set_difference_validation": set_difference_validation,  # green r1+r2+r3+r8; demoted r9 (exists_agg_priority enters; decontam anti-join cut stays graded)
-    "scalar_subquery_part_avg": scalar_subquery_part_avg,  # green r1+r2+r3+r8; demoted r9 (filter_attrition_report's broadcast scalar gate stays; q5 enters)
-    "agg_distinct_counts": agg_distinct_counts,  # green r1+r2+r3+r8; demoted r9 (streaming_dedup_counts' COUNT(DISTINCT) oracle + hll rows stay)
-    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1+r2+r3+r8; demoted r9 (top3_orders_per_customer stays; knn_join_top3 enters)
-    "events_json_props": events_json_props,  # green r1+r2+r3+r8; demoted r9 (events family keeps scd2 + funnel + retention graded)
-    "events_range_join": events_range_join,  # green r1+r2+r3+r8; demoted r9 (streaming_interval_join_counts keeps the bounded-time theta join graded)
-    "positional_ids": positional_ids,  # green r1+r2+r3+r8; demoted r9 (op-23 id assignment rides inside the graded chunk pipeline)
-    "greedy_token_buckets": greedy_token_buckets,  # green r1+r2+r3+r8; demoted r9 (tier-2 grouping inside the chunk pipeline; shard_pack enters)
-    "not_exists_high_value": not_exists_high_value,  # green r1+r2+r3+r8; demoted r9 (exists_agg_priority enters, mirrored EXISTS predicate)
-    "dedup_simhash": dedup_simhash,  # green r1-r4+r8; demoted r9 (keep_best_quality + incremental_minhash + boilerplate_strip stay; embedding_cosine + vocab_fingerprint enter)
-    "text_language_id": text_language_id,  # green r1-r4+r8; demoted r9 (text_quality + text_repetition enter, same signal-scan family)
-    "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6+r7+r8; demoted r9 for bitext_mine_margin_bucketed's at-birth slot (line-level dedup family keeps keep_best_quality + incremental_minhash in-window; paragraph_dedup + remove_spans in tail; strip machinery driven by lg clean CLI tests)
-    "percentile_order_totals": percentile_order_totals,  # green r1+r2+r7; demoted r8 (scalar_subquery_part_avg graded this round)
 }
 
 
