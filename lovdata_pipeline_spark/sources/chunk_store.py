@@ -39,6 +39,16 @@ _STORED_SCHEMA = T.StructType(
 
 
 class ChunkStore:
+    # roots whose legacy layout the data scan already confirmed THIS
+    # process, keyed by (realpath, n_buckets). When the sidecar cannot
+    # be written (read-only mount: EROFS/EACCES swallowed below) every
+    # open would otherwise repeat the full (document_id, bucket) scan —
+    # minutes of I/O per open on a large store (r12 review). The memo
+    # keeps the unwritable-store path at one scan per process; a fresh
+    # process re-validates, which is the desired behavior for a store
+    # that can't persist its pin.
+    _data_confirmed: set[tuple[str, int]] = set()
+
     def __init__(
         self, spark: SparkSession, root: str | Path, n_buckets: int | None = None
     ):
@@ -124,20 +134,27 @@ class ChunkStore:
                 # every directory to exist and a provably-wrong
                 # explicit modulus fails loud instead of silently
                 # mis-pruning this session's reads.
-                mismatched = (
-                    self.read()
-                    .where(F.col(_BUCKET) != self._bucket_col())
-                    .limit(1)
-                    .count()
+                memo_key = (
+                    str(Path(self.root).resolve()),
+                    self.n_buckets,
                 )
-                if mismatched:
-                    raise ValueError(
-                        f"chunk store at {self.root} holds documents that "
-                        f"do not hash into their bucket directories under "
-                        f"n_buckets={self.n_buckets} — the layout was "
-                        "written with a different modulus; open with the "
-                        "original n_buckets or rebuild the store"
+                if memo_key not in ChunkStore._data_confirmed:
+                    mismatched = (
+                        self.read()
+                        .where(F.col(_BUCKET) != self._bucket_col())
+                        .limit(1)
+                        .count()
                     )
+                    if mismatched:
+                        raise ValueError(
+                            f"chunk store at {self.root} holds documents "
+                            f"that do not hash into their bucket "
+                            f"directories under n_buckets={self.n_buckets} "
+                            "— the layout was written with a different "
+                            "modulus; open with the original n_buckets or "
+                            "rebuild the store"
+                        )
+                    ChunkStore._data_confirmed.add(memo_key)
                 import errno
                 import json as _json
 

@@ -167,11 +167,7 @@ class TestChunkStoreLegacySidecar:
         from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
 
         tmp = tempfile.mkdtemp(prefix="legacy_sparse_8_")
-        self._legacy_store(spark, tmp, n_docs=4)  # few docs -> sparse dirs
-        # rebuild as an 8-bucket store with the same few docs
-        import shutil
-
-        shutil.rmtree(tmp)
+        # build an 8-bucket store with few docs -> genuinely sparse dirs
         from lovdata_pipeline_spark.chunking import chunk_documents_df
         from lovdata_pipeline_spark.config import ChunkParams, PipelineConfig
         from lovdata_pipeline_spark.embedding import embed_chunks_df
@@ -191,6 +187,32 @@ class TestChunkStoreLegacySidecar:
         os.remove(os.path.join(tmp, "_store_meta.json"))
         ChunkStore(spark, tmp, n_buckets=8)  # open only, no mutation
         assert json.load(open(os.path.join(tmp, "_store_meta.json")))["n_buckets"] == 8
+
+    def test_data_confirm_scan_runs_once_per_process(self, spark, monkeypatch):
+        """r12 review: when the sidecar cannot persist (read-only mount,
+        EROFS/EACCES swallowed), every open used to repeat the full
+        (document_id, bucket) scan — minutes per open on a large store.
+        The process-level memo keeps it at one scan: a second legacy
+        open of the same (root, n_buckets) must not touch the data."""
+        from lovdata_pipeline_spark.sources.chunk_store import ChunkStore
+
+        tmp = tempfile.mkdtemp(prefix="legacy_memo_")
+        self._legacy_store(spark, tmp)
+        ChunkStore(spark, tmp, n_buckets=4)  # scan + pin
+        key = (str(os.path.realpath(tmp)), 4)
+        assert key in ChunkStore._data_confirmed
+        # simulate the unwritable-sidecar case: pin gone again, and any
+        # data read during open would blow up — the memo must skip it
+        os.remove(os.path.join(tmp, "_store_meta.json"))
+        monkeypatch.setattr(
+            ChunkStore,
+            "read",
+            lambda self: (_ for _ in ()).throw(AssertionError("rescanned")),
+        )
+        store = ChunkStore(spark, tmp, n_buckets=4)  # no rescan
+        assert store.n_buckets == 4
+        # the (cheap) sidecar write still re-pins on the memoized path
+        assert json.load(open(os.path.join(tmp, "_store_meta.json")))["n_buckets"] == 4
 
     def test_open_with_modulus_smaller_than_layout_fails(self, spark):
         """A legacy store whose directories prove a larger modulus must

@@ -140,10 +140,34 @@ def test_constant_mutation_moves_the_fingerprint_inputs(tmp_path):
     helpers_b, consts_b = inputs("b", 4)
     # the constant is reached THROUGH the helper (recursion), and only
     # the referenced constant is hashed — OTHER stays out
-    assert consts_a == ["THRESH = 3"]
-    assert consts_b == ["THRESH = 4"]
+    assert consts_a == {"THRESH": "THRESH = 3"}
+    assert consts_b == {"THRESH": "THRESH = 4"}
     assert helpers_a == helpers_b  # helper source itself unchanged
     assert consts_a != consts_b  # the mutation moves the hashed inputs
+
+
+def test_constant_assignment_edge_forms_are_visible(tmp_path):
+    """r12 review: tuple unpacking, chained assignment, and augmented
+    re-binds must all reach the gate — each was invisible to the first
+    Assign-to-Name-only cut."""
+    import importlib.util
+
+    from tools.fingerprints import _constant_assignments
+
+    p = tmp_path / "qmod_edge.py"
+    p.write_text(
+        "LO, HI = 30, 100000\n"
+        "A = B = 7\n"
+        "A += 1\n"
+    )
+    spec = importlib.util.spec_from_file_location("qmod_edge", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cmap = _constant_assignments(mod)
+    assert cmap["LO"] == cmap["HI"] == "LO, HI = 30, 100000"
+    # chained: BOTH names bound; augmented: A carries both segments
+    assert cmap["B"] == "A = B = 7"
+    assert cmap["A"] == "A = B = 7\nA += 1"
 
 
 def test_synthetic_failed_record_does_not_attest():

@@ -107,25 +107,42 @@ def _constant_assignments(qmod) -> dict[str, str]:
     src = inspect.getsource(qmod)
     tree = ast.parse(src)
     out: dict[str, str] = {}
+
+    def names_of(target) -> list[ast.Name]:
+        # r12 review: tuple unpacking (`LO, HI = 30, 100000`) and
+        # starred targets must not slip through the gate — every Name
+        # reachable in the target structure maps to the whole segment
+        if isinstance(target, ast.Name):
+            return [target]
+        if isinstance(target, (ast.Tuple, ast.List)):
+            return [n for e in target.elts for n in names_of(e)]
+        if isinstance(target, ast.Starred):
+            return names_of(target.value)
+        return []
+
     for node in tree.body:
         if isinstance(node, ast.Assign):
-            targets = [t for t in node.targets if isinstance(t, ast.Name)]
-        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            targets = [node.target]
+            targets = [n for t in node.targets for n in names_of(t)]
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets = names_of(node.target)
         else:
             continue
         seg = ast.get_source_segment(src, node)
         if seg is None:  # pragma: no cover - synthesized source only
             continue
         for t in targets:
-            out[t.id] = seg
+            # chained/augmented re-binds: concatenate every assignment
+            # touching the name, so `A = B = expr` and a later
+            # `A += ...` each contribute (and query_constant_bindings
+            # stays name-keyed, not value-keyed)
+            out[t.id] = (out[t.id] + "\n" + seg) if t.id in out else seg
     return out
 
 
 def _queries_module_refs(
     fn_src: str, qmod, const_map: dict[str, str]
-) -> tuple[list[str], list[str]]:
-    """(helper sources, constant assignment sources) of queries.py
+) -> tuple[dict[str, str], dict[str, str]]:
+    """({helper name: source}, {constant name: assignment source}) of queries.py
     module-level bindings the function references, recursively through
     both helpers and constants — changes to a shared helper OR a
     module-level constant (BM25_TERMS, VALUE_BANDS, SAMPLE_RATES …)
@@ -165,10 +182,7 @@ def _queries_module_refs(
                 visit(const_map[nid])
 
     visit(fn_src)
-    return (
-        [helpers[k] for k in sorted(helpers)],
-        [consts[k] for k in sorted(consts)],
-    )
+    return helpers, consts
 
 
 def _module_level_deps(src: str, qmod) -> set[str]:
@@ -192,7 +206,7 @@ def _module_level_deps(src: str, qmod) -> set[str]:
         else:
             modname = getattr(obj, "__module__", "") or ""
         # queries.py itself is EXCLUDED: its helpers are hashed
-        # source-wise by _queries_module_helpers, and admitting it here
+        # source-wise by _queries_module_refs, and admitting it here
         # would closure in the whole package (queries.py imports every
         # operator module), collapsing all fingerprints into one
         if modname.startswith(PKG) and modname != qmod.__name__:
@@ -205,8 +219,11 @@ def _query_inputs(
 ) -> tuple[list[str], list[str], set[str]]:
     """(helper sources, constant sources, direct module deps) — the
     three legs every fingerprint hashes, shared by compute_fingerprints
-    and the doctrine-test introspection hooks."""
-    helpers, consts = _queries_module_refs(fn_src, qmod, const_map)
+    and the doctrine-test introspection hooks. Sources are returned in
+    name-sorted order so the hash is deterministic."""
+    hmap, cmap = _queries_module_refs(fn_src, qmod, const_map)
+    helpers = [hmap[k] for k in sorted(hmap)]
+    consts = [cmap[k] for k in sorted(cmap)]
     mods = _imports_of_source(textwrap.dedent(fn_src))
     mods |= _module_level_deps(fn_src, qmod)
     for s in helpers + consts:
@@ -238,8 +255,7 @@ def query_constant_bindings(name: str) -> set[str]:
     const_map = _constant_assignments(qmod)
     fn_src = inspect.getsource(QUERIES[name])
     _, consts = _queries_module_refs(fn_src, qmod, const_map)
-    rev = {v: k for k, v in const_map.items()}
-    return {rev[c] for c in consts}
+    return set(consts)
 
 
 def compute_fingerprints() -> dict[str, str]:

@@ -232,8 +232,14 @@ def _sampled_pagerank(spark, con, sf_dir: str) -> dict:
 
     spec = SAMPLED_SF1_ORACLES["pagerank_doc_graph"]
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # one blocked O(N²/B) build feeds BOTH stages (checkpoint cuts the
-    # lineage so stage B's parquet write doesn't re-run it)
+    # the checkpoint spares the stage-A filter and the stage-B parquet
+    # write from each re-running the blocked build; stage B's QUERIES
+    # call below deliberately re-runs the REGISTRY row from scratch so
+    # the graded artifact is the actual registry query, not a local
+    # re-composition that could drift from it — a second ~15 s blocked
+    # build at sf1, accepted (r12 review: the sampling scheme exists to
+    # bound the ORACLE's N² SQL, not Spark's O(N²/B) build, which is
+    # the row's graded contract and ladder-timed at sf1)
     edges = knn_edges(emb, k=3).localCheckpoint(eager=True)
     # stage A: sampled exact edge build
     sdf = edges.where(F.col("src") % 97 == 0).orderBy("src", "rk").toPandas()
@@ -335,10 +341,11 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
                 failures.append(name)
             out[name] = rec
             tag = "ok(s)" if rec.get("hash_match") else "FAIL "
+            detail = "; ".join(rec.get("problems", [])) or rec.get("error", "")
             print(
                 f"{tag} {name:36s} {rec.get('rows', 0):7d} rows "
                 f"({rec['sec']}s) sampled verdict"
-                + ("; " + "; ".join(rec["problems"]) if rec.get("problems") else ""),
+                + (f"; {detail}" if detail else ""),
                 flush=True,
             )
             spark.catalog.clearCache()
@@ -357,15 +364,7 @@ def run_correctness(names: list[str], sf_dir: str | None = None) -> int:
             print(f"FAIL  {name:36s} {exc}", flush=True)
             spark.catalog.clearCache()
             continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
-        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
-            problems.append("columns differ")
-        else:
-            problems.extend(_dtype_drift(sdf, odf))
-        if not problems and canon(sdf) != canon(odf):
-            problems.append("values differ")
+        problems = _cmp(sdf, odf)
         ok = not problems
         expected = (not ok) and name in EXPECTED_SF1
         if not ok and not expected:
