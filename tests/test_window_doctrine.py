@@ -170,6 +170,59 @@ def test_constant_assignment_edge_forms_are_visible(tmp_path):
     assert cmap["A"] == "A = B = 7\nA += 1"
 
 
+def test_sf1_sweep_evidence_matches_code_and_registry():
+    """r12 review: BENCH_AUX carried 'skipped' sf1-sweep records whose
+    skip texts had been deleted from SKIP_SF1_ORACLE — committed
+    evidence contradicting the source, caught only by round-end
+    procedure. Make it mechanical, like the fingerprint gate:
+
+    1. the recorded skip set must equal the code's skip table, byte-
+       for-byte (deleting/adding/rewording a skip forces a re-sweep);
+    2. every named skip must carry a genuine hash-green @sf0.1 grade
+       (the r11 fence rule — no skip without a mid-scale verdict);
+    3. every SAMPLED_SF1_RUNNERS name must carry a sampled hash-green
+       sf1 record, never a skip;
+    4. every registry key must have a sweep record (a new query cannot
+       close a round unswept), and no record may name a key the
+       registry no longer has.
+    """
+    from tools.scaling import SAMPLED_SF1_RUNNERS, SKIP_SF1_ORACLE
+
+    from lovdata_pipeline_spark.queries import QUERIES
+
+    with open(os.path.join(REPO, "BENCH_AUX.json")) as fh:
+        block = json.load(fh)["scaling_correctness"]
+    assert block.get("sf") == "sf1"
+    recs = block["queries"]
+    base = {k: v for k, v in recs.items() if "@" not in k}
+
+    recorded_skips = {k: v["skipped"] for k, v in base.items() if "skipped" in v}
+    assert recorded_skips == dict(SKIP_SF1_ORACLE), (
+        "sf1 skip records out of sync with SKIP_SF1_ORACLE — re-run "
+        "`python tools/scaling.py --correctness --queries "
+        + ",".join(sorted(set(recorded_skips) ^ set(SKIP_SF1_ORACLE)))
+        + "` and commit BENCH_AUX.json"
+    )
+    for name in SKIP_SF1_ORACLE:
+        mid = recs.get(f"{name}@sf0.1")
+        assert mid and mid.get("hash_match") is True, (
+            f"named skip {name} lacks a hash-green @sf0.1 grade"
+        )
+    for name in SAMPLED_SF1_RUNNERS:
+        rec = base.get(name)
+        assert rec and rec.get("sampled") and rec.get("hash_match") is True, (
+            f"sampled-runner {name} lacks a hash-green sampled sf1 record"
+        )
+    missing = set(QUERIES) - set(base)
+    assert not missing, (
+        f"registry keys never swept at sf1: {sorted(missing)} — run "
+        "`python tools/scaling.py --correctness --queries "
+        + ",".join(sorted(missing)) + "`"
+    )
+    stale = set(base) - set(QUERIES)
+    assert not stale, f"sweep records for removed registry keys: {sorted(stale)}"
+
+
 def test_synthetic_failed_record_does_not_attest():
     fps_now = {"x": "fp"}
     manifest = {"x": "OLD"}
