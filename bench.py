@@ -141,6 +141,9 @@ HEADLINE = [
     # --- r9 additions ---
     "streaming_session_append_counts",
     "bitext_mine_margin_bucketed",
+    # --- r12 additions ---
+    "zorder_box_prune_events",
+    "hdr_quantile_order_totals",
 ]
 
 

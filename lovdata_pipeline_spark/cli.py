@@ -1311,6 +1311,26 @@ def cmd_sketch(args) -> int:
             print("error: need --input (or --sketch with --query)")
             return 2
         docs = spark.read.parquet(args.input)
+        if args.mode == "hdr":
+            # quantile sketch over a numeric column: registers built
+            # once, estimates printed per group as JSON lines
+            from lovdata_pipeline_spark.operators.sketches import (
+                hdr_buckets,
+                hdr_quantiles,
+            )
+
+            if not args.value_col:
+                print("error: --mode hdr needs --value-col")
+                return 2
+            percents = tuple(int(p) for p in args.percents.split(",") if p)
+            if not percents or any(not (1 <= p <= 100) for p in percents):
+                print("error: --percents must be integers in [1, 100]")
+                return 2
+            regs = hdr_buckets(docs, args.value_col, args.group_col)
+            out = hdr_quantiles(regs, args.group_col, percents=percents)
+            for row in out.orderBy(args.group_col).collect():
+                print(json.dumps(row.asDict()))
+            return 0
         if args.mode == "hll":
             regs = hll_registers(docs, group_col=args.group_col, p=args.p)
             if args.output:
@@ -1361,6 +1381,68 @@ def cmd_sketch(args) -> int:
     elif not args.output:
         print("error: --mode cms needs --query tokens and/or --output")
         return 2
+    return 0
+
+
+def cmd_layout(args) -> int:
+    """Z-order (Morton) layout CLI: ``--output`` clusters ``--input``
+    into a zbucket-partitioned index (one file per bucket + stats
+    sidecar — layout.zorder_write_index); ``--index`` + ``--box``
+    box-scans a persisted index with stats-rectangle pruning and
+    prints a JSON summary (rows matched, buckets scanned/total)."""
+    import os as _os
+
+    from lovdata_pipeline_spark.operators.layout import (
+        _SIDECAR,
+        zorder_box_scan,
+        zorder_write_index,
+    )
+
+    spark = _spark("lg-layout")
+    if args.output:
+        if not (args.input and args.x_col and args.y_col):
+            print("error: --output needs --input, --x-col, --y-col")
+            return 2
+        zorder_write_index(
+            spark.read.parquet(args.input),
+            args.output,
+            args.x_col,
+            args.y_col,
+            n_buckets=args.n_buckets,
+        )
+        print(json.dumps({"index": args.output, "status": "written"}))
+        if not args.box:
+            return 0
+    idx = args.index or args.output
+    if not idx:
+        print("error: need --output (build) and/or --index (scan)")
+        return 2
+    if not args.box:
+        print("error: --index needs --box qx_lo,qx_hi,qy_lo,qy_hi")
+        return 2
+    try:
+        qx_lo, qx_hi, qy_lo, qy_hi = (int(v) for v in args.box.split(","))
+    except ValueError:
+        print("error: --box must be four comma-separated integers")
+        return 2
+    scan = zorder_box_scan(spark, idx, qx_lo, qx_hi, qy_lo, qy_hi)
+    with open(_os.path.join(idx, _SIDECAR)) as fh:
+        sc = json.load(fh)
+    cands = [
+        b
+        for b, s in sc["buckets"].items()
+        if s["minqx"] <= qx_hi and s["maxqx"] >= qx_lo
+        and s["minqy"] <= qy_hi and s["maxqy"] >= qy_lo
+    ]
+    print(
+        json.dumps(
+            {
+                "rows": scan.count(),
+                "buckets_scanned": len(cands),
+                "buckets_total": len(sc["buckets"]),
+            }
+        )
+    )
     return 0
 
 
@@ -1674,7 +1756,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sk = sub.add_parser("sketch", help="corpus sketches: count-min frequency estimates / HLL distinct counts")
     sk.add_argument("--input", help="documents parquet")
-    sk.add_argument("--mode", choices=["cms", "hll", "bloom"], default="cms")
+    sk.add_argument("--mode", choices=["cms", "hll", "bloom", "hdr"], default="cms")
     sk.add_argument("--sketch", help="query a persisted cms sketch (skip the corpus scan)")
     sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
     sk.add_argument("--output", help="persist the sketch: cms cells (+ _cms_params.json) or hll registers (+ _hll_params.json)")
@@ -1685,7 +1767,21 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--p", type=int, default=5, help="hll: 2^p registers per group")
     sk.add_argument("--m-bits", type=int, default=4096, help="bloom: filter bits")
     sk.add_argument("--k-hashes", type=int, default=3, help="bloom: hashes per token")
+    sk.add_argument("--value-col", help="hdr: non-negative long value column")
+    sk.add_argument(
+        "--percents", default="50,90,99", help="hdr: comma-separated integer percentiles"
+    )
     sk.set_defaults(func=cmd_sketch)
+
+    ly = sub.add_parser("layout", help="z-order (Morton) clustering: write a stats-pruned index / box-scan it")
+    ly.add_argument("--input", help="parquet to cluster (index build source)")
+    ly.add_argument("--x-col", help="first layout dimension (long-castable)")
+    ly.add_argument("--y-col", help="second layout dimension (long-castable)")
+    ly.add_argument("--output", help="write the zbucket-partitioned index here")
+    ly.add_argument("--index", help="box-scan a persisted index instead of building")
+    ly.add_argument("--box", help="qx_lo,qx_hi,qy_lo,qy_hi in quantized [0,65536) space")
+    ly.add_argument("--n-buckets", type=int, default=64, help="curve ranges (power of two)")
+    ly.set_defaults(func=cmd_layout)
 
     ph = sub.add_parser("phrase", help="exact phrase search (positional-index join)")
     ph.add_argument("--input", help="documents parquet (in-memory form / index build source)")

@@ -1,0 +1,181 @@
+"""Z-order (Morton-curve) multi-dimensional data layout.
+
+The 100-TB lakehouse clustering operator (Delta/Iceberg ``OPTIMIZE
+ZORDER BY``): rows sort along an interleaved-bit space-filling curve so
+that ONE physical layout serves range predicates on EITHER (or both)
+of two dimensions — a layout sorted by x alone prunes nothing for a
+tight y predicate, while z-order keeps every file/bucket covering a
+small x-range × y-range rectangle. Pruning then needs no curve
+arithmetic at read time: it is plain per-bucket min/max column stats,
+exactly how Delta data-skipping consumes a z-ordered table.
+
+Everything here is pure integer math, replayable bit-for-bit in SQL:
+
+- quantize: ``q = ((v - min) · 2^bits) div (max - min + 1)`` maps each
+  dimension onto [0, 2^bits) (min/max from one broadcast 1-row agg —
+  the repo's scalar-frame idiom). Caller contract: the dimension range
+  must stay below 2^(62-bits) so the product cannot overflow a long —
+  ids, cents, epoch seconds all fit at bits=16.
+- interleave: the classic magic-mask bit spread (x|x<<8 &.., …) puts
+  qx on even and qy on odd bit positions → ``zvalue`` ∈ [0, 2^(2·bits)).
+- bucket: ``zbucket = zvalue >> (2·bits - log2(n_buckets))`` — fixed
+  equal-width curve ranges, so the bucket of a row is a pure function
+  of its values (an ORACLE can replay it; a sampled range partitioner
+  could balance rows better but its boundaries are not replayable).
+
+The persisted form (``zorder_write_index`` / ``zorder_box_scan``)
+follows the engine's partitioned-index discipline (one file per bucket
+directory via ``indexwrite``, params + per-bucket stats in a JSON
+sidecar, reads prune with an IN filter the plan shows as
+``PartitionFilters``) — the IVF/postings convention, applied to layout.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: interleave precision per dimension; zvalue spans 2*ZBITS bits.
+ZBITS = 16
+
+_SIDECAR = "_zorder_params.json"
+_VERSION = "zorder-v1"
+
+
+def _spread_bits16(col: Column) -> Column:
+    """Spread a 16-bit value's bits onto the even bit positions of a
+    32-bit lane (Morton encode half): the standard magic-mask doubling
+    chain — pure long ops both engines implement identically."""
+    x = col.cast("long")
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _quantize(v: str, lo: str, hi: str, bits: int) -> Column:
+    """((v - lo) · 2^bits) div (hi - lo + 1) ∈ [0, 2^bits) — exact
+    integer rank-free quantization over NAMED staged columns (the
+    sketches.py expr idiom: div is the integer form, never /);
+    constant columns (hi == lo) collapse to bucket 0."""
+    return F.expr(f"(({v} - {lo}) * {1 << bits}) div ({hi} - {lo} + 1)")
+
+
+def zorder_frame(
+    df: DataFrame, xcol: str, ycol: str, bits: int = ZBITS, n_buckets: int = 64
+) -> DataFrame:
+    """df + (qx, qy, zvalue, zbucket) — the Morton layout columns.
+
+    One broadcast 1-row min/max agg supplies the quantization range
+    (the scalar-frame idiom: a crossJoin against a 1-row frame is a
+    BroadcastNestedLoopJoin, not a shuffle); everything after is a
+    narrow per-row projection inside whole-stage codegen.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("zorder_frame: n_buckets must be a power of two")
+    stats = df.agg(
+        F.min(xcol).cast("long").alias("_zx_lo"),
+        F.max(xcol).cast("long").alias("_zx_hi"),
+        F.min(ycol).cast("long").alias("_zy_lo"),
+        F.max(ycol).cast("long").alias("_zy_hi"),
+    )
+    shift = 2 * bits - (n_buckets.bit_length() - 1)
+    out = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_zx", F.col(xcol).cast("long"))
+        .withColumn("_zy", F.col(ycol).cast("long"))
+        .withColumn("qx", _quantize("_zx", "_zx_lo", "_zx_hi", bits))
+        .withColumn("qy", _quantize("_zy", "_zy_lo", "_zy_hi", bits))
+        .drop("_zx", "_zy")
+    )
+    z = _spread_bits16(F.col("qx")).bitwiseOR(
+        F.shiftleft(_spread_bits16(F.col("qy")), 1)
+    )
+    return (
+        out.withColumn("zvalue", z)
+        .withColumn("zbucket", F.shiftrightunsigned(F.col("zvalue"), shift))
+        .drop("_zx_lo", "_zx_hi", "_zy_lo", "_zy_hi")
+    )
+
+
+def zorder_write_index(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    bits: int = ZBITS,
+    n_buckets: int = 64,
+) -> None:
+    """Persist ``df`` z-order-clustered: one parquet file per zbucket
+    directory (``indexwrite`` discipline) plus a sidecar holding the
+    layout params and the per-bucket quantized min/max stats the
+    reader prunes with — the Delta data-skipping contract, in a form a
+    plain JSON read can consume without touching any data file."""
+    from lovdata_pipeline_spark.operators.indexwrite import (
+        write_one_file_per_partition,
+    )
+
+    zf = zorder_frame(df, xcol, ycol, bits=bits, n_buckets=n_buckets)
+    stats = (
+        zf.groupBy("zbucket")
+        .agg(
+            F.min("qx").alias("minqx"),
+            F.max("qx").alias("maxqx"),
+            F.min("qy").alias("minqy"),
+            F.max("qy").alias("maxqy"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("zbucket")
+        .collect()  # bounded: n_buckets rows
+    )
+    sidecar = {
+        "version": _VERSION,
+        "xcol": xcol,
+        "ycol": ycol,
+        "bits": bits,
+        "n_buckets": n_buckets,
+        "buckets": {
+            str(r["zbucket"]): {
+                "minqx": r["minqx"],
+                "maxqx": r["maxqx"],
+                "minqy": r["minqy"],
+                "maxqy": r["maxqy"],
+                "n_rows": r["n_rows"],
+            }
+            for r in stats
+        },
+    }
+    write_one_file_per_partition(
+        zf.drop("zvalue"), path, "zbucket", _SIDECAR, sidecar
+    )
+
+
+def zorder_box_scan(
+    spark,
+    path: str,
+    qx_lo: int,
+    qx_hi: int,
+    qy_lo: int,
+    qy_hi: int,
+) -> DataFrame:
+    """Read only the zbuckets whose stats rectangle intersects the
+    quantized box [qx_lo, qx_hi] × [qy_lo, qy_hi], then apply the box
+    predicate. The IN filter on the partition column is what the plan
+    shows as ``PartitionFilters`` — file-level pruning from plain
+    per-bucket min/max stats, no curve arithmetic at read time."""
+    with open(_os.path.join(path, _SIDECAR)) as fh:
+        sc = _json.load(fh)
+    if sc.get("version") != _VERSION:
+        raise ValueError(f"zorder index at {path}: unknown version {sc.get('version')}")
+    cands = [
+        int(b)
+        for b, s in sc["buckets"].items()
+        if s["minqx"] <= qx_hi and s["maxqx"] >= qx_lo
+        and s["minqy"] <= qy_hi and s["maxqy"] >= qy_lo
+    ]
+    df = spark.read.parquet(path)
+    return df.where(F.col("zbucket").isin(cands)).where(
+        (F.col("qx") >= qx_lo) & (F.col("qx") <= qx_hi)
+        & (F.col("qy") >= qy_lo) & (F.col("qy") <= qy_hi)
+    )

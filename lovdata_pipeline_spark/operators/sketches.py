@@ -378,3 +378,138 @@ def hll_registers_merge(stores: list, group_col: str = "source") -> DataFrame:
     for s in stores[1:]:
         df = df.unionByName(s)
     return df.groupBy(group_col, "bucket").agg(F.max("reg").alias("reg"))
+
+
+# --- HDR log-histogram quantile sketch (r12) --------------------------
+
+#: sub-bucket precision bits of the HDR histogram: values are bucketed
+#: to sub_bits significant bits, so every quantile estimate is an
+#: UPPER bound within a factor of (1 + 2^-(sub_bits-1)) of the true
+#: rank value — 8 bits = <=0.79% relative error, the HdrHistogram
+#: default precision class.
+HDR_SUB_BITS = 8
+
+
+def hdr_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-group HDR-histogram registers → (group, idx, cnt).
+
+    The QUANTILE member of the mergeable-sketch family (CMS =
+    frequency, HLL = cardinality, Bloom = membership): non-negative
+    long values bucket to ``sub_bits`` significant bits (HdrHistogram,
+    Tene — the log2-bucket + linear-sub-bucket layout), so the
+    register table is PARAMETER-bounded (< 57·2^(sub_bits-1) rows per
+    group, in practice the magnitudes present), map-side combine
+    collapses every partition to a full histogram before the shuffle,
+    and merging histograms IS the aggregate (cell-wise count sum) —
+    across partitions, days, or streams alike.
+
+    Bucket math, pure integers both engines replay bit-for-bit:
+    ``b = max(0, msb(v) - sub_bits)`` right-shifts v to ``sub_bits``
+    bits, ``s = v >> b``, ``idx = s + b·2^(sub_bits-1)`` (contiguous
+    and bijective: b=0 covers idx [0, 2^sub_bits) exactly — small
+    values are EXACT — and each b>=1 appends one half-range of
+    ``s ∈ [2^(sub_bits-1), 2^sub_bits)``). Negative values raise:
+    rank statistics over signed domains should shift to a non-negative
+    basis first (the caller owns the affine map).
+    """
+    half = 1 << (sub_bits - 1)
+    v = F.col(value_col).cast("long")
+    b = F.greatest(F.lit(0), _msb_position(v) - F.lit(sub_bits))
+    staged = df.select(
+        F.col(group_col),
+        F.when(
+            v < 0,
+            F.raise_error(F.lit("hdr_buckets: negative value")).cast("long"),
+        )
+        .otherwise(v)
+        .alias("_hdr_v"),
+        b.alias("_hdr_b"),
+    )
+    # the shift COUNT is a column (per-row magnitude), which the
+    # python shiftrightunsigned binding rejects — the SQL form takes it
+    idx = F.expr(f"shiftrightunsigned(_hdr_v, _hdr_b) + _hdr_b * {half}")
+    return (
+        staged.select(F.col(group_col), idx.alias("idx"))
+        .groupBy(group_col, "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    registers: DataFrame,
+    group_col: str,
+    percents: tuple[int, ...] = (50, 90, 99),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-group quantile UPPER-bound estimates from HDR registers →
+    (group, p<P> per percent).
+
+    rank = ceil(total·P/100) exactly as ``(total·P + 99) div 100``
+    (integer — no float quantile position, no interpolation mode to
+    diverge on), the estimate is the representative (inclusive upper
+    bound) of the first idx whose running count reaches the rank:
+    ``upper(idx) = ((s+1) << b) - 1`` with ``b = idx div half - 1``
+    (0 for the exact b=0 range) and ``s = idx - b·half``. One window
+    cumsum over the parameter-bounded register table — never a sort of
+    the data itself, the whole point of the sketch at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    half = 1 << (sub_bits - 1)
+    w = Window.partitionBy(group_col).orderBy("idx")
+    cum = registers.select(
+        F.col(group_col),
+        F.col("idx"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("total"),
+    )
+    b = (
+        F.when(
+            F.col("idx") >= F.lit(2 * half),
+            F.expr(f"idx div {half}") - F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    staged = cum.select(
+        F.col(group_col),
+        F.col("total"),
+        F.col("cum"),
+        F.col("idx"),
+        b.alias("_hdr_b"),
+    )
+    upper = F.expr(f"shiftleft(idx - _hdr_b * {half} + 1, cast(_hdr_b as int)) - 1")
+    est = staged.select(
+        F.col(group_col),
+        F.col("total"),
+        upper.alias("upper"),
+        F.col("cum"),
+    )
+    aggs = [F.max("total").alias("n")]
+    for p in percents:
+        # integer cum >= ceil(total*p/100)  <=>  cum*100 >= total*p —
+        # no float quantile position ever exists
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * p, F.col("upper"))
+            ).alias(f"p{p}")
+        )
+    return est.groupBy(group_col).agg(*aggs)
+
+
+def hdr_merge(stores: list, group_col: str) -> DataFrame:
+    """Count-sum across register frames — the HDR merge (the CMS/HLL
+    symmetry): day1 ∪ day2 registers == registers of the concatenated
+    data, pinned in tests. |stores|·|groups|·buckets rows, never
+    data-bounded."""
+    if not stores:
+        raise ValueError("hdr_merge: no stores")
+    df = stores[0]
+    for s in stores[1:]:
+        df = df.unionByName(s)
+    return df.groupBy(group_col, "idx").agg(F.sum("cnt").alias("cnt"))

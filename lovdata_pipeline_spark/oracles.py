@@ -3622,6 +3622,111 @@ ORACLES["cms_token_estimates"] = r"""
 # precomputed so no engine re-derives it) with the linear-counting
 # small-range branch on exact integer V — bit-identical before the
 # 6-dp round.
+# r12: Morton/z-order layout replayed bit-for-bit — integer quantize
+# ((v-min)*65536 div range+1), the magic-mask spread chain on each
+# dimension (masks in decimal: 16711935, 252645135, 858993459,
+# 1431655765), interleave via odd-shift OR, zbucket = zvalue >> 26
+# (64 equal-width curve ranges), per-bucket stats rectangles, and the
+# centered-quarter-box candidate verdict (rect intersection).
+ORACLES["zorder_box_prune_events"] = r"""
+        WITH base AS (
+          SELECT user_id AS x,
+                 CAST(floor(value * 100) AS BIGINT) AS y
+          FROM events),
+        rng AS (
+          SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+          FROM base),
+        q AS (
+          SELECT ((b.x - r.xlo) * 65536) // (r.xhi - r.xlo + 1) AS qx,
+                 ((b.y - r.ylo) * 65536) // (r.yhi - r.ylo + 1) AS qy
+          FROM base b CROSS JOIN rng r),
+        sx1 AS (SELECT qx, qy, (qx | (qx << 8)) & 16711935 AS sx FROM q),
+        sx2 AS (SELECT qx, qy, (sx | (sx << 4)) & 252645135 AS sx FROM sx1),
+        sx3 AS (SELECT qx, qy, (sx | (sx << 2)) & 858993459 AS sx FROM sx2),
+        sx4 AS (SELECT qx, qy, (sx | (sx << 1)) & 1431655765 AS sx FROM sx3),
+        sy1 AS (SELECT qx, qy, sx, (qy | (qy << 8)) & 16711935 AS sy FROM sx4),
+        sy2 AS (SELECT qx, qy, sx, (sy | (sy << 4)) & 252645135 AS sy FROM sy1),
+        sy3 AS (SELECT qx, qy, sx, (sy | (sy << 2)) & 858993459 AS sy FROM sy2),
+        sy4 AS (SELECT qx, qy, sx, (sy | (sy << 1)) & 1431655765 AS sy FROM sy3),
+        z AS (SELECT qx, qy, (sx | (sy << 1)) >> 26 AS zbucket FROM sy4),
+        stats AS (
+          SELECT zbucket,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 MIN(qx) AS minqx, MAX(qx) AS maxqx,
+                 MIN(qy) AS minqy, MAX(qy) AS maxqy,
+                 CAST(SUM(CASE WHEN qx >= 24576 AND qx <= 40959
+                                AND qy >= 24576 AND qy <= 40959
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_in_box
+          FROM z GROUP BY zbucket)
+        SELECT zbucket, n_rows, minqx, maxqx, minqy, maxqy,
+               (minqx <= 40959 AND maxqx >= 24576
+                AND minqy <= 40959 AND maxqy >= 24576) AS candidate,
+               n_rows_in_box
+        FROM stats
+        ORDER BY zbucket
+"""
+
+# r12: HDR log-histogram quantile sketch replayed bucket-for-bucket —
+# integer cents via floor of one binary64 product, msb via the same
+# or-shift smear chain as HLL, idx = (v >> b) + b*128 with
+# b = greatest(0, msb-8), estimate = inclusive upper bound of the
+# first bucket whose running count reaches ceil(n*p/100) (the pure
+# integer form cum*100 >= total*p), exact values via the identical
+# rank rule over the exact value histogram.
+ORACLES["hdr_quantile_order_totals"] = r"""
+        WITH cents AS (
+          SELECT o_orderpriority AS pr,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders),
+        s1 AS (SELECT pr, v, v | (v >> 1) AS x FROM cents),
+        s2 AS (SELECT pr, v, x | (x >> 2) AS x FROM s1),
+        s3 AS (SELECT pr, v, x | (x >> 4) AS x FROM s2),
+        s4 AS (SELECT pr, v, x | (x >> 8) AS x FROM s3),
+        s5 AS (SELECT pr, v, x | (x >> 16) AS x FROM s4),
+        s6 AS (SELECT pr, v, x | (x >> 32) AS x FROM s5),
+        bi AS (SELECT pr, v,
+                      greatest(0, bit_count(x) - 8) AS b
+               FROM s6),
+        ix AS (SELECT pr, (v >> b) + b * 128 AS idx FROM bi),
+        regs AS (SELECT pr, idx, CAST(count(*) AS BIGINT) AS cnt
+                 FROM ix GROUP BY pr, idx),
+        cum AS (SELECT pr, idx,
+                       SUM(cnt) OVER (PARTITION BY pr ORDER BY idx) AS cum,
+                       SUM(cnt) OVER (PARTITION BY pr) AS total
+                FROM regs),
+        dec AS (SELECT pr, cum, total,
+                       CASE WHEN idx >= 256 THEN idx // 128 - 1 ELSE 0 END AS b2,
+                       idx
+                FROM cum),
+        up AS (SELECT pr, cum, total,
+                      ((idx - b2 * 128 + 1) << b2) - 1 AS upper
+               FROM dec),
+        est AS (SELECT pr, CAST(MAX(total) AS BIGINT) AS n,
+                       MIN(CASE WHEN cum * 100 >= total * 50 THEN upper END) AS p50_est,
+                       MIN(CASE WHEN cum * 100 >= total * 90 THEN upper END) AS p90_est,
+                       MIN(CASE WHEN cum * 100 >= total * 99 THEN upper END) AS p99_est
+                FROM up GROUP BY pr),
+        eregs AS (SELECT pr, v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM cents GROUP BY pr, v),
+        ecum AS (SELECT pr, v,
+                        SUM(cnt) OVER (PARTITION BY pr ORDER BY v) AS cum,
+                        SUM(cnt) OVER (PARTITION BY pr) AS total
+                 FROM eregs),
+        exact AS (SELECT pr,
+                         MIN(CASE WHEN cum * 100 >= total * 50 THEN v END) AS p50_exact,
+                         MIN(CASE WHEN cum * 100 >= total * 90 THEN v END) AS p90_exact,
+                         MIN(CASE WHEN cum * 100 >= total * 99 THEN v END) AS p99_exact
+                  FROM ecum GROUP BY pr)
+        SELECT e.pr AS o_orderpriority, e.n,
+               e.p50_est, e.p90_est, e.p99_est,
+               x.p50_exact, x.p90_exact, x.p99_exact,
+               round((e.p50_est - x.p50_exact) / CAST(x.p50_exact AS DOUBLE), 6) AS rel_err_p50,
+               round((e.p90_est - x.p90_exact) / CAST(x.p90_exact AS DOUBLE), 6) AS rel_err_p90,
+               round((e.p99_est - x.p99_exact) / CAST(x.p99_exact AS DOUBLE), 6) AS rel_err_p99
+        FROM est e JOIN exact x ON x.pr = e.pr
+        ORDER BY e.pr
+"""
+
 ORACLES["hll_distinct_by_source"] = r"""
         WITH tok AS (
           SELECT source,

@@ -62,6 +62,9 @@ CROSS_JOIN_OK = {
     # length-band filter broadcasts the 1-row percentile-bounds
     # aggregate — the scalar-subquery shape again.
     "token_length_band_documents",
+    # z-order quantization broadcasts the 1-row min/max range
+    # aggregate — the scalar-subquery shape (r12).
+    "zorder_box_prune_events",
     # vocab drift crosses the |sources|-row totals with the broadcast
     # n_buckets range (a bounded parameters-sized grid) and the 1-row
     # corpus total.
