@@ -58,8 +58,17 @@ def _quantize(v: str, lo: str, hi: str, bits: int) -> Column:
     """((v - lo) · 2^bits) div (hi - lo + 1) ∈ [0, 2^bits) — exact
     integer rank-free quantization over NAMED staged columns (the
     sketches.py expr idiom: div is the integer form, never /);
-    constant columns (hi == lo) collapse to bucket 0."""
-    return F.expr(f"(({v} - {lo}) * {1 << bits}) div ({hi} - {lo} + 1)")
+    constant columns (hi == lo) collapse to bucket 0. A dimension
+    range at or above 2^(62-bits) would overflow the long product and
+    silently scramble the curve — fail loud instead (the
+    wrong-modulus/chunk-store doctrine)."""
+    limit = 1 << (62 - bits)
+    return F.expr(
+        f"CASE WHEN ({hi} - {lo}) >= {limit} THEN "
+        f"raise_error(concat('zorder: dimension range of ', '{v}', "
+        f"' exceeds 2^{62 - bits} — rescale the column first')) "
+        f"ELSE (({v} - {lo}) * {1 << bits}) div ({hi} - {lo} + 1) END"
+    )
 
 
 def zorder_frame(

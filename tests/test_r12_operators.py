@@ -182,6 +182,20 @@ class TestZorderLayout:
         with pytest.raises(ValueError, match="power of two"):
             zorder_frame(df, "x", "y", n_buckets=48)
 
+    def test_oversized_dimension_range_fails_loud(self, spark):
+        """A dimension range >= 2^46 would overflow the quantize
+        product and silently scramble the curve — the guard raises
+        instead (the chunk-store wrong-modulus doctrine)."""
+        import pytest
+
+        from lovdata_pipeline_spark.operators.layout import zorder_frame
+
+        df = spark.createDataFrame(
+            [(0, 0, 0), (1, 1 << 50, 1)], "id long, x long, y long"
+        )
+        with pytest.raises(Exception, match="zorder: dimension range"):
+            zorder_frame(df, "x", "y").collect()
+
     def test_persisted_index_prunes_partitions(self, spark):
         """The IVF-index treatment for the layout: pruned scan equals
         the full-scan filter, the plan shows PartitionFilters on

@@ -72,6 +72,9 @@ LADDER_QUERIES = {
     "q1_pricing_summary": "lineitem",
     "q3_top_unshipped": "lineitem",
     "q5_region_revenue": "lineitem",
+    # --- r12 additions: the new layout + quantile-sketch families ----
+    "zorder_box_prune_events": "events",
+    "hdr_quantile_order_totals": "orders",
 }
 
 SF_DIRS = [
@@ -86,7 +89,7 @@ MARK_END = "<!-- ladder:end -->"
 
 def _table_rows(spark, sf_dir):
     rows = {}
-    for t in ("documents", "embeddings", "events", "lineitem"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         rows[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     return rows
 
