@@ -1322,7 +1322,11 @@ def cmd_sketch(args) -> int:
             if not args.value_col:
                 print("error: --mode hdr needs --value-col")
                 return 2
-            percents = tuple(int(p) for p in args.percents.split(",") if p)
+            try:
+                percents = tuple(int(p) for p in args.percents.split(",") if p)
+            except ValueError:
+                print("error: --percents must be integers in [1, 100]")
+                return 2
             if not percents or any(not (1 <= p <= 100) for p in percents):
                 print("error: --percents must be integers in [1, 100]")
                 return 2

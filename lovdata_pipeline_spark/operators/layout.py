@@ -58,13 +58,32 @@ def _quantize(v: str, lo: str, hi: str, bits: int) -> Column:
     """((v - lo) · 2^bits) div (hi - lo + 1) ∈ [0, 2^bits) — exact
     integer rank-free quantization over NAMED staged columns (the
     sketches.py expr idiom: div is the integer form, never /);
-    constant columns (hi == lo) collapse to bucket 0. A dimension
-    range at or above 2^(62-bits) would overflow the long product and
-    silently scramble the curve — fail loud instead (the
-    wrong-modulus/chunk-store doctrine)."""
+    constant columns (hi == lo) collapse to bucket 0. Two fail-loud
+    guards (the wrong-modulus/chunk-store doctrine):
+
+    - NULL (or long-uncastable, which casts to NULL) dimension values
+      would otherwise flow to a null zbucket — silently unpartitioned
+      rows plus a poisoned "None" stats-sidecar entry every later box
+      scan trips over (r12 ADVICE, medium). Raise per-row instead.
+    - A dimension range at or above 2^(62-bits) would overflow the
+      long product and silently scramble the curve. The range check
+      itself must not subtract across mixed signs (lo < 0 ≤ hi can
+      wrap hi - lo negative under non-ANSI semantics and slip PAST
+      the guard — r12 ADVICE): in that branch test hi >= lo + limit,
+      whose right side stays in (-2^63, limit) because lo < 0, and
+      only form hi - lo where both legs share a sign (no overflow
+      possible: the true difference is < 2^63).
+    """
     limit = 1 << (62 - bits)
+    overflows = (
+        f"CASE WHEN {lo} < 0 AND {hi} >= 0 THEN {hi} >= {lo} + {limit} "
+        f"ELSE ({hi} - {lo}) >= {limit} END"
+    )
     return F.expr(
-        f"CASE WHEN ({hi} - {lo}) >= {limit} THEN "
+        f"CASE WHEN {v} IS NULL THEN "
+        f"raise_error(concat('zorder: NULL or non-long-castable value in "
+        f"dimension ', '{v}', ' — clean or cast the column first')) "
+        f"WHEN {overflows} THEN "
         f"raise_error(concat('zorder: dimension range of ', '{v}', "
         f"' exceeds 2^{62 - bits} — rescale the column first')) "
         f"ELSE (({v} - {lo}) * {1 << bits}) div ({hi} - {lo} + 1) END"
@@ -81,8 +100,19 @@ def zorder_frame(
     BroadcastNestedLoopJoin, not a shuffle); everything after is a
     narrow per-row projection inside whole-stage codegen.
     """
+    if not 1 <= bits <= 16:
+        # _spread_bits16's magic-mask chain is a 16-bit spread: bits
+        # above 16 would silently mask away the high quantized bits
+        # and scramble the curve (r12 ADVICE)
+        raise ValueError("zorder_frame: bits must be in [1, 16]")
     if n_buckets & (n_buckets - 1):
         raise ValueError("zorder_frame: n_buckets must be a power of two")
+    if not 1 <= n_buckets <= 1 << (2 * bits):
+        # more buckets than curve points would make the bucket shift
+        # negative (r12 ADVICE)
+        raise ValueError(
+            f"zorder_frame: n_buckets must be in [1, 4^bits] = [1, {1 << (2 * bits)}]"
+        )
     stats = df.agg(
         F.min(xcol).cast("long").alias("_zx_lo"),
         F.max(xcol).cast("long").alias("_zx_hi"),
@@ -177,6 +207,18 @@ def zorder_box_scan(
         sc = _json.load(fh)
     if sc.get("version") != _VERSION:
         raise ValueError(f"zorder index at {path}: unknown version {sc.get('version')}")
+    for b, s in sc["buckets"].items():
+        # a "None" bucket with null stats means the index was written
+        # from rows with NULL dimension values (pre-guard build): its
+        # rows are invisible to any stats rectangle — refuse the whole
+        # index rather than silently dropping them
+        if b == "None" or any(
+            s[k] is None for k in ("minqx", "maxqx", "minqy", "maxqy")
+        ):
+            raise ValueError(
+                f"zorder index at {path}: bucket {b!r} has null stats "
+                "(written from NULL dimension values) — rebuild the index"
+            )
     cands = [
         int(b)
         for b, s in sc["buckets"].items()

@@ -413,9 +413,12 @@ def hdr_buckets(
     bits, ``s = v >> b``, ``idx = s + b·2^(sub_bits-1)`` (contiguous
     and bijective: b=0 covers idx [0, 2^sub_bits) exactly — small
     values are EXACT — and each b>=1 appends one half-range of
-    ``s ∈ [2^(sub_bits-1), 2^sub_bits)``). Negative values raise:
-    rank statistics over signed domains should shift to a non-negative
-    basis first (the caller owns the affine map).
+    ``s ∈ [2^(sub_bits-1), 2^sub_bits)``). Negative AND NULL values
+    raise: rank statistics over signed domains should shift to a
+    non-negative basis first (the caller owns the affine map), and a
+    silently-passed NULL would become a null-idx register that sorts
+    FIRST in the cumulative window — counted as the smallest value,
+    skewing every quantile (r12 ADVICE).
     """
     half = 1 << (sub_bits - 1)
     v = F.col(value_col).cast("long")
@@ -423,8 +426,8 @@ def hdr_buckets(
     staged = df.select(
         F.col(group_col),
         F.when(
-            v < 0,
-            F.raise_error(F.lit("hdr_buckets: negative value")).cast("long"),
+            v.isNull() | (v < 0),
+            F.raise_error(F.lit("hdr_buckets: null or negative value")).cast("long"),
         )
         .otherwise(v)
         .alias("_hdr_v"),
