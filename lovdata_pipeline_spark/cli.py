@@ -1278,15 +1278,44 @@ def cmd_sketch(args) -> int:
 
     spark = _spark("lg-sketch")
     if args.merge_stores:
-        # cross-session merge: load persisted register stores, MAX
-        # register-wise, estimate — no corpus text is ever re-read
-        if args.mode != "hll":
-            print("error: --merge-stores is an hll operation (--mode hll)")
+        # cross-session merge: load persisted register stores, combine
+        # register-wise (hll: MAX, hdr: count-SUM), estimate — no
+        # corpus data is ever re-read
+        if args.mode not in ("hll", "hdr"):
+            print("error: --merge-stores is an hll/hdr operation (--mode hll|hdr)")
             return 2
         paths = [s for s in args.merge_stores.split(",") if s]
         if not paths:
             print("error: --merge-stores needs at least one store path")
             return 2
+        if args.mode == "hdr":
+            from lovdata_pipeline_spark.operators.sketches import (
+                hdr_merge,
+                hdr_quantiles,
+                hdr_registers_load,
+            )
+
+            try:
+                percents = tuple(int(p) for p in args.percents.split(",") if p)
+            except ValueError:
+                print("error: --percents must be integers in [1, 100]")
+                return 2
+            if not percents or any(not (1 <= p <= 100) for p in percents):
+                print("error: --percents must be integers in [1, 100]")
+                return 2
+            loaded = [hdr_registers_load(spark, pth) for pth in paths]
+            sb0, g0 = loaded[0][1], loaded[0][2]
+            if any((sbi, gi) != (sb0, g0) for _, sbi, gi in loaded[1:]):
+                print(
+                    "error: stores built under different sub_bits/group_col "
+                    "are not mergeable"
+                )
+                return 2
+            merged = hdr_merge([t[0] for t in loaded], group_col=g0)
+            out = hdr_quantiles(merged, g0, percents=percents, sub_bits=sb0)
+            for row in out.orderBy(g0).collect():
+                print(json.dumps(row.asDict()))
+            return 0
         loaded = [hll_registers_load(spark, pth) for pth in paths]
         p0, g0 = loaded[0][1], loaded[0][2]
         if any((pi, gi) != (p0, g0) for _, pi, gi in loaded[1:]):
@@ -1331,6 +1360,13 @@ def cmd_sketch(args) -> int:
                 print("error: --percents must be integers in [1, 100]")
                 return 2
             regs = hdr_buckets(docs, args.value_col, args.group_col)
+            if args.output:
+                from lovdata_pipeline_spark.operators.sketches import (
+                    hdr_registers_write,
+                )
+
+                hdr_registers_write(regs, args.output, group_col=args.group_col)
+                print(json.dumps({"store": args.output, "status": "written"}))
             out = hdr_quantiles(regs, args.group_col, percents=percents)
             for row in out.orderBy(args.group_col).collect():
                 print(json.dumps(row.asDict()))
@@ -1391,18 +1427,36 @@ def cmd_sketch(args) -> int:
 def cmd_layout(args) -> int:
     """Z-order (Morton) layout CLI: ``--output`` clusters ``--input``
     into a zbucket-partitioned index (one file per bucket + stats
-    sidecar — layout.zorder_write_index); ``--index`` + ``--box``
-    box-scans a persisted index with stats-rectangle pruning and
-    prints a JSON summary (rows matched, buckets scanned/total)."""
+    sidecar — layout.zorder_write_index); ``--append`` quantizes
+    ``--input`` under the index's PINNED sidecar ranges and rewrites
+    only the dirty buckets (layout.zorder_append; out-of-range values
+    clamp, or fail loud with ``--strict-range``); ``--index`` +
+    ``--box`` box-scans a persisted index with stats-rectangle pruning
+    and prints a JSON summary (rows matched, buckets scanned/total)."""
     import os as _os
 
     from lovdata_pipeline_spark.operators.layout import (
         _SIDECAR,
+        zorder_append,
         zorder_box_scan,
         zorder_write_index,
     )
 
     spark = _spark("lg-layout")
+    if args.append:
+        if not args.input:
+            print("error: --append needs --input")
+            return 2
+        res = zorder_append(
+            spark,
+            spark.read.parquet(args.input),
+            args.append,
+            on_out_of_range="error" if args.strict_range else "clamp",
+        )
+        print(json.dumps({"index": args.append, "status": "appended", **res}))
+        if not args.box:
+            return 0
+        args.index = args.index or args.append
     if args.output:
         if not (args.input and args.x_col and args.y_col):
             print("error: --output needs --input, --x-col, --y-col")
@@ -1763,8 +1817,8 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--mode", choices=["cms", "hll", "bloom", "hdr"], default="cms")
     sk.add_argument("--sketch", help="query a persisted cms sketch (skip the corpus scan)")
     sk.add_argument("--query", help="cms: comma-separated tokens to estimate")
-    sk.add_argument("--output", help="persist the sketch: cms cells (+ _cms_params.json) or hll registers (+ _hll_params.json)")
-    sk.add_argument("--merge-stores", help="hll: comma-separated persisted register stores to load, MAX-merge, and estimate (no corpus scan)")
+    sk.add_argument("--output", help="persist the sketch: cms cells (+ _cms_params.json), hll registers (+ _hll_params.json), or hdr registers (+ _hdr_params.json)")
+    sk.add_argument("--merge-stores", help="hll/hdr: comma-separated persisted register stores to load, merge (hll MAX / hdr count-sum), and estimate (no corpus scan)")
     sk.add_argument("--width", type=int, default=1024, help="cms buckets per row")
     sk.add_argument("--depth", type=int, default=4, help="cms hash rows")
     sk.add_argument("--group-col", default="source", help="hll: group column")
@@ -1785,6 +1839,15 @@ def main(argv: list[str] | None = None) -> int:
     ly.add_argument("--index", help="box-scan a persisted index instead of building")
     ly.add_argument("--box", help="qx_lo,qx_hi,qy_lo,qy_hi in quantized [0,65536) space")
     ly.add_argument("--n-buckets", type=int, default=64, help="curve ranges (power of two)")
+    ly.add_argument(
+        "--append",
+        help="append --input into this existing index under its pinned sidecar ranges",
+    )
+    ly.add_argument(
+        "--strict-range",
+        action="store_true",
+        help="append: fail loud on out-of-pinned-range values instead of clamping",
+    )
     ly.set_defaults(func=cmd_layout)
 
     ph = sub.add_parser("phrase", help="exact phrase search (positional-index join)")

@@ -28,6 +28,17 @@ follows the engine's partitioned-index discipline (one file per bucket
 directory via ``indexwrite``, params + per-bucket stats in a JSON
 sidecar, reads prune with an IN filter the plan shows as
 ``PartitionFilters``) — the IVF/postings convention, applied to layout.
+
+Incremental maintenance (``zorder_append``, r13): the sidecar PINS the
+quantization ranges at build time (the chunk-store modulus-pin
+doctrine — re-deriving min/max from data+append would silently move
+every existing row's curve position), new rows quantize under the
+pinned ranges with out-of-range values CLAMPED to the pinned boundary
+value first (``least(hi, greatest(lo, v))`` — deterministic and
+SQL-replayable; pass ``on_out_of_range="error"`` to fail loud
+instead), and only the dirty
+buckets are rewritten via dynamic partition overwrite — the chunk-store
+upsert idiom (``sources/chunk_store.py:185``), applied to layout.
 """
 
 from __future__ import annotations
@@ -90,16 +101,7 @@ def _quantize(v: str, lo: str, hi: str, bits: int) -> Column:
     )
 
 
-def zorder_frame(
-    df: DataFrame, xcol: str, ycol: str, bits: int = ZBITS, n_buckets: int = 64
-) -> DataFrame:
-    """df + (qx, qy, zvalue, zbucket) — the Morton layout columns.
-
-    One broadcast 1-row min/max agg supplies the quantization range
-    (the scalar-frame idiom: a crossJoin against a 1-row frame is a
-    BroadcastNestedLoopJoin, not a shuffle); everything after is a
-    narrow per-row projection inside whole-stage codegen.
-    """
+def _validate_params(bits: int, n_buckets: int) -> None:
     if not 1 <= bits <= 16:
         # _spread_bits16's magic-mask chain is a 16-bit spread: bits
         # above 16 would silently mask away the high quantized bits
@@ -113,13 +115,36 @@ def zorder_frame(
         raise ValueError(
             f"zorder_frame: n_buckets must be in [1, 4^bits] = [1, {1 << (2 * bits)}]"
         )
+
+
+def _interleave(out: DataFrame, bits: int, n_buckets: int) -> DataFrame:
+    """qx/qy → zvalue/zbucket: the shared tail of both frame builders."""
+    shift = 2 * bits - (n_buckets.bit_length() - 1)
+    z = _spread_bits16(F.col("qx")).bitwiseOR(
+        F.shiftleft(_spread_bits16(F.col("qy")), 1)
+    )
+    return out.withColumn("zvalue", z).withColumn(
+        "zbucket", F.shiftrightunsigned(F.col("zvalue"), shift)
+    )
+
+
+def zorder_frame(
+    df: DataFrame, xcol: str, ycol: str, bits: int = ZBITS, n_buckets: int = 64
+) -> DataFrame:
+    """df + (qx, qy, zvalue, zbucket) — the Morton layout columns.
+
+    One broadcast 1-row min/max agg supplies the quantization range
+    (the scalar-frame idiom: a crossJoin against a 1-row frame is a
+    BroadcastNestedLoopJoin, not a shuffle); everything after is a
+    narrow per-row projection inside whole-stage codegen.
+    """
+    _validate_params(bits, n_buckets)
     stats = df.agg(
         F.min(xcol).cast("long").alias("_zx_lo"),
         F.max(xcol).cast("long").alias("_zx_hi"),
         F.min(ycol).cast("long").alias("_zy_lo"),
         F.max(ycol).cast("long").alias("_zy_hi"),
     )
-    shift = 2 * bits - (n_buckets.bit_length() - 1)
     out = (
         df.crossJoin(F.broadcast(stats))
         .withColumn("_zx", F.col(xcol).cast("long"))
@@ -128,14 +153,79 @@ def zorder_frame(
         .withColumn("qy", _quantize("_zy", "_zy_lo", "_zy_hi", bits))
         .drop("_zx", "_zy")
     )
-    z = _spread_bits16(F.col("qx")).bitwiseOR(
-        F.shiftleft(_spread_bits16(F.col("qy")), 1)
+    return _interleave(out, bits, n_buckets).drop(
+        "_zx_lo", "_zx_hi", "_zy_lo", "_zy_hi"
     )
-    return (
-        out.withColumn("zvalue", z)
-        .withColumn("zbucket", F.shiftrightunsigned(F.col("zvalue"), shift))
-        .drop("_zx_lo", "_zx_hi", "_zy_lo", "_zy_hi")
+
+
+def _quantize_pinned(v: str, lo: int, hi: int, bits: int, clamp: bool) -> Column:
+    """Quantize a staged column under a PINNED [lo, hi] range (Python
+    ints from a sidecar — arbitrary precision, so the overflow check
+    cannot wrap). Out-of-range values SATURATE to the pinned boundary
+    VALUE before the formula (``clamp=True`` — exactly
+    ``least(hi, greatest(lo, v))``, so an oracle replays it with plain
+    LEAST/GREATEST; note quantize(hi) is NOT 2^bits-1 in general,
+    which is why the value is clamped, never the quantized output) or
+    raise (``clamp=False``). NULLs always raise FIRST — Spark's
+    greatest/least skip nulls, which would silently pin a NULL to the
+    corner (the r12 guard class)."""
+    if lo > hi:
+        raise ValueError(f"zorder: pinned range [{lo}, {hi}] of {v} is empty")
+    if hi - lo >= (1 << (62 - bits)):
+        raise ValueError(
+            f"zorder: pinned range of {v} exceeds 2^{62 - bits} — "
+            "rescale the column first"
+        )
+    if clamp:
+        vv = f"least({hi}L, greatest({lo}L, {v}))"
+        arms = ""
+    else:
+        vv = v
+        arms = (
+            f"WHEN {v} < {lo} OR {v} > {hi} THEN "
+            f"raise_error(concat('zorder: value in ', '{v}', "
+            f"' outside the pinned range [{lo}, {hi}] — use clamp or rebuild')) "
+        )
+    return F.expr(
+        f"CASE WHEN {v} IS NULL THEN "
+        f"raise_error(concat('zorder: NULL or non-long-castable value in "
+        f"dimension ', '{v}', ' — clean or cast the column first')) "
+        f"{arms}"
+        f"ELSE (({vv} - {lo}) * {1 << bits}) div ({hi} - {lo} + 1) END"
     )
+
+
+def zorder_frame_pinned(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    ranges: tuple[int, int, int, int],
+    bits: int = ZBITS,
+    n_buckets: int = 64,
+    on_out_of_range: str = "clamp",
+) -> DataFrame:
+    """``zorder_frame`` under CALLER-pinned quantization ranges
+    ``(xlo, xhi, ylo, yhi)`` — the incremental-maintenance form: the
+    curve position of a value must be a pure function of the value and
+    the ranges frozen at index build time, never of whatever data
+    happens to be in the append batch (the chunk-store modulus-pin
+    doctrine). No scalar-frame crossJoin: the ranges are literals, the
+    whole projection is one narrow whole-stage-codegen pass."""
+    if on_out_of_range not in ("clamp", "error"):
+        raise ValueError(
+            "zorder_frame_pinned: on_out_of_range must be 'clamp' or 'error'"
+        )
+    _validate_params(bits, n_buckets)
+    xlo, xhi, ylo, yhi = (int(r) for r in ranges)
+    clamp = on_out_of_range == "clamp"
+    out = (
+        df.withColumn("_zx", F.col(xcol).cast("long"))
+        .withColumn("_zy", F.col(ycol).cast("long"))
+        .withColumn("qx", _quantize_pinned("_zx", xlo, xhi, bits, clamp))
+        .withColumn("qy", _quantize_pinned("_zy", ylo, yhi, bits, clamp))
+        .drop("_zx", "_zy")
+    )
+    return _interleave(out, bits, n_buckets)
 
 
 def zorder_write_index(
@@ -155,7 +245,25 @@ def zorder_write_index(
         write_one_file_per_partition,
     )
 
-    zf = zorder_frame(df, xcol, ycol, bits=bits, n_buckets=n_buckets)
+    _validate_params(bits, n_buckets)
+    [rng] = df.agg(
+        F.min(xcol).cast("long").alias("xlo"),
+        F.max(xcol).cast("long").alias("xhi"),
+        F.min(ycol).cast("long").alias("ylo"),
+        F.max(ycol).cast("long").alias("yhi"),
+    ).collect()  # bounded: 1 row — pinned into the sidecar for appends
+    if any(rng[k] is None for k in ("xlo", "xhi", "ylo", "yhi")):
+        raise ValueError(
+            "zorder_write_index: empty input or all-NULL dimension — "
+            "nothing to pin the quantization ranges to"
+        )
+    ranges = (rng["xlo"], rng["xhi"], rng["ylo"], rng["yhi"])
+    # "error" mode: the ranges ARE the data's min/max, so the guard can
+    # only fire on a NULL — the r12 fail-loud contract
+    zf = zorder_frame_pinned(
+        df, xcol, ycol, ranges, bits=bits, n_buckets=n_buckets,
+        on_out_of_range="error",
+    )
     stats = (
         zf.groupBy("zbucket")
         .agg(
@@ -174,6 +282,10 @@ def zorder_write_index(
         "ycol": ycol,
         "bits": bits,
         "n_buckets": n_buckets,
+        "ranges": {
+            "xlo": ranges[0], "xhi": ranges[1],
+            "ylo": ranges[2], "yhi": ranges[3],
+        },
         "buckets": {
             str(r["zbucket"]): {
                 "minqx": r["minqx"],
@@ -190,6 +302,99 @@ def zorder_write_index(
     )
 
 
+def _load_sidecar(path: str) -> dict:
+    with open(_os.path.join(path, _SIDECAR)) as fh:
+        sc = _json.load(fh)
+    if sc.get("version") != _VERSION:
+        raise ValueError(f"zorder index at {path}: unknown version {sc.get('version')}")
+    return sc
+
+
+def zorder_append(
+    spark, df: DataFrame, path: str, on_out_of_range: str = "clamp"
+) -> dict:
+    """Append ``df`` into an existing z-order index INCREMENTALLY:
+    quantize under the sidecar's PINNED ranges (never recomputed
+    min/max — recomputing would silently move every existing row's
+    curve position, the wrong-modulus failure class), rewrite ONLY the
+    dirty buckets via dynamic partition overwrite (the chunk-store
+    upsert idiom: union new rows with the dirty buckets' existing rows,
+    cut lineage with localCheckpoint because the rewrite plan reads the
+    very files it replaces, one file per bucket), and refresh the
+    dirty buckets' stats in the sidecar (atomic tmp+rename swap).
+
+    Out-of-pinned-range rows clamp to the pinned boundary value by
+    default (deterministic, SQL-replayable with LEAST/GREATEST, and
+    still covered by the edge cells' stats rectangles so box scans
+    stay exact in quantized space); ``on_out_of_range="error"`` fails
+    loud instead. Returns ``{"appended": n, "dirty_buckets": [...]}``.
+    """
+    sc = _load_sidecar(path)
+    if "ranges" not in sc:
+        raise ValueError(
+            f"zorder index at {path}: no pinned ranges in sidecar "
+            "(written by a pre-append build) — rebuild the index"
+        )
+    r = sc["ranges"]
+    bits, n_buckets = int(sc["bits"]), int(sc["n_buckets"])
+    existing_cols = set(spark.read.parquet(path).columns)
+    expect = existing_cols - {"qx", "qy", "zbucket"}
+    if set(df.columns) != expect:
+        raise ValueError(
+            f"zorder_append: columns {sorted(set(df.columns))} do not match "
+            f"the indexed schema {sorted(expect)}"
+        )
+    new = zorder_frame_pinned(
+        df, sc["xcol"], sc["ycol"], (r["xlo"], r["xhi"], r["ylo"], r["yhi"]),
+        bits=bits, n_buckets=n_buckets, on_out_of_range=on_out_of_range,
+    ).drop("zvalue")
+    # materialize once: the dirty-bucket probe, the rewrite, and the
+    # stats refresh all consume it (and the guard exprs must fire here,
+    # not three times)
+    new = new.localCheckpoint(eager=True)
+    dirty = sorted(
+        row["zbucket"] for row in new.select("zbucket").distinct().collect()
+    )  # bounded: <= n_buckets values
+    if not dirty:
+        return {"appended": 0, "dirty_buckets": []}
+    old = (
+        spark.read.parquet(path)
+        .where(F.col("zbucket").isin(dirty))
+        # partition-column type is inferred (int) on read; the fresh
+        # side computes long — align before unionByName
+        .withColumn("zbucket", F.col("zbucket").cast("long"))
+    )
+    merged = old.unionByName(new.select(*old.columns)).localCheckpoint(eager=True)
+    (
+        merged.repartition(F.col("zbucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+    spark.catalog.refreshByPath(path)
+    stats = merged.groupBy("zbucket").agg(
+        F.min("qx").alias("minqx"),
+        F.max("qx").alias("maxqx"),
+        F.min("qy").alias("minqy"),
+        F.max("qy").alias("maxqy"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()  # bounded: |dirty| rows
+    for row in stats:
+        sc["buckets"][str(row["zbucket"])] = {
+            "minqx": row["minqx"],
+            "maxqx": row["maxqx"],
+            "minqy": row["minqy"],
+            "maxqy": row["maxqy"],
+            "n_rows": row["n_rows"],
+        }
+    tmp = _os.path.join(path, _SIDECAR + ".tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(sc, fh)
+    _os.replace(tmp, _os.path.join(path, _SIDECAR))
+    return {"appended": new.count(), "dirty_buckets": [int(d) for d in dirty]}
+
+
 def zorder_box_scan(
     spark,
     path: str,
@@ -203,10 +408,7 @@ def zorder_box_scan(
     predicate. The IN filter on the partition column is what the plan
     shows as ``PartitionFilters`` — file-level pruning from plain
     per-bucket min/max stats, no curve arithmetic at read time."""
-    with open(_os.path.join(path, _SIDECAR)) as fh:
-        sc = _json.load(fh)
-    if sc.get("version") != _VERSION:
-        raise ValueError(f"zorder index at {path}: unknown version {sc.get('version')}")
+    sc = _load_sidecar(path)
     for b, s in sc["buckets"].items():
         # a "None" bucket with null stats means the index was written
         # from rows with NULL dimension values (pre-guard build): its

@@ -3727,6 +3727,86 @@ ORACLES["hdr_quantile_order_totals"] = r"""
         ORDER BY e.pr
 """
 
+# r13: incremental z-order append replayed bit-for-bit — quantization
+# ranges come from the INITIAL build subset (event_id % 3 <> 0, the
+# sidecar pin), appended rows clamp to the pinned boundary value
+# (LEAST/GREATEST) before the same quantize + magic-mask interleave,
+# and the box filter runs in quantized space — so append+scan must
+# equal this one-shot replay over ALL events exactly.
+ORACLES["zorder_append_box_scan"] = r"""
+        WITH base AS (
+          SELECT event_id, user_id AS x,
+                 CAST(floor(value * 100) AS BIGINT) AS y
+          FROM events),
+        rng AS (
+          SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+          FROM base WHERE event_id % 3 <> 0),
+        q AS (
+          SELECT b.event_id,
+                 ((LEAST(r.xhi, GREATEST(r.xlo, b.x)) - r.xlo) * 65536)
+                   // (r.xhi - r.xlo + 1) AS qx,
+                 ((LEAST(r.yhi, GREATEST(r.ylo, b.y)) - r.ylo) * 65536)
+                   // (r.yhi - r.ylo + 1) AS qy
+          FROM base b CROSS JOIN rng r),
+        sx1 AS (SELECT event_id, qx, qy, (qx | (qx << 8)) & 16711935 AS sx FROM q),
+        sx2 AS (SELECT event_id, qx, qy, (sx | (sx << 4)) & 252645135 AS sx FROM sx1),
+        sx3 AS (SELECT event_id, qx, qy, (sx | (sx << 2)) & 858993459 AS sx FROM sx2),
+        sx4 AS (SELECT event_id, qx, qy, (sx | (sx << 1)) & 1431655765 AS sx FROM sx3),
+        sy1 AS (SELECT event_id, qx, qy, sx, (qy | (qy << 8)) & 16711935 AS sy FROM sx4),
+        sy2 AS (SELECT event_id, qx, qy, sx, (sy | (sy << 4)) & 252645135 AS sy FROM sy1),
+        sy3 AS (SELECT event_id, qx, qy, sx, (sy | (sy << 2)) & 858993459 AS sy FROM sy2),
+        sy4 AS (SELECT event_id, qx, qy, sx, (sy | (sy << 1)) & 1431655765 AS sy FROM sy3),
+        z AS (SELECT event_id, qx, qy,
+                     CAST((sx | (sy << 1)) >> 26 AS BIGINT) AS zbucket
+              FROM sy4)
+        SELECT event_id, qx, qy, zbucket
+        FROM z
+        WHERE qx >= 24576 AND qx <= 40959
+          AND qy >= 24576 AND qy <= 40959
+        ORDER BY event_id
+"""
+
+# r13: the persisted-store HDR merge graded against the full-corpus
+# replay — day1 ∪ day2 registers ARE the full registers (count-sum),
+# so the merged estimate must equal this one-shot replay bit-for-bit
+# (same bucket math and integer rank rule as hdr_quantile_order_totals,
+# estimates only).
+ORACLES["hdr_store_merged_quantiles"] = r"""
+        WITH cents AS (
+          SELECT o_orderpriority AS pr,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders),
+        s1 AS (SELECT pr, v, v | (v >> 1) AS x FROM cents),
+        s2 AS (SELECT pr, v, x | (x >> 2) AS x FROM s1),
+        s3 AS (SELECT pr, v, x | (x >> 4) AS x FROM s2),
+        s4 AS (SELECT pr, v, x | (x >> 8) AS x FROM s3),
+        s5 AS (SELECT pr, v, x | (x >> 16) AS x FROM s4),
+        s6 AS (SELECT pr, v, x | (x >> 32) AS x FROM s5),
+        bi AS (SELECT pr, v,
+                      greatest(0, bit_count(x) - 8) AS b
+               FROM s6),
+        ix AS (SELECT pr, (v >> b) + b * 128 AS idx FROM bi),
+        regs AS (SELECT pr, idx, CAST(count(*) AS BIGINT) AS cnt
+                 FROM ix GROUP BY pr, idx),
+        cum AS (SELECT pr, idx,
+                       SUM(cnt) OVER (PARTITION BY pr ORDER BY idx) AS cum,
+                       SUM(cnt) OVER (PARTITION BY pr) AS total
+                FROM regs),
+        dec AS (SELECT pr, cum, total,
+                       CASE WHEN idx >= 256 THEN idx // 128 - 1 ELSE 0 END AS b2,
+                       idx
+                FROM cum),
+        up AS (SELECT pr, cum, total,
+                      ((idx - b2 * 128 + 1) << b2) - 1 AS upper
+               FROM dec)
+        SELECT pr AS o_orderpriority, CAST(MAX(total) AS BIGINT) AS n,
+               MIN(CASE WHEN cum * 100 >= total * 50 THEN upper END) AS p50,
+               MIN(CASE WHEN cum * 100 >= total * 90 THEN upper END) AS p90,
+               MIN(CASE WHEN cum * 100 >= total * 99 THEN upper END) AS p99
+        FROM up GROUP BY pr
+        ORDER BY pr
+"""
+
 ORACLES["hll_distinct_by_source"] = r"""
         WITH tok AS (
           SELECT source,

@@ -3541,6 +3541,106 @@ def hdr_quantile_order_totals(spark, sf_dir):
     )
 
 
+def zorder_append_box_scan(spark, sf_dir):
+    """Incremental z-order maintenance graded end to end (new r13, r12
+    VERDICT Next #4): the persisted index builds from two thirds of
+    events (event_id % 3 != 0), the remaining third APPENDS under the
+    sidecar's PINNED quantization ranges (never recomputed min/max —
+    re-deriving them from data+append would silently move every
+    existing row's curve position, the chunk-store wrong-modulus
+    class; ``operators/layout.zorder_append``), out-of-range appends
+    clamp to the pinned boundary value (LEAST/GREATEST — replayable),
+    only the DIRTY buckets rewrite via dynamic partition overwrite
+    (the chunk-store upsert idiom), and the box scan over the centered
+    quarter box must equal a one-shot pinned build over ALL events
+    bit-for-bit — exactly what the oracle replays in SQL (ranges from
+    the initial subset, clamp, magic-mask interleave, bucket, box).
+    The scan still prunes through the refreshed sidecar stats
+    (PartitionFilters — plan-asserted in tests)."""
+    import tempfile
+
+    from lovdata_pipeline_spark.operators.layout import (
+        zorder_append,
+        zorder_box_scan,
+        zorder_write_index,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    idx = tempfile.mkdtemp(prefix="zappend_")
+    zorder_write_index(
+        ev.filter(F.col("event_id") % 3 != 0), idx, "user_id", "cents",
+        n_buckets=64,
+    )
+    zorder_append(spark, ev.filter(F.col("event_id") % 3 == 0), idx)
+    b = 1 << 16
+    lo, hi = 3 * b // 8, 5 * b // 8 - 1
+    return (
+        zorder_box_scan(spark, idx, lo, hi, lo, hi)
+        .select(
+            "event_id", "qx", "qy", F.col("zbucket").cast("long").alias("zbucket")
+        )
+        .orderBy("event_id")
+    )
+
+
+def hdr_store_merged_quantiles(spark, sf_dir):
+    """Cross-session HDR quantiles THROUGH the persisted register
+    store (new r13, r12 VERDICT Next #5 — the HLL-store symmetry,
+    ``hll_store_merged_counts``): order totals split into two "days"
+    (o_orderkey parity), each day's registers are written to their own
+    ``hdr_registers_write`` store, then both stores are LOADED,
+    count-sum merged (``hdr_merge`` — merging histograms IS the
+    aggregate), and the merged p50/p90/p99 must equal the full-corpus
+    estimate bit-for-bit, which is exactly what the oracle (the
+    full-corpus HDR SQL replay) grades. The 100-TB nightly shape: each
+    day summarizes its own values ONCE into a parameter-bounded
+    register table; cross-day percentiles never re-read any day's
+    rows. The loader's sub_bits gate keeps incompatible bucket spaces
+    from merging silently."""
+    import tempfile
+
+    from lovdata_pipeline_spark.operators.sketches import (
+        hdr_buckets,
+        hdr_merge,
+        hdr_quantiles,
+        hdr_registers_load,
+        hdr_registers_write,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d1 = tempfile.mkdtemp(prefix="hdr_day1_")
+    d2 = tempfile.mkdtemp(prefix="hdr_day2_")
+    hdr_registers_write(
+        hdr_buckets(
+            cents.filter(F.col("o_orderkey") % 2 == 0), "cents", "o_orderpriority"
+        ),
+        d1,
+        group_col="o_orderpriority",
+    )
+    hdr_registers_write(
+        hdr_buckets(
+            cents.filter(F.col("o_orderkey") % 2 == 1), "cents", "o_orderpriority"
+        ),
+        d2,
+        group_col="o_orderpriority",
+    )
+    r1, sb1, g1 = hdr_registers_load(spark, d1)
+    r2, sb2, _ = hdr_registers_load(spark, d2)
+    if sb1 != sb2:
+        raise ValueError("hdr stores built under different sub_bits are not mergeable")
+    merged = hdr_merge([r1, r2], group_col=g1)
+    return hdr_quantiles(merged, g1, sub_bits=sb1).orderBy("o_orderpriority")
+
+
 def hll_distinct_by_source(spark, sf_dir):
     """Portable HyperLogLog distinct-token estimate per source vs the
     exact countDistinct (new r7d): (source, n_exact, n_est, rel_err).
@@ -3677,82 +3777,130 @@ QUERIES = {
     # history in git). The blocks below describe only the entries
     # currently holding a window slot.
     #
-    # --- r12 window (r11 VERDICT Next #1/#2/#5 + ADVICE): THREE rows
-    # --- born in-window (the z-order layout op, the HDR quantile
-    # --- sketch, the string-time asof row), the five rows whose
-    # --- fingerprints drifted this round (asof digit-bound docs +
-    # --- the new constant leg hashing BM25_TERMS/VALUE_BANDS/
-    # --- SAMPLE_RATES), the complete <=r8 stale-attestation drain
-    # --- (14 rows, oldest percentile_order_totals at r7), and the
-    # --- r9-latest refresh batch. After this round no entry's latest
-    # --- grade is older than r9 (r10 for all but the two late-r12
-    # --- slot yields annotated at the tail head). 50 demotions in
-    # --- exchange, every one green at its latest grade and multiply-
-    # --- attested, family twin inline. ------------------------------
+    # --- r13 window (r12 VERDICT Next #1/#4/#5 + ADVICE): TWO rows
+    # --- born in-window (incremental z-order append, the persisted
+    # --- HDR register-store merge), the two rows whose operator
+    # --- modules took the r12 ADVICE guards (they stay for the drift
+    # --- re-grade), the registry's oldest attestation
+    # --- (text_kn_surprisal, r9), and 45 of the 47-entry r10
+    # --- attestation cohort — the drain the r12 verdict ordered. The
+    # --- two deferred cohort rows (joint-most-attested) hold the tail
+    # --- head, annotated. After this round no entry's latest grade is
+    # --- older than r10, and only two entries are r10-latest. The four
+    # --- sketch-closure fingerprint drifts (cms/hll/bloom rows) are
+    # --- attested out-of-window via diffcheck --record (BENCH_AUX),
+    # --- per the fingerprint-manifest doctrine. ----------------------
     #
-    # -- changed/new rows (re-grade at birth / on drift) --------------
-    "zorder_box_prune_events": zorder_box_prune_events,  # NEW r12: Morton/z-order layout (operators/layout.py) — the lakehouse OPTIMIZE ZORDER clustering + stats-rectangle pruning verdict, integer-exact oracle; born in-window (persisted PartitionFilters form plan-asserted in tests)
-    "hdr_quantile_order_totals": hdr_quantile_order_totals,  # NEW r12: HDR log-histogram quantile sketch (sketches.hdr_buckets/hdr_quantiles) — the QUANTILE member completing the CMS/HLL/Bloom mergeable-sketch family, integer rank rule, <=2^-7 upper-bound contract graded against the exact rank values; born in-window
-    "events_asof_join_string_time": events_asof_join_string_time,  # NEW r12 (r11 VERDICT Next #5): the ISO-8601 STRING time-key asof row — grades the layered string-key path the r11 asof rework added (operators/asof.py non-parseable class) against DuckDB VARCHAR ASOF; born in-window
-    "events_asof_join": events_asof_join,  # green r1-r5+r10-r11; STAYS in-window r12: asof.py gained the decimal(38,18) digit-bound documentation this round (r11 ADVICE) — fingerprint drift re-grades; the string-key sibling events_asof_join_string_time enters alongside
-    "hybrid_search_rrf": hybrid_search_rrf,  # green r3-r4+r8+r11; STAYS in-window r12: the fingerprint constant leg (r11 ADVICE) now hashes BM25_TERMS into this row — algorithm-driven drift re-grades in-window
-    "text_bm25_search": text_bm25_search,  # green r3-r6+r10; re-enters r12: constant-leg fingerprint drift (BM25_TERMS now hashed, r11 ADVICE)
-    "stratified_sample_orders": stratified_sample_orders,  # green r3-r4+r9; re-enters r12: constant-leg fingerprint drift (SAMPLE_RATES now hashed, r11 ADVICE); also the r9-latest sampling row
-    # -- <=r8 stale-attestation drain (r11 VERDICT Next #1) -----------
-    "percentile_order_totals": percentile_order_totals,  # green r1-r2+r7; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first; the registry's OLDEST grade (deferred from r11 for the single-attest keep; twin agg_approx_stats r10-green))
-    "status_counts": status_counts,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "set_difference_validation": set_difference_validation,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "scalar_subquery_part_avg": scalar_subquery_part_avg,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "agg_distinct_counts": agg_distinct_counts,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "events_json_props": events_json_props,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "events_range_join": events_range_join,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first; also constant-leg fingerprint drift (VALUE_BANDS now hashed, r11 ADVICE))
-    "positional_ids": positional_ids,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "greedy_token_buckets": greedy_token_buckets,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "not_exists_high_value": not_exists_high_value,  # green r1-r3+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "dedup_simhash": dedup_simhash,  # green r1-r4+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "text_language_id": text_language_id,  # green r1-r4+r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6-r8; re-promoted r12 (<=r8 stale-attestation drain, r11 VERDICT Next #1 — oldest grades first)
-    # -- r9-latest attestation-refresh batch (drains r9 to zero) ------
-    "hll_distinct_by_source": hll_distinct_by_source,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "dedup_keep_best_quality": dedup_keep_best_quality,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "train_quality_classifier_documents": train_quality_classifier_documents,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "dedup_incremental_minhash": dedup_incremental_minhash,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "filter_attrition_report": filter_attrition_report,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "q5_region_revenue": q5_region_revenue,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "knn_join_top3": knn_join_top3,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "dedup_embedding_cosine": dedup_embedding_cosine,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "embedding_cluster_assign": embedding_cluster_assign,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "ann_topk_ivf": ann_topk_ivf,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "text_quality": text_quality,  # green r1-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "text_repetition": text_repetition,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "text_unigram_surprisal": text_unigram_surprisal,  # green r3-r4+r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "decontam_remove_spans": decontam_remove_spans,  # green r6-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "events_funnel_counts": events_funnel_counts,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "cms_token_estimates": cms_token_estimates,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "events_retention_cohorts": events_retention_cohorts,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "bpe_learned_merges": bpe_learned_merges,  # green r6-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "hll_store_merged_counts": hll_store_merged_counts,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "bloom_token_membership": bloom_token_membership,  # green r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "compression_band_report": compression_band_report,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "point_lookup": point_lookup,  # green r1-r3+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "grouping_sets_status_priority": grouping_sets_status_priority,  # green r1-r3+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "multimodal_audio": multimodal_audio,  # green r2-r4+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "top3_orders_per_customer": top3_orders_per_customer,  # green r1-r4+r8-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
-    "stratified_split_exact": stratified_split_exact,  # green r7-r9; re-promoted r12 (r9 attestation refresh, r11 VERDICT Next #1)
+    # -- new/changed rows (re-grade at birth / on drift) --------------
+    "zorder_append_box_scan": zorder_append_box_scan,  # NEW r13 (r12 VERDICT Next #4): INCREMENTAL z-order maintenance — appends quantize under the sidecar's PINNED ranges (never recomputed min/max), out-of-range clamps to the pinned boundary value (LEAST/GREATEST, SQL-replayable), only dirty buckets rewrite (dynamic partition overwrite, the chunk-store upsert idiom), and append+box-scan is graded bit-for-bit against the one-shot replay; born in-window (pruning PartitionFilters plan-asserted in tests)
+    "hdr_store_merged_quantiles": hdr_store_merged_quantiles,  # NEW r13 (r12 VERDICT Next #5): the persisted HDR register store + cross-store count-sum merge (hdr_registers_write/load + hdr_merge) graded against the full-corpus replay — the HLL-store symmetry (hll_store_merged_counts) for the quantile sketch; born in-window
+    "zorder_box_prune_events": zorder_box_prune_events,  # green r12; STAYS in-window r13: layout.py gained the r12 ADVICE guards (fail-loud NULL dims, bits/n_buckets validation, subtraction-free mixed-sign overflow check) plus the append machinery — fingerprint drift re-grades in-window; append sibling zorder_append_box_scan enters alongside
+    "hdr_quantile_order_totals": hdr_quantile_order_totals,  # green r12; STAYS in-window r13: sketches.py gained the NULL fail-loud guard (r12 ADVICE) plus the register store — fingerprint drift re-grades in-window; store sibling hdr_store_merged_quantiles enters alongside
+    # -- oldest-attestation drain (r12 VERDICT Next #1) ---------------
+    "text_kn_surprisal": text_kn_surprisal,  # green r7-r9; re-promoted r13 (the registry's OLDEST attestation leads the window, r12 VERDICT Next #1; trigram family twin text_kn_trigram_surprisal demotes r12-green)
+    # -- r10 attestation-cohort drain (45 of 47; r12 VERDICT Next #1) -
+    "anti_join_changed": anti_join_changed,  # green r1-r5+r10; re-promoted r13 (named in the r12 verdict's leading edge; r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "dedup_exact_groups": dedup_exact_groups,  # green r1-r5+r10; re-promoted r13 (named in the r12 verdict's leading edge; r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6+r10; re-promoted r13 (named in the r12 verdict's leading edge; r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6+r10; re-promoted r13 (named in the r12 verdict's leading edge; r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,  # green r8-r10; re-promoted r13 (named in the r12 verdict's leading edge; r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,  # green r9-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "streaming_session_append_counts": streaming_session_append_counts,  # green r9-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "phrase_search_documents": phrase_search_documents,  # green r7-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "exists_agg_priority": exists_agg_priority,  # green r1-r4+r9-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "quality_blend_documents": quality_blend_documents,  # green r7-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "bitext_mine_margin": bitext_mine_margin,  # green r7-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "ann_cosine_topk": ann_cosine_topk,  # green r1-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "ann_topk_pq": ann_topk_pq,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "decontaminate_clean_set": decontaminate_clean_set,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "dedup_components": dedup_components,  # green r3-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "dedup_minhash_lsh": dedup_minhash_lsh,  # green r1-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,  # green r1-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "dedup_shared_spans": dedup_shared_spans,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "events_sessionize": events_sessionize,  # green r1-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "pii_scan_documents": pii_scan_documents,  # green r3-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "q1_pricing_summary": q1_pricing_summary,  # green r2-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "sequence_manifest_documents": sequence_manifest_documents,  # green r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "temperature_mix_orders": temperature_mix_orders,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "text_fingerprints": text_fingerprints,  # green r2-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "text_quality_classifier": text_quality_classifier,  # green r4-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "text_winnowing": text_winnowing,  # green r2-r5+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7-r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "ann_topk_sq8": ann_topk_sq8,  # green r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "bpe_token_counts": bpe_token_counts,  # green r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "agg_approx_stats": agg_approx_stats,  # green r4-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "weighted_sample_documents": weighted_sample_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "events_rolling_1h": events_rolling_1h,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "hash_split_documents": hash_split_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "pack_sequences_documents": pack_sequences_documents,  # green r4-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "ann_topk_ivfpq": ann_topk_ivfpq,  # green r4-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "importance_score_documents": importance_score_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "text_bigram_surprisal": text_bigram_surprisal,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
+    "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     # ------------------------------------------------------------------ tail
-    # --- late-r12 slot yields (the two born-in-window r12 operators
-    # --- zorder_box_prune_events + hdr_quantile_order_totals take the
-    # --- last two window slots; both displaced rows were discretionary
-    # --- r9-refresh additions — the <=r8 drain deliverable is complete
-    # --- without them) ------------------------------------------------
-    "text_kn_surprisal": text_kn_surprisal,  # green r7-r9; demoted late-r12 (slot yielded to the born-in-window r12 ops; r9-refresh was discretionary — no entry's latest grade is older than r9 either way; trigram family twin text_kn_trigram_surprisal IS in-window this round)
-    "ann_pca_rerank_recall_embeddings": ann_pca_rerank_recall_embeddings,  # green r6-r8+r10; demoted late-r12 (slot yielded to the born-in-window r12 ops; the r11 bench-drift watch item is resolved by STANDALONE evidence instead of a window grade — BENCH_AUX.bench_drift_ann_pca_rerank: same-host n=11 bisect against the r10-final worktree names the environment cause, and the final r12 bench median is back to 4.74s (r10 4.00, r11 6.87); hash-correctness was never implicated: r10-green, fingerprint unchanged through r11-r12)
-    # --- r12 attestation-refresh demotions (each r11-green and
-    # --- multiply-attested; family twin named inline) ----------------
+    # --- deferred r10-cohort rows (the two joint-most-attested; the
+    # --- only entries whose latest grade is older than r11 after this
+    # --- round) -------------------------------------------------------
+    "multimodal_features": multimodal_features,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort — the 45-slot drain takes the rest; twin multimodal_audio demotes r12-green; next in line for r14)
+    "curation_pipeline": curation_pipeline,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort; the r12 bench-tail watch item is resolved by STANDALONE probe evidence, not a window grade — BENCH_AUX.bench_drift_curation_pipeline; next in line for r14)
+    # --- r13 drain demotions (each r12-green and multiply-attested;
+    # --- family twin named inline) ------------------------------------
+    "events_asof_join_string_time": events_asof_join_string_time,  # green r12; demoted r13 (asof family demotes together, both r12-green; the mixed-parseability string-key edge is property-pinned r13 (tests/test_asof_properties.py, r12 VERDICT Next #6))
+    "events_asof_join": events_asof_join,  # green r1-r5+r10-r12; demoted r13 (asof family demotes together; layered key order property-pinned r13 (test_asof_properties))
+    "hybrid_search_rrf": hybrid_search_rrf,  # green r3-r4+r8+r11-r12; demoted r13 (search family demotes together with text_bm25_search, both multiply-attested)
+    "text_bm25_search": text_bm25_search,  # green r3-r6+r10+r12; demoted r13 (search family demotes with hybrid_search_rrf; postings machinery pytest-pinned)
+    "stratified_sample_orders": stratified_sample_orders,  # green r3-r4+r9+r12; demoted r13 (sampling family: weighted_sample_documents + temperature_mix_orders re-enter)
+    "percentile_order_totals": percentile_order_totals,  # green r1-r2+r7+r12; demoted r13 (quantile family twin hdr_quantile_order_totals STAYS in-window)
+    "status_counts": status_counts,  # green r1-r3+r8+r12; demoted r13 (status-agg twin pivot_status r11-green in tail)
+    "set_difference_validation": set_difference_validation,  # green r1-r3+r8+r12; demoted r13 (validation twin validate_documents_expectations r11-green in tail)
+    "scalar_subquery_part_avg": scalar_subquery_part_avg,  # green r1-r3+r8+r12; demoted r13 (scalar-agg family: agg_approx_stats re-enters)
+    "agg_distinct_counts": agg_distinct_counts,  # green r1-r3+r8+r12; demoted r13 (distinct-agg family: agg_approx_stats re-enters; distinct_projection r11-green in tail)
+    "max_acctbal_supplier_per_nation": max_acctbal_supplier_per_nation,  # green r1-r3+r8+r12; demoted r13 (join-agg family: q1_pricing_summary re-enters)
+    "events_json_props": events_json_props,  # green r1-r3+r8+r12; demoted r13 (events family: events_sessionize re-enters)
+    "events_range_join": events_range_join,  # green r1-r3+r8+r12; demoted r13 (range-predicate family: events_rolling_1h re-enters; quantized box ranges graded via zorder_append_box_scan)
+    "positional_ids": positional_ids,  # green r1-r3+r8+r12; demoted r13 (pipeline family: embed/enrich_documents_pipeline re-enter (the id consumers))
+    "greedy_token_buckets": greedy_token_buckets,  # green r1-r3+r8+r12; demoted r13 (packing family: pack_sequences_documents re-enters)
+    "not_exists_high_value": not_exists_high_value,  # green r1-r3+r8+r12; demoted r13 (predicate family: exists_agg_priority re-enters)
+    "dedup_simhash": dedup_simhash,  # green r1-r4+r8+r12; demoted r13 (dedup family: dedup_exact_groups + dedup_minhash_lsh re-enter; gains the SAMPLED sf1 oracle verdict r13 (r12 VERDICT Next #2))
+    "text_language_id": text_language_id,  # green r1-r4+r8+r12; demoted r13 (text family: text_quality_classifier re-enters)
+    "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6-r8+r12; demoted r13 (text-clean family: pii_scan_documents re-enters)
+    "hll_distinct_by_source": hll_distinct_by_source,  # green r7-r9+r12; demoted r13 (fingerprint drifts r13 (sketches.py gained the HDR store) — out-of-window drift attested via diffcheck --record (BENCH_AUX); store sibling hdr_store_merged_quantiles enters)
+    "dedup_keep_best_quality": dedup_keep_best_quality,  # green r7-r9+r12; demoted r13 (dedup family: dedup_exact_groups re-enters)
+    "train_quality_classifier_documents": train_quality_classifier_documents,  # green r7-r9+r12; demoted r13 (classifier twin text_quality_classifier re-enters)
+    "dedup_incremental_minhash": dedup_incremental_minhash,  # green r7-r9+r12; demoted r13 (incremental-maintenance doctrine re-graded via zorder_append_box_scan (enters); dedup_minhash_lsh re-enters)
+    "filter_attrition_report": filter_attrition_report,  # green r7-r9+r12; demoted r13 (gate family: importance_score_documents re-enters)
+    "q5_region_revenue": q5_region_revenue,  # green r1-r4+r9+r12; demoted r13 (TPC-H family: q1_pricing_summary re-enters)
+    "knn_join_top3": knn_join_top3,  # green r1-r4+r9+r12; demoted r13 (knn family: knn_classify_embeddings + knn_edges_ivf_embeddings re-enter)
+    "dedup_embedding_cosine": dedup_embedding_cosine,  # green r1-r4+r9+r12; demoted r13 (algebra twin semantic_dedup_pairs_embeddings re-enters; gains the SAMPLED sf1 oracle verdict r13 (r12 VERDICT Next #2))
+    "embedding_cluster_assign": embedding_cluster_assign,  # green r3-r4+r9+r12; demoted r13 (cluster family: cluster_balanced_sample_embeddings re-enters)
+    "ann_topk_ivf": ann_topk_ivf,  # green r3-r4+r9+r12; demoted r13 (ANN family: ann_topk_ivfpq + ann_topk_sq8 re-enter)
+    "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # green r3-r4+r9+r12; demoted r13 (ANN family: ann_topk_ivfpq re-enters)
+    "text_quality": text_quality,  # green r1-r4+r9+r12; demoted r13 (text family: text_quality_classifier re-enters)
+    "text_repetition": text_repetition,  # green r3-r4+r9+r12; demoted r13 (text family: text_fingerprints re-enters)
+    "text_unigram_surprisal": text_unigram_surprisal,  # green r3-r4+r9+r12; demoted r13 (surprisal family: text_bigram_surprisal re-enters)
+    "decontam_remove_spans": decontam_remove_spans,  # green r6-r9+r12; demoted r13 (contamination family: decontaminate_clean_set + decontaminate_benchmark_overlap re-enter)
+    "events_funnel_counts": events_funnel_counts,  # green r7-r9+r12; demoted r13 (events family: events_sessionize re-enters)
+    "cms_token_estimates": cms_token_estimates,  # green r7-r9+r12; demoted r13 (fingerprint drifts r13 (sketches.py gained the HDR store) — out-of-window drift attested via diffcheck --record (BENCH_AUX); sketch family in-window via both hdr rows)
+    "events_retention_cohorts": events_retention_cohorts,  # green r7-r9+r12; demoted r13 (events family: events_sessionize re-enters)
+    "text_kn_trigram_surprisal": text_kn_trigram_surprisal,  # green r8-r9+r12; demoted r13 (bigram twin text_kn_surprisal re-enters (the r9 drain lead))
+    "bpe_learned_merges": bpe_learned_merges,  # green r6-r9+r12; demoted r13 (BPE family: bpe_token_counts re-enters)
+    "hll_store_merged_counts": hll_store_merged_counts,  # green r8-r9+r12; demoted r13 (fingerprint drifts r13 (sketches.py gained the HDR store) — out-of-window drift attested via diffcheck --record (BENCH_AUX); the store-merge pattern is re-graded via its direct descendant hdr_store_merged_quantiles (enters))
+    "bloom_token_membership": bloom_token_membership,  # green r8-r9+r12; demoted r13 (fingerprint drifts r13 (sketches.py gained the HDR store) — out-of-window drift attested via diffcheck --record (BENCH_AUX); sketch family in-window via both hdr rows)
+    "compression_band_report": compression_band_report,  # green r7-r9+r12; demoted r13 (banding family: length_bucketed_batches_documents re-enters)
+    "ann_topk_ivf_index": ann_topk_ivf_index,  # green r7-r9+r12; demoted r13 (persisted-index maintenance re-graded via zorder_append_box_scan (enters); ann_topk_ivfpq re-enters)
+    "point_lookup": point_lookup,  # green r1-r3+r8-r9+r12; demoted r13 (point-read family: sequence_manifest_documents re-enters)
+    "grouping_sets_status_priority": grouping_sets_status_priority,  # green r1-r3+r8-r9+r12; demoted r13 (grouping family r11-attested in tail (rollup_priority, cube_status_priority))
+    "multimodal_audio": multimodal_audio,  # green r2-r4+r8-r9+r12; demoted r13 (multimodal twin multimodal_features holds the tail head (deferred r10-green, joint-most-attested))
+    "top3_orders_per_customer": top3_orders_per_customer,  # green r1-r4+r8-r9+r12; demoted r13 (window-rank family r11-attested in tail (running_sum))
+    "stratified_split_exact": stratified_split_exact,  # green r7-r9+r12; demoted r13 (split family: hash_split_documents re-enters)
+    # --- earlier demotions (r11 and before; annotations preserved) ---
     "scd2_user_event_intervals": scd2_user_event_intervals,  # green r7-r9+r11; demoted r12 (event-time family: events_funnel_counts + events_retention_cohorts re-enter; the r11 first_tie fix graded green at birth)
     "streaming_interval_join_counts": streaming_interval_join_counts,  # green r8-r9+r11; demoted r12 (interval semantics now property-pinned (tests/test_tie_properties.py, duplicate-ts multiset vs brute force); range-predicate twin events_range_join re-enters)
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,  # green r10-r11; demoted r12 (the r11 single-attest keep is now double-attested (r10+r11); SSJoin exactness property-pinned (test_dedup_properties); dedup family re-enters via dedup_simhash + dedup_incremental_minhash + dedup_embedding_cosine)
@@ -3801,53 +3949,6 @@ QUERIES = {
     "vocab_drift_by_source": vocab_drift_by_source,  # green r6-r7+r11; demoted r12 (token-frequency family: cms_token_estimates + hll_distinct_by_source re-enter)
     "validate_documents_expectations": validate_documents_expectations,  # green r6-r7+r11; demoted r12 (validation family: set_difference_validation re-enters)
     "dedup_embedding_cosine_blocked": dedup_embedding_cosine_blocked,  # green r1+r7+r11; demoted r12 (exact-algebra twin dedup_embedding_cosine re-enters (blocked execution is the only difference))
-    # --- earlier demotions (r11 and before; annotations preserved) ---
-    "bitext_mine_margin_bucketed": bitext_mine_margin_bucketed,  # green r9-r10; demoted r11 (two-phase cosine top-k machinery re-enters via hard_negatives_embeddings; SRP bucket twin ann_topk_lsh_bucketed r9-green in tail)
-    "knn_edges_ivf_embeddings": knn_edges_ivf_embeddings,  # green r8-r10; demoted r11 (consumer twin pagerank_doc_graph re-enters (composes knn_edges end-to-end); IVF geometry plan-asserted in tests)
-    "streaming_session_append_counts": streaming_session_append_counts,  # green r9-r10; demoted r11 (streaming family gets ALL FOUR non-append rows re-graded this round; the append drain is the same session plan as streaming_session_counts)
-    "phrase_search_documents": phrase_search_documents,  # green r7-r10; demoted r11 (search family twin hybrid_search_rrf re-enters; postings-index writer pytest-pinned)
-    "exists_agg_priority": exists_agg_priority,  # green r1-r4+r9-r10; demoted r11 (predicate-join family: semi_join_processed + full_outer_order_presence re-enter; not_exists_high_value r8-green in tail)
-    "quality_blend_documents": quality_blend_documents,  # green r7-r10; demoted r11 (quality-gate family: text_gopher_quality + curation_report_by_source re-enter (the same gates it blends))
-    "bitext_mine_margin": bitext_mine_margin,  # green r7-r10; demoted r11 (exact twin of the bucketed row demoting alongside; margin criterion pytest-pinned; hard_negatives_embeddings re-enters (two-phase top-k family))
-    "ann_cosine_topk": ann_cosine_topk,  # green r1-r5+r10; demoted r11 (exact-cosine machinery re-enters inside hard_negatives_embeddings; knn_join_top3 r9-green in tail)
-    "ann_topk_pq": ann_topk_pq,  # green r4-r5+r10; demoted r11 (ANN quantization twins ann_topk_ivfpq + ann_topk_sq8 demote r10-green alongside; ADC tables pytest-pinned; dedup_embedding_cosine_blocked re-enters (vector family))
-    "anti_join_changed": anti_join_changed,  # green r1-r5+r10; demoted r11 (anti-join cut re-enters graded via exact_contamination_documents + benchmark_contamination_report)
-    "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
-    "decontaminate_clean_set": decontaminate_clean_set,  # green r4-r5+r10; demoted r11 (contamination family: benchmark_contamination_report + exact_contamination_documents re-enter)
-    "dedup_components": dedup_components,  # green r3-r5+r10; demoted r11 (span/graph dedup family: dedup_remove_spans re-enters; label propagation pytest-pinned)
-    "dedup_exact_groups": dedup_exact_groups,  # green r1-r5+r10; demoted r11 (exact-grouping twin dedup_vocab_fingerprint_groups re-enters)
-    "dedup_minhash_lsh": dedup_minhash_lsh,  # green r1-r5+r10; demoted r11 (shingle+jaccard family: dedup_remove_spans re-enters; incremental twin dedup_incremental_minhash r9-green in tail)
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,  # green r1-r5+r10; demoted r11 (exact twin of dedup_ngram_jaccard_capped, which STAYS in-window (same SSJoin algebra, cap replayed in its oracle))
-    "dedup_shared_spans": dedup_shared_spans,  # green r4-r5+r10; demoted r11 (strict superset dedup_remove_spans re-enters)
-    "events_sessionize": events_sessionize,  # green r1-r5+r10; demoted r11 (event-time family: scd2_user_event_intervals + events_lag_gaps + events_hourly re-enter)
-    "pii_scan_documents": pii_scan_documents,  # green r3-r5+r10; demoted r11 (gate-scan family: curation_report_by_source re-enters; PII gate also fires inside pretraining_pipeline (r10-green))
-    "q1_pricing_summary": q1_pricing_summary,  # green r2-r5+r10; demoted r11 (decimal-agg family: q3_top_unshipped re-enters)
-    "sequence_manifest_documents": sequence_manifest_documents,  # green r5+r10; demoted r11 (strict superset pack_emit_sequences re-enters)
-    "temperature_mix_orders": temperature_mix_orders,  # green r4-r5+r10; demoted r11 (mixing family: epoch_mix_documents + quality_quota_by_source re-enter)
-    "text_fingerprints": text_fingerprints,  # green r2-r5+r10; demoted r11 (fingerprint family: dedup_vocab_fingerprint_groups re-enters)
-    "text_quality_classifier": text_quality_classifier,  # green r4-r5+r10; demoted r11 (quality family: text_gopher_quality re-enters; LR apply side shares train_quality_classifier_documents' weights (r9-green in tail))
-    "text_winnowing": text_winnowing,  # green r2-r5+r10; demoted r11 (winnowing primitive composed inside dedup_remove_spans, re-entering)
-    "embedding_outliers_by_label": embedding_outliers_by_label,  # green r7-r10; demoted r11 (centroid-cosine family: hard_negatives_embeddings re-enters; signed-zero discipline pinned in the oracle)
-    "embed_documents_pipeline": embed_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
-    "enrich_documents_pipeline": enrich_documents_pipeline,  # green r3-r6+r10; demoted r11 (ETL family: chunk_documents_pipeline re-enters (the upstream stage of this same pipeline))
-    "multimodal_features": multimodal_features,  # green r2-r6+r10; demoted r11 (image/audio plumbing multiply-attested (r2-r6+r10); twin multimodal_audio r9-green in tail)
-    "pretraining_pipeline": pretraining_pipeline,  # green r4-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + benchmark_contamination_report + training_order + epoch_mix; sf1 row de-vacuated r10 (31,067 rows))
-    "curation_pipeline": curation_pipeline,  # green r2-r6+r10; demoted r11 (capstone components re-enter graded: curation_report_by_source + text_gopher_quality)
-    "ann_topk_sq8": ann_topk_sq8,  # green r6+r10; demoted r11 (ANN quantization family demotes together r10-green (pq/ivfpq); fit/encode/ADC pytest-pinned)
-    "bpe_token_counts": bpe_token_counts,  # green r6+r10; demoted r11 (BPE family: bpe_pair_stats re-enters; learned-merges chain r9-green in tail)
-    "agg_approx_stats": agg_approx_stats,  # green r4-r6+r10; demoted r11 (sketch family r8-r10 green throughout the tail (hll/cms/bloom); wide-mode HLL re-enters via validate_documents_expectations)
-    "weighted_sample_documents": weighted_sample_documents,  # green r5-r6+r10; demoted r11 (portable-hash sampling family: training_order_documents + epoch_mix_documents re-enter)
-    "tfidf_keywords_by_source": tfidf_keywords_by_source,  # green r5-r6+r10; demoted r11 (token-frequency family: collocation_pmi_bigrams + zipf_slope_by_source re-enter)
-    "events_rolling_1h": events_rolling_1h,  # green r5-r6+r10; demoted r11 (event-time window family: events_hourly + events_lag_gaps re-enter)
-    "hash_split_documents": hash_split_documents,  # green r5-r6+r10; demoted r11 (portable-hash family: training_order_documents + epoch_mix_documents re-enter)
-    "pack_sequences_documents": pack_sequences_documents,  # green r4-r6+r10; demoted r11 (packing family: pack_emit_sequences re-enters (strict superset manifest))
-    "ann_topk_ivfpq": ann_topk_ivfpq,  # green r4-r6+r10; demoted r11 (ANN quantization family demotes together r10-green (pq/sq8); coarse+PQ chain replayed in its oracle r10)
-    "importance_score_documents": importance_score_documents,  # green r5-r6+r10; demoted r11 (scoring family: quality_quota_by_source re-enters)
-    "text_bigram_surprisal": text_bigram_surprisal,  # green r5-r6+r10; demoted r11 (LM family: perplexity_buckets_by_source re-enters; KN step-ups r9-green in tail)
-    "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5-r6+r10; demoted r11 (sampling family: training_order_documents re-enters; cluster assign twin embedding_cluster_assign r9-green in tail)
-    "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; demoted r11 (packing family: pack_emit_sequences + token_length_band_documents re-enter)
-    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; demoted r11 (same pairing machinery re-enters via dedup_embedding_cosine_blocked)
-    "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; demoted r11 (knn-consumer family: pagerank_doc_graph re-enters; exact top-k twin knn_join_top3 r9-green in tail)
 }
 
 

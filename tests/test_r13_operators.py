@@ -1,0 +1,331 @@
+"""Round-13 pins: incremental z-order append (pinned-range clamp,
+dirty-bucket rewrite, sidecar stats refresh) and the persisted HDR
+register store (version/sub_bits gates, merge == full corpus).
+
+Each class pins SEMANTICS on hand-built fixtures (the driver's oracle
+gate covers sf0.01 equality); the appended index's PartitionFilters
+pruning gets the same plan assertion as the r12 write-once form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mkpoints(spark, n, xmod=50, ymod=77):
+    return spark.createDataFrame(
+        [(i, i % xmod, (i * 13) % ymod) for i in range(n)],
+        "event_id long, x long, y long",
+    )
+
+
+class TestZorderAppend:
+    def _build_split(self, spark, tmp, n=600):
+        ev = _mkpoints(spark, n)
+        idx = os.path.join(tmp, "zidx")
+        base = ev.filter(F.col("event_id") % 3 != 0)
+        rest = ev.filter(F.col("event_id") % 3 == 0)
+        from lovdata_pipeline_spark.operators.layout import zorder_write_index
+
+        zorder_write_index(base, idx, "x", "y", n_buckets=16)
+        return ev, base, rest, idx
+
+    def test_append_equals_one_shot_pinned_build(self, spark, tmp_path):
+        """append + scan == a one-shot index over ALL rows quantized
+        under the SAME pinned ranges — the graded row's contract."""
+        from lovdata_pipeline_spark.operators.layout import (
+            zorder_append,
+            zorder_frame_pinned,
+        )
+
+        ev, base, rest, idx = self._build_split(spark, str(tmp_path))
+        res = zorder_append(spark, rest, idx)
+        assert res["appended"] == rest.count() > 0
+        [r] = base.agg(
+            F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+            F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+        ).collect()
+        want = zorder_frame_pinned(
+            ev, "x", "y", (r["xlo"], r["xhi"], r["ylo"], r["yhi"]), n_buckets=16
+        ).drop("zvalue")
+        stored = spark.read.parquet(idx).withColumn(
+            "zbucket", F.col("zbucket").cast("long")
+        )
+        got = sorted(map(tuple, stored.select("event_id", "qx", "qy", "zbucket").collect()))
+        exp = sorted(map(tuple, want.select("event_id", "qx", "qy", "zbucket").collect()))
+        assert got == exp
+
+    def test_sidecar_stats_refresh_only_dirty_buckets(self, spark, tmp_path):
+        """After append the sidecar stats must equal recomputed stats
+        for every bucket (dirty refreshed, clean untouched-but-true),
+        and n_rows must sum to the full row count."""
+        from lovdata_pipeline_spark.operators.layout import _SIDECAR, zorder_append
+
+        ev, base, rest, idx = self._build_split(spark, str(tmp_path))
+        zorder_append(spark, rest, idx)
+        sc = json.load(open(os.path.join(idx, _SIDECAR)))
+        stored = spark.read.parquet(idx)
+        truth = {
+            str(row["zbucket"]): row
+            for row in stored.groupBy("zbucket")
+            .agg(
+                F.min("qx").alias("minqx"), F.max("qx").alias("maxqx"),
+                F.min("qy").alias("minqy"), F.max("qy").alias("maxqy"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+        assert set(sc["buckets"]) == set(truth)
+        for b, s in sc["buckets"].items():
+            for k in ("minqx", "maxqx", "minqy", "maxqy", "n_rows"):
+                assert s[k] == truth[b][k], (b, k)
+        assert sum(s["n_rows"] for s in sc["buckets"].values()) == ev.count()
+
+    def test_out_of_range_append_clamps_to_boundary_value(self, spark, tmp_path):
+        """Default clamp: values outside the pinned range quantize as
+        the boundary VALUE would (least/greatest), not as 2^bits-1."""
+        from lovdata_pipeline_spark.operators.layout import (
+            _SIDECAR,
+            zorder_append,
+            zorder_box_scan,
+        )
+
+        _, base, _, idx = self._build_split(spark, str(tmp_path))
+        sc = json.load(open(os.path.join(idx, _SIDECAR)))
+        r = sc["ranges"]
+        out = spark.createDataFrame(
+            [(100001, r["xhi"] + 500, r["ylo"] - 500)], "event_id long, x long, y long"
+        )
+        zorder_append(spark, out, idx)
+        row = (
+            spark.read.parquet(idx)
+            .where(F.col("event_id") == 100001)
+            .collect()[0]
+        )
+        # clamp-to-value: qx == quantize(xhi) — NOT necessarily 65535
+        q_hi = ((r["xhi"] - r["xlo"]) * 65536) // (r["xhi"] - r["xlo"] + 1)
+        assert row["qx"] == q_hi and row["qy"] == 0
+        # and it is scannable through the refreshed stats
+        got = zorder_box_scan(spark, idx, q_hi, q_hi, 0, 0).collect()
+        assert any(x["event_id"] == 100001 for x in got)
+
+    def test_out_of_range_append_error_mode_raises(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.layout import _SIDECAR, zorder_append
+
+        _, base, _, idx = self._build_split(spark, str(tmp_path))
+        sc = json.load(open(os.path.join(idx, _SIDECAR)))
+        out = spark.createDataFrame(
+            [(100001, sc["ranges"]["xhi"] + 500, 1)], "event_id long, x long, y long"
+        )
+        with pytest.raises(Exception, match="outside the pinned range"):
+            zorder_append(spark, out, idx, on_out_of_range="error")
+
+    def test_append_requires_pinned_ranges(self, spark, tmp_path):
+        """A pre-append sidecar (no ranges) is refused — never silently
+        re-derive ranges from data (the wrong-modulus class)."""
+        from lovdata_pipeline_spark.operators.layout import (
+            _SIDECAR,
+            zorder_append,
+            zorder_write_index,
+        )
+
+        idx = str(tmp_path / "zold")
+        zorder_write_index(_mkpoints(spark, 100), idx, "x", "y", n_buckets=8)
+        p = os.path.join(idx, _SIDECAR)
+        sc = json.load(open(p))
+        del sc["ranges"]
+        json.dump(sc, open(p, "w"))
+        with pytest.raises(ValueError, match="no pinned ranges"):
+            zorder_append(spark, _mkpoints(spark, 10), idx)
+
+    def test_append_schema_mismatch_raises(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.layout import (
+            zorder_append,
+            zorder_write_index,
+        )
+
+        idx = str(tmp_path / "zs")
+        zorder_write_index(_mkpoints(spark, 100), idx, "x", "y", n_buckets=8)
+        bad = spark.createDataFrame([(1, 2)], "x long, y long")  # missing event_id
+        with pytest.raises(ValueError, match="do not match"):
+            zorder_append(spark, bad, idx)
+
+    def test_empty_append_is_a_noop(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.layout import zorder_append
+
+        ev, base, rest, idx = self._build_split(spark, str(tmp_path))
+        before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+        res = zorder_append(spark, rest.filter(F.lit(False)), idx)
+        assert res == {"appended": 0, "dirty_buckets": []}
+        assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+
+    def test_appended_index_scan_prunes_partitions(self, spark, tmp_path):
+        """The graded row's pruning contract: post-append box scans
+        still show PartitionFilters on zbucket and the candidate set
+        stays a strict minority (z-locality survives the append)."""
+        from lovdata_pipeline_spark.operators.layout import (
+            _SIDECAR,
+            zorder_append,
+            zorder_box_scan,
+        )
+
+        ev, base, rest, idx = self._build_split(spark, str(tmp_path), n=2000)
+        zorder_append(spark, rest, idx)
+        b = 1 << 16
+        box = (3 * b // 8, 5 * b // 8 - 1, 3 * b // 8, 5 * b // 8 - 1)
+        pruned = zorder_box_scan(spark, idx, *box)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "zbucket" in plan
+        sc = json.load(open(os.path.join(idx, _SIDECAR)))
+        cands = [
+            bk for bk, s in sc["buckets"].items()
+            if s["minqx"] <= box[1] and s["maxqx"] >= box[0]
+            and s["minqy"] <= box[3] and s["maxqy"] >= box[2]
+        ]
+        assert 0 < len(cands) < len(sc["buckets"]) / 2
+
+    def test_graded_row_is_nonvacuous(self, spark):
+        """The sf0.001 graded row: appended rows (event_id % 3 == 0)
+        must actually appear in the box result — the append half of the
+        grade is exercised, not just the initial build."""
+        from lovdata_pipeline_spark.queries import zorder_append_box_scan
+
+        rows = zorder_append_box_scan(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        assert any(r["event_id"] % 3 == 0 for r in rows), "no appended row in box"
+        assert any(r["event_id"] % 3 != 0 for r in rows), "no base row in box"
+
+
+class TestHdrStore:
+    def _regs(self, spark, vals):
+        from lovdata_pipeline_spark.operators.sketches import hdr_buckets
+
+        return hdr_buckets(
+            spark.createDataFrame([("g", int(v)) for v in vals], "g string, v long"),
+            "v",
+            "g",
+        )
+
+    def test_store_roundtrip_and_merge_equals_full(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.sketches import (
+            hdr_merge,
+            hdr_quantiles,
+            hdr_registers_load,
+            hdr_registers_write,
+        )
+
+        day1 = [3, 900, 900, 2**41, 17]
+        day2 = [255, 256, 257, 12345, 2**52 + 5]
+        d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+        hdr_registers_write(self._regs(spark, day1), d1, group_col="g")
+        hdr_registers_write(self._regs(spark, day2), d2, group_col="g")
+        r1, sb1, g1 = hdr_registers_load(spark, d1)
+        r2, sb2, _ = hdr_registers_load(spark, d2)
+        assert sb1 == sb2 == 8 and g1 == "g"
+        merged = hdr_quantiles(hdr_merge([r1, r2], "g"), "g").collect()
+        full = hdr_quantiles(self._regs(spark, day1 + day2), "g").collect()
+        assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+    def test_version_gate(self, spark, tmp_path):
+        from lovdata_pipeline_spark.operators.sketches import (
+            hdr_registers_load,
+            hdr_registers_write,
+        )
+
+        d = str(tmp_path / "dv")
+        hdr_registers_write(self._regs(spark, [1, 2, 3]), d, group_col="g")
+        p = os.path.join(d, "_hdr_params.json")
+        sc = json.load(open(p))
+        sc["version"] = "hdr-store-v999"
+        json.dump(sc, open(p, "w"))
+        with pytest.raises(ValueError, match="version"):
+            hdr_registers_load(spark, d)
+
+    def test_cli_hdr_store_write_and_merge(self, spark, tmp_path, capsys):
+        """lg sketch --mode hdr --output (store write) then
+        --merge-stores (count-sum merge, no corpus re-scan) — merged
+        quantiles equal the one-shot run over the concatenation."""
+        from lovdata_pipeline_spark.cli import main
+
+        p1, p2 = tmp_path / "v1", tmp_path / "v2"
+        spark.createDataFrame(
+            [("a", v) for v in (1, 5, 130, 1000)], "g string, v long"
+        ).write.parquet(str(p1))
+        spark.createDataFrame(
+            [("a", v) for v in (12345, 999999)], "g string, v long"
+        ).write.parquet(str(p2))
+        s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        for src, st in ((p1, s1), (p2, s2)):
+            rc = main(
+                ["sketch", "--mode", "hdr", "--input", str(src),
+                 "--value-col", "v", "--group-col", "g", "--output", st]
+            )
+            assert rc == 0
+        capsys.readouterr()
+        rc = main(["sketch", "--mode", "hdr", "--merge-stores", f"{s1},{s2}"])
+        assert rc == 0
+        merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        pall = tmp_path / "vall"
+        spark.createDataFrame(
+            [("a", v) for v in (1, 5, 130, 1000, 12345, 999999)], "g string, v long"
+        ).write.parquet(str(pall))
+        rc = main(
+            ["sketch", "--mode", "hdr", "--input", str(pall),
+             "--value-col", "v", "--group-col", "g"]
+        )
+        assert rc == 0
+        full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert merged == full and merged["n"] == 6
+
+    def test_cli_layout_append(self, spark, tmp_path, capsys):
+        """lg layout --append: incremental append through the CLI,
+        then a box scan over the merged index."""
+        from lovdata_pipeline_spark.cli import main
+
+        p1, p2 = tmp_path / "b1", tmp_path / "b2"
+        _mkpoints(spark, 300).write.parquet(str(p1))
+        _mkpoints(spark, 400).filter("event_id >= 300").write.parquet(str(p2))
+        idx = str(tmp_path / "zi")
+        rc = main(
+            ["layout", "--input", str(p1), "--x-col", "x", "--y-col", "y",
+             "--output", idx, "--n-buckets", "16"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(
+            ["layout", "--input", str(p2), "--append", idx,
+             "--box", "0,65535,0,65535"]
+        )
+        assert rc == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert lines[0]["status"] == "appended" and lines[0]["appended"] == 100
+        assert lines[1]["rows"] == 400
+
+    def test_graded_row_matches_unsplit_estimates(self, spark):
+        """The store-merged graded row must equal the direct in-memory
+        estimates — persistence and parity-split change nothing."""
+        from lovdata_pipeline_spark.operators.sketches import (
+            hdr_buckets,
+            hdr_quantiles,
+        )
+        from lovdata_pipeline_spark.queries import hdr_store_merged_quantiles
+
+        sf = "/root/testdata/sf0.001"
+        got = hdr_store_merged_quantiles(spark, sf).collect()
+        orders = spark.read.parquet(os.path.join(sf, "orders.parquet")).select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        want = (
+            hdr_quantiles(
+                hdr_buckets(orders, "cents", "o_orderpriority"), "o_orderpriority"
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
