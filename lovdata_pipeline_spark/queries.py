@@ -3868,7 +3868,7 @@ QUERIES = {
     "positional_ids": positional_ids,  # green r1-r3+r8+r12; demoted r13 (pipeline family: embed/enrich_documents_pipeline re-enter (the id consumers))
     "greedy_token_buckets": greedy_token_buckets,  # green r1-r3+r8+r12; demoted r13 (packing family: pack_sequences_documents re-enters)
     "not_exists_high_value": not_exists_high_value,  # green r1-r3+r8+r12; demoted r13 (predicate family: exists_agg_priority re-enters)
-    "dedup_simhash": dedup_simhash,  # green r1-r4+r8+r12; demoted r13 (dedup family: dedup_exact_groups + dedup_minhash_lsh re-enter; gains the SAMPLED sf1 oracle verdict r13 (r12 VERDICT Next #2))
+    "dedup_simhash": dedup_simhash,  # green r1-r4+r8+r12; demoted r13 (dedup family: dedup_exact_groups + dedup_minhash_lsh re-enter; gains the FULL sf1 oracle verdict r13 (r12 VERDICT Next #2 — the r11 infeasibility measurement no longer reproduces; the un-sampled oracle runs under the sweep's resource guards))
     "text_language_id": text_language_id,  # green r1-r4+r8+r12; demoted r13 (text family: text_quality_classifier re-enters)
     "boilerplate_strip_documents": boilerplate_strip_documents,  # green r6-r8+r12; demoted r13 (text-clean family: pii_scan_documents re-enters)
     "hll_distinct_by_source": hll_distinct_by_source,  # green r7-r9+r12; demoted r13 (fingerprint drifts r13 (sketches.py gained the HDR store) — out-of-window drift attested via diffcheck --record (BENCH_AUX); store sibling hdr_store_merged_quantiles enters)
@@ -3878,7 +3878,7 @@ QUERIES = {
     "filter_attrition_report": filter_attrition_report,  # green r7-r9+r12; demoted r13 (gate family: importance_score_documents re-enters)
     "q5_region_revenue": q5_region_revenue,  # green r1-r4+r9+r12; demoted r13 (TPC-H family: q1_pricing_summary re-enters)
     "knn_join_top3": knn_join_top3,  # green r1-r4+r9+r12; demoted r13 (knn family: knn_classify_embeddings + knn_edges_ivf_embeddings re-enter)
-    "dedup_embedding_cosine": dedup_embedding_cosine,  # green r1-r4+r9+r12; demoted r13 (algebra twin semantic_dedup_pairs_embeddings re-enters; gains the SAMPLED sf1 oracle verdict r13 (r12 VERDICT Next #2))
+    "dedup_embedding_cosine": dedup_embedding_cosine,  # green r1-r4+r9+r12; demoted r13 (algebra twin semantic_dedup_pairs_embeddings re-enters; gains the FULL sf1 oracle verdict r13 (r12 VERDICT Next #2 — the r11 infeasibility measurement no longer reproduces; the un-sampled oracle runs under the sweep's resource guards))
     "embedding_cluster_assign": embedding_cluster_assign,  # green r3-r4+r9+r12; demoted r13 (cluster family: cluster_balanced_sample_embeddings re-enters)
     "ann_topk_ivf": ann_topk_ivf,  # green r3-r4+r9+r12; demoted r13 (ANN family: ann_topk_ivfpq + ann_topk_sq8 re-enter)
     "ann_topk_lsh_bucketed": ann_topk_lsh_bucketed,  # green r3-r4+r9+r12; demoted r13 (ANN family: ann_topk_ivfpq re-enters)

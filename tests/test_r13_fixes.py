@@ -148,6 +148,49 @@ class TestHdrNullGuard:
             hdr_buckets(df, "v", "g").collect()
 
 
+class TestEvidenceStampExemption:
+    def test_evidence_paths_are_exempt_source_paths_are_not(self):
+        """r12 VERDICT Next #7: '+dirty' means SOURCE dirt — the
+        artifacts the evidence run itself writes (record-then-commit)
+        must not mark the stamp dirty, anything else must."""
+        from tools.gitinfo import _is_evidence_path
+
+        for p in (
+            "BENCH_AUX.json", "BENCH_LOCAL.json", "BENCH_r13.json",
+            "SCALING.md", "QUERY_FINGERPRINTS.json",
+        ):
+            assert _is_evidence_path(p), p
+        for p in (
+            "lovdata_pipeline_spark/queries.py", "bench.py",
+            "tools/scaling.py", "tests/test_r13_fixes.py",
+            "BENCH_notes.md", "CORRECTNESS_r12.json",
+        ):
+            assert not _is_evidence_path(p), p
+
+    def test_stamp_is_clean_when_only_evidence_dirty(self, tmp_path):
+        """End-to-end on a scratch repo: evidence-only dirt stamps
+        clean, source dirt stamps +dirty."""
+        import subprocess
+        from unittest import mock
+
+        import tools.gitinfo as gi
+
+        r = str(tmp_path)
+        run = lambda *a: subprocess.run(  # noqa: E731
+            a, cwd=r, capture_output=True, text=True, check=True
+        )
+        run("git", "init", "-q")
+        run("git", "-c", "user.email=t@t", "-c", "user.name=t",
+            "commit", "-q", "--allow-empty", "-m", "x")
+        head = run("git", "rev-parse", "HEAD").stdout.strip()
+        with mock.patch.object(gi, "_REPO", r):
+            assert gi.tree_sha() == head
+            (tmp_path / "BENCH_AUX.json").write_text("{}")
+            assert gi.tree_sha() == head  # evidence dirt exempt
+            (tmp_path / "module.py").write_text("x = 1")
+            assert gi.tree_sha() == head + "+dirty"  # source dirt
+
+
 class TestCliPercentsParse:
     def test_non_integer_percents_token_exits_2(self, spark, tmp_path, capsys):
         from lovdata_pipeline_spark.cli import main

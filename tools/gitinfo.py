@@ -10,12 +10,19 @@ The stamp is '<HEAD commit sha>[+dirty]'. A pure tree-object hash was
 tried and rejected (r11 review): evidence is produced record-then-
 commit, so the stamped tree never equals any committed tree (the
 commit adds the evidence file itself) and the stamp would be
-structurally unverifiable. The verification convention instead: all
-SOURCE commits land before the evidence run, so a round-end stamp is
-'<final source commit>+dirty' where the dirt is the evidence files
-being written — checkable by confirming the evidence commit's diff
-touches only evidence artifacts (BENCH_*.json, SCALING.md,
-QUERY_FINGERPRINTS.json). Fine-grained attribution rests on the
+structurally unverifiable.
+
+r13 (r12 VERDICT Next #7 — clean-stamp discipline): '+dirty' now means
+SOURCE dirt only. Evidence is produced record-then-commit, so the
+evidence artifacts themselves (BENCH_*.json, SCALING.md,
+QUERY_FINGERPRINTS.json — the same allowlist the r12 verdict used to
+verify the dirt was harmless) are necessarily modified while the run
+is stamping; counting that self-dirt made every round-end stamp
+'+dirty' and forced the verifier to argue the ambiguity away each
+round. With the exemption, a stamp is '<sha>+dirty' IFF some
+non-evidence path differs from HEAD — exactly the condition that would
+make the measurement unattributable. All SOURCE commits still land
+before the evidence run; fine-grained attribution rests on the
 per-query source fingerprints recorded alongside (tools/fingerprints).
 """
 
@@ -33,11 +40,28 @@ import tempfile
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: working-tree paths the stamp treats as self-dirt: the artifacts the
+#: evidence run itself writes between 'record' and 'commit'. Anything
+#: else differing from HEAD is SOURCE dirt and stamps '+dirty'.
+_EVIDENCE_NAMES = {"SCALING.md", "QUERY_FINGERPRINTS.json"}
+_EVIDENCE_PREFIXES = ("BENCH_",)
+
+
+def _is_evidence_path(path: str) -> bool:
+    name = os.path.basename(path.strip())
+    return name in _EVIDENCE_NAMES or (
+        name.startswith(_EVIDENCE_PREFIXES) and name.endswith(".json")
+    )
+
+
 def tree_sha() -> str:
     """'<HEAD commit sha>' plus '+dirty' when the working tree has
-    uncommitted changes; 'unknown' when git is unavailable or the
-    directory is not a repository. (Field name kept as tree_sha in the
-    records for continuity; see module docstring for semantics.)"""
+    uncommitted NON-EVIDENCE changes (see module docstring — the
+    evidence artifacts the run itself writes are exempt, so a
+    source-clean round-end run stamps the pre-write HEAD cleanly);
+    'unknown' when git is unavailable or the directory is not a
+    repository. (Field name kept as tree_sha in the records for
+    continuity.)"""
     try:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"],
@@ -49,7 +73,16 @@ def tree_sha() -> str:
             ["git", "status", "--porcelain"],
             capture_output=True, text=True, cwd=_REPO,
         )
-        dirty = status.returncode == 0 and bool(status.stdout.strip())
+        dirty = False
+        if status.returncode == 0:
+            for line in status.stdout.splitlines():
+                if not line.strip():
+                    continue
+                # porcelain: 'XY path' (renames: 'XY old -> new')
+                path = line[3:].split(" -> ")[-1]
+                if not _is_evidence_path(path):
+                    dirty = True
+                    break
         return head.stdout.strip() + ("+dirty" if dirty else "")
     except Exception:  # pragma: no cover - git missing entirely
         return "unknown"

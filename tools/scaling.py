@@ -122,35 +122,20 @@ SKIP_SF1_ORACLE = {
     # carries a SAMPLED deterministic sf1 verdict instead of a skip
     # (r11 VERDICT Next #3): see SAMPLED_SF1_RUNNERS below and
     # oracles.SAMPLED_SF1_ORACLES for the sampling rule.
-    # --- r11 (VERDICT Next #6 — fence the remaining sweep): the same
-    # --- N²-oracle class, each carrying a genuine @sf0.1 full-oracle
-    # --- grade recorded alongside -------------------------------------
-    "dedup_embedding_cosine": (
-        "oracle scores ALL vec_id<vec_id pairs in SQL — ~200M 64-d dot "
-        "products at 20k vectors (the pagerank class). Hash-graded at "
-        "sf0.01 AND at sf0.1 (r11, via --sf-dir — 2M pairs, feasible); "
-        "the Spark scale swap is the LSH/blocked family, graded "
-        "separately."
-    ),
-    "dedup_embedding_cosine_blocked": (
-        "same N² pair oracle as dedup_embedding_cosine (~200M pairs at "
-        "20k vectors). Hash-graded at sf0.01 AND at sf0.1 (r11, via "
-        "--sf-dir); the blocked-matmul execution is the Spark-side "
-        "difference, not the algebra."
-    ),
-    "hard_negatives_embeddings": (
-        "oracle scores every cross-label pair in SQL — ~0.9·N² ≈ 360M "
-        "64-d dot products at 20k vectors. Hash-graded at sf0.01 AND "
-        "at sf0.1 (r11, via --sf-dir — ~3.6M pairs, feasible)."
-    ),
-    "dedup_simhash": (
-        "oracle compares all doc_id<doc_id signature pairs — ~1.25B "
-        "hamming evaluations at 50k docs (DuckDB plans the inequality "
-        "join as a filtered cross product). Hash-graded at sf0.01 AND "
-        "at sf0.1 (r11, via --sf-dir — ~12.5M pairs, feasible); the "
-        "Spark path bands signatures into equi-join buckets and never "
-        "materializes the quadratic pair set."
-    ),
+    # r13 (r12 VERDICT Next #2): the table is now EMPTY — the four
+    # remaining r11 named skips (dedup_simhash,
+    # dedup_embedding_cosine, dedup_embedding_cosine_blocked,
+    # hard_negatives_embeddings) were RE-MEASURED on this host before
+    # reaching for the sampled-verdict pattern, and every one of their
+    # full oracles is feasible at sf1 under the same 20GB-temp/48GB-mem
+    # guards that fenced them in r11: simhash's ~1.25B-pair hamming
+    # cross product 7.8s, embedding-cosine's ~200M-pair scoring 16.3s,
+    # hard_negatives 0.8s (its "~0.9·N²" r11 estimate double-counted —
+    # the pair set is anchors×corpus ≈ 4M, linear in anchors). All four
+    # now carry FULL sf1 oracle grades in scaling_correctness —
+    # strictly stronger than the sampled verdicts the r12 verdict asked
+    # for. Future infeasible-oracle entries still land here, with the
+    # sampled-runner pattern as the fallback.
 }
 
 #: queries whose sf1 hash match is VACUOUS (0 == 0 rows), with the
