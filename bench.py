@@ -143,7 +143,9 @@ HEADLINE = [
     "bitext_mine_margin_bucketed",
     # --- r12 additions ---
     "zorder_box_prune_events",
+    "zorder_append_box_scan",
     "hdr_quantile_order_totals",
+    "hdr_store_merged_quantiles",
 ]
 
 

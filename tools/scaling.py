@@ -75,6 +75,9 @@ LADDER_QUERIES = {
     # --- r12 additions: the new layout + quantile-sketch families ----
     "zorder_box_prune_events": "events",
     "hdr_quantile_order_totals": "orders",
+    # --- r13 additions: the incremental-maintenance forms ------------
+    "zorder_append_box_scan": "events",
+    "hdr_store_merged_quantiles": "orders",
 }
 
 SF_DIRS = [
