@@ -1378,6 +1378,19 @@ def cmd_sketch(args) -> int:
                     regs, args.output, p=args.p, group_col=args.group_col
                 )
                 print(json.dumps({"store": args.output, "status": "written"}))
+            if args.overlap:
+                # pairwise set algebra: union registers + inclusion-
+                # exclusion intersection estimates, one JSON line per
+                # unordered group pair (sketches.hll_pair_overlap)
+                from lovdata_pipeline_spark.operators.sketches import (
+                    hll_pair_overlap,
+                )
+
+                ga, gb = f"{args.group_col}_a", f"{args.group_col}_b"
+                out = hll_pair_overlap(regs, group_col=args.group_col, p=args.p)
+                for row in out.orderBy(ga, gb).collect():
+                    print(json.dumps(row.asDict()))
+                return 0
             out = hll_estimate(regs, group_col=args.group_col, p=args.p)
             for row in out.orderBy(args.group_col).collect():
                 print(json.dumps(row.asDict()))
@@ -1825,6 +1838,11 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--p", type=int, default=5, help="hll: 2^p registers per group")
     sk.add_argument("--m-bits", type=int, default=4096, help="bloom: filter bits")
     sk.add_argument("--k-hashes", type=int, default=3, help="bloom: hashes per token")
+    sk.add_argument(
+        "--overlap",
+        action="store_true",
+        help="hll: print the pairwise vocabulary-overlap matrix (union + inclusion-exclusion intersection estimates) instead of per-group counts",
+    )
     sk.add_argument("--value-col", help="hdr: non-negative long value column")
     sk.add_argument(
         "--percents", default="50,90,99", help="hdr: comma-separated integer percentiles"

@@ -161,11 +161,12 @@ def hll_registers(
 
 def hll_estimate(
     registers: DataFrame,
-    group_col: str = "source",
+    group_col: str | list[str] = "source",
     p: int = 5,
 ) -> DataFrame:
     """Registers → (group, n_est): the bias-corrected HLL cardinality
-    estimate, 6-dp rounded.
+    estimate, 6-dp rounded. ``group_col`` may be a list (r13: the
+    pairwise-union frame groups by (source_a, source_b)).
 
     The harmonic sum Σ 2^(−M_j) is kept EXACT by scaling: with
     SCALE = 61−p bits, each register contributes the integer
@@ -176,10 +177,11 @@ def hll_estimate(
     empty buckets) swaps in linear counting m·ln(m/V); both are single
     fixed expression trees, IEEE-identical across engines.
     """
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     m = 1 << p
     alpha = _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
     scale = _HASH_BITS - p + 1  # max rho, so every 2^(scale-reg) ≥ 1
-    per_group = registers.groupBy(group_col).agg(
+    per_group = registers.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         # shiftleft() wants a python-int shift; the per-row shift rides
         # an expr (both engines' << on BIGINT agree for these bounds)
@@ -196,7 +198,9 @@ def hll_estimate(
         (e_raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
-    return per_group.select(F.col(group_col), F.round(est, 6).alias("n_est"))
+    return per_group.select(
+        *[F.col(c) for c in gcols], F.round(est, 6).alias("n_est")
+    )
 
 
 #: bump when the persisted CMS layout changes incompatibly.
@@ -378,6 +382,74 @@ def hll_registers_merge(stores: list, group_col: str = "source") -> DataFrame:
     for s in stores[1:]:
         df = df.unionByName(s)
     return df.groupBy(group_col, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_pair_overlap(
+    registers: DataFrame, group_col: str = "source", p: int = 5
+) -> DataFrame:
+    """HLL SET ALGEBRA over one register table (r13): for every
+    unordered group pair (a < b), union registers are the bucket-wise
+    MAX across the two groups (the HLL merge applied WITHIN a table
+    instead of across stores), and inclusion–exclusion turns the three
+    estimates into an intersection estimate —
+    ``n_inter = n_a + n_b − n_union`` — without ever re-reading the
+    data the registers summarized. The cross-corpus overlap matrix at
+    100 TB: every frame here is parameter-bounded
+    (|groups|²·m/2 union-register rows, never corpus-bounded), the
+    pair frame broadcasts, and the arithmetic runs on the 6-dp-rounded
+    estimates in both engines, so the whole matrix replays bit-for-bit
+    in SQL.
+
+    → (group_a, group_b, n_a, n_b, n_union, n_inter) with
+    ``n_inter`` 6-dp rounded (inclusion–exclusion can go slightly
+    negative for near-disjoint sets — that IS the estimator, kept
+    unclamped so the oracle replays it exactly).
+    """
+    ga, gb = f"{group_col}_a", f"{group_col}_b"
+    # three consumers below (both pair contributions + the singles
+    # estimate) would each re-run the register build — the only
+    # corpus-bounded stage in the whole matrix. Materialize the
+    # parameter-bounded register table once (|groups|·m rows).
+    registers = registers.localCheckpoint(eager=True)
+    groups = registers.select(group_col).distinct()
+    pairs = groups.select(F.col(group_col).alias(ga)).join(
+        groups.select(F.col(group_col).alias(gb)), F.col(ga) < F.col(gb)
+    )
+    contrib_a = pairs.join(
+        registers.withColumnRenamed(group_col, ga), ga
+    ).select(ga, gb, "bucket", "reg")
+    contrib_b = pairs.join(
+        registers.withColumnRenamed(group_col, gb), gb
+    ).select(ga, gb, "bucket", "reg")
+    uregs = (
+        contrib_a.unionByName(contrib_b)
+        .groupBy(ga, gb, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    union_est = hll_estimate(uregs, group_col=[ga, gb], p=p).withColumnRenamed(
+        "n_est", "n_union"
+    )
+    singles = hll_estimate(registers, group_col=group_col, p=p)
+    return (
+        union_est.join(
+            singles.select(F.col(group_col).alias(ga), F.col("n_est").alias("n_a")),
+            ga,
+        )
+        .join(
+            singles.select(F.col(group_col).alias(gb), F.col("n_est").alias("n_b")),
+            gb,
+        )
+        .select(
+            ga,
+            gb,
+            "n_a",
+            "n_b",
+            "n_union",
+            F.round(F.col("n_a") + F.col("n_b") - F.col("n_union"), 6).alias(
+                "n_inter"
+            ),
+        )
+    )
 
 
 # --- HDR log-histogram quantile sketch (r12) --------------------------

@@ -3807,6 +3807,98 @@ ORACLES["hdr_store_merged_quantiles"] = r"""
         ORDER BY pr
 """
 
+# r13: the HLL pairwise set-algebra replay — the portable-HLL register
+# chain (identical to hll_distinct_by_source), then per-pair bucket-MAX
+# union registers, the same bias-corrected estimate for singles and
+# unions, and inclusion-exclusion on the 6-dp-rounded estimates —
+# with the exact per-pair distinct-token intersections as the grade.
+ORACLES["hll_vocab_overlap_sources"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5('hll-v1:' || tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM tok),
+        rr AS (SELECT source, h & 31 AS bucket, h >> 5 AS rem FROM h),
+        s1 AS (SELECT source, bucket, rem | (rem >> 1) AS x FROM rr),
+        s2 AS (SELECT source, bucket, x | (x >> 2) AS x FROM s1),
+        s3 AS (SELECT source, bucket, x | (x >> 4) AS x FROM s2),
+        s4 AS (SELECT source, bucket, x | (x >> 8) AS x FROM s3),
+        s5 AS (SELECT source, bucket, x | (x >> 16) AS x FROM s4),
+        s6 AS (SELECT source, bucket, x | (x >> 32) AS x FROM s5),
+        regs AS (
+          SELECT source, bucket, MAX(56 - bit_count(x)) AS reg
+          FROM s6 GROUP BY source, bucket),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT) AS s_present
+          FROM regs GROUP BY source),
+        e AS (
+          SELECT source,
+                 32 - nb AS v,
+                 713.728e0 * 72057594037927936e0
+                   / CAST(s_present + CAST(32 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS e_raw
+          FROM agg),
+        fin AS (
+          SELECT source,
+                 round(CASE WHEN e_raw <= 80.0e0 AND v > 0
+                            THEN 32.0e0 * ln(32.0e0 / CAST(v AS DOUBLE))
+                            ELSE e_raw END, 6) AS n_est
+          FROM e),
+        srcs AS (SELECT DISTINCT source FROM regs),
+        pr AS (
+          SELECT a.source AS source_a, b.source AS source_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        uregs AS (
+          SELECT source_a, source_b, bucket, MAX(reg) AS reg FROM (
+            SELECT p.source_a, p.source_b, r.bucket, r.reg
+            FROM pr p JOIN regs r ON r.source = p.source_a
+            UNION ALL
+            SELECT p.source_a, p.source_b, r.bucket, r.reg
+            FROM pr p JOIN regs r ON r.source = p.source_b)
+          GROUP BY source_a, source_b, bucket),
+        uagg AS (
+          SELECT source_a, source_b,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT) AS s_present
+          FROM uregs GROUP BY source_a, source_b),
+        ue AS (
+          SELECT source_a, source_b,
+                 32 - nb AS v,
+                 713.728e0 * 72057594037927936e0
+                   / CAST(s_present + CAST(32 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS e_raw
+          FROM uagg),
+        ufin AS (
+          SELECT source_a, source_b,
+                 round(CASE WHEN e_raw <= 80.0e0 AND v > 0
+                            THEN 32.0e0 * ln(32.0e0 / CAST(v AS DOUBLE))
+                            ELSE e_raw END, 6) AS n_union
+          FROM ue),
+        dtok AS (SELECT DISTINCT source, tok FROM tok),
+        xact AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_inter_exact
+          FROM dtok a JOIN dtok b ON b.tok = a.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT u.source_a, u.source_b,
+               fa.n_est AS n_a, fb.n_est AS n_b, u.n_union,
+               round(fa.n_est + fb.n_est - u.n_union, 6) AS n_inter,
+               COALESCE(x.n_inter_exact, 0) AS n_inter_exact,
+               CASE WHEN COALESCE(x.n_inter_exact, 0) > 0 THEN
+                 round((round(fa.n_est + fb.n_est - u.n_union, 6) - x.n_inter_exact)
+                       / CAST(x.n_inter_exact AS DOUBLE), 6)
+               END AS rel_err
+        FROM ufin u
+        JOIN fin fa ON fa.source = u.source_a
+        JOIN fin fb ON fb.source = u.source_b
+        LEFT JOIN xact x ON x.source_a = u.source_a AND x.source_b = u.source_b
+        ORDER BY u.source_a, u.source_b
+"""
+
 ORACLES["hll_distinct_by_source"] = r"""
         WITH tok AS (
           SELECT source,

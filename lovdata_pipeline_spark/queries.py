@@ -3641,6 +3641,69 @@ def hdr_store_merged_quantiles(spark, sf_dir):
     return hdr_quantiles(merged, g1, sub_bits=sb1).orderBy("o_orderpriority")
 
 
+def hll_vocab_overlap_sources(spark, sf_dir):
+    """HLL SET ALGEBRA — the cross-corpus vocabulary-overlap matrix
+    (new r13): for every unordered source pair, the union registers
+    are the bucket-wise MAX of the two sources' HLL registers (the
+    merge applied WITHIN one register table,
+    ``sketches.hll_pair_overlap``), and inclusion–exclusion turns the
+    three 6-dp estimates into an intersection estimate
+    ``n_inter = n_a + n_b − n_union`` — distinct-token overlap between
+    every pair of corpus slices WITHOUT any pairwise token join at
+    scale. Every frame is parameter-bounded (|sources|²·m/2 union
+    registers); the only corpus-bounded work is the one register build
+    the single-source row already does. Graded against the EXACT
+    per-pair intersections (a distinct-token equi-join — feasible at
+    graded scales, the thing the sketch replaces at 100 TB) with
+    rel_err columns, and the whole estimate replays bit-for-bit in SQL
+    (the portable-HLL replay chain + the same rounded-double
+    inclusion–exclusion)."""
+    from lovdata_pipeline_spark.operators.sketches import (
+        hll_pair_overlap,
+        hll_registers,
+    )
+    from lovdata_pipeline_spark.operators import textstats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    est = hll_pair_overlap(hll_registers(docs, p=5), p=5)
+    dtok = docs.select(
+        "source", F.explode(textstats._words("text")).alias("tok")
+    ).distinct()
+    exact = (
+        dtok.alias("a")
+        .join(
+            dtok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    joined = est.join(exact, ["source_a", "source_b"], "left").withColumn(
+        "n_inter_exact", F.coalesce(F.col("n_inter_exact"), F.lit(0))
+    )
+    return joined.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        "n_inter_exact",
+        F.when(
+            F.col("n_inter_exact") > 0,
+            F.round(
+                (F.col("n_inter") - F.col("n_inter_exact"))
+                / F.col("n_inter_exact").cast("double"),
+                6,
+            ),
+        ).alias("rel_err"),
+    ).orderBy("source_a", "source_b")
+
+
 def hll_distinct_by_source(spark, sf_dir):
     """Portable HyperLogLog distinct-token estimate per source vs the
     exact countDistinct (new r7d): (source, n_exact, n_est, rel_err).
@@ -3777,16 +3840,18 @@ QUERIES = {
     # history in git). The blocks below describe only the entries
     # currently holding a window slot.
     #
-    # --- r13 window (r12 VERDICT Next #1/#4/#5 + ADVICE): TWO rows
+    # --- r13 window (r12 VERDICT Next #1/#4/#5 + ADVICE): THREE rows
     # --- born in-window (incremental z-order append, the persisted
-    # --- HDR register-store merge), the two rows whose operator
-    # --- modules took the r12 ADVICE guards (they stay for the drift
-    # --- re-grade), the registry's oldest attestation
-    # --- (text_kn_surprisal, r9), and 45 of the 47-entry r10
-    # --- attestation cohort — the drain the r12 verdict ordered. The
-    # --- two deferred cohort rows (joint-most-attested) hold the tail
-    # --- head, annotated. After this round no entry's latest grade is
-    # --- older than r10, and only two entries are r10-latest. The four
+    # --- HDR register-store merge, the HLL pairwise set-algebra
+    # --- overlap matrix), the two rows whose operator modules took
+    # --- the r12 ADVICE guards (they stay for the drift re-grade),
+    # --- the registry's oldest attestation (text_kn_surprisal, r9),
+    # --- and 44 of the 47-entry r10 attestation cohort — the drain
+    # --- the r12 verdict ordered. The three deferred cohort rows
+    # --- (the two joint-most-attested + the one slot yield to the
+    # --- third new row) hold the tail head, annotated. After this
+    # --- round no entry's latest grade is older than r10, and only
+    # --- three entries are r10-latest. The four
     # --- sketch-closure fingerprint drifts (cms/hll/bloom rows) are
     # --- attested out-of-window via diffcheck --record (BENCH_AUX),
     # --- per the fingerprint-manifest doctrine. ----------------------
@@ -3794,6 +3859,7 @@ QUERIES = {
     # -- new/changed rows (re-grade at birth / on drift) --------------
     "zorder_append_box_scan": zorder_append_box_scan,  # NEW r13 (r12 VERDICT Next #4): INCREMENTAL z-order maintenance — appends quantize under the sidecar's PINNED ranges (never recomputed min/max), out-of-range clamps to the pinned boundary value (LEAST/GREATEST, SQL-replayable), only dirty buckets rewrite (dynamic partition overwrite, the chunk-store upsert idiom), and append+box-scan is graded bit-for-bit against the one-shot replay; born in-window (pruning PartitionFilters plan-asserted in tests)
     "hdr_store_merged_quantiles": hdr_store_merged_quantiles,  # NEW r13 (r12 VERDICT Next #5): the persisted HDR register store + cross-store count-sum merge (hdr_registers_write/load + hdr_merge) graded against the full-corpus replay — the HLL-store symmetry (hll_store_merged_counts) for the quantile sketch; born in-window
+    "hll_vocab_overlap_sources": hll_vocab_overlap_sources,  # NEW r13: HLL set algebra — pairwise bucket-MAX union registers + inclusion-exclusion intersection estimates (sketches.hll_pair_overlap), the cross-corpus vocabulary-overlap matrix with NO pairwise token join at scale; graded against the exact per-pair intersections with rel_err columns; born in-window
     "zorder_box_prune_events": zorder_box_prune_events,  # green r12; STAYS in-window r13: layout.py gained the r12 ADVICE guards (fail-loud NULL dims, bits/n_buckets validation, subtraction-free mixed-sign overflow check) plus the append machinery — fingerprint drift re-grades in-window; append sibling zorder_append_box_scan enters alongside
     "hdr_quantile_order_totals": hdr_quantile_order_totals,  # green r12; STAYS in-window r13: sketches.py gained the NULL fail-loud guard (r12 ADVICE) plus the register store — fingerprint drift re-grades in-window; store sibling hdr_store_merged_quantiles enters alongside
     # -- oldest-attestation drain (r12 VERDICT Next #1) ---------------
@@ -3843,13 +3909,13 @@ QUERIES = {
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
-    "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     # ------------------------------------------------------------------ tail
-    # --- deferred r10-cohort rows (the two joint-most-attested; the
-    # --- only entries whose latest grade is older than r11 after this
-    # --- round) -------------------------------------------------------
+    # --- deferred r10-cohort rows (the two joint-most-attested + the
+    # --- slot yield to the third born-in-window row; the only entries
+    # --- whose latest grade is older than r11 after this round) -------
     "multimodal_features": multimodal_features,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort — the 45-slot drain takes the rest; twin multimodal_audio demotes r12-green; next in line for r14)
     "curation_pipeline": curation_pipeline,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort; the r12 bench-tail watch item is resolved by STANDALONE probe evidence, not a window grade — BENCH_AUX.bench_drift_curation_pipeline; next in line for r14)
+    "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; DEFERRED r13 (yielded the last window slot to the born-in-window hll_vocab_overlap_sources; knn family twins knn_join_top3 r12-green and knn_edges_ivf_embeddings in-window; next in line for r14)
     # --- r13 drain demotions (each r12-green and multiply-attested;
     # --- family twin named inline) ------------------------------------
     "events_asof_join_string_time": events_asof_join_string_time,  # green r12; demoted r13 (asof family demotes together, both r12-green; the mixed-parseability string-key edge is property-pinned r13 (tests/test_asof_properties.py, r12 VERDICT Next #6))

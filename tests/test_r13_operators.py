@@ -201,6 +201,95 @@ class TestZorderAppend:
         assert any(r["event_id"] % 3 != 0 for r in rows), "no base row in box"
 
 
+class TestHllPairOverlap:
+    def _docs(self, spark, groups):
+        rows = []
+        for g, words in groups.items():
+            rows.append((g, " ".join(words)))
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_union_registers_equal_concatenated_group(self, spark):
+        """The within-table pair union must equal hll_registers of the
+        two groups relabeled as one — the merge identity, exactly."""
+        from lovdata_pipeline_spark.operators.sketches import (
+            hll_pair_overlap,
+            hll_registers,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(
+            spark,
+            {"a": [f"w{i}" for i in range(80)], "b": [f"w{i}" for i in range(40, 140)]},
+        )
+        est = hll_pair_overlap(hll_registers(docs, p=5), p=5).collect()[0]
+        both = hll_registers(
+            docs.withColumn("source", F.lit("ab")), p=5
+        )
+        from lovdata_pipeline_spark.operators.sketches import hll_estimate
+
+        [u] = hll_estimate(both, p=5).collect()
+        assert est["n_union"] == u["n_est"]
+
+    def test_inclusion_exclusion_arithmetic(self, spark):
+        from lovdata_pipeline_spark.operators.sketches import (
+            hll_pair_overlap,
+            hll_registers,
+        )
+
+        docs = self._docs(
+            spark,
+            {
+                "a": [f"x{i}" for i in range(60)],
+                "b": [f"x{i}" for i in range(30, 90)],
+                "c": [f"y{i}" for i in range(50)],
+            },
+        )
+        rows = hll_pair_overlap(hll_registers(docs, p=5), p=5).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r["n_inter"] == round(r["n_a"] + r["n_b"] - r["n_union"], 6)
+
+    def test_identical_groups_intersect_fully(self, spark):
+        """A == B: union registers equal each side's, so the estimate
+        collapses to n_inter == n_a == n_b == n_union exactly."""
+        from lovdata_pipeline_spark.operators.sketches import (
+            hll_pair_overlap,
+            hll_registers,
+        )
+
+        words = [f"t{i}" for i in range(120)]
+        docs = self._docs(spark, {"a": words, "b": list(words)})
+        [r] = hll_pair_overlap(hll_registers(docs, p=5), p=5).collect()
+        assert r["n_a"] == r["n_b"] == r["n_union"]
+        assert r["n_inter"] == round(r["n_a"], 6)
+
+    def test_cli_overlap_matrix(self, spark, tmp_path, capsys):
+        from lovdata_pipeline_spark.cli import main
+
+        p = tmp_path / "ovl"
+        self._docs(
+            spark,
+            {"a": [f"x{i}" for i in range(60)], "b": [f"x{i}" for i in range(30, 90)]},
+        ).write.parquet(str(p))
+        rc = main(["sketch", "--mode", "hll", "--input", str(p), "--overlap"])
+        assert rc == 0
+        [row] = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert row["source_a"] == "a" and row["source_b"] == "b"
+        assert row["n_inter"] == round(row["n_a"] + row["n_b"] - row["n_union"], 6)
+
+    def test_graded_row_is_nonvacuous(self, spark):
+        """sf0.001: real pairs with nonzero exact intersections and
+        genuine estimator error — never a vacuous 0==0 grade."""
+        from lovdata_pipeline_spark.queries import hll_vocab_overlap_sources
+
+        rows = hll_vocab_overlap_sources(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        assert any(r["n_inter_exact"] > 0 for r in rows)
+        assert any(r["rel_err"] is not None and r["rel_err"] != 0 for r in rows), (
+            "estimator never approximated — vacuous grade"
+        )
+
+
 class TestHdrStore:
     def _regs(self, spark, vals):
         from lovdata_pipeline_spark.operators.sketches import hdr_buckets
