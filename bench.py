@@ -135,6 +135,7 @@ HEADLINE = [
     # --- r8 additions ---
     "text_kn_trigram_surprisal",
     "hll_store_merged_counts",
+    "hll_vocab_overlap_sources",
     "streaming_interval_join_counts",
     "knn_edges_ivf_embeddings",
     "bloom_token_membership",

@@ -75,9 +75,11 @@ LADDER_QUERIES = {
     # --- r12 additions: the new layout + quantile-sketch families ----
     "zorder_box_prune_events": "events",
     "hdr_quantile_order_totals": "orders",
-    # --- r13 additions: the incremental-maintenance forms ------------
+    # --- r13 additions: the incremental-maintenance forms + the HLL
+    # --- set-algebra matrix ------------------------------------------
     "zorder_append_box_scan": "events",
     "hdr_store_merged_quantiles": "orders",
+    "hll_vocab_overlap_sources": "documents",
 }
 
 SF_DIRS = [
