@@ -65,6 +65,11 @@ CROSS_JOIN_OK = {
     # z-order quantization broadcasts the 1-row min/max range
     # aggregate — the scalar-subquery shape (r12).
     "zorder_box_prune_events",
+    # hll set algebra builds the unordered group-pair grid with a
+    # broadcast inequality join of two |groups|-row DISTINCT frames —
+    # parameter-bounded on BOTH sides (never corpus rows; the register
+    # table itself is |groups|·m and localCheckpointed), r13.
+    "hll_vocab_overlap_sources",
     # vocab drift crosses the |sources|-row totals with the broadcast
     # n_buckets range (a bounded parameters-sized grid) and the 1-row
     # corpus total.
