@@ -189,6 +189,66 @@ class TestZorderAppend:
         ]
         assert 0 < len(cands) < len(sc["buckets"]) / 2
 
+    def test_chained_appends_equal_one_shot(self, spark, tmp_path):
+        """TWO successive appends (the nightly shape) must land exactly
+        where a single one-shot pinned build would put every row — the
+        interval_join-chaining lesson (r11): operators that compose
+        with themselves get the composition pinned, not just one hop."""
+        from lovdata_pipeline_spark.operators.layout import (
+            zorder_append,
+            zorder_frame_pinned,
+            zorder_write_index,
+        )
+
+        ev = _mkpoints(spark, 900)
+        base = ev.filter(F.col("event_id") % 3 == 0)
+        day1 = ev.filter(F.col("event_id") % 3 == 1)
+        day2 = ev.filter(F.col("event_id") % 3 == 2)
+        idx = os.path.join(str(tmp_path), "zchain")
+        zorder_write_index(base, idx, "x", "y", n_buckets=16)
+        zorder_append(spark, day1, idx)
+        zorder_append(spark, day2, idx)
+        [r] = base.agg(
+            F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+            F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+        ).collect()
+        want = zorder_frame_pinned(
+            ev, "x", "y", (r["xlo"], r["xhi"], r["ylo"], r["yhi"]), n_buckets=16
+        ).drop("zvalue")
+        stored = spark.read.parquet(idx).withColumn(
+            "zbucket", F.col("zbucket").cast("long")
+        )
+        got = sorted(map(tuple, stored.select("event_id", "qx", "qy", "zbucket").collect()))
+        exp = sorted(map(tuple, want.select("event_id", "qx", "qy", "zbucket").collect()))
+        assert got == exp
+        # and the sidecar is coherent after the chain
+        sc = json.load(open(os.path.join(idx, "_zorder_params.json")))
+        assert sum(s["n_rows"] for s in sc["buckets"].values()) == 900
+
+    def test_append_preserves_one_file_per_bucket(self, spark, tmp_path):
+        """The indexwrite discipline survives appends: repartition ON
+        the partition column before the dynamic overwrite means every
+        dirty bucket directory still holds exactly ONE data file —
+        no fragment accumulation across nightly appends (the r10
+        listing-cost lesson)."""
+        import glob
+
+        from lovdata_pipeline_spark.operators.layout import (
+            zorder_append,
+            zorder_write_index,
+        )
+
+        ev = _mkpoints(spark, 600)
+        idx = os.path.join(str(tmp_path), "zfiles")
+        zorder_write_index(ev.filter(F.col("event_id") % 3 != 0), idx, "x", "y", n_buckets=16)
+        zorder_append(spark, ev.filter(F.col("event_id") % 3 == 0), idx)
+        for d in glob.glob(os.path.join(idx, "zbucket=*")):
+            files = [
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            assert len(files) == 1, (d, files)
+
     def test_graded_row_is_nonvacuous(self, spark):
         """The sf0.001 graded row: appended rows (event_id % 3 == 0)
         must actually appear in the box result — the append half of the
