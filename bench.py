@@ -147,6 +147,7 @@ HEADLINE = [
     "zorder_append_box_scan",
     "hdr_quantile_order_totals",
     "hdr_store_merged_quantiles",
+    "bloom_prefilter_join_orders",
 ]
 
 

@@ -3807,6 +3807,55 @@ ORACLES["hdr_store_merged_quantiles"] = r"""
         ORDER BY pr
 """
 
+# r13: the bloom-prefilter join replayed bit-for-bit — filter words
+# from the VIP keys (the bloom_token_membership replay chain over
+# stringified custkeys, m=256/k=2), per-order min-over-probes
+# membership, then the exact join marker: n_kept_bloom counts the
+# deterministic prefilter survivors (true matches + replayable false
+# positives), n_joined/sum_price_joined the lossless exact result.
+ORACLES["bloom_prefilter_join_orders"] = r"""
+        WITH vip AS (
+          SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900),
+        vk AS (SELECT DISTINCT CAST(k AS VARCHAR) AS ks FROM vip),
+        ksr AS (SELECT unnest(generate_series(0, 1)) AS r),
+        pos AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':bloom-v1:' || ks), 1, 15)) AS UBIGINT) AS BIGINT) % 256 AS p
+          FROM vk CROSS JOIN ksr),
+        filt AS (
+          SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+          FROM pos GROUP BY 1),
+        op AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_custkey IS NOT NULL),
+        opw AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+                 CAST(pp // 63 AS INTEGER) AS word_idx,
+                 CAST(1 AS BIGINT) << CAST(pp % 63 AS INTEGER) AS mask
+          FROM (
+            SELECT op.*, CAST(CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':bloom-v1:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 256 AS pp
+            FROM op CROSS JOIN ksr)),
+        hits AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+                 min(CASE WHEN (coalesce(bits, 0) & mask) = mask THEN 1 ELSE 0 END) AS hit
+          FROM opw LEFT JOIN filt USING (word_idx)
+          GROUP BY 1, 2, 3, 4),
+        kept AS (SELECT * FROM hits WHERE hit = 1),
+        marked AS (
+          SELECT kept.o_orderpriority, kept.o_totalprice,
+                 (vip.k IS NOT NULL) AS matched
+          FROM kept LEFT JOIN vip ON vip.k = kept.o_custkey)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_kept_bloom,
+               CAST(count(CASE WHEN matched THEN 1 END) AS BIGINT) AS n_joined,
+               COALESCE(CAST(SUM(CASE WHEN matched
+                   THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
+                 AS sum_price_joined
+        FROM marked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+"""
+
 # r13: the HLL pairwise set-algebra replay — the portable-HLL register
 # chain (identical to hll_distinct_by_source), then per-pair bucket-MAX
 # union registers, the same bias-corrected estimate for singles and

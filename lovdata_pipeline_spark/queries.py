@@ -3641,6 +3641,57 @@ def hdr_store_merged_quantiles(spark, sf_dir):
     return hdr_quantiles(merged, g1, sub_bits=sb1).orderBy("o_orderpriority")
 
 
+def bloom_prefilter_join_orders(spark, sf_dir):
+    """Bloom-prefilter join graded end to end (new r13,
+    ``operators/bloomjoin.py``): the membership sketch applied to
+    SHUFFLE REDUCTION — a filter built from the VIP customers'
+    join keys (c_acctbal > 9900, deliberately small m=256/k=2 so the
+    graded data exercises REAL false positives) prunes the orders side
+    BEFORE any join shuffle; the exact equi-join then removes the
+    deterministic false positives. One pass over orders: the kept rows
+    left-join the broadcast dim with a match marker, and per-priority
+    conditional aggregates certify BOTH stages — ``n_kept_bloom``
+    (prefilter survivors, including the false positives the fixed
+    salted-md5 family makes bit-replayable) and ``n_joined`` /
+    ``sum_price_joined`` (the lossless exact result). At 100 TB the
+    prefilter is k broadcast probes per fact row against a
+    ceil(m/63)-word table; only survivors ever shuffle."""
+    from lovdata_pipeline_spark.operators.bloomjoin import (
+        bloom_from_keys,
+        bloom_prefilter,
+    )
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    vip = customer.where(F.col("c_acctbal") > 9900).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    flt = bloom_from_keys(vip, "o_custkey", m_bits=256, k=2)
+    kept = bloom_prefilter(
+        orders.where(F.col("o_custkey").isNotNull()), "o_custkey", flt,
+        m_bits=256, k=2,
+    )
+    marked = kept.join(
+        F.broadcast(vip.withColumn("_hit", F.lit(1))), "o_custkey", "left"
+    )
+    return (
+        marked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_bloom"),
+            F.count("_hit").alias("n_joined"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_hit") == 1,
+                        F.col("o_totalprice").cast("decimal(18,4)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("sum_price_joined"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def hll_vocab_overlap_sources(spark, sf_dir):
     """HLL SET ALGEBRA — the cross-corpus vocabulary-overlap matrix
     (new r13): for every unordered source pair, the union registers
@@ -3840,18 +3891,18 @@ QUERIES = {
     # history in git). The blocks below describe only the entries
     # currently holding a window slot.
     #
-    # --- r13 window (r12 VERDICT Next #1/#4/#5 + ADVICE): THREE rows
+    # --- r13 window (r12 VERDICT Next #1/#4/#5 + ADVICE): FOUR rows
     # --- born in-window (incremental z-order append, the persisted
     # --- HDR register-store merge, the HLL pairwise set-algebra
-    # --- overlap matrix), the two rows whose operator modules took
-    # --- the r12 ADVICE guards (they stay for the drift re-grade),
-    # --- the registry's oldest attestation (text_kn_surprisal, r9),
-    # --- and 44 of the 47-entry r10 attestation cohort — the drain
-    # --- the r12 verdict ordered. The three deferred cohort rows
-    # --- (the two joint-most-attested + the one slot yield to the
-    # --- third new row) hold the tail head, annotated. After this
-    # --- round no entry's latest grade is older than r10, and only
-    # --- three entries are r10-latest. The four
+    # --- overlap matrix, the bloom-prefilter join), the two rows
+    # --- whose operator modules took the r12 ADVICE guards (they stay
+    # --- for the drift re-grade), the registry's oldest attestation
+    # --- (text_kn_surprisal, r9), and 43 of the 47-entry r10
+    # --- attestation cohort — the drain the r12 verdict ordered. The
+    # --- four deferred cohort rows (the two joint-most-attested + the
+    # --- two slot yields to the third/fourth new rows) hold the tail
+    # --- head, annotated. After this round no entry's latest grade is
+    # --- older than r10, and only four entries are r10-latest. The four
     # --- sketch-closure fingerprint drifts (cms/hll/bloom rows) are
     # --- attested out-of-window via diffcheck --record (BENCH_AUX),
     # --- per the fingerprint-manifest doctrine. ----------------------
@@ -3860,6 +3911,7 @@ QUERIES = {
     "zorder_append_box_scan": zorder_append_box_scan,  # NEW r13 (r12 VERDICT Next #4): INCREMENTAL z-order maintenance — appends quantize under the sidecar's PINNED ranges (never recomputed min/max), out-of-range clamps to the pinned boundary value (LEAST/GREATEST, SQL-replayable), only dirty buckets rewrite (dynamic partition overwrite, the chunk-store upsert idiom), and append+box-scan is graded bit-for-bit against the one-shot replay; born in-window (pruning PartitionFilters plan-asserted in tests)
     "hdr_store_merged_quantiles": hdr_store_merged_quantiles,  # NEW r13 (r12 VERDICT Next #5): the persisted HDR register store + cross-store count-sum merge (hdr_registers_write/load + hdr_merge) graded against the full-corpus replay — the HLL-store symmetry (hll_store_merged_counts) for the quantile sketch; born in-window
     "hll_vocab_overlap_sources": hll_vocab_overlap_sources,  # NEW r13: HLL set algebra — pairwise bucket-MAX union registers + inclusion-exclusion intersection estimates (sketches.hll_pair_overlap), the cross-corpus vocabulary-overlap matrix with NO pairwise token join at scale; graded against the exact per-pair intersections with rel_err columns; born in-window
+    "bloom_prefilter_join_orders": bloom_prefilter_join_orders,  # NEW r13: bloom-prefilter join (operators/bloomjoin.py) — the membership sketch applied to shuffle reduction: dim-key filter words prune the fact side pre-shuffle, graded on BOTH stages (deterministic-FP kept counts + the lossless exact join) with the replayable salted-md5 family; born in-window
     "zorder_box_prune_events": zorder_box_prune_events,  # green r12; STAYS in-window r13: layout.py gained the r12 ADVICE guards (fail-loud NULL dims, bits/n_buckets validation, subtraction-free mixed-sign overflow check) plus the append machinery — fingerprint drift re-grades in-window; append sibling zorder_append_box_scan enters alongside
     "hdr_quantile_order_totals": hdr_quantile_order_totals,  # green r12; STAYS in-window r13: sketches.py gained the NULL fail-loud guard (r12 ADVICE) plus the register store — fingerprint drift re-grades in-window; store sibling hdr_store_merged_quantiles enters alongside
     # -- oldest-attestation drain (r12 VERDICT Next #1) ---------------
@@ -3908,14 +3960,15 @@ QUERIES = {
     "text_bigram_surprisal": text_bigram_surprisal,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     "cluster_balanced_sample_embeddings": cluster_balanced_sample_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     "length_bucketed_batches_documents": length_bucketed_batches_documents,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
-    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; re-promoted r13 (r10 attestation-cohort drain, r12 VERDICT Next #1)
     # ------------------------------------------------------------------ tail
     # --- deferred r10-cohort rows (the two joint-most-attested + the
-    # --- slot yield to the third born-in-window row; the only entries
-    # --- whose latest grade is older than r11 after this round) -------
+    # --- two slot yields to the third/fourth born-in-window rows; the
+    # --- only entries whose latest grade is older than r11 after this
+    # --- round) -------------------------------------------------------
     "multimodal_features": multimodal_features,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort — the 45-slot drain takes the rest; twin multimodal_audio demotes r12-green; next in line for r14)
     "curation_pipeline": curation_pipeline,  # green r2-r6+r10; DEFERRED r13 (joint-most-attested in the r10 cohort; the r12 bench-tail watch item is resolved by STANDALONE probe evidence, not a window grade — BENCH_AUX.bench_drift_curation_pipeline; next in line for r14)
     "knn_classify_embeddings": knn_classify_embeddings,  # green r5-r6+r10; DEFERRED r13 (yielded the last window slot to the born-in-window hll_vocab_overlap_sources; knn family twins knn_join_top3 r12-green and knn_edges_ivf_embeddings in-window; next in line for r14)
+    "semantic_dedup_pairs_embeddings": semantic_dedup_pairs_embeddings,  # green r5-r6+r10; DEFERRED r13 (yielded the last window slot to the born-in-window bloom_prefilter_join_orders; embedding-dedup family in-window via dedup_exact_groups + knn_edges_ivf_embeddings, exact-cosine twin dedup_embedding_cosine r12-green; next in line for r14)
     # --- r13 drain demotions (each r12-green and multiply-attested;
     # --- family twin named inline) ------------------------------------
     "events_asof_join_string_time": events_asof_join_string_time,  # green r12; demoted r13 (asof family demotes together, both r12-green; the mixed-parseability string-key edge is property-pinned r13 (tests/test_asof_properties.py, r12 VERDICT Next #6))

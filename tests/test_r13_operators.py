@@ -261,6 +261,65 @@ class TestZorderAppend:
         assert any(r["event_id"] % 3 != 0 for r in rows), "no base row in box"
 
 
+class TestBloomPrefilterJoin:
+    def test_join_is_lossless(self, spark):
+        """Prefiltered join == plain join, row for row — the bloom
+        stage changes cost, never semantics (no false negatives; the
+        exact join removes the false positives)."""
+        from lovdata_pipeline_spark.operators.bloomjoin import (
+            bloom_prefilter_join,
+        )
+
+        left = spark.createDataFrame(
+            [(i, i % 97, f"p{i}") for i in range(2000)], "id long, k long, pay string"
+        )
+        right = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(0, 97, 13)], "k long, dim string"
+        )
+        got = bloom_prefilter_join(left, right, "k", m_bits=64, k=2)
+        want = left.join(right, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_every_dim_key_passes_its_own_filter(self, spark):
+        """The no-false-negative guarantee, directly: every key that
+        went INTO the filter passes the prefilter."""
+        from lovdata_pipeline_spark.operators.bloomjoin import (
+            bloom_from_keys,
+            bloom_prefilter,
+        )
+
+        keys = spark.createDataFrame([(k,) for k in range(50)], "k long")
+        flt = bloom_from_keys(keys, "k", m_bits=128, k=3)
+        kept = bloom_prefilter(keys, "k", flt, m_bits=128, k=3)
+        assert kept.count() == 50
+
+    def test_null_keys_never_pass(self, spark):
+        from lovdata_pipeline_spark.operators.bloomjoin import (
+            bloom_from_keys,
+            bloom_prefilter,
+        )
+
+        right = spark.createDataFrame([(1,), (2,)], "k long")
+        left = spark.createDataFrame([(1, 1), (2, None)], "id long, k long")
+        flt = bloom_from_keys(right, "k", m_bits=64, k=2)
+        kept = bloom_prefilter(left, "k", flt, m_bits=64, k=2)
+        assert [r["id"] for r in kept.collect()] == [1]
+
+    def test_graded_row_exercises_real_false_positives(self, spark):
+        """At the driver's sf0.01 grade the deliberately small m=256
+        filter must keep MORE rows than the exact join passes — the
+        prefilter stage of the grade is never vacuous — while
+        n_kept_bloom >= n_joined holds per priority (supersets only)."""
+        from lovdata_pipeline_spark.queries import bloom_prefilter_join_orders
+
+        rows = bloom_prefilter_join_orders(spark, "/root/testdata/sf0.01").collect()
+        assert rows
+        assert all(r["n_kept_bloom"] >= r["n_joined"] for r in rows)
+        assert sum(r["n_kept_bloom"] for r in rows) > sum(
+            r["n_joined"] for r in rows
+        ), "no false positives — the prefilter half of the grade is vacuous"
+
+
 class TestHllPairOverlap:
     def _docs(self, spark, groups):
         rows = []

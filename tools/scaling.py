@@ -80,6 +80,7 @@ LADDER_QUERIES = {
     "zorder_append_box_scan": "events",
     "hdr_store_merged_quantiles": "orders",
     "hll_vocab_overlap_sources": "documents",
+    "bloom_prefilter_join_orders": "orders",
 }
 
 SF_DIRS = [
