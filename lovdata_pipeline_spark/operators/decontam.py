@@ -424,9 +424,17 @@ def remove_contaminated_spans(
     # machinery, and no second corpus scan + re-join is needed for them
     # (the first cut of this operator re-scanned the corpus for a _norm
     # column and joined it back: 3 corpus scans where 2 suffice).
+    # r13 optimization (guide §3.1): per_doc is bounded by flagged docs
+    # × the (MB-sized by contract) needle set — contamination is rare by
+    # construction — while the corpus is the 100 TB side. The planner's
+    # estimate for the collect_set aggregate is poor enough that it fell
+    # back to a SortMergeJoin, SHUFFLING THE WHOLE CORPUS for a left
+    # join against a rare-row table; the explicit broadcast keeps the
+    # corpus scan-local (plan: SortMergeJoin LeftOuter + 2 Exchanges →
+    # BroadcastHashJoin, corpus side exchange-free).
     joined = corpus.select(
         F.col(id_col), F.col(text_col).alias("_text")
-    ).join(per_doc, id_col, "left")
+    ).join(F.broadcast(per_doc), id_col, "left")
     return _apply_surgery(joined, id_col, F.col("_ndls").isNull(), keep_text)
 
 

@@ -961,7 +961,11 @@ def remove_duplicated_spans(
         "keep_from", F.coalesce(F.lag("e").over(seg_w) + 1, F.lit(1))
     )
     docs_sel = docs.select(id_col, F.col(text_col).alias("_text"))
-    pieces = cuts.join(docs_sel, id_col).select(
+    # r13 (guide §3.1): cuts/tails/clean are bounded by SPAN-AFFECTED
+    # docs (near-dup mass, rare by construction) while docs is the
+    # 100 TB side — broadcast the small sides so the corpus never
+    # shuffles for these joins (the decontam surgery discipline).
+    pieces = F.broadcast(cuts).join(docs_sel, id_col).select(
         id_col,
         F.col("keep_from").alias("start"),
         F.expr(f"substring(_text, keep_from, s - keep_from)").alias("piece"),
@@ -969,8 +973,10 @@ def remove_duplicated_spans(
     )
     # tail segment after the LAST merged range, one row per affected doc
     tails = (
-        merged.groupBy(id_col)
-        .agg(F.max("e").alias("last_e"), F.count("*").alias("n_cut_regions"))
+        F.broadcast(
+            merged.groupBy(id_col)
+            .agg(F.max("e").alias("last_e"), F.count("*").alias("n_cut_regions"))
+        )
         .join(docs_sel, id_col)
         .select(
             id_col,
@@ -1009,7 +1015,7 @@ def remove_duplicated_spans(
     ]
     if keep_text:
         cols.append(F.coalesce(F.col("_clean"), F.col("_text")).alias("clean_text"))
-    return docs_sel.join(clean, id_col, "left").select(*cols)
+    return docs_sel.join(F.broadcast(clean), id_col, "left").select(*cols)
 
 
 # --------------------------------------------------------------------------

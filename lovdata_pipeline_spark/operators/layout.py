@@ -263,7 +263,10 @@ def zorder_write_index(
     zf = zorder_frame_pinned(
         df, xcol, ycol, ranges, bits=bits, n_buckets=n_buckets,
         on_out_of_range="error",
-    )
+    ).persist()  # r13: the stats pass AND the partitioned write both
+    # consume zf — unpersisted, each re-ran the full quantize projection
+    # (and re-scanned the source) from scratch; one cached evaluation
+    # feeds both (guide §5: reuse-justified persist, released below)
     stats = (
         zf.groupBy("zbucket")
         .agg(
@@ -297,9 +300,12 @@ def zorder_write_index(
             for r in stats
         },
     }
-    write_one_file_per_partition(
-        zf.drop("zvalue"), path, "zbucket", _SIDECAR, sidecar
-    )
+    try:
+        write_one_file_per_partition(
+            zf.drop("zvalue"), path, "zbucket", _SIDECAR, sidecar
+        )
+    finally:
+        zf.unpersist()
 
 
 def _load_sidecar(path: str) -> dict:

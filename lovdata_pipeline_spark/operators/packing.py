@@ -94,9 +94,12 @@ def global_token_offsets(
     # single-pass. Released before return, same cache+count discipline as
     # ngram_jaccard_pairs.
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
-    with_pid.count()
 
-    # phase 1: k subtotal rows — the ONLY driver materialization.
+    # phase 1: k subtotal rows — the ONLY driver materialization. This
+    # first action also populates the persist above (r13: a separate
+    # count() job beforehand materialized the cache the collect below
+    # would have populated anyway — one job, not two; the pinning
+    # guarantee only needs SOME first action to fill the cache).
     # range partitioner maps ascending id ranges to ascending partition
     # ids, so prefix-summing subtotals in _pid order gives each
     # partition the total token mass of all ids before its range.

@@ -67,6 +67,29 @@ def _link_stream_source(sf_dir: str, table: str, prefix: str) -> str:
     return d
 
 
+def _drain_partitions(spark: SparkSession, n: int = 8):
+    """Context manager pinning shuffle partitions for a finite streaming
+    drain (r13 optimization): per-partition state-store init dominates a
+    small drain, and a streaming query's partition count is frozen into
+    its checkpoint — so production sizes this per query anyway. The
+    append-session and interval-join rows already pinned 8 inline; this
+    applies the same discipline to all five drains. Restored on exit;
+    batch-equivalent results are partition-count-independent."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        conf = spark.conf
+        prev = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than cores. The single-file sf0.01/sf0.1 parquet tables arrive as one
@@ -1426,14 +1449,16 @@ def ann_topk_lsh_bucketed(spark, sf_dir):
     import numpy as np
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    dims = len(emb.first()["embedding"])
+    # one driver action, not two (r13): the query vector fetch also
+    # supplies the dimensionality the plane draw needs
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    dims = len(query)
     # 4 planes → 16 buckets, 1-bit multi-probe → 5 buckets scanned
     # (~31% of corpus). On uniform-random synthetic vectors recall is
     # structurally limited (cosine spread 0.30-0.37 barely shifts
     # collision odds); real embedding spaces cluster, which SRP exploits.
     rng = np.random.RandomState(42)
     planes = rng.randn(4, dims).tolist()
-    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     return similarity.ann_topk_lsh(emb, query, planes, k=10, n_probe_bits=1)
 
 
@@ -2810,14 +2835,15 @@ def streaming_session_counts(spark, sf_dir):
     def land(batch_df, _bid):
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        sess.writeStream.outputMode("complete")
-        .foreachBatch(land)
-        .option("checkpointLocation", chk_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            sess.writeStream.outputMode("complete")
+            .foreachBatch(land)
+            .option("checkpointLocation", chk_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _ = ev  # batch load above pins the nanosAsLong conf for the raw read
     return (
         spark.read.schema(
@@ -2974,14 +3000,15 @@ def streaming_vocab_counts(spark, sf_dir):
     def land(batch_df, _bid):
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(land)
-        .option("checkpointLocation", chk_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(land)
+            .option("checkpointLocation", chk_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     upd = spark.read.schema("token string, n_occurrences long").parquet(out_dir)
     return (
         upd.groupBy("token")
@@ -3276,14 +3303,15 @@ def streaming_dedup_counts(spark, sf_dir):
     def land(batch_df, _bid):
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(land)
-        .option("checkpointLocation", chk_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(land)
+            .option("checkpointLocation", chk_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _ = ev  # batch load pins the nanosAsLong conf for the raw read
     return (
         spark.read.schema("user_id long, event_type string")

@@ -55,6 +55,7 @@ def main() -> int:
         if args.plans:
             os.makedirs(plans_dir, exist_ok=True)
             df = fn(spark, args.sf_dir)
+            df.collect()  # run it so AdaptiveSparkPlan shows the FINAL plan
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
