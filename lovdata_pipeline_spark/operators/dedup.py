@@ -496,11 +496,17 @@ def minhash_store_write(
     import json as _json
     import os as _os
 
-    sh = hashed_word_shingles(docs, text_col, id_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    banded = _banded_view(sig, bands, num_hashes // bands, id_col)
-    banded.write.mode("overwrite").parquet(f"{path}/bands")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    # r13: the bands write and the shingles write both consume the
+    # shingle frame — unpersisted, the corpus was tokenized/shingled
+    # twice (guide §5: reuse-justified persist, released below)
+    sh = hashed_word_shingles(docs, text_col, id_col, n).persist()
+    try:
+        sig = minhash_signatures(sh, id_col, num_hashes)
+        banded = _banded_view(sig, bands, num_hashes // bands, id_col)
+        banded.write.mode("overwrite").parquet(f"{path}/bands")
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        sh.unpersist()
     n_docs = docs.select(id_col).distinct().count()
     with open(_os.path.join(path, "_minhash_params.json"), "w") as fh:
         _json.dump(
