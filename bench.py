@@ -170,6 +170,25 @@ def main() -> None:
     spark = get_spark("bench")
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker warmup (r13, declared in OPTIMIZATION_r13.md): the
+    # e2e pipeline is measured FIRST in the fresh JVM (r7 rule), which
+    # charged its first rep ~32 cold Python worker forks + pandas/pyarrow
+    # imports — interpreter startup, not pipeline work. One trivial
+    # pandas-UDF pass over one partition per core warms the pool, the
+    # exact analog of the JVM warmup line above. (The UDF is built via
+    # mapInPandas, which needs no resolvable type hints — a plain
+    # `s: _pd.Series` annotation is a string under `from __future__
+    # import annotations` and pandas_udf cannot resolve it here.)
+    import pandas as _pd  # noqa: F401 — imported so workers warm it too
+
+    def _warm_batches(batches):
+        for b in batches:
+            yield b
+
+    n_warm = spark.sparkContext.defaultParallelism
+    spark.range(n_warm * 32, numPartitions=n_warm).mapInPandas(
+        _warm_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # median over reps: machine load variance swamps single samples
     # (observed 2.8-11.9 s for the same query under load); the median is

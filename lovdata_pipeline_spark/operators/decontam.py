@@ -58,7 +58,11 @@ def _scan_local_ngram_hashes(
     """(id, shingle: bigint) word-n-gram hashes, generated inside the scan
     projection (NOT distinct — downstream distinct aggregation dedups on
     the 8-byte hash, so the pre-shuffle data is already minimal)."""
-    return docs.select(
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    # input-skew fix (r13, guide §2.5): the interpreted gram lambda runs
+    # in the scan stage — spread a single-file input so it parallelizes
+    return spread_if_narrow(docs).select(
         F.col(id_col), F.explode(ngram_hash_array(text_col, n)).alias("shingle")
     )
 
@@ -284,9 +288,17 @@ def exact_substring_contamination(
         .select(id_col, "needle_id")
         .distinct()
     )
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
     verified = (
         cands.join(
-            corpus.select(F.col(id_col), _ws_normalized(text_col).alias("_hay")),
+            # spread (guide §2.5): when the candidate side broadcasts,
+            # the normalization + locate run in the corpus scan stage —
+            # parallelize a single-file input (no-op at corpus scale).
+            # Spread the RAW column and normalize after the exchange,
+            # or the regex would still run inside the scan task.
+            spread_if_narrow(corpus.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), _ws_normalized(text_col).alias("_hay")),
             id_col,
         )
         .join(F.broadcast(bench.select("needle_id", "_needle")), "needle_id")
@@ -432,8 +444,13 @@ def remove_contaminated_spans(
     # join against a rare-row table; the explicit broadcast keeps the
     # corpus scan-local (plan: SortMergeJoin LeftOuter + 2 Exchanges →
     # BroadcastHashJoin, corpus side exchange-free).
-    joined = corpus.select(
-        F.col(id_col), F.col(text_col).alias("_text")
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    # spread (guide §2.5): with the broadcast below the surgery
+    # expressions execute in the corpus scan stage — a single-file input
+    # would serialize them onto one task (no-op on corpus-scale inputs)
+    joined = spread_if_narrow(
+        corpus.select(F.col(id_col), F.col(text_col).alias("_text"))
     ).join(F.broadcast(per_doc), id_col, "left")
     return _apply_surgery(joined, id_col, F.col("_ndls").isNull(), keep_text)
 

@@ -153,6 +153,11 @@ def hashed_word_shingles(
     grading needs, because ``max_df`` interacts with the prefix order's
     hash tiebreak. xxhash64 stays the production fast path.
     """
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    # input-skew fix (r13, guide §2.5): the split+explode runs in the
+    # scan stage — a single-file table serializes it onto one task
+    docs = spread_if_narrow(docs)
     words = docs.select(
         F.col(id_col),
         F.posexplode(_clean_split(F.col(text_col))).alias("pos", "w"),
@@ -640,6 +645,13 @@ def simhash(
     default and off in the oracle-checked graded query.
     """
     bits = PORTABLE_BITS if portable else 63  # bit 63 is xxhash64's sign bit
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    # input-skew fix (r13, guide §2.5): the explode, the per-token md5
+    # (portable mode), and the 60-way conditional-sum PARTIAL aggregate
+    # all run in the scan stage — single-file input serialized them on
+    # one task (measured 5.5s → 3.1s warm at sf0.1)
+    docs = spread_if_narrow(docs)
     tok = docs.select(
         F.col(id_col),
         F.explode(_clean_split(F.col(text_col))).alias("tok"),
@@ -966,7 +978,12 @@ def remove_duplicated_spans(
     cuts = merged.withColumn(
         "keep_from", F.coalesce(F.lag("e").over(seg_w) + 1, F.lit(1))
     )
-    docs_sel = docs.select(id_col, F.col(text_col).alias("_text"))
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    # input-skew fix (r13, guide §2.5): with the broadcast joins below,
+    # the substring/md5 splice expressions execute in the corpus SCAN
+    # stage — spread a single-file input so they parallelize
+    docs_sel = spread_if_narrow(docs.select(id_col, F.col(text_col).alias("_text")))
     # r13 (guide §3.1): cuts/tails/clean are bounded by SPAN-AFFECTED
     # docs (near-dup mass, rare by construction) while docs is the
     # 100 TB side — broadcast the small sides so the corpus never

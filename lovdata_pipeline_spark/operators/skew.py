@@ -16,6 +16,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """INPUT-skew fix (guide §2.5 "one huge unsplittable file"):
+    round-robin repartition ONLY when the input has fewer partitions
+    than cores. A single-file parquet table arrives as one scan task,
+    which serializes every interpreted/codegen-heavy per-row projection
+    that runs before the first Exchange (per-token md5 hashing, gram
+    explosion, winnowing, surgery splices) — measured 2.5-3× on the
+    sf0.1 corpus for gopher-repetition and simhash. A corpus-scale
+    table is already many-partitioned, so this is a structural no-op at
+    100 TB (the condition, not the call site, carries the scale story);
+    round-robin repartition is retry-safe (sort-before-repartition is
+    on by default, SPARK-23207).
+
+    Lived in queries.py since r5 applied to three queries; r13 hoists
+    it here so the OPERATORS whose first stage is compute-heavy can
+    spread their own input instead of relying on each caller to
+    remember (the callers that did — curation_report, decontam
+    benchmark flags — measured the same serialization this fixes)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
     """Per-key row counts + share of total: the diagnosis query you run
     before deciding to salt. (key..., n, share)."""

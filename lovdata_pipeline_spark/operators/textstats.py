@@ -23,6 +23,18 @@ STOPWORDS = {
 }
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores (operators/skew.spread_if_narrow): a single-file table's scan
+    task otherwise serializes this module's per-token/per-gram md5 and
+    explode projections — measured 2.5-3x at sf0.1; structurally a no-op
+    on corpus-scale (already many-partitioned) inputs."""
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+
+    return spread_if_narrow(docs)
+
+
+
 def _nonempty(arr: Column) -> Column:
     """Drop boundary empties from a whitespace split: Spark's ``trim``
     strips SPACES only and ``split`` keeps leading/trailing empty
@@ -145,6 +157,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     reversed) would be opaque; an explicit CASE keeps oracle parity
     trivial).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     toks = _tokenized(docs, text_col, id_col)
     hits = toks.select(
         F.col(id_col),
@@ -179,6 +192,7 @@ def quality_scores(
     ``keep_cols`` pass through the projection unchanged so consumers
     grouping by e.g. source stay single-scan (no re-join on id).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     text = F.col(text_col)
     n_chars = F.greatest(F.length(text), F.lit(1))
     words = _clean_split(text)
@@ -237,6 +251,7 @@ def winnowing_fingerprints(
     expression formulation ``winnowing_fingerprints_expr`` (pinned by
     test) and therefore the same DuckDB oracle.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     import numpy as np
     import pandas as pd
 
@@ -355,6 +370,7 @@ def winnowing_anchors(
     narrow ``mapInPandas`` pass, no shuffle, numpy Horner + sliding-
     window minima; the rightmost-argmin is one reversed argmax.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     import numpy as np
     import pandas as pd
     from numpy.lib.stride_tricks import sliding_window_view
@@ -423,6 +439,7 @@ def repetition_signals(
     (id, bigram) then id, partial-aggregated map-side, shuffling short
     bigram strings, never the document text.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     from pyspark.sql import Window
 
     trimmed = F.trim(F.lower(F.col(text_col)))
@@ -479,6 +496,7 @@ def unigram_surprisal(
     token→count join is an equi-join on the word (AQE handles the
     stopword skew); N/V broadcast as a 1-row scalar.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     tok = docs.select(
         F.col(id_col),
         F.explode(_clean_split(F.lower(F.col(text_col)))).alias("w"),
@@ -606,6 +624,7 @@ def hashed_linear_quality(
     # silent row loss in a quality stage is a data bug, not a
     # convenience. (r6 whitespace audit: the old form hashed a phantom
     # '' token instead, giving empty docs an arbitrary nonzero logit.)
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     tok = docs.select(
         F.col(id_col),
         F.explode_outer(
@@ -685,6 +704,7 @@ def train_text_classifier(
     collected per iteration. Text is never rescanned after the feature
     build; nothing driver-side scales past the bucket count.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     import math
 
     spark = docs.sparkSession
@@ -1004,6 +1024,7 @@ def gopher_quality(
     values hash-match bit-for-bit. Empty/NULL docs score zeros and fail
     the gate rather than erroring.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     exprs = _gopher_exprs(text_col)
     return docs.select(
         F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
@@ -1060,6 +1081,7 @@ def hashed_importance_score(
     longs — at 100 TB pass a larger ``n_buckets`` to keep per-bucket
     counts meaningful, not for overflow (2^63 tokens is out of reach).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     def bigram_buckets(df: DataFrame, with_id: bool):
         w = _words(text_col)
         grams = F.when(
@@ -1174,6 +1196,7 @@ def bigram_surprisal(
     frame, as ``perplexity_buckets`` does, rather than the text-bearing
     intermediates.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     w = _words(text_col)
     grams = F.when(F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
         F.zip_with(
@@ -1237,6 +1260,7 @@ def tfidf_keywords(
     top-k prunes to ≤ k·P rows per group first. Text itself never
     shuffles, only (term, count) pairs.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
     toks = (
@@ -1288,6 +1312,7 @@ def vocab_drift(
     counting (r6 review: relying on equi-join NULL semantics left a
     fabricated all-zero-counts row for the NULL group).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     spark = docs.sparkSession
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.col("_w"), F.lit(seed))), 1, 15), 16, 10)
@@ -1371,6 +1396,7 @@ def strip_boilerplate_lines(
     join no threshold row and are never stripped (the old fallback
     threshold of 0 stripped EVERY line of a NULL group).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     from lovdata_pipeline_spark.operators.dedup import _reassemble_without
 
     parts = F.split(F.col(text_col), r"\r?\n", -1)
@@ -1483,6 +1509,7 @@ def gopher_repetition_signals(
     frequent gram" resolve to the larger char mass (lexicographic
     struct max on (count, mass) in both engines).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     seed = "rep-v1"
 
     def h60(c: Column) -> Column:
@@ -1749,6 +1776,7 @@ def bpe_train(
     ``(.)`` matches a full surrogate pair as one code point, matching
     Python's codepoint iteration).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     spark = docs.sparkSession
     S = _BPE_SEP
     wc = (
@@ -1992,6 +2020,7 @@ def bpe_apply(
     their whitespace token but are not segmented (excluded from the
     vocab frame, NULL-joined → fall back to 1 symbol per word).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     S = _BPE_SEP
     words_frame = (
         docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
@@ -2073,6 +2102,7 @@ def compression_signals(
     not SQL-expressible — same weak-oracle class as the multimodal
     codec plumbing).
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     import zlib
 
     import pandas as pd
@@ -2145,6 +2175,7 @@ def quality_blend(
     only other costs are the |groups|-row aggregate and its broadcast
     join back.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     e = _gopher_exprs(text_col)
     lwords = _clean_split(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     sw_hits = F.size(F.filter(lwords, lambda w: w.isin(STOPWORDS["en"])))
@@ -2235,6 +2266,7 @@ def kn_surprisal(
     the bigram-type frame, which is vocabulary²-bounded, not
     corpus-bounded.
     """
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     d = float(discount)
     w = _words(text_col)
     grams = F.when(
@@ -2315,6 +2347,7 @@ def kn_trigram_surprisal(
     (type-scale joins), so the token-scale trigram stream pays exactly
     ONE equi-join against the scored types — the same shape as the
     oracle; AQE absorbs stopword-prefix skew."""
+    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
     d = float(discount)
     w = _words(text_col)
     tri_len = F.greatest(F.size(w) - 2, F.lit(1))

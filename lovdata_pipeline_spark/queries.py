@@ -92,16 +92,12 @@ def _drain_partitions(spark: SparkSession, n: int = 8):
 
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
-    than cores. The single-file sf0.01/sf0.1 parquet tables arrive as one
-    scan task, which serializes any interpreted hot loop (n-gram hashing,
-    PQ encode) — but a corpus-scale table is already many-partitioned, and
-    an unconditional repartition there would full-shuffle the widest
-    column for nothing. Conditional spread keeps the local bench parallel
-    and the 100-TB plan Exchange-free."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    than cores — see operators/skew.spread_if_narrow (hoisted there in
+    r13 so compute-heavy operators spread their own input; this alias
+    keeps the established query-level call sites)."""
+    from lovdata_pipeline_spark.operators.skew import spread_if_narrow as _s
+
+    return _s(df)
 
 
 def _dsum(col, alias: str):
