@@ -2895,18 +2895,31 @@ def streaming_session_append_counts(spark, sf_dir):
     src_dir = _link_stream_source(sf_dir, "events", "stream_sessap_src_")
     # sentinel heartbeat: one event 90 min (3×gap) past the span, in the
     # source's own ts dtype; written to a scratch dir and its part file
-    # symlinked in (the file source lists plain files in a directory)
+    # symlinked in (the file source lists plain files in a directory).
+    # r13 (guide §4.1 eliminate the Python boundary): the sentinel row is
+    # DERIVED from the max-ts aggregate frame with JVM literals — the old
+    # createDataFrame form parallelized one pickled row across
+    # defaultParallelism partitions and its coalesce(1) parquet write
+    # paid ~32 sequential Python-worker handshakes (~4 s measured for a
+    # ONE-ROW write); the agg frame is already a single JVM partition,
+    # and the separate max-collect job is fused into the write.
     if dict(raw.dtypes)["ts"] == "bigint":
-        mx_ns = raw.agg(F.max("ts")).first()[0]
-        sent_val = mx_ns + 90 * 60 * 10**9
+        sent_ts = F.max("ts") + F.lit(90 * 60 * 10**9)
     else:
-        mx = raw.agg(F.max("ts")).first()[0]
-        sent_val = mx + datetime.timedelta(minutes=90)
-    sent = spark.createDataFrame(
-        [(-1, sent_val, -999, "sentinel", 0.0, None)], raw.schema
+        sent_ts = F.max("ts") + F.expr("INTERVAL 90 MINUTES")
+    sent_vals = {
+        "event_id": F.lit(-1),
+        "ts": F.col("_sent_ts"),
+        "user_id": F.lit(-999),
+        "event_type": F.lit("sentinel"),
+        "value": F.lit(0.0),
+        "props": F.lit(None),
+    }
+    sent = raw.agg(sent_ts.alias("_sent_ts")).select(
+        *[sent_vals[f.name].cast(f.dataType).alias(f.name) for f in raw.schema.fields]
     )
     sent_dir = tempfile.mkdtemp(prefix="stream_sessap_sent_")
-    sent.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    sent.write.mode("overwrite").parquet(sent_dir)
     part = [f for f in os.listdir(sent_dir) if f.endswith(".parquet")][0]
     os.symlink(
         os.path.join(sent_dir, part), os.path.join(src_dir, "zz_sentinel.parquet")
