@@ -130,8 +130,30 @@ def run_pipeline(
             "doc_id", F.col("source_hash").alias("hash")
         ).join(failed_keyed.select("doc_id"), "doc_id", "left_anti")
 
-        n_failed = failed_keyed.count()
-        n_ok = ok_docs.count()
+        # ONE job for both tallies (r13, guide §1.2 "don't compute things
+        # twice"): n_failed must equal failed_keyed.count() (inner-join
+        # row count = Σ per-doc distinct-error rows) and n_ok must equal
+        # ok_docs.count() (docs with no error row) — both fall out of one
+        # left join + aggregate over the cached chunked frame, where the
+        # two separate counts each re-ran the to_process join lineage.
+        err_counts = failed_docs.groupBy("document_id").agg(
+            F.count(F.lit(1)).alias("_nerr")
+        )
+        tallies = (
+            to_process.select("doc_id")
+            .join(
+                err_counts.withColumnRenamed("document_id", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .agg(
+                F.sum(F.coalesce("_nerr", F.lit(0))).alias("nf"),
+                F.count(F.when(F.col("_nerr").isNull(), 1)).alias("nk"),
+            )
+            .first()
+        )
+        n_failed = int(tallies["nf"] or 0)
+        n_ok = int(tallies["nk"] or 0)
         if n_ok:
             state.mark_processed(ok_docs, at)
         if n_failed:

@@ -220,7 +220,21 @@ class ChunkStore:
         # chunk→embed Python path — without the cache that pipeline runs
         # twice per upsert. With a real (paid, rate-limited) embedding
         # provider that is double the API calls, not just double compute.
-        incoming = chunks.withColumn(_BUCKET, self._bucket_col()).cache()
+        incoming = chunks.withColumn(_BUCKET, self._bucket_col())
+        if not any(Path(self.root).glob(f"{_BUCKET}=*")):
+            # First load into an EMPTY store (r13, guide §5/§1.2): there
+            # are no survivors to merge and the write plan reads no store
+            # files, so the touched-bucket probe, the incoming cache AND
+            # the lineage-cut checkpoint (which guards read-what-you-
+            # overwrite) are all pure overhead — the chunk→embed output
+            # is evaluated exactly ONCE, by the write itself (an empty
+            # incoming writes no partitions, the same no-op as before).
+            self._write_buckets(
+                incoming.select(*[f.name for f in _STORED_SCHEMA.fields]),
+                materialized=True,
+            )
+            return
+        incoming = incoming.cache()
         try:
             touched = [r[_BUCKET] for r in incoming.select(_BUCKET).distinct().collect()]
             if not touched:
@@ -237,7 +251,21 @@ class ChunkStore:
         """DELETE WHERE document_id IN (...); returns deleted count
         (contract: vector_store.py:29-41)."""
         ids = doc_ids.select("document_id").distinct()
-        store = self.read()
+        # Bucket-prune the probe FROM THE IDS (r13, guide §6 / the class's
+        # own point-lookup doctrine): the layout invariant — every stored
+        # document lives in bucket pmod(xxhash64(document_id), n_buckets),
+        # enforced on write and data-confirmed on legacy opens — means the
+        # candidate buckets are computable without touching the store. An
+        # empty delete set (the common per-run pipeline case) now costs
+        # one tiny job over the ids instead of a full store scan, and a
+        # real delete scans only its candidate buckets.
+        cand = [
+            r["_b"]
+            for r in ids.select(self._bucket_col().alias("_b")).distinct().collect()
+        ]
+        if not cand:
+            return 0
+        store = self.read().filter(F.col(_BUCKET).isin(cand))
         hit = store.join(ids, "document_id", "left_semi")
         touched = [r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect()]
         if not touched:
