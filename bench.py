@@ -151,6 +151,60 @@ HEADLINE = [
 ]
 
 
+# Static packing order for the FINAL compact line's "queries" subset
+# (r14): descending cost on the r14 baseline run (this keeps the subset
+# identical across the driver's 32- and 8-core runs — a measured-order
+# sort would not be). Queries added later simply sort after these,
+# alphabetically; nothing here affects what is measured, only which
+# rows land inside the driver's ~2000-char tail capture.
+_TAIL_PRIORITY = [
+    "dedup_incremental_minhash", "ann_pca_rerank_recall_embeddings",
+    "dedup_components", "curation_pipeline", "bitext_mine_margin",
+    "zorder_append_box_scan", "dedup_minhash_lsh", "pipeline_e2e",
+    "pagerank_doc_graph", "dedup_simhash", "pretraining_pipeline",
+    "streaming_session_counts", "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard", "ann_topk_ivfpq", "text_kn_trigram_surprisal",
+    "train_quality_classifier_documents", "perplexity_buckets_by_source",
+    "bitext_mine_margin_bucketed", "collocation_pmi_bigrams",
+    "streaming_interval_join_counts", "bpe_token_counts",
+    "text_kn_surprisal", "semantic_dedup_pairs_embeddings",
+    "ann_topk_ivf_index", "knn_edges_ivf_embeddings",
+    "curation_report_by_source", "zipf_slope_by_source",
+    "streaming_session_append_counts", "cluster_balanced_sample_embeddings",
+    "decontaminate_benchmark_overlap", "ann_topk_pq", "dedup_shared_spans",
+    "text_repetition_signals", "streaming_vocab_counts",
+    "text_bigram_surprisal", "importance_score_documents",
+    "boilerplate_strip_documents", "decontam_remove_spans",
+    "dedup_embedding_cosine", "cms_token_estimates",
+    "length_bucketed_batches_documents", "embed_documents_pipeline",
+    "pack_emit_sequences", "text_unigram_surprisal", "text_repetition",
+    "q1_pricing_summary", "hdr_quantile_order_totals",
+    "weighted_sample_documents", "tfidf_keywords_by_source",
+    "quality_blend_documents", "q5_region_revenue", "vocab_drift_by_source",
+    "chunk_documents_pipeline", "bpe_learned_merges", "ann_topk_sq8",
+    "hdr_store_merged_quantiles", "streaming_dedup_counts",
+    "training_order_documents", "hll_store_merged_counts",
+    "shard_pack_documents", "hll_vocab_overlap_sources",
+    "bloom_prefilter_join_orders", "stratified_split_exact",
+    "text_winnowing", "knn_classify_embeddings",
+    "exact_contamination_documents", "quality_quota_by_source",
+    "dedup_keep_best_quality", "pack_sequences_documents",
+    "filter_attrition_report", "hard_negatives_embeddings",
+    "pca_variance_report_embeddings", "text_language_id",
+    "paragraph_dedup_documents", "text_gopher_quality", "text_quality",
+    "q3_top_unshipped", "text_quality_classifier", "bpe_pair_stats",
+    "scd2_user_event_intervals", "hll_distinct_by_source",
+    "events_rolling_1h", "bloom_token_membership", "events_sessionize",
+    "text_bm25_search", "knn_join_top3", "events_funnel_counts",
+    "anti_join_changed", "temperature_mix_orders",
+    "token_length_band_documents", "embedding_outliers_by_label",
+    "text_fingerprints", "events_retention_cohorts", "epoch_mix_documents",
+    "zorder_box_prune_events", "validate_documents_expectations",
+    "dedup_exact_groups", "phrase_search_documents", "events_hourly",
+    "mixture_plan_by_source", "ann_cosine_topk", "hash_split_documents",
+]
+
+
 def _measure(run_once, reps: int) -> tuple[float, float]:
     """(median, trimmed spread) — see module docstring for the policy."""
     samples = [run_once() for _ in range(reps)]
@@ -313,23 +367,56 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         indent=1,
     )
-    # Compact second line: r4's full dump exceeded the driver's tail capture
-    # (BENCH_r04.json recorded "parsed": null). The driver takes the last
-    # parseable JSON line, so keep this one short and headline-only.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "pipeline_docs_per_sec": pipeline_docs_per_sec,
-                "pipeline_e2e_sec": timings["pipeline_e2e"],
-                "pipeline_e2e_spread": spreads["pipeline_e2e"],
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Final compact line(s) — r14 (VERDICT r13 Next #2). The driver keeps
+    # only the last ~2000 chars of output and parses the last JSON line
+    # inside them; r4's full dump overflowed that (parsed: null) and the
+    # r4..r13 compact line carried no "queries" at all, which left
+    # PERF's per-query comparator empty for two optimization rounds. The
+    # full 103-entry map is ~3.1 KB and can never fit, so: emit ONE
+    # overflow line with the low-priority rows (parseable on its own if
+    # the driver scans multiple tail lines; also preserved in full in
+    # BENCH_LOCAL.json and the first dump line), then the FINAL contract
+    # line with the headline fields plus as many per-query medians (2dp)
+    # as fit a 1700-char budget, packed in the committed _TAIL_PRIORITY
+    # order — a static cost ranking, so the driver's 32- and 8-core runs
+    # carry the SAME key subset and the scaling comparator sees a common
+    # set. Nothing is removed or renamed: every query still appears in
+    # the full dump; the tail line is a prefix of a fixed ordering.
+    order = [n for n in _TAIL_PRIORITY if n in timings] + sorted(
+        n for n in timings if n not in _TAIL_PRIORITY
     )
+    base = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "pipeline_docs_per_sec": pipeline_docs_per_sec,
+        "pipeline_e2e_sec": timings["pipeline_e2e"],
+        "pipeline_e2e_spread": spreads["pipeline_e2e"],
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    tail_q: dict[str, float] = {}
+    for name in order:
+        trial = dict(base)
+        trial["queries"] = {**tail_q, name: round(timings[name], 2)}
+        if len(json.dumps(trial, separators=(",", ":"))) > 1700:
+            break
+        tail_q[name] = round(timings[name], 2)
+    rest = {n: round(timings[n], 2) for n in timings if n not in tail_q}
+    if rest:
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_rest",
+                    "unit": "sec",
+                    "queries": rest,
+                    "sf": base["sf"],
+                },
+                separators=(",", ":"),
+            )
+        )
+    base["queries"] = tail_q
+    print(json.dumps(base, separators=(",", ":")))
     spark.stop()
 
 

@@ -645,13 +645,13 @@ def simhash(
     default and off in the oracle-checked graded query.
     """
     bits = PORTABLE_BITS if portable else 63  # bit 63 is xxhash64's sign bit
-    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
-
-    # input-skew fix (r13, guide §2.5): the explode, the per-token md5
-    # (portable mode), and the 60-way conditional-sum PARTIAL aggregate
-    # all run in the scan stage — single-file input serialized them on
-    # one task (measured 5.5s → 3.1s warm at sf0.1)
-    docs = spread_if_narrow(docs)
+    # r14: the r13 spread retracted — interleaved solo A/B (reps
+    # alternating spread/no-spread in one session) measured the
+    # repartition as a net loss here (0.92x solo, 0.71x under the full
+    # bench protocol): the 60-way conditional-sum PARTIAL aggregate
+    # already parallelizes across the post-shuffle stage, so the extra
+    # Exchange of the raw text bought less than it cost. See
+    # OPTIMIZATION_r14.md.
     tok = docs.select(
         F.col(id_col),
         F.explode(_clean_split(F.col(text_col))).alias("tok"),

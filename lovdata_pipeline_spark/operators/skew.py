@@ -33,11 +33,88 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     it here so the OPERATORS whose first stage is compute-heavy can
     spread their own input instead of relying on each caller to
     remember (the callers that did — curation_report, decontam
-    benchmark flags — measured the same serialization this fixes)."""
+    benchmark flags — measured the same serialization this fixes).
+
+    r14 probe rewrite (VERDICT r13 Next #1): the old trigger probe was
+    ``df.rdd.getNumPartitions()``, which builds the full RDD plan and —
+    on any input that already contains an Exchange — makes AQE
+    MATERIALIZE those shuffle stages, running real upstream compute
+    that the actual query then re-runs (the exact cost r13 measured at
+    +2.3s/call and rejected for the chunker, yet shipped everywhere
+    else). The new probe never touches ``.rdd``:
+
+    - ``df.inputFiles()`` (a driver-side file-index lookup, no job)
+      approximates scan parallelism: a file-backed input with fewer
+      files than cores is the single-scan-task shape this helper
+      exists for. Non-file inputs (in-memory test frames, streams)
+      return no files and are left alone — their partitioning came
+      from whatever produced them.
+    - a logical-plan check skips inputs whose CURRENT partitioning is
+      already governed by an explicit ``Repartition`` — i.e. one that
+      sits downstream of every shuffle-producing node — so composed
+      operators (curation report → N textstats calls on the same
+      spread frame) don't stack one round-robin Exchange per operator.
+      A Repartition buried BELOW a later Join/Aggregate does NOT
+      suppress the spread: that shuffle re-partitioned the data, and
+      at local scale AQE coalesces a small post-shuffle frame to ~1
+      partition, re-serializing the downstream compute (measured on
+      pretraining_pipeline: probe-parity audit, OPTIMIZATION_r14.md).
+
+    Both checks are pure driver metadata — zero jobs, zero AQE stage
+    materialization, at any scale. ``SPARK_GRAFT_NO_SPREAD=1`` is the
+    measurement kill switch (bench A/B evidence in
+    OPTIMIZATION_r14.md), not a production knob."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):  # A/B kill switch (r14)
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming sources etc. — leave untouched
+        return df
+    if not files:
+        # No file relation: probe ONLY cache-backed frames (pipeline
+        # queries pass bounded cached samples/survivors whose expensive
+        # subtree is already materialized, so ``.rdd`` here is a
+        # metadata call — measured ~25 ms; on any other shape ``.rdd``
+        # can execute AQE stages, the exact r13 cost this rewrite
+        # removes, so everything else is left untouched).
+        try:
+            cached = (
+                "InMemoryRelation"
+                in df._jdf.queryExecution().optimizedPlan().toString()
+            )
+            if cached and df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
+    if len(files) >= target:
+        return df
+    plan = df._jdf.queryExecution().logical().toString()
+    rep = _first_node(plan, ("Repartition",))
+    if rep is not None:
+        shuffle = _first_node(
+            plan, ("Join", "Aggregate", "Window", "Deduplicate", "Sort")
+        )
+        if shuffle is None or rep < shuffle:
+            # the newest layout decision is already an explicit spread
+            return df
+    return df.repartition(target)
+
+
+def _first_node(plan: str, names: tuple[str, ...]) -> int | None:
+    """Line index of the first (i.e. most-downstream) logical-plan NODE
+    whose name starts with one of ``names``; None if absent. Matches
+    node names only (line heads after the tree-drawing prefix), never
+    expression text — a lowercase ``aggregate(...)`` lambda inside a
+    projection does not count."""
+    for i, line in enumerate(plan.splitlines()):
+        head = line.lstrip(" :+-")
+        if head.startswith(names):
+            return i
+    return None
 
 
 def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:

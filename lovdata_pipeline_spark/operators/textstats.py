@@ -496,7 +496,9 @@ def unigram_surprisal(
     token→count join is an equi-join on the word (AQE handles the
     stopword skew); N/V broadcast as a 1-row scalar.
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread 0.64x (1.57s -> 1.00s solo median));
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     tok = docs.select(
         F.col(id_col),
         F.explode(_clean_split(F.lower(F.col(text_col)))).alias("w"),
@@ -704,7 +706,9 @@ def train_text_classifier(
     collected per iteration. Text is never rescanned after the feature
     build; nothing driver-side scales past the bucket count.
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread 0.93x (3.33s -> 3.08s solo median));
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     import math
 
     spark = docs.sparkSession
@@ -1260,7 +1264,9 @@ def tfidf_keywords(
     top-k prunes to ≤ k·P rows per group first. Text itself never
     shuffles, only (term, count) pairs.
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread 0.66x (1.61s -> 1.07s solo median));
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
     toks = (
@@ -1396,7 +1402,9 @@ def strip_boilerplate_lines(
     join no threshold row and are never stripped (the old fallback
     threshold of 0 stripped EVERY line of a NULL group).
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread 0.56x (2.20s -> 1.22s solo median));
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     from lovdata_pipeline_spark.operators.dedup import _reassemble_without
 
     parts = F.split(F.col(text_col), r"\r?\n", -1)
@@ -1776,7 +1784,9 @@ def bpe_train(
     ``(.)`` matches a full surrogate pair as one code point, matching
     Python's codepoint iteration).
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread ~0.62-0.84x across the three bpe rows);
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     spark = docs.sparkSession
     S = _BPE_SEP
     wc = (
@@ -2020,7 +2030,9 @@ def bpe_apply(
     their whitespace token but are not segmented (excluded from the
     vocab frame, NULL-joined → fall back to 1 symbol per word).
     """
-    docs = _spread(docs)  # input-skew fix (r13, guide §2.5)
+    # r14: spread retracted here — interleaved solo A/B measured the
+    # repartition as a net LOSS on this operator (nospread/spread ~0.62-0.84x across the three bpe rows);
+    # see OPTIMIZATION_r14.md. The input keeps its scan partitioning.
     S = _BPE_SEP
     words_frame = (
         docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")

@@ -202,7 +202,12 @@ class ChunkStore:
         # Session-wide FileStatusCache still lists the replaced files.
         self.spark.catalog.refreshByPath(self.root)
         meta = Path(self.root) / "_store_meta.json"
-        if not meta.exists():
+        # Pin the sidecar only once data actually exists (r14 ADVICE): an
+        # empty write creates no bucket partitions, and stamping
+        # n_buckets onto a store holding zero data would make a later
+        # open of the still-empty store with a different explicit
+        # n_buckets fail the mismatch guard for no reason.
+        if not meta.exists() and any(Path(self.root).glob(f"{_BUCKET}=*")):
             import json as _json
 
             meta.write_text(_json.dumps({"n_buckets": self.n_buckets}))
@@ -250,7 +255,13 @@ class ChunkStore:
     def delete_documents(self, doc_ids: DataFrame) -> int:
         """DELETE WHERE document_id IN (...); returns deleted count
         (contract: vector_store.py:29-41)."""
-        ids = doc_ids.select("document_id").distinct()
+        # Materialize the id set ONCE (r14 ADVICE): pipeline callers pass
+        # join-heavy frames (failed_keyed, zero_chunk_docs), and the four
+        # downstream consumers — the bucket probe, the semi-join, the hit
+        # count, and the keep rewrite — would each re-run that join work
+        # otherwise. localCheckpoint is the single evaluation; everything
+        # below reads the materialized blocks.
+        ids = doc_ids.select("document_id").distinct().localCheckpoint(eager=True)
         # Bucket-prune the probe FROM THE IDS (r13, guide §6 / the class's
         # own point-lookup doctrine): the layout invariant — every stored
         # document lives in bucket pmod(xxhash64(document_id), n_buckets),

@@ -14,16 +14,40 @@ def test_all_plans_clean(spark):
     assert not problems, "\n".join(problems)
 
 
-def test_spread_if_narrow_is_conditional(spark):
-    """spread_if_narrow must be a no-op (no Exchange) when the input
-    already has >= defaultParallelism partitions — the unconditional
-    repartition it replaced would full-shuffle a corpus-scale table."""
+def test_spread_if_narrow_is_conditional(spark, tmp_path):
+    """spread_if_narrow must add an Exchange ONLY for the shape it
+    exists for — a file-backed input with fewer files than cores — and
+    must never probe ``.rdd`` (r14: the old probe materialized AQE
+    stages on derived inputs, re-running upstream compute). A
+    corpus-scale table (files >= cores) and non-file inputs are
+    untouched; an input that already carries a Repartition is not
+    re-spread (composed operators would otherwise stack one Exchange
+    per call)."""
     from lovdata_pipeline_spark.queries import spread_if_narrow
 
-    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 4)
-    assert spread_if_narrow(wide) is wide  # untouched: no Exchange added
+    cores = spark.sparkContext.defaultParallelism
 
-    narrow = spark.range(1000).coalesce(1)
+    # non-file input (in-memory range): left alone
+    mem = spark.range(1000).coalesce(1)
+    assert spread_if_narrow(mem) is mem
+
+    # single-file parquet: spread to cores
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one)
     spread = spread_if_narrow(narrow)
     assert spread is not narrow
-    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == cores
+
+    # already-spread input: no second Exchange stacked on top
+    again = spread_if_narrow(spread.select("id"))
+    assert (
+        again._jdf.queryExecution().logical().toString().count("Repartition")
+        == 1
+    )
+
+    # many-files parquet (>= cores): untouched — corpus-scale no-op
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(cores + 4).write.parquet(many)
+    wide = spark.read.parquet(many)
+    assert spread_if_narrow(wide) is wide
