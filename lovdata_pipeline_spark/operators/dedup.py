@@ -1142,18 +1142,22 @@ def _verify_cosine(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Exact verify of candidate pairs: sequential-fold dot product,
+    """Exact verify of candidate pairs: sequential-ORDER dot product,
     identical to the SQL-oracle formula (bit-stable regardless of how
-    the candidates were found)."""
+    the candidates were found). r14: the per-pair fold runs as an
+    Arrow-batched vectorized UDF with the fold's exact accumulation
+    order (_vecmath — nondeterministic-marked so the threshold filter
+    cannot duplicate the evaluation, guide §4.4); values and surviving
+    pairs bit-identical to the expression form."""
+    from lovdata_pipeline_spark.operators import _vecmath
+
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)))
+    ).withColumn("norm", _vecmath.vec_norm_once(F.col("v")))
     a = v.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
+    dot = _vecmath.pair_dot_once(F.col("va"), F.col("vb"))
     return (
         cand.join(F.broadcast(a), "doc_a")
         .join(F.broadcast(b), "doc_b")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from lovdata_pipeline_spark.operators.indexwrite import write_one_file_per_partition
 from lovdata_pipeline_spark.operators.sampling import top_k_per_group
+from lovdata_pipeline_spark.operators import _vecmath
 from lovdata_pipeline_spark.operators.similarity import _as_double, _dot, _norm
 
 #: rank mass fixed-point scale: ranks are integers in units of 10⁻¹².
@@ -262,7 +263,7 @@ def knn_write_ivf_index(
         vectors.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
         )
-        .withColumn("vn", _norm(F.col("vv")))
+        .withColumn("vn", _vecmath.vec_norm(F.col("vv")))
         .filter(F.col("vn") > 0)
     )
     u = v.select(
@@ -419,7 +420,7 @@ def _ivf_index_candidates(
     )
     dst_side = (
         members.select(F.col("vid").alias("dst"), F.col("vv").alias("bv"))
-        .withColumn("bn", _norm(F.col("bv")))
+        .withColumn("bn", _vecmath.vec_norm(F.col("bv")))
     )
     return cand, dst_side
 
@@ -495,7 +496,7 @@ def knn_edges(
     id_type = vectors.schema[id_col].dataType.simpleString()
     v = (
         vectors.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv"))
-        .withColumn("vn", _norm(F.col("vv")))
+        .withColumn("vn", _vecmath.vec_norm(F.col("vv")))
         .filter(F.col("vn") > 0)
     )
     if candidates == "blocked":
@@ -532,7 +533,9 @@ def knn_edges(
             "src",
             "dst",
             F.round(
-                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+                _vecmath.pair_dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")),
+                6,
             ).alias("score"),
         )
     )

@@ -344,17 +344,16 @@ def pca_rerank_topk(
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
     from lovdata_pipeline_spark.operators.similarity import _as_double, _dot, _norm
 
+    from lovdata_pipeline_spark.operators import _vecmath
+
     qp = pca_project(
         queries.select(query_id, vec_col), model, vec_col=vec_col, out_col="_qp"
     )
     cp = pca_project(
         corpus.select(corpus_id, vec_col), model, vec_col=vec_col, out_col="_cp"
     )
-    neg_dist = -F.aggregate(
-        F.zip_with("_qp", "_cp", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # r14 (guide §4.2): vectorized, fold-order-exact −Σ(a−b)² (_vecmath)
+    neg_dist = _vecmath.pair_neg_sq_l2(F.col("_qp"), F.col("_cp"))
     persisted = False
     if n_cells > 0:
         # the index build materializes the projected corpus 3× (seed
@@ -376,14 +375,18 @@ def pca_rerank_topk(
     finally:
         if persisted:
             cp.unpersist()
+    from lovdata_pipeline_spark.operators import _vecmath
+
+    # r14 (guide §4.2): the stage-2 rescore's norms + pair dot run as
+    # Arrow-batched vectorized UDFs, fold-order exact (_vecmath).
     cand_vec = cand.join(
         corpus.select(corpus_id, _as_double(F.col(vec_col)).alias("_cv")),
         corpus_id,
-    ).withColumn("_cn", _norm(F.col("_cv"))).filter(F.col("_cn") > 0)
+    ).withColumn("_cn", _vecmath.vec_norm_once(F.col("_cv"))).filter(F.col("_cn") > 0)
     with_q = cand_vec.join(
         F.broadcast(
             queries.select(query_id, _as_double(F.col(vec_col)).alias("_qv"))
-            .withColumn("_qn", _norm(F.col("_qv")))
+            .withColumn("_qn", _vecmath.vec_norm_once(F.col("_qv")))
             .filter(F.col("_qn") > 0)
         ),
         query_id,
@@ -392,7 +395,9 @@ def pca_rerank_topk(
         query_id,
         corpus_id,
         F.round(
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            _vecmath.pair_dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
         ).alias("score"),
     )
     return top_k_per_group(rescored, k, query_id, "score", corpus_id).withColumnRenamed(

