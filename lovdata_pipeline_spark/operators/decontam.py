@@ -444,14 +444,18 @@ def remove_contaminated_spans(
     # join against a rare-row table; the explicit broadcast keeps the
     # corpus scan-local (plan: SortMergeJoin LeftOuter + 2 Exchanges →
     # BroadcastHashJoin, corpus side exchange-free).
-    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
+    from lovdata_pipeline_spark.operators.skew import bounded_broadcast, spread_if_narrow
 
+    # r14 (VERDICT Next #7): verify the rarity contract before
+    # broadcasting — a mass-contaminated corpus falls back to a shuffle
+    # join instead of OOMing the driver. One evaluation either way.
+    per_doc, small = bounded_broadcast(per_doc)
     # spread (guide §2.5): with the broadcast below the surgery
     # expressions execute in the corpus scan stage — a single-file input
     # would serialize them onto one task (no-op on corpus-scale inputs)
     joined = spread_if_narrow(
         corpus.select(F.col(id_col), F.col(text_col).alias("_text"))
-    ).join(F.broadcast(per_doc), id_col, "left")
+    ).join(F.broadcast(per_doc) if small else per_doc, id_col, "left")
     return _apply_surgery(joined, id_col, F.col("_ndls").isNull(), keep_text)
 
 

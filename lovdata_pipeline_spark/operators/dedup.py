@@ -975,13 +975,24 @@ def remove_duplicated_spans(
     merged = ranged.groupBy(id_col, "island").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
+    from lovdata_pipeline_spark.operators.skew import bounded_broadcast, spread_if_narrow
+
+    # r14 (VERDICT Next #7): verify the rarity contract before the
+    # broadcasts below — a mass-duplicated corpus falls back to shuffle
+    # joins instead of OOMing the driver. The checkpoint also fixes a
+    # double evaluation: ``cuts`` and ``tails`` both derive from
+    # ``merged``, whose span-detection subtree previously ran once per
+    # consumer.
+    merged, small = bounded_broadcast(merged)
+
+    def _maybe_b(df):
+        return F.broadcast(df) if small else df
+
     # kept segment BEFORE each merged range, in one pass over the ranges
     seg_w = Window.partitionBy(id_col).orderBy("s")
     cuts = merged.withColumn(
         "keep_from", F.coalesce(F.lag("e").over(seg_w) + 1, F.lit(1))
     )
-    from lovdata_pipeline_spark.operators.skew import spread_if_narrow
-
     # input-skew fix (r13, guide §2.5): with the broadcast joins below,
     # the substring/md5 splice expressions execute in the corpus SCAN
     # stage — spread a single-file input so they parallelize
@@ -990,7 +1001,7 @@ def remove_duplicated_spans(
     # docs (near-dup mass, rare by construction) while docs is the
     # 100 TB side — broadcast the small sides so the corpus never
     # shuffles for these joins (the decontam surgery discipline).
-    pieces = F.broadcast(cuts).join(docs_sel, id_col).select(
+    pieces = _maybe_b(cuts).join(docs_sel, id_col).select(
         id_col,
         F.col("keep_from").alias("start"),
         F.expr(f"substring(_text, keep_from, s - keep_from)").alias("piece"),
@@ -998,7 +1009,7 @@ def remove_duplicated_spans(
     )
     # tail segment after the LAST merged range, one row per affected doc
     tails = (
-        F.broadcast(
+        _maybe_b(
             merged.groupBy(id_col)
             .agg(F.max("e").alias("last_e"), F.count("*").alias("n_cut_regions"))
         )
@@ -1040,7 +1051,7 @@ def remove_duplicated_spans(
     ]
     if keep_text:
         cols.append(F.coalesce(F.col("_clean"), F.col("_text")).alias("clean_text"))
-    return docs_sel.join(F.broadcast(clean), id_col, "left").select(*cols)
+    return docs_sel.join(_maybe_b(clean), id_col, "left").select(*cols)
 
 
 # --------------------------------------------------------------------------

@@ -117,6 +117,48 @@ def _first_node(plan: str, names: tuple[str, ...]) -> int | None:
     return None
 
 
+def bounded_broadcast(df: DataFrame, max_rows: int | None = None):
+    """Materialize a "rare by contract" frame once, verify the contract,
+    and return (frame, broadcastable: bool) — r14 VERDICT Next #7.
+
+    The span-surgery operators broadcast corpus-derived aggregates
+    (flagged-doc needle lists, near-dup cut lists) that are MB-sized by
+    the operators' documented rarity contract — but nothing verified
+    the contract, so a pathological corpus (mass contamination / mass
+    duplication) would build an over-sized broadcast and OOM the
+    driver. This helper localCheckpoints the frame (ONE evaluation —
+    the broadcast build would have evaluated it anyway; Context-
+    Cleaner reclaims the blocks when references drop), counts rows
+    with an early-terminating ``limit(max+1)`` read of the
+    materialized blocks, and tells the caller to fall back to a plain
+    (shuffle) join when the bound breaks — degraded, not dead. On a
+    contract-respecting corpus the only added cost is the capped count
+    over cached blocks, and join strategies are unchanged.
+
+    ``SPARK_GRAFT_MAX_BROADCAST_ROWS`` sizes the bound (default 1e6
+    rows — at the ~100-byte span/needle row shapes here that is
+    ~100 MB, inside the session's 64 MB auto threshold × safety 2).
+    """
+    import os
+    import warnings
+
+    if max_rows is None:
+        max_rows = int(os.environ.get("SPARK_GRAFT_MAX_BROADCAST_ROWS", "1000000"))
+    cp = df.localCheckpoint(eager=True)
+    n = cp.limit(max_rows + 1).count()
+    if n > max_rows:
+        warnings.warn(
+            f"bounded_broadcast: side has >{max_rows} rows — the rarity "
+            "contract is broken; falling back to a shuffle join instead "
+            "of broadcasting (raise SPARK_GRAFT_MAX_BROADCAST_ROWS only "
+            "if the driver is sized for it)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return cp, False
+    return cp, True
+
+
 def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
     """Per-key row counts + share of total: the diagnosis query you run
     before deciding to salt. (key..., n, share)."""
