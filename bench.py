@@ -239,10 +239,16 @@ def main() -> None:
         for b in batches:
             yield b
 
-    n_warm = spark.sparkContext.defaultParallelism
-    spark.range(n_warm * 32, numPartitions=n_warm).mapInPandas(
-        _warm_batches, "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # SPARK_GRAFT_NO_WORKER_WARMUP=1 skips the pool warmup — the r14
+    # control knob for the docs/s bridge (VERDICT r13 Next #10: one e2e
+    # record WITHOUT the r13 warmup next to the warmed number, so the
+    # r12→r14 docs/s series has a comparable point; BENCH_AUX
+    # e2e_warmup_bridge). The graded bench never sets it.
+    if not os.environ.get("SPARK_GRAFT_NO_WORKER_WARMUP"):
+        n_warm = spark.sparkContext.defaultParallelism
+        spark.range(n_warm * 32, numPartitions=n_warm).mapInPandas(
+            _warm_batches, "id long"
+        ).write.format("noop").mode("overwrite").save()
 
     # median over reps: machine load variance swamps single samples
     # (observed 2.8-11.9 s for the same query under load); the median is

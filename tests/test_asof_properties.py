@@ -69,6 +69,7 @@ def _run(spark, lefts, rights, lparts, rparts, shuffle_seed):
 @pytest.mark.usefixtures("spark")
 @settings(**_SETTINGS)
 @given(lefts=_ROWS, rights=_ROWS)
+@pytest.mark.slow_ladder
 def test_mixed_parseability_is_partition_independent(spark, lefts, rights):
     """Same draw, three different physical layouts (1-partition
     ordered, 7-partition, 5-partition shuffled) — byte-identical

@@ -70,6 +70,7 @@ def test_rank_requires_input_or_edges(capsys):
     assert main(["rank", "--top", "3"]) == 2
 
 
+@pytest.mark.slow_ladder
 def test_rank_via_persisted_graph_index(spark, emb_parquet, tmp_path, capsys):
     """`lg index --graph` + `lg rank --index-path` (r9): building from the
     persisted unit-sphere geometry ranks the same top nodes as the

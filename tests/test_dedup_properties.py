@@ -374,6 +374,7 @@ def test_connected_components_diameter_guard(spark):
     assert {r["component_id"] for r in rows} == {0}
 
 
+@pytest.mark.slow_ladder
 def test_connected_components_path_graph_log_rounds(spark):
     """r3 VERDICT #3: the pathological case for label propagation is a
     long path (templated boilerplate chains), O(diameter) rounds. With

@@ -831,6 +831,7 @@ def _ref_bpe_train(word_counts, n_merges, min_count=2):
     return merges, syms
 
 
+@pytest.mark.slow_ladder
 def test_bpe_train_matches_pure_python_reference(spark):
     """Randomized cross-implementation pin: the distributed string-
     replace trainer equals a dict-based reference on 20 random corpora

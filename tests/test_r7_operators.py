@@ -593,6 +593,7 @@ _corpus = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=_corpus, n_merges=st.integers(min_value=1, max_value=6))
+@pytest.mark.slow_ladder
 def test_bpe_paths_agree_on_random_corpora(spark, texts, n_merges):
     """Property: the driver-side incremental merge loop and the
     distributed replace loop learn IDENTICAL merge tables (ranks,

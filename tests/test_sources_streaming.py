@@ -398,6 +398,7 @@ class TestStreamingQualityGate:
 
 
 class TestStreamingTokenCounts:
+    @pytest.mark.slow_ladder
     def test_available_now_equals_batch_counts(self, spark, tmp_path):
         """The stateful vocabulary counter's final update per token must
         equal the batch explode+count over the same files — and the ''

@@ -130,6 +130,7 @@ def test_paragraph_dedup_matches_reference(spark, corpus):
 @pytest.mark.usefixtures("spark")
 @settings(**_SETTINGS)
 @given(corpus=_corpus, seed=st.integers(min_value=0, max_value=3))
+@pytest.mark.slow_ladder
 def test_paragraph_dedup_partition_independent(spark, corpus, seed):
     """The winner rule is a global min — the result must not depend on
     how the input is partitioned or ordered."""
@@ -177,6 +178,7 @@ def _ref_pack(ids_lens: list[tuple[int, int]], seq_len: int):
 @pytest.mark.usefixtures("spark")
 @settings(**_SETTINGS)
 @given(lens=_lens, seed=st.integers(min_value=0, max_value=3))
+@pytest.mark.slow_ladder
 def test_pack_token_sequences_matches_reference(spark, lens, seed):
     """The virtual token stream is ordered by doc_id alone — equal
     lengths (including runs of zeros) must not perturb any document's
